@@ -1,38 +1,876 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` maps SURVEY.md §2's operator inventory (plus the
+training-data-pipeline extensions) to engine invocations; ``oracle_sql``
+provides the DuckDB-equivalent SQL for the hash-compared correctness
+gate.  Conventions keeping the two engines hash-identical:
+
+* double SUMs go through DECIMAL(18,2|4) (exact, order-independent —
+  plain double summation differs across partition orders) and back to
+  double;
+* AVGs are computed as exact-decimal-sum / count, rounded;
+* similarity scores are rounded; rankings always carry a deterministic
+  tiebreak;
+* every computed column is aliased identically on both sides.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from apache_beam_spark.pipeline import Pipeline
+from apache_beam_spark.sources.tables import load_table
+from apache_beam_spark.operators.elementwise import KvSwap, Regex, ToStringOp, WithKeys, Partition
+from apache_beam_spark.operators.grouping import CoGroupByKey, GroupByKey, GroupIntoBatches
+from apache_beam_spark.operators.combine import (
+    ApproximateQuantiles, ApproximateUnique, Combine, Count, Distinct, Sample, Top,
+)
+from apache_beam_spark.operators.join import Join
+from apache_beam_spark.operators.flatten import Flatten
+from apache_beam_spark.windowing import CalendarWindows, FixedWindows, Sessions, SlidingWindows
+from apache_beam_spark.functions import text as T
+from apache_beam_spark.dedup.exact import exact_dedup
+from apache_beam_spark.dedup.minhash import minhash_lsh_dedup
+from apache_beam_spark.dedup.simhash import simhash_dedup
+from apache_beam_spark.dedup.ngram import ngram_jaccard_pairs
+from apache_beam_spark.similarity.knn import brute_force_topk, lsh_topk
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _dsum(col, alias: str, scale: int = 2) -> Column:
+    """Exact order-independent double sum via decimal."""
+    c = F.expr(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(18,{scale})")).cast("double").alias(alias)
+
+
+def _davg(col, alias: str) -> Column:
+    """avg = exact decimal sum / count, rounded — portable across engines."""
+    c = F.expr(col) if isinstance(col, str) else col
+    return F.round(
+        F.sum(c.cast("decimal(18,4)")).cast("double") / F.count(c), 6
+    ).alias(alias)
+
+
+#: net revenue computed in exact decimal arithmetic — casting the *inputs*
+#: (clean 2-decimal values) to decimal and multiplying exactly avoids the
+#: engine-dependent double->decimal rounding of an arbitrary product.
+def _disc_price() -> Column:
+    return (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+    )
+_SQL_DISC_PRICE = ("CAST(l_extendedprice AS DECIMAL(18,2))"
+                   " * (1 - CAST(l_discount AS DECIMAL(18,2)))")
+
+
+# SQL twins of the helpers above
+def _sql_dsum(expr: str, alias: str, scale: int = 2) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE) AS {alias}"
+
+
+def _sql_davg(expr: str, alias: str) -> str:
+    return (f"ROUND(CAST(SUM(CAST({expr} AS DECIMAL(18,4))) AS DOUBLE)"
+            f" / COUNT({expr}), 6) AS {alias}")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H Q1-style pricing summary (Combine.perKey over a
+    pushed-down filter; reference pattern: Combine.java:153)."""
+    p = Pipeline(spark)
+    li = p.from_df(load_table(spark, "lineitem", sf_dir))
+    out = (
+        li.where("l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'")
+        | Combine.per_key(
+            ["l_returnflag", "l_linestatus"],
+            _dsum("l_quantity", "sum_qty"),
+            _dsum("l_extendedprice", "sum_base_price"),
+            F.sum(_disc_price()).cast("double").alias("sum_disc_price"),
+            _davg("l_quantity", "avg_qty"),
+            _davg("l_extendedprice", "avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+    return out.df
+
+
+def _elementwise_project(spark, sf_dir):
+    """MapElements fast path: Column projection (MapElements.java:74)."""
+    p = Pipeline(spark)
+    li = p.from_df(load_table(spark, "lineitem", sf_dir))
+    out = li.where("l_quantity > 45").select(
+        "l_orderkey", "l_linenumber",
+        _disc_price().cast("double").alias("net_price"),
+    )
+    return out.df
+
+
+def _filter_orders(spark, sf_dir):
+    """Filter.by + comparison shortcuts (Filter.java:52,77)."""
+    p = Pipeline(spark)
+    o = p.from_df(load_table(spark, "orders", sf_dir))
+    return o.where((F.col("o_totalprice") > 400000) & (F.col("o_orderstatus") == "O")) \
+        .select("o_orderkey", "o_totalprice").df
+
+
+def _wordcount(spark, sf_dir):
+    """The reference's canonical example (examples/java/.../WordCount.java):
+    FlatMap(split) -> Count.perElement."""
+    p = Pipeline(spark)
+    docs = p.from_df(load_table(spark, "documents", sf_dir))
+    words = docs.apply(Regex.split("text", "[^a-z0-9]+", alias="word"))
+    return (words | Count.per_element("word", alias="n")).df
+
+
+def _group_by_key(spark, sf_dir):
+    """GroupByKey -> per-key bag; emit bag size (GroupByKey.java:139)."""
+    p = Pipeline(spark)
+    ev = p.from_df(load_table(spark, "events", sf_dir))
+    gbk = ev.apply(GroupByKey(keys="user_id", value="value", alias="values"))
+    return gbk.select("user_id", F.size("values").alias("n")).df
+
+
+def _combine_per_key_multi(spark, sf_dir):
+    """Multiple CombineFns in one pass (TupleCombineFn, combiners.py:442)."""
+    p = Pipeline(spark)
+    ev = p.from_df(load_table(spark, "events", sf_dir))
+    return (ev | Combine.per_key(
+        "event_type",
+        _dsum("value", "total"),
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )).df
+
+
+def _count_global(spark, sf_dir):
+    p = Pipeline(spark)
+    li = p.from_df(load_table(spark, "lineitem", sf_dir))
+    return (li | Count.globally(alias="n")).df
+
+
+def _count_per_element(spark, sf_dir):
+    p = Pipeline(spark)
+    li = p.from_df(load_table(spark, "lineitem", sf_dir))
+    return (li | Count.per_element("l_returnflag", alias="n")).df
+
+
+def _stats_per_key(spark, sf_dir):
+    """Min/Max/Mean/Count per key (Min.java, Max.java, Mean.java:83)."""
+    p = Pipeline(spark)
+    li = p.from_df(load_table(spark, "lineitem", sf_dir))
+    return (li | Combine.per_key(
+        "l_returnflag",
+        F.min("l_quantity").alias("qmin"),
+        F.max("l_quantity").alias("qmax"),
+        _davg("l_quantity", "qavg"),
+        F.count(F.lit(1)).alias("n"),
+    )).df
+
+
+def _top_global(spark, sf_dir):
+    """Top.largest (Top.java:146) — TakeOrderedAndProject, no full sort."""
+    p = Pipeline(spark)
+    o = p.from_df(load_table(spark, "orders", sf_dir))
+    top = o | Top.largest("o_totalprice", 10, tiebreak=["o_orderkey"])
+    return top.select("o_orderkey", "o_totalprice").df
+
+
+def _top_per_key(spark, sf_dir):
+    """Top.perKey (Top.java:237) — bounded heap per key via row_number."""
+    p = Pipeline(spark)
+    li = p.from_df(load_table(spark, "lineitem", sf_dir))
+    top = li | Top.per_key("l_returnflag", "l_extendedprice", 3,
+                           rank_alias="rank", tiebreak=["l_orderkey", "l_linenumber"])
+    return top.select("l_returnflag", "l_orderkey", "l_extendedprice", "rank").df
+
+
+def _distinct_segments(spark, sf_dir):
+    p = Pipeline(spark)
+    c = p.from_df(load_table(spark, "customer", sf_dir))
+    return c.apply(Distinct(cols=["c_mktsegment"])).df
+
+
+def _distinct_representative(spark, sf_dir):
+    """Distinct.withRepresentativeValueFn (Distinct.java:87,163) — keep
+    the min-orderkey witness per customer."""
+    p = Pipeline(spark)
+    o = p.from_df(load_table(spark, "orders", sf_dir))
+    d = o.apply(Distinct(representative="o_custkey", order_col="o_orderkey"))
+    return d.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("first_orderkey"),
+        F.col("o_totalprice").alias("first_price"),
+    ).df
+
+
+def _latest_per_user(spark, sf_dir):
+    """Latest.perKey (Latest.java:57) with deterministic tiebreak:
+    max(struct(ts, event_id)) == ORDER BY ts DESC, event_id DESC LIMIT 1."""
+    p = Pipeline(spark)
+    ev = p.from_df(load_table(spark, "events", sf_dir))
+    return (ev | Combine.per_key(
+        "user_id",
+        F.max(F.struct("ts", "event_id")).alias("__m__"),
+    )).select(
+        "user_id",
+        F.col("__m__.ts").alias("latest_ts"),
+        F.col("__m__.event_id").alias("latest_event"),
+    ).df
+
+
+def _distinct_count_exact(spark, sf_dir):
+    p = Pipeline(spark)
+    ev = p.from_df(load_table(spark, "events", sf_dir))
+    return (ev | Combine.per_key(
+        "event_type", F.countDistinct("user_id").alias("n_users")
+    )).df
+
+
+def _approx_distinct_users(spark, sf_dir):
+    """ApproximateUnique (ApproximateUnique.java:85) — HLL++ sketch;
+    rows-only check (sketch differs from DuckDB's)."""
+    p = Pipeline(spark)
+    ev = p.from_df(load_table(spark, "events", sf_dir))
+    return (ev | ApproximateUnique.per_key("event_type", "user_id",
+                                           alias="approx_users")).df
+
+
+def _quantiles_exact(spark, sf_dir):
+    """Exact percentiles (interpolated) — portable across engines."""
+    p = Pipeline(spark)
+    li = p.from_df(load_table(spark, "lineitem", sf_dir))
+    pct = F.percentile(F.col("l_quantity"), F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    return (li | Combine.globally(pct.alias("__p__"))).select(
+        F.round(F.col("__p__")[0], 6).alias("p25"),
+        F.round(F.col("__p__")[1], 6).alias("p50"),
+        F.round(F.col("__p__")[2], 6).alias("p75"),
+    ).df
+
+
+def _approx_quantiles(spark, sf_dir):
+    """ApproximateQuantiles (ApproximateQuantiles.java:97) — GK sketch;
+    rows-only check."""
+    p = Pipeline(spark)
+    li = p.from_df(load_table(spark, "lineitem", sf_dir))
+    return (li | ApproximateQuantiles.globally(
+        "l_extendedprice", [0.25, 0.5, 0.75], alias="qs"
+    )).select(
+        F.col("qs")[0].alias("p25"), F.col("qs")[1].alias("p50"), F.col("qs")[2].alias("p75")
+    ).df
+
+
+def _sample_any(spark, sf_dir):
+    """Sample.any(n) (Sample.java:74) — arbitrary n rows; rows-only."""
+    p = Pipeline(spark)
+    o = p.from_df(load_table(spark, "orders", sf_dir))
+    return (o | Sample.any(100)).select("o_orderkey").df
+
+
+def _join_inner(spark, sf_dir):
+    """Join.innerJoin (join-library Join.java:48)."""
+    p = Pipeline(spark)
+    o = p.from_df(load_table(spark, "orders", sf_dir))
+    c = p.from_df(load_table(spark, "customer", sf_dir).withColumnRenamed("c_custkey", "o_custkey"))
+    return o.apply(Join.inner(c, on="o_custkey", broadcast=True)) \
+        .select("o_orderkey", "c_name").df
+
+
+def _join_left_agg(spark, sf_dir):
+    """Join.leftOuterJoin + null default (Join.java:94)."""
+    p = Pipeline(spark)
+    c = p.from_df(load_table(spark, "customer", sf_dir))
+    o = p.from_df(load_table(spark, "orders", sf_dir).withColumnRenamed("o_custkey", "c_custkey"))
+    j = c.apply(Join.left_outer(o, on="c_custkey"))
+    spend = F.coalesce(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), F.lit(0.0)
+    ).alias("spend")
+    return (j | Combine.per_key(
+        "c_custkey",
+        F.count("o_orderkey").alias("n_orders"),
+        spend,
+    )).df
+
+
+def _join_right(spark, sf_dir):
+    """Join.rightOuterJoin (Join.java:147)."""
+    p = Pipeline(spark)
+    n = p.from_df(load_table(spark, "nation", sf_dir).withColumnRenamed("n_regionkey", "r_regionkey"))
+    r = p.from_df(load_table(spark, "region", sf_dir))
+    return n.apply(Join.right_outer(r, on="r_regionkey")).select("r_name", "n_name").df
+
+
+def _join_full(spark, sf_dir):
+    """Join.fullOuterJoin (Join.java:201)."""
+    p = Pipeline(spark)
+    r = p.from_df(load_table(spark, "region", sf_dir).withColumnRenamed("r_regionkey", "k"))
+    n = p.from_df(load_table(spark, "nation", sf_dir).withColumnRenamed("n_regionkey", "k"))
+    return r.apply(Join.full_outer(n, on="k")).select("r_name", "n_name").df
+
+
+def _join_semi(spark, sf_dir):
+    """left-semi (free capability beyond reference, SURVEY §2.4)."""
+    p = Pipeline(spark)
+    c = p.from_df(load_table(spark, "customer", sf_dir))
+    o = p.from_df(load_table(spark, "orders", sf_dir).withColumnRenamed("o_custkey", "c_custkey"))
+    return c.apply(Join.semi(o, on="c_custkey")).select("c_custkey").df
+
+
+def _join_anti(spark, sf_dir):
+    p = Pipeline(spark)
+    c = p.from_df(load_table(spark, "customer", sf_dir))
+    o = p.from_df(load_table(spark, "orders", sf_dir).withColumnRenamed("o_custkey", "c_custkey"))
+    return c.apply(Join.anti(o, on="c_custkey")).select("c_custkey").df
+
+
+def _star_join_revenue(spark, sf_dir):
+    """Star-schema join with broadcast dims (side-input join pattern,
+    View.java:216 / GameStats.java:122-142): revenue per region/nation."""
+    p = Pipeline(spark)
+    li = p.from_df(load_table(spark, "lineitem", sf_dir).withColumnRenamed("l_orderkey", "o_orderkey"))
+    o = p.from_df(load_table(spark, "orders", sf_dir))
+    c = p.from_df(load_table(spark, "customer", sf_dir).withColumnRenamed("c_custkey", "o_custkey"))
+    n = p.from_df(load_table(spark, "nation", sf_dir).withColumnRenamed("n_nationkey", "c_nationkey"))
+    r = p.from_df(load_table(spark, "region", sf_dir).withColumnRenamed("r_regionkey", "n_regionkey"))
+    j = (li.apply(Join.inner(o, on="o_orderkey", broadcast=False))
+         .apply(Join.inner(c, on="o_custkey", broadcast=True))
+         .apply(Join.inner(n, on="c_nationkey", broadcast=True))
+         .apply(Join.inner(r, on="n_regionkey", broadcast=True)))
+    return (j | Combine.per_key(
+        ["r_name", "n_name"],
+        F.sum(_disc_price()).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )).df
+
+
+def _cogroup_by_key(spark, sf_dir):
+    """CoGroupByKey (CoGroupByKey.java:74): per-key bags from two inputs."""
+    p = Pipeline(spark)
+    o = p.from_df(load_table(spark, "orders", sf_dir).withColumnRenamed("o_orderkey", "key"))
+    li = p.from_df(load_table(spark, "lineitem", sf_dir).withColumnRenamed("l_orderkey", "key"))
+    cg = o.apply(CoGroupByKey({"orders_bag": (o, "o_totalprice"),
+                               "items_bag": (li, "l_extendedprice")}, key="key"))
+    return cg.select(
+        "key",
+        F.size("orders_bag").alias("n_orders"),
+        F.size("items_bag").alias("n_items"),
+    ).df
+
+
+def _flatten_union(spark, sf_dir):
+    """Flatten.pCollections (Flatten.java:66)."""
+    p = Pipeline(spark)
+    o = p.from_df(load_table(spark, "orders", sf_dir))
+    lo = o.where("o_totalprice < 1000")
+    hi = o.where("o_totalprice > 400000")
+    return Flatten.pcollections([lo, hi]).select("o_orderkey", "o_totalprice").df
+
+
+def _partition_branch(spark, sf_dir):
+    """Partition.of(n, fn) (Partition.java:95) — branch 0 of 3."""
+    p = Pipeline(spark)
+    o = p.from_df(load_table(spark, "orders", sf_dir))
+    parts = Partition.by(o, 3, F.col("o_orderkey"))
+    return parts[0].select("o_orderkey", "o_totalprice").df
+
+
+def _kv_swap(spark, sf_dir):
+    """WithKeys + KvSwap (WithKeys.java:66, KvSwap.java:56)."""
+    p = Pipeline(spark)
+    ev = p.from_df(load_table(spark, "events", sf_dir))
+    kv = ev.apply(WithKeys(F.col("event_type"), name="key")) \
+        .select("key", F.col("value"))
+    return kv.apply(KvSwap()).df
+
+
+def _tostring_kvs(spark, sf_dir):
+    """ToString.kvs (ToString.java:52)."""
+    p = Pipeline(spark)
+    r = p.from_df(load_table(spark, "region", sf_dir))
+    return r.apply(ToStringOp(cols=["r_regionkey", "r_name"], sep=",", alias="str")).df
+
+
+def _regex_matches(spark, sf_dir):
+    """Regex.matches group extraction (Regex.java:51-105)."""
+    p = Pipeline(spark)
+    c = p.from_df(load_table(spark, "customer", sf_dir))
+    return c.apply(Regex.matches("c_name", "Customer#(\\d+)", group=1, alias="cust_num")).df
+
+
+def _regex_replace(spark, sf_dir):
+    """Regex.replaceAll (Regex.java)."""
+    p = Pipeline(spark)
+    d = p.from_df(load_table(spark, "documents", sf_dir))
+    rep = d.apply(Regex.replace_all("text", "\\bdata\\b", "DATA", alias="text2"))
+    return rep.select("doc_id", "text2").df
+
+
+def _json_extract(spark, sf_dir):
+    """jackson extension ParseJsons equivalent (sdks/java/extensions/jackson)
+    -> from_json/get_json_object."""
+    p = Pipeline(spark)
+    ev = p.from_df(load_table(spark, "events", sf_dir))
+    return ev.select(
+        "event_id", F.get_json_object("props", "$.k").cast("int").alias("k")
+    ).df
+
+
+def _window_fixed(spark, sf_dir):
+    """FixedWindows + windowed Combine (FixedWindows.java:36; GroupByKey
+    honors windows — GroupByKey.java:203)."""
+    p = Pipeline(spark)
+    ev = p.from_df(load_table(spark, "events", sf_dir)) \
+        .with_event_time("ts") \
+        .window_into(FixedWindows("1 hour"))
+    agg = ev | Combine.per_key("event_type",
+                               F.count(F.lit(1)).alias("n"),
+                               _dsum("value", "total"))
+    return agg.select(
+        F.col("window.start").alias("ws"), "event_type", "n", "total"
+    ).df
+
+
+def _window_sliding(spark, sf_dir):
+    """SlidingWindows (SlidingWindows.java:43): 1h size / 30m period."""
+    p = Pipeline(spark)
+    ev = p.from_df(load_table(spark, "events", sf_dir)) \
+        .with_event_time("ts") \
+        .window_into(SlidingWindows("1 hour", "30 minutes"))
+    agg = ev | Combine.globally(F.count(F.lit(1)).alias("n"))
+    return agg.select(F.col("window.start").alias("ws"), "n").df
+
+
+def _window_session(spark, sf_dir):
+    """Sessions.withGapDuration (Sessions.java:40): 10m gap per user."""
+    p = Pipeline(spark)
+    ev = p.from_df(load_table(spark, "events", sf_dir)) \
+        .with_event_time("ts") \
+        .window_into(Sessions("10 minutes"))
+    agg = ev | Combine.per_key("user_id", F.count(F.lit(1)).alias("n_events"))
+    return agg.select(
+        "user_id", F.col("window.start").alias("session_start"), "n_events"
+    ).df
+
+
+def _window_calendar_month(spark, sf_dir):
+    """CalendarWindows.months (CalendarWindows.java) via date_trunc."""
+    p = Pipeline(spark)
+    o = p.from_df(load_table(spark, "orders", sf_dir)) \
+        .with_event_time("o_orderdate") \
+        .window_into(CalendarWindows("month"))
+    agg = o | Combine.globally(F.count(F.lit(1)).alias("n_orders"),
+                               _dsum("o_totalprice", "total"))
+    return agg.select(F.col("window.start").alias("month"), "n_orders", "total").df
+
+
+def _group_into_batches(spark, sf_dir):
+    """GroupIntoBatches.ofSize (GroupIntoBatches.java:79) — batch sizes
+    are deterministic (contents arbitrary)."""
+    p = Pipeline(spark)
+    ev = p.from_df(load_table(spark, "events", sf_dir))
+    g = ev.apply(GroupIntoBatches(10, keys="user_id", value="event_id", alias="batch"))
+    return g.select("user_id", F.size("batch").alias("batch_size")).df
+
+
+def _text_stats(spark, sf_dir):
+    """Text analysis: char/token counts, mean word length."""
+    p = Pipeline(spark)
+    d = p.from_df(load_table(spark, "documents", sf_dir))
+    w = T.word_tokens(F.col("text"))
+    total_len = F.aggregate(w, F.lit(0), lambda acc, t: acc + F.length(t))
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(w).alias("n_tokens"),
+        F.round(total_len / F.size(w), 6).alias("mean_word_len"),
+    ).df
+
+
+def _quality_score(spark, sf_dir):
+    p = Pipeline(spark)
+    d = p.from_df(load_table(spark, "documents", sf_dir))
+    return d.select("doc_id", T.quality_score(F.col("text")).alias("q")).df
+
+
+def _lang_id(spark, sf_dir):
+    p = Pipeline(spark)
+    d = p.from_df(load_table(spark, "documents", sf_dir))
+    return d.select("doc_id", T.lang_id(F.col("text")).alias("lang_pred")).df
+
+
+def _fingerprint_docs(spark, sf_dir):
+    """Document fingerprinting: md5 of normalized text."""
+    p = Pipeline(spark)
+    d = p.from_df(load_table(spark, "documents", sf_dir))
+    return d.select("doc_id", T.fingerprint(F.col("text")).alias("fp")).df
+
+
+def _dedup_exact(spark, sf_dir):
+    """Exact dedup: min-id witness per normalized text."""
+    return exact_dedup(load_table(spark, "documents", sf_dir)).select("doc_id")
+
+
+def _dedup_minhash(spark, sf_dir):
+    """MinHash LSH near-dedup — rows-only (engine-specific hashes)."""
+    return minhash_lsh_dedup(
+        load_table(spark, "documents", sf_dir),
+        num_hashes=64, num_bands=16, shingle_k=3,
+    ).select("doc_id")
+
+
+def _dedup_simhash(spark, sf_dir):
+    """SimHash near-dedup — rows-only (engine-specific hashes)."""
+    return simhash_dedup(load_table(spark, "documents", sf_dir), max_hamming=3) \
+        .select("doc_id")
+
+
+def _ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard pairs >= 0.5 via inverted index."""
+    return ngram_jaccard_pairs(
+        load_table(spark, "documents", sf_dir), shingle_k=3, threshold=0.5,
+        max_df=1_000_000,
+    )
+
+
+def _embed_knn(spark, sf_dir):
+    """Brute-force cosine top-3 for the first 100 vectors."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < 100)
+    return brute_force_topk(q, emb, k=3).select("query_id", "neighbor_id", "rank", "sim")
+
+
+def _embed_lsh_knn(spark, sf_dir):
+    """LSH-bucketed ANN — rows-only (recall-approximate)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < 100)
+    return lsh_topk(q, emb, dim=64, k=3, n_bits=6).select(
+        "query_id", "neighbor_id", "rank", "sim")
+
+
+def _embed_near_dup(spark, sf_dir):
+    from apache_beam_spark.similarity.knn import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(load_table(spark, "embeddings", sf_dir),
+                                    threshold=0.95)
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _q1_pricing_summary(spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q1_pricing_summary": _q1_pricing_summary,
+        "elementwise_project": _elementwise_project,
+        "filter_orders": _filter_orders,
+        "wordcount": _wordcount,
+        "group_by_key": _group_by_key,
+        "combine_per_key_multi": _combine_per_key_multi,
+        "count_global": _count_global,
+        "count_per_element": _count_per_element,
+        "stats_per_key": _stats_per_key,
+        "top_global": _top_global,
+        "top_per_key": _top_per_key,
+        "distinct_segments": _distinct_segments,
+        "distinct_representative": _distinct_representative,
+        "latest_per_user": _latest_per_user,
+        "distinct_count_exact": _distinct_count_exact,
+        "approx_distinct_users": _approx_distinct_users,
+        "quantiles_exact": _quantiles_exact,
+        "approx_quantiles": _approx_quantiles,
+        "sample_any": _sample_any,
+        "join_inner": _join_inner,
+        "join_left_agg": _join_left_agg,
+        "join_right": _join_right,
+        "join_full": _join_full,
+        "join_semi": _join_semi,
+        "join_anti": _join_anti,
+        "star_join_revenue": _star_join_revenue,
+        "cogroup_by_key": _cogroup_by_key,
+        "flatten_union": _flatten_union,
+        "partition_branch": _partition_branch,
+        "kv_swap": _kv_swap,
+        "tostring_kvs": _tostring_kvs,
+        "regex_matches": _regex_matches,
+        "regex_replace": _regex_replace,
+        "json_extract": _json_extract,
+        "window_fixed": _window_fixed,
+        "window_sliding": _window_sliding,
+        "window_session": _window_session,
+        "window_calendar_month": _window_calendar_month,
+        "group_into_batches": _group_into_batches,
+        "text_stats": _text_stats,
+        "quality_score": _quality_score,
+        "lang_id": _lang_id,
+        "fingerprint_docs": _fingerprint_docs,
+        "dedup_exact": _dedup_exact,
+        "dedup_minhash": _dedup_minhash,
+        "dedup_simhash": _dedup_simhash,
+        "ngram_jaccard": _ngram_jaccard,
+        "embed_knn": _embed_knn,
+        "embed_lsh_knn": _embed_lsh_knn,
+        "embed_near_dup": _embed_near_dup,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# apostrophe doubled for embedding in SQL single-quoted literals
+WORD_PAT = "[\\p{L}\\p{N}_'']+"
+_MARKERS = {
+    "en": "['the','and','of','to','is']",
+    "de": "['der','und','die','das','ist']",
+    "fr": "['le','la','et','les','est']",
+    "es": "['el','de','que','los','es']",
+}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    toks = f"regexp_extract_all(lower(text), '{WORD_PAT}')"
+    lang_scores = ", ".join(
+        f"len(list_filter({m}, m -> list_contains({toks}, m))) AS s_{lang}"
+        for lang, m in _MARKERS.items()
+    )
+    shingle_expr = (
+        "CASE WHEN len(toks) >= 3 THEN "
+        "list_transform(range(0, len(toks)-2), i -> array_to_string(toks[i+1:i+3], ' ')) "
+        "ELSE [array_to_string(toks, ' ')] END"
+    )
+    norm_text = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+    return {
+        "q1_pricing_summary": f"""
+            SELECT l_returnflag, l_linestatus,
+                   {_sql_dsum('l_quantity', 'sum_qty')},
+                   {_sql_dsum('l_extendedprice', 'sum_base_price')},
+                   CAST(SUM({_SQL_DISC_PRICE}) AS DOUBLE) AS sum_disc_price,
+                   {_sql_davg('l_quantity', 'avg_qty')},
+                   {_sql_davg('l_extendedprice', 'avg_price')},
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus""",
+        "elementwise_project": f"""
+            SELECT l_orderkey, l_linenumber,
+                   CAST({_SQL_DISC_PRICE} AS DOUBLE) AS net_price
+            FROM lineitem WHERE l_quantity > 45""",
+        "filter_orders": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_totalprice > 400000 AND o_orderstatus = 'O'""",
+        "wordcount": """
+            SELECT word, COUNT(*) AS n FROM (
+                SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS word
+                FROM documents) t
+            WHERE word <> '' GROUP BY word""",
+        "group_by_key": """
+            SELECT user_id, COUNT(value) AS n FROM events GROUP BY user_id""",
+        "combine_per_key_multi": f"""
+            SELECT event_type, {_sql_dsum('value', 'total')},
+                   COUNT(*) AS n, MIN(value) AS vmin, MAX(value) AS vmax
+            FROM events GROUP BY event_type""",
+        "count_global": "SELECT COUNT(*) AS n FROM lineitem",
+        "count_per_element": """
+            SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY l_returnflag""",
+        "stats_per_key": f"""
+            SELECT l_returnflag, MIN(l_quantity) AS qmin, MAX(l_quantity) AS qmax,
+                   {_sql_davg('l_quantity', 'qavg')}, COUNT(*) AS n
+            FROM lineitem GROUP BY l_returnflag""",
+        "top_global": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+        "top_per_key": """
+            SELECT l_returnflag, l_orderkey, l_extendedprice, rank FROM (
+                SELECT l_returnflag, l_orderkey, l_extendedprice,
+                       ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                           ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rank
+                FROM lineitem) t
+            WHERE rank <= 3""",
+        "distinct_segments": "SELECT DISTINCT c_mktsegment FROM customer",
+        "distinct_representative": """
+            SELECT o_custkey, MIN(o_orderkey) AS first_orderkey,
+                   arg_min(o_totalprice, o_orderkey) AS first_price
+            FROM orders GROUP BY o_custkey""",
+        "latest_per_user": """
+            SELECT user_id, ts AS latest_ts, event_id AS latest_event FROM (
+                SELECT user_id, ts, event_id,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events) t
+            WHERE rn = 1""",
+        "distinct_count_exact": """
+            SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type""",
+        "quantiles_exact": """
+            SELECT ROUND(quantile_cont(l_quantity, 0.25), 6) AS p25,
+                   ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50,
+                   ROUND(quantile_cont(l_quantity, 0.75), 6) AS p75
+            FROM lineitem""",
+        "join_inner": """
+            SELECT o_orderkey, c_name FROM orders
+            JOIN customer ON o_custkey = c_custkey""",
+        "join_left_agg": f"""
+            SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+                   COALESCE({_sql_dsum('o_totalprice', 'x').replace(' AS x', '')}, 0.0) AS spend
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey""",
+        "join_right": """
+            SELECT r_name, n_name FROM nation
+            RIGHT JOIN region ON n_regionkey = r_regionkey""",
+        "join_full": """
+            SELECT r_name, n_name FROM region
+            FULL OUTER JOIN nation ON r_regionkey = n_regionkey""",
+        "join_semi": """
+            SELECT c_custkey FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+        "join_anti": """
+            SELECT c_custkey FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+        "star_join_revenue": f"""
+            SELECT r_name, n_name,
+                   CAST(SUM({_SQL_DISC_PRICE}) AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name""",
+        "cogroup_by_key": """
+            SELECT COALESCE(o.key, l.key) AS key,
+                   COALESCE(o.n, 0) AS n_orders, COALESCE(l.n, 0) AS n_items
+            FROM (SELECT o_orderkey AS key, COUNT(*) AS n FROM orders GROUP BY 1) o
+            FULL OUTER JOIN
+                 (SELECT l_orderkey AS key, COUNT(*) AS n FROM lineitem GROUP BY 1) l
+            ON o.key = l.key""",
+        "flatten_union": """
+            SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice < 1000
+            UNION ALL
+            SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 400000""",
+        "partition_branch": """
+            SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 0""",
+        "kv_swap": "SELECT value AS key, event_type AS value FROM events",
+        "tostring_kvs": """
+            SELECT CAST(r_regionkey AS VARCHAR) || ',' || r_name AS str FROM region""",
+        "regex_matches": r"""
+            SELECT regexp_extract(c_name, 'Customer#(\d+)', 1) AS cust_num
+            FROM customer WHERE regexp_matches(c_name, 'Customer#(\d+)')""",
+        "regex_replace": r"""
+            SELECT doc_id, regexp_replace(text, '\bdata\b', 'DATA', 'g') AS text2
+            FROM documents""",
+        "json_extract": """
+            SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+            FROM events""",
+        "window_fixed": f"""
+            SELECT date_trunc('hour', ts) AS ws, event_type,
+                   COUNT(*) AS n, {_sql_dsum('value', 'total')}
+            FROM events GROUP BY 1, 2""",
+        "window_sliding": """
+            SELECT ws, COUNT(*) AS n FROM (
+                SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws FROM events
+                UNION ALL
+                SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' AS ws
+                FROM events) t
+            GROUP BY ws""",
+        "window_session": """
+            WITH gaps AS (
+                SELECT user_id, ts,
+                       CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                 > INTERVAL '10 minutes'
+                            OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events),
+            sessions AS (
+                SELECT user_id, ts,
+                       SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+                FROM gaps)
+            SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+            FROM sessions GROUP BY user_id, sid""",
+        "window_calendar_month": f"""
+            SELECT date_trunc('month', o_orderdate) AS month,
+                   COUNT(*) AS n_orders, {_sql_dsum('o_totalprice', 'total')}
+            FROM orders GROUP BY 1""",
+        "group_into_batches": """
+            SELECT user_id,
+                   CASE WHEN g < n // 10 THEN 10 ELSE n % 10 END AS batch_size
+            FROM (
+                SELECT user_id, n,
+                       unnest(range(0, CAST(CEIL(n / 10.0) AS INT))) AS g
+                FROM (SELECT user_id, COUNT(*)::INT AS n
+                      FROM events GROUP BY user_id) c) t""",
+        "text_stats": f"""
+            SELECT doc_id, LENGTH(text) AS n_chars,
+                   len({toks}) AS n_tokens,
+                   ROUND(list_sum(list_transform({toks}, t -> LENGTH(t)))
+                         / len({toks}), 6) AS mean_word_len
+            FROM documents""",
+        "quality_score": f"""
+            SELECT doc_id, ROUND((
+                (CASE WHEN LENGTH(text) >= 50 THEN 1.0 ELSE LENGTH(text) / 50.0 END)
+                + (1.0 - LEAST(2 * (LENGTH(regexp_replace(text,
+                        '[\\p{{L}}\\p{{N}}\\s]', '', 'g')) * 1.0
+                        / NULLIF(LENGTH(text), 0)), 1.0))
+                + LEAST(5 * (len(list_filter({toks}, t -> t IN ('the','of','and','a','to',
+                        'in','is','it','that','was','for','on','as','with','at','by','an',
+                        'be','this','are','or','not'))) * 1.0 / NULLIF(len({toks}), 0)), 1.0)
+            ) / 3.0, 6) AS q
+            FROM documents""",
+        "lang_id": f"""
+            SELECT doc_id,
+                CASE WHEN GREATEST(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                     WHEN s_en = GREATEST(s_en, s_de, s_fr, s_es) THEN 'en'
+                     WHEN s_de = GREATEST(s_en, s_de, s_fr, s_es) THEN 'de'
+                     WHEN s_fr = GREATEST(s_en, s_de, s_fr, s_es) THEN 'fr'
+                     ELSE 'es' END AS lang_pred
+            FROM (SELECT doc_id, {lang_scores} FROM documents) t""",
+        "fingerprint_docs": f"""
+            SELECT doc_id, md5({norm_text}) AS fp FROM documents""",
+        "dedup_exact": f"""
+            SELECT doc_id FROM documents
+            WHERE doc_id IN (
+                SELECT MIN(doc_id) FROM documents GROUP BY md5({norm_text}))""",
+        "ngram_jaccard": f"""
+            WITH sh AS (
+                SELECT doc_id AS id, list_distinct({shingle_expr}) AS sh
+                FROM (SELECT doc_id, {toks} AS toks FROM documents) t),
+            sizes AS (SELECT id, len(sh) AS n FROM sh),
+            inv AS (SELECT id, unnest(sh) AS g FROM sh),
+            inter AS (
+                SELECT x.id AS id_a, y.id AS id_b, COUNT(*) AS inter
+                FROM inv x JOIN inv y ON x.g = y.g AND x.id < y.id
+                GROUP BY x.id, y.id)
+            SELECT id_a, id_b,
+                   ROUND(inter * 1.0 / (a.n + b.n - inter), 6) AS jaccard
+            FROM inter
+            JOIN sizes a ON a.id = id_a
+            JOIN sizes b ON b.id = id_b
+            WHERE inter * 1.0 / (a.n + b.n - inter) >= 0.5""",
+        "embed_knn": """
+            SELECT query_id, neighbor_id, rank, sim FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       ROUND(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+                             / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+                                * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 6) AS sim,
+                       ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                           list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+                             / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+                                * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) DESC,
+                           c.vec_id) AS rank
+                FROM embeddings q CROSS JOIN embeddings c
+                WHERE q.vec_id < 100 AND q.vec_id <> c.vec_id) t
+            WHERE rank <= 3""",
+        "embed_near_dup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                         / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                            * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                  / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                     * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.95""",
+    }

@@ -1,0 +1,126 @@
+"""MinHash + LSH near-duplicate detection.
+
+Pipeline: shingle -> k minhashes -> b bands of r hashes -> band-bucket
+join.  Everything is Column higher-order functions (JVM, codegen) — the
+only shuffles are the band-bucket groupBy and the final semi-join.
+
+Hash family: h_i(x) = pmod(a_i * pmod(xxhash64(x), P) + b_i, P) with a
+31-bit prime P (Spark-ML MinHashLSH style) so a*h+b < 2^62 — no long
+overflow under ANSI mode.  Fixed seeds — deterministic across runs;
+oracle checks for this op are rows-only (no portable SQL equivalent).
+
+Scale notes (100 TB):
+  * signatures are k*8 bytes/doc — the heavy text column never shuffles;
+  * band explode is k/r rows/doc of (band_hash, id) — tiny;
+  * bucket-min dedup avoids materializing candidate pairs entirely;
+  * pair generation caps bucket width (``max_bucket``) to bound the
+    quadratic blowup from degenerate buckets (boilerplate-heavy docs).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from apache_beam_spark.functions.text import shingles
+
+_PRIME = 2038074743  # 31-bit prime (same one Spark ML's MinHashLSH uses)
+
+
+def _hash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    rnd = random.Random(seed)
+    return [(rnd.randrange(1, _PRIME), rnd.randrange(0, _PRIME)) for _ in range(num_hashes)]
+
+
+def minhash_signature(text: Column, num_hashes: int = 64, shingle_k: int = 3,
+                      seed: int = 42) -> Column:
+    """array<bigint> MinHash signature of a text column."""
+    sh = shingles(text, shingle_k)
+    base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_PRIME)))
+    sig = []
+    for a, b in _hash_params(num_hashes, seed):
+        sig.append(F.array_min(F.transform(base, lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_PRIME)))))
+    return F.array(*sig)
+
+
+def _band_rows(sig_col: str, num_bands: int, rows_per_band: int) -> Column:
+    """array<struct<band:int, bh:bigint>> — one hash per band."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_bands - 1)),
+        lambda band: F.struct(
+            band.cast("int").alias("band"),
+            F.xxhash64(F.concat_ws(",", F.transform(
+                F.slice(F.col(sig_col), band * rows_per_band + 1, rows_per_band),
+                lambda v: v.cast("string"),
+            ))).alias("bh"),
+        ),
+    )
+
+
+def minhash_lsh_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                      num_hashes: int = 64, num_bands: int = 16, shingle_k: int = 3,
+                      seed: int = 42) -> DataFrame:
+    """Near-dup removal: a doc survives iff it owns the min id in every
+    LSH bucket it occupies (bucket-min rule — a scalable one-round
+    approximation of connected components; duplicates of a kept doc are
+    dropped by the bucket they share with it)."""
+    r = num_hashes // num_bands
+    sigs = df.select(
+        F.col(id_col),
+        minhash_signature(F.col(text_col), num_hashes, shingle_k, seed).alias("__sig__"),
+    )
+    bands = sigs.select(
+        id_col, F.explode(_band_rows("__sig__", num_bands, r)).alias("b")
+    ).select(id_col, "b.band", "b.bh")
+    # min id per bucket, then: survivor iff id == min over all its buckets
+    bucket_min = bands.groupBy("band", "bh").agg(F.min(id_col).alias("__bmin__"))
+    keep = (
+        bands.join(bucket_min, on=["band", "bh"])
+        .groupBy(id_col).agg(F.min("__bmin__").alias("__canon__"))
+        .filter(F.col(id_col) == F.col("__canon__"))
+        .select(id_col)
+    )
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                      num_hashes: int = 64, num_bands: int = 16, shingle_k: int = 3,
+                      threshold: float = 0.5, seed: int = 42,
+                      max_bucket: int = 1000) -> DataFrame:
+    """Candidate near-dup pairs with estimated jaccard (signature
+    agreement rate), verified against ``threshold``.
+
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b.
+    """
+    r = num_hashes // num_bands
+    sigs = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(F.col(text_col), num_hashes, shingle_k, seed).alias("sig"),
+    ).cache()
+    bands = sigs.select(
+        "id", F.explode(_band_rows("sig", num_bands, r)).alias("b")
+    ).select("id", "b.band", "b.bh")
+    buckets = (
+        bands.groupBy("band", "bh").agg(F.collect_list("id").alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+    )
+    pairs = (
+        buckets.select(F.explode("ids").alias("id_a"), "ids")
+        .select("id_a", F.explode("ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .distinct()
+    )
+    est = F.aggregate(
+        F.zip_with("__sa__", "__sb__", lambda x, y: (x == y).cast("int")),
+        F.lit(0), lambda acc, v: acc + v,
+    ) / F.lit(num_hashes)
+    out = (
+        pairs.join(sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("__sa__")), on="id_a")
+        .join(sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("__sb__")), on="id_b")
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+    )
+    return out

@@ -1,0 +1,83 @@
+"""SimHash near-duplicate detection.
+
+64-bit SimHash over word tokens: per-token xxhash64, sum +1/-1 per bit,
+sign -> bit.  Pure Column higher-order functions.
+
+Hamming-distance candidate lookup uses the pigeonhole banding trick: if
+hamming(a, b) <= d, then at least one of (d+1) equal-width chunks is
+identical — so bucket on each chunk and join (same shuffle shape as
+MinHash LSH banding).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from apache_beam_spark.functions.text import word_tokens
+
+_BITS = 64
+
+
+def simhash(text: Column) -> Column:
+    """64-bit SimHash as bigint."""
+    import functools
+
+    hashes = F.transform(word_tokens(text), lambda t: F.xxhash64(t))
+    # counts[i] = sum over tokens of (bit_i(h) ? 1 : -1); bit positions
+    # are python-loop literals (shiftright needs a literal shift amount)
+    counts = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), _BITS),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(*[
+                F.shiftright(h, i).bitwiseAND(F.lit(1)).cast("int") * 2 - 1
+                for i in range(_BITS)
+            ]),
+            lambda a, b: a + b,
+        ),
+    )
+    # fold sign bits back into one bigint; bit 63 is the sign bit, so its
+    # literal is min-long (1<<63 would overflow under ANSI mode)
+    bits = []
+    for i in range(_BITS):
+        v = F.lit(-(1 << 63)).cast("bigint") if i == _BITS - 1 else F.lit(1 << i).cast("bigint")
+        bits.append(
+            F.when(F.element_at(counts, i + 1) > 0, v).otherwise(F.lit(0).cast("bigint"))
+        )
+    return functools.reduce(lambda a, b: a.bitwiseOR(b), bits)
+
+
+def _chunks(col: Column, n_chunks: int) -> list[Column]:
+    width = _BITS // n_chunks
+    mask = (1 << width) - 1
+    return [F.shiftright(col, i * width).bitwiseAND(F.lit(mask)) for i in range(n_chunks)]
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  max_hamming: int = 3) -> DataFrame:
+    """Drop docs whose simhash is within ``max_hamming`` of a smaller-id
+    doc (bucket-min over (d+1) chunk buckets + exact hamming verify)."""
+    n_chunks = max_hamming + 1
+    sh = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh"))
+    chunk_cols = _chunks(F.col("sh"), n_chunks)
+    tagged = sh.select(
+        "id", "sh",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("chunk"), c.alias("ck")) for i, c in enumerate(chunk_cols)
+        ])).alias("b"),
+    ).select("id", "sh", "b.chunk", "b.ck")
+    # candidate pairs within chunk buckets, verified by exact hamming
+    a = tagged.select(F.col("chunk"), F.col("ck"), F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = tagged.select(F.col("chunk"), F.col("ck"), F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    dup_of_smaller = (
+        a.join(b, on=["chunk", "ck"])
+        .filter((F.col("id_b") > F.col("id_a")) & (hamming64(F.col("sh_a"), F.col("sh_b")) <= max_hamming))
+        .select(F.col("id_b").alias(id_col)).distinct()
+    )
+    return df.join(dup_of_smaller, on=id_col, how="left_anti")

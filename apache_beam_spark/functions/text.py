@@ -1,0 +1,122 @@
+"""Text-analysis column functions for training-data pipelines.
+
+All pure Column expressions (JVM-side, codegen) — no Python in the hot
+path.  Designed for the ``documents`` table (doc_id, text, lang, source,
+n_chars) but applicable to any string column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: token = word chars incl. unicode letters, or a single non-space symbol —
+#: a BPE-ish pre-tokenization split (GPT-2 style word/punct boundary).
+TOKEN_PATTERN = r"[\p{L}\p{N}_']+|[^\p{L}\p{N}\s]"
+
+_STOPWORDS = [
+    "the", "of", "and", "a", "to", "in", "is", "it", "that", "was", "for",
+    "on", "as", "with", "at", "by", "an", "be", "this", "are", "or", "not",
+]
+
+
+def tokens(col: Column) -> Column:
+    """Tokenize: whitespace+punctuation boundary regex extract-all."""
+    return F.regexp_extract_all(col, F.lit(TOKEN_PATTERN), 0)
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def whitespace_token_count(col: Column) -> Column:
+    """Plain whitespace token count (cheapest possible)."""
+    return F.size(F.split(F.trim(col), r"\s+"))
+
+
+def word_tokens(col: Column) -> Column:
+    """Lower-cased word tokens only (no punctuation)."""
+    return F.regexp_extract_all(F.lower(col), F.lit(r"[\p{L}\p{N}_']+"), 0)
+
+
+def stopword_ratio(col: Column) -> Column:
+    w = word_tokens(col)
+    sw = F.filter(w, lambda t: t.isin(_STOPWORDS))
+    return F.when(F.size(w) > 0, F.size(sw) / F.size(w)).otherwise(F.lit(0.0))
+
+
+def punct_ratio(col: Column) -> Column:
+    n_punct = F.length(F.regexp_replace(col, r"[\p{L}\p{N}\s]", ""))
+    return F.when(F.length(col) > 0, n_punct / F.length(col)).otherwise(F.lit(0.0))
+
+
+def upper_ratio(col: Column) -> Column:
+    n_upper = F.length(F.regexp_replace(col, r"[^A-Z]", ""))
+    return F.when(F.length(col) > 0, n_upper / F.length(col)).otherwise(F.lit(0.0))
+
+
+def mean_word_length(col: Column) -> Column:
+    w = word_tokens(col)
+    total = F.aggregate(w, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(w) > 0, total / F.size(w)).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality heuristic: penalize extreme punctuation,
+    very short docs, and absent stopwords (gopher-rules style)."""
+    len_ok = F.when(F.length(col) >= 50, F.lit(1.0)).otherwise(F.length(col) / 50.0)
+    punct_ok = F.lit(1.0) - F.least(punct_ratio(col) * 2, F.lit(1.0))
+    sw_ok = F.least(stopword_ratio(col) * 5, F.lit(1.0))
+    return F.round((len_ok + punct_ok + sw_ok) / 3.0, 6)
+
+
+#: language-ID: tiny trigram/stopword heuristic over a closed language set.
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "und", "die", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "est"],
+    "es": ["el", "de", "que", "los", "es"],
+}
+
+
+def lang_id(col: Column) -> Column:
+    """N-gram/stopword-marker language guess over {en,de,fr,es}; 'und'
+    (undetermined) when no marker hits.  Pure Column expr: per-language
+    marker hit-count via array intersection, argmax via map_from +
+    greatest."""
+    w = word_tokens(col)
+    scores = [
+        (lang, F.size(F.array_intersect(w, F.array(*[F.lit(m) for m in markers]))))
+        for lang, markers in _LANG_MARKERS.items()
+    ]
+    best = F.greatest(*[s for _, s in scores])
+    result = F.lit("und")
+    # reversed so earlier languages win ties (en first)
+    for lang, s in reversed(scores):
+        result = F.when((best > 0) & (s == best), F.lit(lang)).otherwise(result)
+    return result
+
+
+def fingerprint(col: Column) -> Column:
+    """Document fingerprint: md5 of normalized text (lower, collapsed
+    whitespace) — stable across engines for oracle checks."""
+    normalized = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+    return F.md5(normalized)
+
+
+def shingles(col: Column, k: int = 3) -> Column:
+    """Word k-shingles (arrays of k consecutive words, space-joined)."""
+    w = word_tokens(col)
+    n = F.size(w)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(n >= k, F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i + 1, k)))
+                  ).otherwise(F.array(F.concat_ws(" ", w)))
+
+
+def char_ngrams(col: Column, n: int = 5) -> Column:
+    """Character n-grams of the normalized text."""
+    s = F.regexp_replace(F.lower(col), r"\s+", " ")
+    ln = F.length(s)
+    idx = F.sequence(F.lit(1), F.greatest(ln - n + 1, F.lit(1)))
+    grams = F.transform(idx, lambda i: F.substr(s, i, F.lit(n)))
+    return F.when(ln >= n, grams).otherwise(F.array(s))

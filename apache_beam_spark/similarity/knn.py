@@ -1,0 +1,112 @@
+"""Similarity search over embedding columns.
+
+Baseline: brute-force cosine top-k — a broadcast nested-loop of
+(queries x corpus) with all math in Column higher-order functions.
+Correct at any scale where the corpus fits broadcast OR the cross
+product is partition-parallel (Spark shuffles neither side fully; the
+small side broadcasts).
+
+Scale path: random-hyperplane LSH (sign bits of dot with fixed random
+planes) buckets vectors; top-k runs within multi-probe buckets — turns
+O(N*M) into O(N*M/2^bits) at a small recall cost.  An IVF variant is the
+same shape with learned centroids (k-means) instead of random planes.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from apache_beam_spark.functions.vectors import cosine, dot, normalize
+
+
+def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
+                     query_id: str = "vec_id", corpus_id: str = "vec_id",
+                     vec_col: str = "embedding", self_exclude: bool = True) -> DataFrame:
+    """(query_id, neighbor_id, sim, rank): exact cosine top-k.
+
+    The corpus side is broadcast (must be the smaller side); ranking is a
+    per-query bounded heap via row_number window.
+    """
+    q = queries.select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("__qv__"))
+    c = corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("__cv__"))
+    joined = q.crossJoin(F.broadcast(c))
+    if self_exclude:
+        joined = joined.filter(F.col("query_id") != F.col("neighbor_id"))
+    sims = joined.select(
+        "query_id", "neighbor_id",
+        cosine(F.col("__qv__"), F.col("__cv__")).alias("sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_bits: int, seed: int = 42) -> list[list[float]]:
+    rnd = random.Random(seed)
+    return [[rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_bits)]
+
+
+def _lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id from fixed random hyperplanes."""
+    bucket = F.lit(0).cast("bigint")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(x) for x in plane])
+        bit = (dot(vec, p) > 0).cast("bigint")
+        bucket = bucket.bitwiseOR(F.shiftleft(bit, i))
+    return bucket
+
+
+def lsh_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 5,
+             n_bits: int = 8, query_id: str = "vec_id", corpus_id: str = "vec_id",
+             vec_col: str = "embedding", self_exclude: bool = True,
+             seed: int = 42) -> DataFrame:
+    """Approximate top-k: candidates share an LSH bucket (single-probe).
+
+    Equi-join on bucket replaces the cross join — the shuffle is by
+    bucket id, each bucket ~N/2^n_bits vectors.  Recall < 1; raise via
+    fewer bits or multi-probe.
+    """
+    planes = _hyperplanes(dim, n_bits, seed)
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(vec_col).alias("__qv__"),
+        _lsh_bucket(F.col(vec_col), planes).alias("__b__"),
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("__cv__"),
+        _lsh_bucket(F.col(vec_col), planes).alias("__b__"),
+    )
+    joined = q.join(c, on="__b__")
+    if self_exclude:
+        joined = joined.filter(F.col("query_id") != F.col("neighbor_id"))
+    sims = joined.select(
+        "query_id", "neighbor_id",
+        cosine(F.col("__qv__"), F.col("__cv__")).alias("sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rank")
+    )
+
+
+def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             threshold: float = 0.95) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, sim >= t)."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va__"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb__"))
+    return (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("__va__"), F.col("__vb__")).alias("sim"))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
+    )

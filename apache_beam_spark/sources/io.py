@@ -1,0 +1,93 @@
+"""File / connector IO.
+
+Mappings (SURVEY.md §2.11):
+  TextIO (io/TextIO.java:171)          -> spark.read.text / readStream.text
+  AvroIO (io/AvroIO.java)              -> format("avro")
+  XmlIO / TFRecordIO                   -> gated behind optional packages
+  JdbcIO (io/jdbc/.../JdbcIO.java)     -> spark.read.jdbc with predicate
+                                          partitioning (parallel reads —
+                                          the reference read JDBC single-
+                                          threaded per query)
+  GenerateSequence (io/GenerateSequence.java:67)
+                                       -> spark.range / rate stream
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_text(spark: SparkSession, path: str, wholetext: bool = False) -> DataFrame:
+    return spark.read.text(path, wholetext=wholetext).withColumnRenamed("value", "line")
+
+
+def read_json(spark: SparkSession, path: str, schema=None, **options) -> DataFrame:
+    r = spark.read.options(**options)
+    if schema is not None:
+        r = r.schema(schema)
+    return r.json(path)
+
+
+def read_csv(spark: SparkSession, path: str, header: bool = True, schema=None, **options) -> DataFrame:
+    r = spark.read.option("header", header).options(**options)
+    if schema is not None:
+        r = r.schema(schema)
+    return r.csv(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """AvroIO — needs the spark-avro package on the classpath."""
+    try:
+        return spark.read.format("avro").load(path)
+    except Exception as e:  # pragma: no cover - package not in container
+        raise NotImplementedError(
+            "avro requires org.apache.spark:spark-avro on the classpath"
+        ) from e
+
+
+def read_jdbc(spark: SparkSession, url: str, table: str,
+              partition_column: Optional[str] = None,
+              lower_bound=None, upper_bound=None, num_partitions: int = 8,
+              **properties) -> DataFrame:
+    """JdbcIO read (reference ``io/jdbc/.../JdbcIO.java``).  When a
+    partition column is given, Spark issues num_partitions range-bounded
+    queries in parallel."""
+    r = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if partition_column is not None:
+        r = (r.option("partitionColumn", partition_column)
+             .option("lowerBound", lower_bound).option("upperBound", upper_bound)
+             .option("numPartitions", num_partitions))
+    for k, v in properties.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append", **properties) -> None:
+    w = df.write.format("jdbc").option("url", url).option("dbtable", table).mode(mode)
+    for k, v in properties.items():
+        w = w.option(k, v)
+    w.save()
+
+
+class GenerateSequence:
+    """reference ``io/GenerateSequence.java:67`` — bounded numeric range
+    or rate-limited unbounded stream (withRate:125)."""
+
+    @staticmethod
+    def bounded(spark: SparkSession, start: int, end: int, num_partitions: Optional[int] = None) -> DataFrame:
+        return spark.range(start, end, 1, num_partitions or spark.sparkContext.defaultParallelism)
+
+    @staticmethod
+    def with_rate(spark: SparkSession, rows_per_second: int) -> DataFrame:
+        return (spark.readStream.format("rate")
+                .option("rowsPerSecond", rows_per_second).load())

@@ -1,0 +1,154 @@
+"""Window functions and windowing strategy.
+
+Reference model: windows are labels assigned to elements by a
+``WindowFn`` and grouped per (key, window) later
+(``transforms/windowing/WindowFn.java``; ``FixedWindows.java:36``,
+``SlidingWindows.java:43``, ``Sessions.java:40``,
+``CalendarWindows.java``, ``GlobalWindows.java``).  Spark instead
+computes windows *at aggregation time* via ``window()`` /
+``session_window()`` — identical results for the built-in fns, and far
+cheaper: sliding-window duplication happens inside the codegen'd
+aggregate instead of materializing N copies of every element through a
+shuffle.
+
+A ``WindowingStrategy`` (reference ``values/WindowingStrategy.java:45``)
+is carried as metadata on each PCollection and *realized* when a
+grouping operator runs — exactly the lazy design Spark wants.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from typing import Optional
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+class WindowFn:
+    """Base window function. Subclasses produce the grouping column(s)."""
+
+    #: whether grouped output carries a window struct column
+    windowed: bool = True
+
+    def window_cols(self, ts_col: str) -> list[Column]:
+        """Columns to add to a groupBy to realize this windowing."""
+        raise NotImplementedError
+
+    def describe(self) -> str:
+        return type(self).__name__
+
+
+@dataclass(frozen=True)
+class GlobalWindows(WindowFn):
+    """Single global window (reference ``GlobalWindows.java``)."""
+
+    windowed = False
+
+    def window_cols(self, ts_col: str) -> list[Column]:
+        return []
+
+
+@dataclass(frozen=True)
+class FixedWindows(WindowFn):
+    """Tumbling windows (reference ``FixedWindows.java:36,53``).
+
+    ``size``/``offset`` are Spark interval strings, e.g. ``"10 minutes"``.
+    """
+
+    size: str
+    offset: Optional[str] = None
+
+    def window_cols(self, ts_col: str) -> list[Column]:
+        if self.offset:
+            return [F.window(F.col(ts_col), self.size, self.size, self.offset).alias("window")]
+        return [F.window(F.col(ts_col), self.size).alias("window")]
+
+
+@dataclass(frozen=True)
+class SlidingWindows(WindowFn):
+    """Sliding windows (reference ``SlidingWindows.java:43,69``).
+
+    Each element lands in ``size/period`` windows; Spark expands inside
+    the aggregate rather than at assignment time.
+    """
+
+    size: str
+    period: str
+
+    def window_cols(self, ts_col: str) -> list[Column]:
+        return [F.window(F.col(ts_col), self.size, self.period).alias("window")]
+
+
+@dataclass(frozen=True)
+class Sessions(WindowFn):
+    """Session windows with a gap (reference ``Sessions.java:40,49``).
+
+    Spark's ``session_window`` performs the same merge of overlapping
+    per-element proto-windows the reference does in
+    ``MergeOverlappingIntervalWindows.java``, but inside the native
+    streaming/batch session aggregation operator.
+    """
+
+    gap: str
+
+    def window_cols(self, ts_col: str) -> list[Column]:
+        return [F.session_window(F.col(ts_col), self.gap).alias("window")]
+
+
+@dataclass(frozen=True)
+class CalendarWindows(WindowFn):
+    """Calendar-unit windows (reference ``CalendarWindows.java``).
+
+    ``window()`` can't express months/years (variable length), so we
+    derive window bounds from ``date_trunc`` — a plain Column expression,
+    no custom Catalyst rule needed.  ``unit`` in
+    {day, week, month, quarter, year}.
+    """
+
+    unit: str
+
+    def window_cols(self, ts_col: str) -> list[Column]:
+        start = F.date_trunc(self.unit, F.col(ts_col))
+        # months/quarters/years have variable length -> compute the
+        # exclusive end with an interval add on the truncated start.
+        n = {"day": (1, "days"), "week": (7, "days"), "month": (1, "months"),
+             "quarter": (3, "months"), "year": (12, "months")}[self.unit]
+        if n[1] == "days":
+            end = start + F.expr(f"INTERVAL {n[0]} DAYS")
+        else:
+            end = start + F.expr(f"INTERVAL {n[0]} MONTHS")
+        return [F.struct(start.alias("start"), end.alias("end")).alias("window")]
+
+
+#: Reference accumulation modes (Window.java:261,273)
+DISCARDING = "discarding"
+ACCUMULATING = "accumulating"
+
+#: Reference TimestampCombiner (windowing/TimestampCombiner.java)
+END_OF_WINDOW = "end_of_window"
+EARLIEST = "earliest"
+LATEST = "latest"
+
+
+@dataclass(frozen=True)
+class WindowingStrategy:
+    """Bundle of windowing metadata carried per-PCollection.
+
+    Mirrors reference ``values/WindowingStrategy.java:45`` (accessors
+    :109-145): (WindowFn, allowedLateness, accumulation mode,
+    TimestampCombiner).  Triggers are handled at the streaming sink
+    (output mode) — see streaming/.
+    """
+
+    window_fn: WindowFn = field(default_factory=GlobalWindows)
+    allowed_lateness: Optional[str] = None  # Spark watermark delay
+    accumulation_mode: str = DISCARDING
+    timestamp_combiner: str = END_OF_WINDOW
+
+    def with_window_fn(self, fn: WindowFn) -> "WindowingStrategy":
+        return replace(self, window_fn=fn)
+
+    @property
+    def is_global(self) -> bool:
+        return isinstance(self.window_fn, GlobalWindows)
