@@ -36,13 +36,27 @@ def _hash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
 
 def minhash_signature(text: Column, num_hashes: int = 64, shingle_k: int = 3,
                       seed: int = 42) -> Column:
-    """array<bigint> MinHash signature of a text column."""
+    """array<bigint> MinHash signature of a text column.
+
+    Single-pass formulation: one fold over the shingle array keeping an
+    elementwise-min accumulator of all ``num_hashes`` hash functions.
+    (The naive per-function ``array_min(transform(...))`` inlines — and
+    recomputes — the shingling pipeline num_hashes times per row after
+    Catalyst's projection collapse: ~100x slower.)
+    """
+    params = _hash_params(num_hashes, seed)
     sh = shingles(text, shingle_k)
     base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_PRIME)))
-    sig = []
-    for a, b in _hash_params(num_hashes, seed):
-        sig.append(F.array_min(F.transform(base, lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_PRIME)))))
-    return F.array(*sig)
+    init = F.array_repeat(F.lit(_PRIME).cast("bigint"), num_hashes)
+    return F.aggregate(
+        base,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(*[F.pmod(F.lit(a) * h + F.lit(b), F.lit(_PRIME)) for a, b in params]),
+            lambda x, y: F.least(x, y),
+        ),
+    )
 
 
 def _band_rows(sig_col: str, num_bands: int, rows_per_band: int) -> Column:
@@ -59,25 +73,42 @@ def _band_rows(sig_col: str, num_bands: int, rows_per_band: int) -> Column:
     )
 
 
+def _parallelize_narrow(df: DataFrame) -> DataFrame:
+    """Repartition CPU-bound inputs that arrived in too few partitions
+    (a single small parquet file scans as 1 task — all the hashing would
+    run on one core).  No-op when the scan already has parallelism, as
+    any at-scale input with many files will."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def minhash_lsh_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                       num_hashes: int = 64, num_bands: int = 16, shingle_k: int = 3,
                       seed: int = 42) -> DataFrame:
     """Near-dup removal: a doc survives iff it owns the min id in every
     LSH bucket it occupies (bucket-min rule — a scalable one-round
     approximation of connected components; duplicates of a kept doc are
-    dropped by the bucket they share with it)."""
+    dropped by the bucket they share with it).
+
+    Plan shape: signature+bands are computed in ONE pass; the per-bucket
+    min comes from a window over (band, bh) instead of a self-join, so
+    the expensive signature lineage is never re-evaluated.  Shuffles
+    carry only (id, band, bh) — the text column never moves.
+    """
+    from pyspark.sql.window import Window as W
+
     r = num_hashes // num_bands
-    sigs = df.select(
+    sigs = _parallelize_narrow(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col),
         minhash_signature(F.col(text_col), num_hashes, shingle_k, seed).alias("__sig__"),
     )
     bands = sigs.select(
         id_col, F.explode(_band_rows("__sig__", num_bands, r)).alias("b")
     ).select(id_col, "b.band", "b.bh")
-    # min id per bucket, then: survivor iff id == min over all its buckets
-    bucket_min = bands.groupBy("band", "bh").agg(F.min(id_col).alias("__bmin__"))
     keep = (
-        bands.join(bucket_min, on=["band", "bh"])
+        bands.withColumn("__bmin__", F.min(id_col).over(W.partitionBy("band", "bh")))
         .groupBy(id_col).agg(F.min("__bmin__").alias("__canon__"))
         .filter(F.col(id_col) == F.col("__canon__"))
         .select(id_col)
@@ -95,7 +126,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     Returns (id_a, id_b, est_jaccard) with id_a < id_b.
     """
     r = num_hashes // num_bands
-    sigs = df.select(
+    sigs = _parallelize_narrow(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("id"),
         minhash_signature(F.col(text_col), num_hashes, shingle_k, seed).alias("sig"),
     ).cache()

@@ -20,12 +20,15 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
                         shingle_k: int = 3, threshold: float = 0.3,
                         max_df: int = 10000) -> DataFrame:
     """Exact n-gram Jaccard >= threshold pairs: (id_a, id_b, jaccard)."""
-    toks = df.select(
+    from apache_beam_spark.dedup.minhash import _parallelize_narrow
+
+    toks = _parallelize_narrow(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("id"),
         F.array_distinct(shingles(F.col(text_col), shingle_k)).alias("sh"),
     )
     sizes = toks.select("id", F.size("sh").alias("n")).cache()
-    inv = toks.select("id", F.explode("sh").alias("g"))
+    # cache: the self-join below evaluates the posting list twice
+    inv = toks.select("id", F.explode("sh").alias("g")).cache()
     # prune boilerplate shingles
     rare = inv.groupBy("g").agg(F.count("*").alias("df")).filter(F.col("df") <= F.lit(max_df))
     inv = inv.join(rare.select("g"), on="g", how="left_semi")

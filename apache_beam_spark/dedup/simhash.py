@@ -59,12 +59,42 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, sh): SimHash via explode + 64 native sum aggregates.
+
+    The pure-Column fold (``simhash``) evaluates interpreted (no codegen
+    for higher-order functions) and allocates a 64-wide array per token —
+    measured 9x slower under many cores from allocator contention.  This
+    path explodes tokens and runs 64 ``sum(bit_i)`` aggregates in one
+    whole-stage-codegen HashAggregate with map-side partial aggregation:
+    the shuffle carries 64 partial sums per doc, not the tokens.
+    """
+    import functools
+
+    from apache_beam_spark.dedup.minhash import _parallelize_narrow
+
+    toks = _parallelize_narrow(df.select(F.col(id_col).alias("id"), F.col(text_col))) \
+        .select("id", F.explode(word_tokens(F.col(text_col))).alias("t"))
+    h = F.xxhash64("t")
+    aggs = [F.sum(F.shiftright(h, i).bitwiseAND(F.lit(1))).alias(f"b{i}") for i in range(_BITS)]
+    g = toks.groupBy("id").agg(*aggs, F.count(F.lit(1)).alias("n"))
+    # bit i set iff strict majority of token hashes have bit i set
+    # (sum(+-1) > 0  <=>  2*ones > n); bit 63 literal is min-long
+    bits = []
+    for i in range(_BITS):
+        v = F.lit(-(1 << 63)).cast("bigint") if i == _BITS - 1 else F.lit(1 << i).cast("bigint")
+        bits.append(F.when(F.col(f"b{i}") * 2 > F.col("n"), v).otherwise(F.lit(0).cast("bigint")))
+    sh = functools.reduce(lambda a, b: a.bitwiseOR(b), bits)
+    return g.select("id", sh.alias("sh"))
+
+
 def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   max_hamming: int = 3) -> DataFrame:
     """Drop docs whose simhash is within ``max_hamming`` of a smaller-id
     doc (bucket-min over (d+1) chunk buckets + exact hamming verify)."""
     n_chunks = max_hamming + 1
-    sh = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh"))
+    # cache: (id, 64-bit hash) is ~16B/doc; the self-join below reads it twice
+    sh = simhash_table(df, text_col, id_col).cache()
     chunk_cols = _chunks(F.col("sh"), n_chunks)
     tagged = sh.select(
         "id", "sh",

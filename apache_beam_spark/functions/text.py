@@ -105,12 +105,23 @@ def fingerprint(col: Column) -> Column:
 
 
 def shingles(col: Column, k: int = 3) -> Column:
-    """Word k-shingles (arrays of k consecutive words, space-joined)."""
+    """Word k-shingles (arrays of k consecutive words, space-joined).
+
+    Built by zipping the token array with its own shifted copies —
+    shifted slices are evaluated once per row.  (The index-transform
+    formulation ``transform(idx, i -> slice(w, i+1, k))`` re-evaluates
+    the tokenization per element — O(words²) regex work per row.)
+    Entries past n-k+1 come out null from the length-mismatched zips and
+    are filtered.
+    """
     w = word_tokens(col)
     n = F.size(w)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    return F.when(n >= k, F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i + 1, k)))
-                  ).otherwise(F.array(F.concat_ws(" ", w)))
+    out = w
+    for i in range(1, k):
+        out = F.zip_with(out, F.slice(w, i + 1, n),
+                         lambda a, b: F.concat(a, F.lit(" "), b))
+    out = F.filter(out, lambda x: x.isNotNull())
+    return F.when(n >= k, out).otherwise(F.array(F.concat_ws(" ", w)))
 
 
 def char_ngrams(col: Column, n: int = 5) -> Column:
