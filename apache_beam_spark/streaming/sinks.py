@@ -1,0 +1,46 @@
+"""Streaming sinks.
+
+Reference: ``WriteFiles`` windowed/sharded file writes
+(``io/WriteFiles.java:108``, finalize-rename ``:639``) — replaced
+wholesale by Spark's streaming file sink + checkpoint commit protocol
+(exactly-once without the temp-file rename dance).  ``foreachBatch``
+covers every "custom sink" the reference expressed as a terminal ParDo.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+
+def write_parquet_stream(sdf: DataFrame, path: str, checkpoint: str,
+                         output_mode: str = "append",
+                         partition_by: Optional[list[str]] = None,
+                         trigger_seconds: Optional[int] = None) -> StreamingQuery:
+    """Windowed file writes (reference WriteFiles windowed writes :336);
+    dynamic destinations -> partitionBy."""
+    w = (sdf.writeStream.format("parquet").option("path", path)
+         .option("checkpointLocation", checkpoint).outputMode(output_mode))
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if trigger_seconds is not None:
+        w = w.trigger(processingTime=f"{trigger_seconds} seconds")
+    return w.start()
+
+
+def foreach_batch(sdf: DataFrame, fn: Callable[[DataFrame, int], None],
+                  checkpoint: str, output_mode: str = "update") -> StreamingQuery:
+    """Arbitrary per-micro-batch sink (jdbc upserts, console, metrics) —
+    the reference's terminal DoFn writes.  ``fn(batch_df, batch_id)``."""
+    return (sdf.writeStream.foreachBatch(fn)
+            .option("checkpointLocation", checkpoint)
+            .outputMode(output_mode).start())
+
+
+def write_console(sdf: DataFrame, output_mode: str = "append",
+                  num_rows: int = 20) -> StreamingQuery:
+    """ConsoleIO (reference runners/spark/.../io/ConsoleIO.java)."""
+    return (sdf.writeStream.format("console")
+            .option("numRows", num_rows).outputMode(output_mode).start())

@@ -1,0 +1,105 @@
+"""Unbounded sources.
+
+Reference inventory (SURVEY.md §2.11):
+  ``GenerateSequence.withRate`` (io/GenerateSequence.java:125) -> rate source
+  ``TextIO.watchForNewFiles`` (io/TextIO.java:66-108) -> file stream source
+  ``KafkaIO`` (io/kafka/.../KafkaIO.java:241) -> format("kafka")
+  ``TestStream`` (testing/TestStream.java:52) -> file-spool harness below
+
+The file stream source subsumes the reference's ``Watch.growthOf`` SDF
+machinery (transforms/Watch.java:115): Spark's micro-batch planner owns
+discovery, splitting, and checkpointing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def rate_stream(spark: SparkSession, rows_per_second: int = 1000,
+                num_partitions: Optional[int] = None) -> DataFrame:
+    """reference io/GenerateSequence.java:125 withRate — columns
+    (timestamp, value)."""
+    r = spark.readStream.format("rate").option("rowsPerSecond", rows_per_second)
+    if num_partitions is not None:
+        r = r.option("numPartitions", num_partitions)
+    return r.load()
+
+
+def file_stream(spark: SparkSession, path: str, format: str = "parquet",
+                schema=None, max_files_per_trigger: Optional[int] = None,
+                **options) -> DataFrame:
+    """Watch-for-new-files read (reference io/TextIO.java:66-108).
+
+    ``max_files_per_trigger`` bounds micro-batch size — the same rate
+    control the reference implemented in MicrobatchSource.java.
+    """
+    r = spark.readStream.format(format).options(**options)
+    if schema is not None:
+        r = r.schema(schema)
+    if max_files_per_trigger is not None:
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    if format == "text":
+        return r.load(path).withColumnRenamed("value", "line")
+    return r.load(path)
+
+
+def kafka_stream(spark: SparkSession, bootstrap_servers: str, topics: str,
+                 starting_offsets: str = "latest", **options) -> DataFrame:
+    """KafkaIO read (reference io/kafka/.../KafkaIO.java:241).
+
+    Needs the spark-sql-kafka package on the classpath; raises
+    NotImplementedError otherwise (not in this container).
+    """
+    try:
+        return (spark.readStream.format("kafka")
+                .option("kafka.bootstrap.servers", bootstrap_servers)
+                .option("subscribe", topics)
+                .option("startingOffsets", starting_offsets)
+                .options(**options).load())
+    except Exception as e:  # pragma: no cover - package not in container
+        raise NotImplementedError(
+            "kafka requires org.apache.spark:spark-sql-kafka on the classpath"
+        ) from e
+
+
+class TestStream:
+    """Deterministic streaming test input (reference
+    ``testing/TestStream.java:52``: addElements:95 / advanceWatermarkTo:143).
+
+    Each ``add_elements`` call spools one JSON file; reading the spool
+    directory with ``maxFilesPerTrigger=1`` replays the batches in order
+    (file modification times are forced monotone), so the watermark
+    advances between micro-batches exactly like the reference's scripted
+    ``advanceWatermarkTo`` — Spark derives the next batch's watermark
+    from the previous batch's max event time minus the delay.
+    """
+
+    __test__ = False  # not a pytest class, despite the name
+
+    def __init__(self, spool_dir: str):
+        self.spool_dir = spool_dir
+        os.makedirs(spool_dir, exist_ok=True)
+        self._n = 0
+
+    def add_elements(self, rows: list[dict]) -> "TestStream":
+        """One micro-batch worth of elements (testing/TestStream.java:95)."""
+        path = os.path.join(self.spool_dir, f"batch-{self._n:05d}.json")
+        with open(path, "w") as f:
+            for row in rows:
+                f.write(json.dumps(row) + "\n")
+        # force monotone mod-times so the source lists batches in order
+        t = 1_000_000_000 + self._n
+        os.utime(path, (t, t))
+        self._n += 1
+        return self
+
+    def stream(self, spark: SparkSession, schema) -> DataFrame:
+        """The unbounded PCollection: one micro-batch per spooled file."""
+        return (spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .json(self.spool_dir))

@@ -1,0 +1,74 @@
+"""Windowed aggregation over unbounded input.
+
+Reference semantics being reproduced:
+  * windows assigned per element (``WindowFn.assignWindows``) and grouped
+    per (key, window) — here ``groupBy(window(ts, ...), key)``;
+  * allowed lateness + late-data drop
+    (``Window.withAllowedLateness`` Window.java:292,
+    ``LateDataDroppingDoFnRunner.java:48``) — here
+    ``withWatermark(ts, delay)``; Spark drops late rows silently, so the
+    dropped count is surfaced via ``df.observe`` for parity with the
+    reference's ``droppedDueToLateness`` counter;
+  * the default trigger (fire once when the watermark passes the end of
+    the window, ``DefaultTrigger.java:31``) — append output mode is an
+    exact match;
+  * early firings (``AfterWatermark.withEarlyFirings``) — update mode
+    approximates (one firing per micro-batch, no pane labels; see
+    SURVEY.md §2.8 for the divergence note).
+"""
+
+from __future__ import annotations
+
+import uuid
+from typing import Optional, Sequence, Union
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from apache_beam_spark.windowing import WindowFn, GlobalWindows
+
+
+def windowed_aggregate(
+    df: DataFrame,
+    window_fn: WindowFn,
+    event_time: str,
+    aggs: Sequence[Column],
+    keys: Sequence[Union[str, Column]] = (),
+    allowed_lateness: Optional[str] = None,
+) -> DataFrame:
+    """Batch AND streaming windowed groupBy-agg — one code path, the
+    ``IsBounded`` split the reference threads through every runner
+    translation collapses into ``df.isStreaming``."""
+    if df.isStreaming and allowed_lateness is not None:
+        df = df.withWatermark(event_time, allowed_lateness)
+    wcols = [] if isinstance(window_fn, GlobalWindows) else window_fn.window_cols(event_time)
+    kcols = [F.col(k) if isinstance(k, str) else k for k in keys]
+    return df.groupBy(*wcols, *kcols).agg(*aggs)
+
+
+def run_to_memory(sdf: DataFrame, output_mode: str = "append",
+                  name: Optional[str] = None) -> DataFrame:
+    """Execute a streaming DataFrame to completion against currently
+    available data and return the materialized result.
+
+    The test-harness twin of the reference's
+    ``TestPipeline.run().waitUntilFinish()``: memory sink, process every
+    spooled micro-batch (honoring maxFilesPerTrigger sequencing), stop.
+    """
+    name = name or f"mem_{uuid.uuid4().hex[:12]}"
+    q = (sdf.writeStream.format("memory").queryName(name)
+         .outputMode(output_mode).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    return sdf.sparkSession.table(name)
+
+
+def with_late_data_counter(df: DataFrame, name: str = "input_rows") -> DataFrame:
+    """Attach an ``observe`` metric upstream of the watermark so dropped
+    late rows are measurable (reference counter ``droppedDueToLateness``,
+    LateDataDroppingDoFnRunner.java:53); read it from a
+    StreamingQueryListener or ``query.lastProgress``."""
+    return df.observe(name, F.count(F.lit(1)).alias("rows"))
