@@ -561,6 +561,94 @@ def _embed_near_dup(spark, sf_dir):
                                     threshold=0.95)
 
 
+def _secondary_sort(spark, sf_dir):
+    """SortValues secondary sort (reference
+    sdks/java/extensions/sorter/.../SortValues.java:51): values grouped
+    per key, sorted WITHIN the group by a secondary key —
+    sort_array(collect_list(struct)) keeps the sort inside the
+    aggregation (Tungsten spills it; no global orderBy)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    grouped = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list(F.struct("l_shipdate", "l_linenumber"))).alias("vs"))
+    return grouped.select(
+        "l_orderkey", F.posexplode("vs").alias("pos", "v")
+    ).select("l_orderkey", (F.col("pos") + 1).alias("pos_rank"),
+             F.col("v.l_linenumber").alias("l_linenumber"))
+
+
+def _sample_fixed_per_key(spark, sf_dir):
+    """Sample.fixedSizePerKey (reference transforms/Sample.java:100) —
+    deterministic "random" via md5 ordering so the oracle agrees."""
+    from pyspark.sql.window import Window as W
+
+    li = load_table(spark, "lineitem", sf_dir)
+    h = F.md5(F.concat_ws("-", F.col("l_orderkey").cast("string"),
+                          F.col("l_linenumber").cast("string")))
+    w = W.partitionBy("l_returnflag").orderBy(h)
+    return (li.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 5)
+            .select("l_returnflag", "l_orderkey", "l_linenumber"))
+
+
+def _regex_find_all(spark, sf_dir):
+    """Regex.find family (reference transforms/Regex.java): extract all
+    numbers from documents, exploded."""
+    d = load_table(spark, "documents", sf_dir)
+    return d.select(
+        "doc_id",
+        F.explode(F.expr(r"regexp_extract_all(text, '[0-9]+', 0)")).alias("num"))
+
+
+def _combine_fanout_count(spark, sf_dir):
+    """Combine.perKey with hot-key fanout (Combine.java:1528,1598):
+    two-level salted tree via a custom CombineFn; integer accumulators
+    so the result is order-exact."""
+    from apache_beam_spark.operators.combine import CombineFn
+
+    class _CountFn(CombineFn):
+        acc_type = "bigint"
+
+        def create_accumulator(self):
+            return 0
+
+        def add_inputs(self, acc, values):
+            return acc + len(values)
+
+        def merge_accumulators(self, accs):
+            return sum(accs)
+
+        def extract_output(self, acc):
+            return acc
+
+    p = Pipeline(spark)
+    ev = p.from_df(load_table(spark, "events", sf_dir))
+    out = ev | Combine.per_key_fn("event_type", _CountFn(), "value", "n", "bigint",
+                                  fanout=8)
+    return out.df
+
+
+def _media_metadata(spark, sf_dir):
+    """Multimodal plumbing: binary payload + JVM-side typed metadata
+    (size, content hash) — no Python in the plan."""
+    from apache_beam_spark.multimodal import attach_media_metadata
+
+    d = load_table(spark, "documents", sf_dir).select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    out = attach_media_metadata(d, format="text/plain")
+    return out.select("doc_id", F.col("meta.size_bytes").alias("size_bytes"),
+                      "content_sha")
+
+
+def _media_frame_sample(spark, sf_dir):
+    """Video frame-sampling plumbing: 1→N mapInPandas fanout over binary
+    payloads (fake fixed-size-frame codec; oracle checks the fanout)."""
+    from apache_beam_spark.multimodal import sample_frames
+
+    d = load_table(spark, "documents", sf_dir).select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    return sample_frames(d, every_n=5, fake=True).select("doc_id", "frame_idx")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q1_pricing_summary(spark, SF0001)
@@ -618,6 +706,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_knn": _embed_knn,
         "embed_lsh_knn": _embed_lsh_knn,
         "embed_near_dup": _embed_near_dup,
+        "secondary_sort": _secondary_sort,
+        "sample_fixed_per_key": _sample_fixed_per_key,
+        "regex_find_all": _regex_find_all,
+        "combine_fanout_count": _combine_fanout_count,
+        "media_metadata": _media_metadata,
+        "media_frame_sample": _media_frame_sample,
     }
 
 
@@ -873,4 +967,31 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
                   / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
                      * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.95""",
+        "secondary_sort": """
+            SELECT l_orderkey,
+                   ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                       ORDER BY l_shipdate, l_linenumber) AS pos_rank,
+                   l_linenumber
+            FROM lineitem""",
+        "sample_fixed_per_key": """
+            SELECT l_returnflag, l_orderkey, l_linenumber FROM (
+                SELECT l_returnflag, l_orderkey, l_linenumber,
+                       ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                           ORDER BY md5(concat(CAST(l_orderkey AS VARCHAR), '-',
+                                               CAST(l_linenumber AS VARCHAR)))) AS rn
+                FROM lineitem) t
+            WHERE rn <= 5""",
+        "regex_find_all": """
+            SELECT doc_id, unnest(regexp_extract_all(text, '[0-9]+')) AS num
+            FROM documents""",
+        "combine_fanout_count": """
+            SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type""",
+        "media_metadata": """
+            SELECT doc_id, octet_length(encode(text)) AS size_bytes,
+                   sha256(text) AS content_sha
+            FROM documents""",
+        "media_frame_sample": """
+            SELECT doc_id,
+                   unnest(range(0, CAST(greatest(octet_length(encode(text)) // 64, 1) AS BIGINT), 5)) AS frame_idx
+            FROM documents""",
     }

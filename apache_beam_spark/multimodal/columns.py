@@ -1,0 +1,177 @@
+"""Binary media columns + Pandas-UDF processing stages.
+
+Design for 100 TB of media: payloads stay in one ``binary`` column that
+is column-pruned away by every stage that only needs metadata; decode
+stages run as ``mapInPandas`` (Arrow-batched, one Python worker per
+input split — media work parallelizes by repartitioning on row count,
+not bytes, so ``repartition_for_media`` sizes partitions by payload
+bytes instead).
+
+Decode internals are STUBBED: ``_decode_image_impl`` raises
+``NotImplementedError`` unless a deterministic fake is requested (no
+image libs in this container).  The fake derives (width, height,
+channels) and pixel statistics purely from the payload bytes, so tests
+exercise the full distributed plumbing with stable expected values.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: typed metadata carried next to the binary payload
+IMAGE_META_SCHEMA = "struct<format:string,width:int,height:int,channels:int,size_bytes:bigint>"
+AUDIO_META_SCHEMA = "struct<format:string,sample_rate:int,num_samples:bigint,channels:int,size_bytes:bigint>"
+VIDEO_META_SCHEMA = "struct<format:string,width:int,height:int,num_frames:int,fps:double,size_bytes:bigint>"
+
+
+def attach_media_metadata(df: DataFrame, payload_col: str = "payload",
+                          format: str = "raw", meta_col: str = "meta") -> DataFrame:
+    """Cheap metadata columns computed JVM-side (no Python) — size and a
+    content hash; the decode-dependent fields stay null until a decode
+    stage fills them."""
+    return df.withColumn(meta_col, F.struct(
+        F.lit(format).alias("format"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("channels"),
+        F.length(F.col(payload_col)).cast("bigint").alias("size_bytes"),
+    )).withColumn("content_sha", F.sha2(F.col(payload_col), 256))
+
+
+def _decode_image_impl(payload: bytes, fake: bool) -> tuple[int, int, int, bytes]:
+    """(width, height, channels, pixel_bytes).  Real codecs are not
+    available in this container — the deterministic fake derives
+    everything from the payload so plumbing tests have stable oracles."""
+    if not fake:
+        raise NotImplementedError(
+            "image decoding requires PIL/opencv (not in this container); "
+            "pass fake=True for the deterministic test decoder")
+    h = hashlib.sha256(payload).digest()
+    width = 8 + h[0] % 8
+    height = 8 + h[1] % 8
+    channels = 3
+    n = width * height * channels
+    # pixels = payload tiled to size, xor'd with the hash byte
+    reps = (n // max(len(payload), 1)) + 1
+    tiled = (payload * reps)[:n]
+    pixels = bytes(b ^ h[2] for b in tiled)
+    return width, height, channels, pixels
+
+
+def decode_image(df: DataFrame, payload_col: str = "payload",
+                 id_col: str = "doc_id", fake: bool = False) -> DataFrame:
+    """Decode stage: (id, payload) -> (id, width, height, channels, pixels).
+
+    ``mapInPandas`` so one Arrow batch of payloads is decoded per call —
+    the bundle shape the reference gave DoFns (@StartBundle/@ProcessElement),
+    with Arrow replacing per-element coder serialization.
+    """
+    schema = f"{id_col} bigint, width int, height int, channels int, pixels binary"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"id": [], "w": [], "h": [], "c": [], "p": []}
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                w, h, c, px = _decode_image_impl(bytes(payload), fake)
+                out["id"].append(i); out["w"].append(w)
+                out["h"].append(h); out["c"].append(c); out["p"].append(px)
+            yield pd.DataFrame({id_col: out["id"], "width": out["w"],
+                                "height": out["h"], "channels": out["c"],
+                                "pixels": out["p"]})
+
+    return df.select(id_col, payload_col).mapInPandas(fn, schema)
+
+
+def image_features(df: DataFrame, payload_col: str = "payload",
+                   id_col: str = "doc_id", bins: int = 16,
+                   fake: bool = False) -> DataFrame:
+    """Feature-extract stage: normalized ``bins``-bucket byte histogram
+    of the decoded pixels — (id, features array<float>).  The embedding
+    analog for media dedup/similarity on the same engine paths as text."""
+    schema = f"{id_col} bigint, features array<float>"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, feats = [], []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                _, _, _, px = _decode_image_impl(bytes(payload), fake)
+                hist = np.bincount(
+                    np.frombuffer(px, dtype=np.uint8) >> (8 - bins.bit_length() + 1),
+                    minlength=bins)[:bins]
+                feats.append((hist / max(hist.sum(), 1)).astype("float32"))
+                ids.append(i)
+            yield pd.DataFrame({id_col: ids, "features": feats})
+
+    return df.select(id_col, payload_col).mapInPandas(fn, schema)
+
+
+def resize_images(df: DataFrame, width: int, height: int,
+                  payload_col: str = "payload", id_col: str = "doc_id",
+                  fake: bool = False) -> DataFrame:
+    """Resize stage (nearest-neighbor on the fake decoder's pixel grid)."""
+    schema = f"{id_col} bigint, width int, height int, pixels binary"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, px_out = [], []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                w, h, c, px = _decode_image_impl(bytes(payload), fake)
+                a = np.frombuffer(px, dtype=np.uint8).reshape(h, w, c)
+                yi = (np.arange(height) * h // height)
+                xi = (np.arange(width) * w // width)
+                px_out.append(a[yi][:, xi].tobytes())
+                ids.append(i)
+            yield pd.DataFrame({id_col: ids, "width": width, "height": height,
+                                "pixels": px_out})
+
+    return df.select(id_col, payload_col).mapInPandas(fn, schema)
+
+
+def sample_frames(df: DataFrame, every_n: int = 10, payload_col: str = "payload",
+                  id_col: str = "doc_id", fake: bool = False) -> DataFrame:
+    """Video frame-sampling stage: 1→N rows (id, frame_idx, frame binary).
+    The fake treats the payload as a concatenation of fixed-size frames."""
+    schema = f"{id_col} bigint, frame_idx int, frame binary"
+    frame_bytes = 64
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                if not fake:
+                    raise NotImplementedError(
+                        "video decoding requires ffmpeg (not in this container)")
+                b = bytes(payload)
+                n_frames = max(len(b) // frame_bytes, 1)
+                for fi in range(0, n_frames, every_n):
+                    ids.append(i); idxs.append(fi)
+                    frames.append(b[fi * frame_bytes:(fi + 1) * frame_bytes])
+            yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame": frames})
+
+    return df.select(id_col, payload_col).mapInPandas(fn, schema)
+
+
+def repartition_for_media(df: DataFrame, payload_col: str = "payload",
+                          target_partition_bytes: int = 128 << 20,
+                          sample_fraction: float = 0.01) -> DataFrame:
+    """Partition by payload BYTES, not rows: media rows are wildly
+    variable-sized, so row-count partitioning (maxPartitionBytes sees
+    only encoded parquet size) can put 100 GB of video in one task.
+    Estimates total bytes from a sample and repartitions accordingly."""
+    sampled = df.sample(fraction=sample_fraction, seed=42) \
+        .agg(F.sum(F.length(payload_col)).alias("b")).collect()[0]["b"]
+    if not sampled:
+        return df
+    total = sampled / sample_fraction
+    parts = max(int(total // target_partition_bytes) + 1,
+                df.sparkSession.sparkContext.defaultParallelism)
+    return df.repartition(parts)
