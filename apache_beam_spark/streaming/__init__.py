@@ -28,10 +28,15 @@ from apache_beam_spark.streaming.sinks import (
     foreach_batch,
     write_parquet_stream,
 )
+from apache_beam_spark.streaming.timers import (
+    StatefulContext,
+    stateful_do_fn,
+)
 
 __all__ = [
     "TestStream", "file_stream", "rate_stream",
     "windowed_aggregate", "run_to_memory",
     "stateful_per_key", "group_into_batches_stream", "streaming_distinct",
     "foreach_batch", "write_parquet_stream",
+    "stateful_do_fn", "StatefulContext",
 ]
