@@ -55,6 +55,23 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
         ) from e
 
 
+def read_xml(spark: SparkSession, path: str, row_tag: str = "row",
+             schema=None, **options) -> DataFrame:
+    """XmlIO (reference ``sdks/java/io/xml/.../XmlIO.java`` — JAXB
+    record-per-rowTag reads).  Spark 4 ships a native XML source, so
+    this is a built-in scan with schema inference, pushdown-capable."""
+    r = spark.read.format("xml").option("rowTag", row_tag).options(**options)
+    if schema is not None:
+        r = r.schema(schema)
+    return r.load(path)
+
+
+def write_xml(df: DataFrame, path: str, row_tag: str = "row",
+              root_tag: str = "rows", mode: str = "overwrite") -> None:
+    (df.write.format("xml").option("rowTag", row_tag)
+     .option("rootTag", root_tag).mode(mode).save(path))
+
+
 def read_jdbc(spark: SparkSession, url: str, table: str,
               partition_column: Optional[str] = None,
               lower_bound=None, upper_bound=None, num_partitions: int = 8,
