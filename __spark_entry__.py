@@ -540,10 +540,14 @@ def _ngram_jaccard(spark, sf_dir):
 
 
 def _embed_knn(spark, sf_dir):
-    """Brute-force cosine top-3 for the first 100 vectors."""
+    """Brute-force cosine top-3 for the first 100 vectors (block-BLAS
+    path: broadcast corpus matrix, one gemm per Arrow batch)."""
+    from apache_beam_spark.similarity.knn import brute_force_topk_blas
+
     emb = load_table(spark, "embeddings", sf_dir)
     q = emb.filter(F.col("vec_id") < 100)
-    return brute_force_topk(q, emb, k=3).select("query_id", "neighbor_id", "rank", "sim")
+    return brute_force_topk_blas(q, emb, k=3).select(
+        "query_id", "neighbor_id", "rank", "sim")
 
 
 def _embed_lsh_knn(spark, sf_dir):

@@ -21,9 +21,12 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
     Returns the surviving rows with original columns.
     """
+    from apache_beam_spark.dedup.minhash import _parallelize_narrow
+
     fp = fingerprint(F.col(text_col)) if normalize else F.md5(F.col(text_col))
     keep = (
-        df.select(F.col(id_col), fp.alias("__fp__"))
+        _parallelize_narrow(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), fp.alias("__fp__"))
         .groupBy("__fp__").agg(F.min(id_col).alias(id_col))
         .select(id_col)
     )
