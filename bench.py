@@ -75,9 +75,57 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "streaming_events_per_sec": _streaming_throughput(spark),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     spark.stop()
+
+
+def _streaming_throughput(spark) -> int:
+    """BASELINE.md streaming sanity target: replay the events table as a
+    file-source stream through a watermarked fixed-window count and
+    measure end-to-end events/second (target >= 50k/s)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from apache_beam_spark.sources.tables import load_table
+    from apache_beam_spark.streaming import windowed_aggregate
+    from apache_beam_spark.windowing import FixedWindows
+
+    events = load_table(spark, "events", SF_DIR)
+    n = events.count()
+    spool = tempfile.mkdtemp(prefix="bench_stream_")
+    # several files -> several micro-batches with maxFilesPerTrigger
+    events.repartition(8).write.mode("overwrite").parquet(spool)
+
+    # streaming state partitions sized to key cardinality, not the batch
+    # default (32 RocksDB instances for ~5 keys is pure overhead; at
+    # scale this is the one knob AQE can't tune for you)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        def run_once() -> float:
+            sdf = (spark.readStream.schema(events.schema)
+                   .option("maxFilesPerTrigger", 4).parquet(spool))
+            agg = windowed_aggregate(
+                sdf, FixedWindows("1 hour"), "ts",
+                aggs=[F.count(F.lit(1)).alias("n")], keys=["event_type"],
+                allowed_lateness="10 minutes",
+            )
+            q = (agg.writeStream.format("noop")
+                 .option("checkpointLocation", tempfile.mkdtemp(prefix="bench_ckpt_"))
+                 .outputMode("append").start())
+            t0 = time.time()
+            q.processAllAvailable()
+            wall = time.time() - t0
+            q.stop()
+            return wall
+
+        run_once()          # warm-up: RocksDB + streaming codegen init
+        wall = run_once()   # measured steady-state replay
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+    return int(n / wall)
 
 
 if __name__ == "__main__":
