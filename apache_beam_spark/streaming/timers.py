@@ -85,11 +85,15 @@ def stateful_do_fn(
     ``process(key, pdf, ctx)`` handles a micro-batch of one key's rows;
     ``on_timer(key, timer_id, ctx)`` fires per due named timer.  Both
     emit via ``ctx.output(dict)``.  ``time_domain``: 'event' (timers
-    measured against the watermark — requires ``event_time``/watermark)
-    or 'processing' (wall clock).
+    measured against the watermark — requires ``event_time``/watermark),
+    'processing' (wall clock — NOTE: the query then keeps triggering
+    timeout-check micro-batches even without data, so
+    processAllAvailable-style harnesses won't drain), or 'none'
+    (stateful but timer-less operators, e.g. count triggers).
     """
-    timeout = (GroupStateTimeout.EventTimeTimeout if time_domain == "event"
-               else GroupStateTimeout.ProcessingTimeTimeout)
+    timeout = {"event": GroupStateTimeout.EventTimeTimeout,
+               "processing": GroupStateTimeout.ProcessingTimeTimeout,
+               "none": GroupStateTimeout.NoTimeout}[time_domain]
     if time_domain == "event" and df.isStreaming:
         df = df.withWatermark(event_time, allowed_lateness)
 
@@ -102,7 +106,8 @@ def stateful_do_fn(
         ctx = StatefulContext(user, timers)
 
         now_ms = (state.getCurrentWatermarkMs() if time_domain == "event"
-                  else state.getCurrentProcessingTimeMs())
+                  else state.getCurrentProcessingTimeMs()
+                  if time_domain == "processing" else 0)
 
         if not state.hasTimedOut:
             for pdf in pdfs:
@@ -120,8 +125,11 @@ def stateful_do_fn(
             if nxt is not None:
                 if time_domain == "event":
                     state.setTimeoutTimestamp(max(nxt, now_ms + 1))
-                else:
+                elif time_domain == "processing":
                     state.setTimeoutDuration(max(nxt - now_ms, 1))
+                else:
+                    raise ValueError(
+                        "set_timer() requires time_domain 'event' or 'processing'")
         elif state.exists:
             state.remove()
 
