@@ -558,6 +558,16 @@ def _embed_lsh_knn(spark, sf_dir):
         "query_id", "neighbor_id", "rank", "sim")
 
 
+def _embed_ivf_knn(spark, sf_dir):
+    """IVF (k-means cell) ANN — rows-only (recall-approximate)."""
+    from apache_beam_spark.similarity.knn import ivf_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < 100)
+    return ivf_topk(q, emb, dim=64, k=3, n_cells=16, n_probe=4).select(
+        "query_id", "neighbor_id", "rank", "sim")
+
+
 def _embed_near_dup(spark, sf_dir):
     from apache_beam_spark.similarity.knn import embedding_near_dup_pairs
 
@@ -709,6 +719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _ngram_jaccard,
         "embed_knn": _embed_knn,
         "embed_lsh_knn": _embed_lsh_knn,
+        "embed_ivf_knn": _embed_ivf_knn,
         "embed_near_dup": _embed_near_dup,
         "secondary_sort": _secondary_sort,
         "sample_fixed_per_key": _sample_fixed_per_key,

@@ -1,0 +1,38 @@
+"""IVF ANN tests: output contract + recall vs exact brute force."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from apache_beam_spark.similarity.knn import brute_force_topk_blas, ivf_topk
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_ivf_contract_and_recall(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 50)
+
+    exact = brute_force_topk_blas(q, emb, k=3).collect()
+    approx = ivf_topk(q, emb, dim=64, k=3, n_cells=8, n_probe=4).collect()
+
+    # contract: <= k ranked neighbors per query, ranks contiguous from 1
+    by_q = {}
+    for r in approx:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+    # recall@3 against exact: probing half the cells must find most
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"recall@3 {recall:.2f} too low"
+
+
+def test_ivf_deterministic(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 20)
+    a = sorted(map(tuple, ivf_topk(q, emb, dim=64, k=3).collect()))
+    b = sorted(map(tuple, ivf_topk(q, emb, dim=64, k=3).collect()))
+    assert a == b
