@@ -663,6 +663,53 @@ def _media_frame_sample(spark, sf_dir):
     return sample_frames(d, every_n=5, fake=True).select("doc_id", "frame_idx")
 
 
+def _autocomplete(spark, sf_dir):
+    """examples AutoComplete.java: top-3 completions per 2-char prefix
+    (flatMap to prefixes -> count -> bounded top-k per key)."""
+    from pyspark.sql.window import Window as W
+
+    d = load_table(spark, "documents", sf_dir)
+    words = d.select(F.explode(T.word_tokens(F.col("text"))).alias("word")) \
+        .filter(F.length("word") >= 2)
+    counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    prefixed = counts.select(F.substring("word", 1, 2).alias("prefix"), "word", "n")
+    w = W.partitionBy("prefix").orderBy(F.col("n").desc(), F.col("word"))
+    return (prefixed.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+            .select("prefix", "word", "n", "rank"))
+
+
+def _tfidf(spark, sf_dir):
+    """examples TfIdf.java (CoGBK multi-way join :278-284): tf-idf per
+    (doc, word), restricted to words of >= 6 chars to bound output.
+
+    Expressed as chained aggregations + a broadcast join of the
+    document-frequency side — the Spark-native shape of the reference's
+    3-way CoGroupByKey."""
+    d = load_table(spark, "documents", sf_dir)
+    n_docs = d.count()
+    words = d.select("doc_id", F.explode(T.word_tokens(F.col("text"))).alias("word")) \
+        .filter(F.length("word") >= 6)
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = words.select("doc_id", "word").distinct() \
+        .groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    return (tf.join(F.broadcast(df_), on="word")
+            .select("doc_id", "word",
+                    F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6)
+                    .alias("tfidf")))
+
+
+def _user_sessions(spark, sf_dir):
+    """examples TopWikipediaSessions.java: sessionize events per user
+    (30-min gap), emit per-session event counts.  Session windows via
+    session_window; the oracle reproduces them with gaps-and-islands
+    SQL (lag + cumulative sum), proving semantic equivalence."""
+    ev = load_table(spark, "events", sf_dir)
+    return (ev.groupBy(F.session_window(F.col("ts"), "30 minutes").alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select("user_id", F.col("w.start").alias("session_start"), "n_events"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q1_pricing_summary(spark, SF0001)
@@ -727,6 +774,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "combine_fanout_count": _combine_fanout_count,
         "media_metadata": _media_metadata,
         "media_frame_sample": _media_frame_sample,
+        "autocomplete": _autocomplete,
+        "tfidf": _tfidf,
+        "user_sessions": _user_sessions,
     }
 
 
@@ -1009,4 +1059,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    unnest(range(0, CAST(greatest(octet_length(encode(text)) // 64, 1) AS BIGINT), 5)) AS frame_idx
             FROM documents""",
+        "autocomplete": f"""
+            WITH words AS (
+                SELECT unnest({toks}) AS word FROM documents
+            ), counts AS (
+                SELECT word, COUNT(*) AS n FROM words
+                WHERE len(word) >= 2 GROUP BY word
+            )
+            SELECT prefix, word, n, rank FROM (
+                SELECT substr(word, 1, 2) AS prefix, word, n,
+                       ROW_NUMBER() OVER (PARTITION BY substr(word, 1, 2)
+                           ORDER BY n DESC, word) AS rank
+                FROM counts) t
+            WHERE rank <= 3""",
+        "tfidf": f"""
+            WITH w6 AS (
+                SELECT doc_id, unnest({toks}) AS word FROM documents
+            ), w AS (SELECT * FROM w6 WHERE len(word) >= 6),
+            tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY doc_id, word),
+            df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY word),
+            nd AS (SELECT COUNT(*) AS n FROM documents)
+            SELECT tf.doc_id, tf.word,
+                   ROUND(tf.tf * ln(CAST(nd.n AS DOUBLE) / df.df), 6) AS tfidf
+            FROM tf JOIN df USING (word) CROSS JOIN nd""",
+        "user_sessions": """
+            WITH e AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+                SELECT user_id, ts,
+                       SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+                FROM e
+            )
+            SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+            FROM s GROUP BY user_id, sid""",
     }
