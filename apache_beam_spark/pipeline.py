@@ -83,6 +83,27 @@ class Pipeline:
     def sql(self, query: str) -> "PCollection":
         return PCollection(self.spark.sql(query), self)
 
+    # -- unbounded sources (reference io/UnboundedSource.java) ----------
+    def read_parquet_stream(self, path: str, schema, **options) -> "PCollection":
+        """Unbounded file read — the IsBounded.UNBOUNDED twin of
+        read_parquet; every downstream operator is the same code."""
+        from apache_beam_spark.streaming.sources import file_stream
+
+        return PCollection(
+            file_stream(self.spark, path, "parquet", schema, **options), self)
+
+    def read_text_stream(self, path: str, **options) -> "PCollection":
+        """reference TextIO.watchForNewFiles (io/TextIO.java:66-108)."""
+        from apache_beam_spark.streaming.sources import file_stream
+
+        return PCollection(file_stream(self.spark, path, "text", **options), self)
+
+    def read_rate_stream(self, rows_per_second: int = 1000) -> "PCollection":
+        """reference GenerateSequence.withRate (io/GenerateSequence.java:125)."""
+        from apache_beam_spark.streaming.sources import rate_stream
+
+        return PCollection(rate_stream(self.spark, rows_per_second), self)
+
 
 class PCollection:
     """Immutable unordered bag == DataFrame + windowing metadata."""
