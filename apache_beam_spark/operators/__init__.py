@@ -30,6 +30,7 @@ from apache_beam_spark.operators.combine import (
 )
 from apache_beam_spark.operators.join import Join
 from apache_beam_spark.operators.flatten import Flatten
+from apache_beam_spark.operators.views import View
 
 __all__ = [
     "Map", "FlatMap", "Filter", "ParDo", "Keys", "Values", "KvSwap",
@@ -37,5 +38,5 @@ __all__ = [
     "GroupByKey", "CoGroupByKey", "GroupIntoBatches",
     "Combine", "CombineFn", "Count", "Sum", "Min", "Max", "Mean", "Top",
     "Distinct", "Latest", "Sample", "ApproximateUnique", "ApproximateQuantiles",
-    "Join", "Flatten",
+    "Join", "Flatten", "View",
 ]
