@@ -710,6 +710,40 @@ def _user_sessions(spark, sf_dir):
             .select("user_id", F.col("w.start").alias("session_start"), "n_events"))
 
 
+def _asof_last_purchase(spark, sf_dir):
+    """As-of (point-in-time) join: every event annotated with the same
+    user's most recent purchase timestamp — the canonical
+    point-in-time-correct feature lookup.  Merge-based (one keyed
+    shuffle, running last() fill), no range-join explosion."""
+    from apache_beam_spark.operators.asof import asof_join
+
+    ev = load_table(spark, "events", sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    out = asof_join(ev, purchases, on="user_id", left_ts="ts", right_ts="ts",
+                    right_cols=[])
+    return out.select("event_id", "user_id", "ts",
+                      F.col("__asof_ts__").alias("last_purchase_ts"))
+
+
+def _rollup_daily(spark, sf_dir):
+    """Hypertable-style cascade: hourly aggregates re-aggregated to
+    daily (1 scan + tiny re-agg instead of 2 scans); the oracle computes
+    daily directly from raw rows, proving the cascade exact."""
+    from apache_beam_spark.operators.rollup import rollup_windows
+
+    ev = load_table(spark, "events", sf_dir) \
+        .withColumn("value_dec", F.col("value").cast("decimal(18,4)"))
+    levels = rollup_windows(
+        ev, "ts", ["event_type"],
+        {"total": "sum:value_dec", "n": "count", "vmax": "max:value"},
+        ["1 hour", "1 day"],
+    )
+    day = levels["1 day"]
+    return day.select(
+        F.col("window.start").alias("day"), "event_type",
+        F.col("total").cast("double").alias("total"), "n", "vmax")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q1_pricing_summary(spark, SF0001)
@@ -777,6 +811,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "autocomplete": _autocomplete,
         "tfidf": _tfidf,
         "user_sessions": _user_sessions,
+        "asof_last_purchase": _asof_last_purchase,
+        "rollup_daily": _rollup_daily,
     }
 
 
@@ -1098,4 +1134,15 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
             FROM s GROUP BY user_id, sid""",
+        "asof_last_purchase": """
+            SELECT l.event_id, l.user_id, l.ts, r.ts AS last_purchase_ts
+            FROM events l
+            ASOF LEFT JOIN (SELECT user_id, ts FROM events
+                            WHERE event_type = 'purchase') r
+            ON l.user_id = r.user_id AND l.ts >= r.ts""",
+        "rollup_daily": """
+            SELECT date_trunc('day', ts) AS day, event_type,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total,
+                   COUNT(*) AS n, MAX(value) AS vmax
+            FROM events GROUP BY 1, 2""",
     }

@@ -1,0 +1,53 @@
+"""Multi-resolution windowed rollup (hypertable-style continuous
+aggregate cascade).
+
+Not in the reference (its windows are single-resolution) — added as a
+training-pipeline op: metrics pipelines need the same aggregate at
+minute/hour/day grain, and the cascade computes each coarser level from
+the previous one instead of rescanning the raw table.  At 100 TB that
+turns N full scans into one scan + N-1 tiny re-aggregations, and every
+level is a plain windowed aggregate (streamable with a watermark).
+
+Only decomposable aggregates are allowed (sum/count/min/max — count
+re-aggregates as sum), the same restriction continuous aggregates have
+everywhere.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_MERGE = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+_FIRST = {"sum": F.sum, "count": lambda c: F.count(F.lit(1)), "min": F.min, "max": F.max}
+
+
+def rollup_windows(df: DataFrame, event_time: str, keys: Sequence[str],
+                   aggs: dict[str, str], levels: Sequence[str]) -> dict[str, DataFrame]:
+    """``aggs``: {output_col: "sum:src" | "count" | "min:src" | "max:src"}.
+    ``levels``: window sizes finest-first, each evenly divisible into
+    the next (e.g. ["1 hour", "1 day"]).  Returns {level: DataFrame}
+    with columns (window, *keys, *aggs)."""
+    parsed = {}
+    for out_col, spec in aggs.items():
+        kind, _, src = spec.partition(":")
+        if kind not in _MERGE:
+            raise ValueError(f"non-decomposable aggregate: {kind}")
+        parsed[out_col] = (kind, src or None)
+
+    first = [
+        (_FIRST[kind](src) if src else _FIRST[kind](None)).alias(out_col)
+        for out_col, (kind, src) in parsed.items()
+    ]
+    cur = df.groupBy(F.window(F.col(event_time), levels[0]).alias("window"), *keys) \
+        .agg(*first)
+    out = {levels[0]: cur}
+    for lvl in levels[1:]:
+        merge = [_MERGE[kind](out_col).alias(out_col)
+                 for out_col, (kind, _) in parsed.items()]
+        cur = cur.groupBy(F.window(F.col("window.start"), lvl).alias("window"), *keys) \
+            .agg(*merge)
+        out[lvl] = cur
+    return out
