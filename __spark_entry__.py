@@ -744,6 +744,24 @@ def _rollup_daily(spark, sf_dir):
         F.col("total").cast("double").alias("total"), "n", "vmax")
 
 
+def _range_join_followups(spark, sf_dir):
+    """Range join: (purchase, error) pairs of the same user where the
+    error occurred within 30 minutes AFTER the purchase — bucketized
+    equi-join on (user, time-bin), not a nested loop."""
+    from apache_beam_spark.operators.rangejoin import range_join
+
+    ev = load_table(spark, "events", sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase") \
+        .select("user_id", F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("pts"))
+    errors = ev.filter(F.col("event_type") == "error") \
+        .select("user_id", F.col("event_id").alias("error_id"),
+                F.col("ts").alias("ets"))
+    out = range_join(purchases, errors, on="user_id", left_ts="pts",
+                     right_ts="ets", lower="0 seconds", upper="30 minutes")
+    return out.select("user_id", "purchase_id", "error_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q1_pricing_summary(spark, SF0001)
@@ -813,6 +831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": _user_sessions,
         "asof_last_purchase": _asof_last_purchase,
         "rollup_daily": _rollup_daily,
+        "range_join_followups": _range_join_followups,
     }
 
 
@@ -1145,4 +1164,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total,
                    COUNT(*) AS n, MAX(value) AS vmax
             FROM events GROUP BY 1, 2""",
+        "range_join_followups": """
+            SELECT p.user_id, p.event_id AS purchase_id, e.event_id AS error_id
+            FROM events p JOIN events e
+              ON p.user_id = e.user_id
+             AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL 30 MINUTE
+            WHERE p.event_type = 'purchase' AND e.event_type = 'error'""",
     }
