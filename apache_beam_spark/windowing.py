@@ -98,18 +98,26 @@ class Sessions(WindowFn):
 
 @dataclass(frozen=True)
 class CalendarWindows(WindowFn):
-    """Calendar-unit windows (reference ``CalendarWindows.java``).
+    """Calendar-unit windows (reference ``CalendarWindows.java`` —
+    days/months/years, timezone-aware).
 
     ``window()`` can't express months/years (variable length), so we
     derive window bounds from ``date_trunc`` — a plain Column expression,
     no custom Catalyst rule needed.  ``unit`` in
-    {day, week, month, quarter, year}.
+    {day, week, month, quarter, year}.  ``tz`` (IANA name) makes the
+    boundary fall on the LOCAL calendar edge: truncate in wall-clock
+    time, convert back — same day can differ by one across timezones,
+    exactly the reference's DAYS.withTimeZone semantics.
     """
 
     unit: str
+    tz: Optional[str] = None
 
     def window_cols(self, ts_col: str) -> list[Column]:
-        start = F.date_trunc(self.unit, F.col(ts_col))
+        t = F.col(ts_col)
+        if self.tz:
+            t = F.from_utc_timestamp(t, self.tz)
+        start = F.date_trunc(self.unit, t)
         # months/quarters/years have variable length -> compute the
         # exclusive end with an interval add on the truncated start.
         n = {"day": (1, "days"), "week": (7, "days"), "month": (1, "months"),
@@ -118,6 +126,9 @@ class CalendarWindows(WindowFn):
             end = start + F.expr(f"INTERVAL {n[0]} DAYS")
         else:
             end = start + F.expr(f"INTERVAL {n[0]} MONTHS")
+        if self.tz:
+            start = F.to_utc_timestamp(start, self.tz)
+            end = F.to_utc_timestamp(end, self.tz)
         return [F.struct(start.alias("start"), end.alias("end")).alias("window")]
 
 
