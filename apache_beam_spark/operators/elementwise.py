@@ -237,6 +237,46 @@ class Regex:
         return _S()
 
 
+def with_dead_letters(df, fn, output_schema: str, error_schema: str = "error string, row string"):
+    """Dead-letter pattern: per-row Python processing where failures
+    become a SIDE OUTPUT instead of failing the job (the reference's
+    multi-output ParDo error-handling idiom, e.g. DebuggingWordCount's
+    side outputs — ``transforms/ParDo.java:632`` withOutputTags).
+
+    ``fn(row_dict) -> dict`` (raise to reject).  Returns (ok_df,
+    errors_df); errors carry the exception text and the stringified
+    input row.  Arrow-batched; the tag column is the multi-output
+    encoding, filtered into two frames off one cached pass.
+    """
+    import json as _json
+    from typing import Iterator as _It
+
+    import pandas as _pd
+    from pyspark.sql import functions as _F
+
+    tagged_schema = f"__ok__ boolean, payload string"
+
+    def mapper(batches: "_It[_pd.DataFrame]") -> "_It[_pd.DataFrame]":
+        for pdf in batches:
+            oks, payloads = [], []
+            for row in pdf.to_dict("records"):
+                try:
+                    payloads.append(_json.dumps(fn(row)))
+                    oks.append(True)
+                except Exception as e:  # noqa: BLE001 - the whole point
+                    payloads.append(_json.dumps(
+                        {"error": f"{type(e).__name__}: {e}", "row": repr(row)}))
+                    oks.append(False)
+            yield _pd.DataFrame({"__ok__": oks, "payload": payloads})
+
+    tagged = df.mapInPandas(mapper, tagged_schema).cache()
+    ok = tagged.filter("__ok__").select(
+        _F.from_json("payload", output_schema).alias("r")).select("r.*")
+    errors = tagged.filter("NOT __ok__").select(
+        _F.from_json("payload", error_schema).alias("r")).select("r.*")
+    return ok, errors
+
+
 class Reshuffle(PTransform):
     """Redistribute + stable-input barrier (reference
     ``transforms/Reshuffle.java:49,54``).  In Spark: ``repartition`` —

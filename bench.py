@@ -38,6 +38,13 @@ HEADLINE = [
     "embed_lsh_knn",
     "text_stats",
     "quality_score",
+    "secondary_sort",
+    "autocomplete",
+    "tfidf",
+    "user_sessions",
+    "asof_last_purchase",
+    "range_join_followups",
+    "rollup_daily",
 ]
 
 
