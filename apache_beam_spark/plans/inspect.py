@@ -74,25 +74,31 @@ def wholestage_codegen_ids(df: DataFrame) -> set[int]:
     return {int(m) for m in re.findall(r"\[codegen id : (\d+)\]", s)}
 
 
+def _subtrees(jnode):
+    yield jnode
+    for i in range(jnode.children().size()):
+        yield from _subtrees(jnode.children().apply(i))
+
+
 def cache_candidates(*dfs: DataFrame) -> list[DataFrame]:
     """Multiply-consumed logical subtrees among ``dfs`` — the consumer
     counting the reference's Spark runner did in
     ``EvaluationContext.updateCacheCandidates``
-    (runners/spark/.../EvaluationContext.java:131-151): any logical plan
-    that appears as a subtree of more than one output should be
-    ``.cache()``d before fan-out."""
-    from collections import Counter
+    (runners/spark/.../EvaluationContext.java:131-151): a DataFrame
+    whose plan is (a subtree of) another output's plan is consumed more
+    than once and should be ``.cache()``d before fan-out.
 
-    seen: Counter = Counter()
-    plans = {}
+    Subtree matching uses Catalyst's ``sameResult`` (semantic plan
+    equality) over an explicit traversal of each other plan's nodes.
+    """
+    out = []
     for df in dfs:
-        node = df._jdf.queryExecution().logical()
+        target = df._jdf.queryExecution().analyzed()
         for other in dfs:
             if other is df:
                 continue
-            # subtree containment via canonical string of the plan
-            if node.canonicalized().toString() in \
-               other._jdf.queryExecution().logical().canonicalized().toString():
-                seen[id(df)] += 1
-                plans[id(df)] = df
-    return [plans[k] for k, n in seen.items() if n >= 1]
+            if any(sub.sameResult(target) for sub in
+                   _subtrees(other._jdf.queryExecution().analyzed())):
+                out.append(df)
+                break
+    return out

@@ -71,3 +71,17 @@ def test_media_metadata_no_python_stage(spark):
 
     df = Q["media_metadata"](spark, SF)
     assert "Python" not in plan_string(df)
+
+
+def test_cache_candidates_detects_shared_subtree(spark):
+    from apache_beam_spark.plans import cache_candidates
+
+    base = spark.read.parquet(f"{SF}/orders.parquet").filter("o_totalprice > 1000")
+    agg = base.groupBy("o_orderstatus").count()
+    proj = base.select("o_orderkey")
+    other = spark.read.parquet(f"{SF}/region.parquet")
+
+    got = cache_candidates(base, agg, proj, other)
+    # base is consumed by both agg and proj -> candidate; the others
+    # appear in no other plan
+    assert got == [base]
