@@ -117,6 +117,41 @@ TRANSCRIPTS = [
             {"window": (20, 30), "values": [20]},
         ],
     },
+    {
+        # session MERGING across micro-batches: 1 and 8 arrive in
+        # different batches but are within the gap -> ONE session (the
+        # reference's MergingActiveWindowSet behavior, state-merged here
+        # by Spark's session aggregation)
+        "name": "sessions_merge_across_batches",
+        "window_fn": Sessions("10 seconds"),
+        "transcript": [
+            {"input": [1]},
+            {"input": [8]},
+            {"input": [15]},     # still chained: 8+10 > 15
+            {"watermark": 100},
+        ],
+        "expect": [
+            {"window": (1, 25), "values": [1, 8, 15]},
+        ],
+    },
+    {
+        # sliding windows + late data: the late element is dropped from
+        # EVERY window it would have joined
+        "name": "sliding_late_data_dropped",
+        "window_fn": SlidingWindows("10 seconds", "5 seconds"),
+        "allowed_lateness": "0 seconds",
+        "transcript": [
+            {"input": [12]},
+            {"watermark": 200},
+            {"watermark": 201},
+            {"input": [13]},     # late -> dropped everywhere
+            {"watermark": 300},
+        ],
+        "expect": [
+            {"window": (5, 15), "values": [12]},
+            {"window": (10, 20), "values": [12]},
+        ],
+    },
 ]
 
 
