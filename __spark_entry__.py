@@ -762,6 +762,25 @@ def _range_join_followups(spark, sf_dir):
     return out.select("user_id", "purchase_id", "error_id")
 
 
+def _sum_mean_global(spark, sf_dir):
+    """Combine.globally (Combine.java:100) / Sum / Mean.globally
+    (Sum.java:52, Mean.java:66): single-row global aggregate."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.agg(
+        _dsum("l_quantity", "total_qty"),
+        _davg("l_extendedprice", "mean_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def _latest_global(spark, sf_dir):
+    """Latest.globally (Latest.java:57): the element with the maximum
+    timestamp (event_id desc as deterministic tiebreak)."""
+    ev = load_table(spark, "events", sf_dir)
+    return (ev.orderBy(F.col("ts").desc(), F.col("event_id").desc()).limit(1)
+            .select("event_id", "ts", "event_type"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q1_pricing_summary(spark, SF0001)
@@ -832,6 +851,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_last_purchase": _asof_last_purchase,
         "rollup_daily": _rollup_daily,
         "range_join_followups": _range_join_followups,
+        "sum_mean_global": _sum_mean_global,
+        "latest_global": _latest_global,
     }
 
 
@@ -1170,4 +1191,12 @@ def oracle_sql() -> dict[str, str]:
               ON p.user_id = e.user_id
              AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL 30 MINUTE
             WHERE p.event_type = 'purchase' AND e.event_type = 'error'""",
+        "sum_mean_global": f"""
+            SELECT {_sql_dsum('l_quantity', 'total_qty')},
+                   {_sql_davg('l_extendedprice', 'mean_price')},
+                   COUNT(*) AS n
+            FROM lineitem""",
+        "latest_global": """
+            SELECT event_id, ts, event_type FROM events
+            ORDER BY ts DESC, event_id DESC LIMIT 1""",
     }

@@ -67,6 +67,26 @@ def kafka_stream(spark: SparkSession, bootstrap_servers: str, topics: str,
         ) from e
 
 
+def read_bounded(sdf: "DataFrame", output_mode: str = "append",
+                 max_files_per_batch: Optional[int] = None) -> "DataFrame":
+    """BoundedReadFromUnboundedSource (reference
+    ``io/BoundedReadFromUnboundedSource.java`` — cap an unbounded source
+    and treat it as bounded): run the stream with
+    ``trigger(availableNow=True)`` — process everything currently
+    available (rate-limited by ``max_files_per_batch``), then stop — and
+    return the materialized result."""
+    import uuid as _uuid
+
+    name = f"bounded_{_uuid.uuid4().hex[:12]}"
+    w = sdf.writeStream.format("memory").queryName(name).outputMode(output_mode)
+    q = w.trigger(availableNow=True).start()
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return sdf.sparkSession.table(name)
+
+
 class TestStream:
     """Deterministic streaming test input (reference
     ``testing/TestStream.java:52``: addElements:95 / advanceWatermarkTo:143).

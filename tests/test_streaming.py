@@ -139,3 +139,15 @@ def test_rate_stream_smoke(spark):
     sdf = rate_stream(spark, rows_per_second=10)
     assert sdf.isStreaming
     assert set(sdf.columns) == {"timestamp", "value"}
+
+
+def test_read_bounded_available_now(spark, spool):
+    """BoundedReadFromUnboundedSource: availableNow processes the
+    currently-spooled data then terminates."""
+    from apache_beam_spark.streaming.sources import read_bounded
+
+    ts = TestStream(spool)
+    ts.add_elements(_rows(("a", "2024-01-01 00:00:10", 1.0)))
+    ts.add_elements(_rows(("b", "2024-01-01 00:00:20", 2.0)))
+    out = read_bounded(ts.stream(spark, SCHEMA))
+    assert sorted(r["user"] for r in out.collect()) == ["a", "b"]
