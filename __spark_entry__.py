@@ -781,6 +781,47 @@ def _latest_global(spark, sf_dir):
             .select("event_id", "ts", "event_type"))
 
 
+_Q3_SQL = """
+    SELECT l_orderkey,
+           CAST(SUM({disc}) AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10"""
+
+_Q6_SQL = """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1995-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24"""
+
+
+def _q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 via the SQL passthrough surface (Pipeline.sql /
+    register_views): 3-way join + agg + top-10, all planned by Catalyst
+    from SQL text."""
+    from apache_beam_spark.sources.tables import load_table as _lt
+
+    for t in ("customer", "orders", "lineitem"):
+        _lt(spark, t, sf_dir).createOrReplaceTempView(t)
+    return spark.sql(_Q3_SQL.format(disc=_SQL_DISC_PRICE))
+
+
+def _q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6: pure scan-filter-agg — every predicate pushed to the
+    parquet scan."""
+    load_table(spark, "lineitem", sf_dir).createOrReplaceTempView("lineitem")
+    return spark.sql(_Q6_SQL)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q1_pricing_summary(spark, SF0001)
@@ -853,6 +894,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_followups": _range_join_followups,
         "sum_mean_global": _sum_mean_global,
         "latest_global": _latest_global,
+        "q3_shipping_priority": _q3_shipping_priority,
+        "q6_forecast_revenue": _q6_forecast_revenue,
     }
 
 
@@ -1199,4 +1242,6 @@ def oracle_sql() -> dict[str, str]:
         "latest_global": """
             SELECT event_id, ts, event_type FROM events
             ORDER BY ts DESC, event_id DESC LIMIT 1""",
+        "q3_shipping_priority": _Q3_SQL.format(disc=_SQL_DISC_PRICE),
+        "q6_forecast_revenue": _Q6_SQL,
     }
