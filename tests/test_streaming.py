@@ -151,3 +151,40 @@ def test_read_bounded_available_now(spark, spool):
     ts.add_elements(_rows(("b", "2024-01-01 00:00:20", 2.0)))
     out = read_bounded(ts.stream(spark, SCHEMA))
     assert sorted(r["user"] for r in out.collect()) == ["a", "b"]
+
+
+def test_late_data_counter_observe(spark, spool):
+    """The droppedDueToLateness parity metric: an observe() upstream of
+    the watermark counts ALL input rows; comparing with emitted rows
+    exposes the drop (reference LateDataDroppingDoFnRunner:53)."""
+    from apache_beam_spark.streaming.windowed import with_late_data_counter
+
+    ts = TestStream(spool)
+    ts.add_elements(_rows(("a", "2024-01-01 00:00:10", 1.0)))
+    ts.add_elements(_rows(("a", "2024-01-01 02:00:00", 1.0)))
+    observed = with_late_data_counter(ts.stream(spark, SCHEMA), "inputs")
+    sdf = windowed_aggregate(
+        observed, FixedWindows("1 minute"), "ts",
+        aggs=[F.sum("amount").alias("total")], keys=["user"],
+        allowed_lateness="0 seconds",
+    )
+    name = "late_counter_obs"
+    q = (sdf.writeStream.format("memory").queryName(name)
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        progress = q.recentProgress
+    finally:
+        q.stop()
+    counted = sum(p["observedMetrics"]["inputs"]["rows"]
+                  for p in progress if "inputs" in p.get("observedMetrics", {}))
+    assert counted == 2  # every input row observed pre-watermark
+
+
+def test_generate_sequence_bounded(spark):
+    from apache_beam_spark.sources.io import GenerateSequence
+
+    df = GenerateSequence.bounded(spark, 5, 15)
+    vals = sorted(r["id"] for r in df.collect())
+    assert vals == list(range(5, 15))
+    assert df.rdd.getNumPartitions() >= 2  # parallel range
