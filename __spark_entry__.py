@@ -36,7 +36,7 @@ from apache_beam_spark.dedup.exact import exact_dedup
 from apache_beam_spark.dedup.minhash import minhash_lsh_dedup
 from apache_beam_spark.dedup.simhash import simhash_dedup
 from apache_beam_spark.dedup.ngram import ngram_jaccard_pairs
-from apache_beam_spark.similarity.knn import brute_force_topk, lsh_topk
+from apache_beam_spark.similarity.knn import lsh_topk
 
 SF0001 = "/root/testdata/sf0.001"
 

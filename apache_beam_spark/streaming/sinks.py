@@ -39,6 +39,31 @@ def foreach_batch(sdf: DataFrame, fn: Callable[[DataFrame, int], None],
             .outputMode(output_mode).start())
 
 
+def idempotent_foreach_batch(sdf: DataFrame, fn: Callable[[DataFrame, int], None],
+                             checkpoint: str, commit_dir: str,
+                             output_mode: str = "update") -> StreamingQuery:
+    """Exactly-once custom sink: ``foreachBatch`` is at-least-once on
+    retry (a batch can be re-delivered after a failure before its
+    checkpoint commit), so the sink records each committed ``batch_id``
+    as a marker file and skips re-deliveries — the idempotent-write half
+    of the reference's finalize-rename protocol (WriteFiles.java:639),
+    with Spark's checkpoint as the other half."""
+    import os
+
+    os.makedirs(commit_dir, exist_ok=True)
+
+    def wrapped(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(commit_dir, f"committed-{batch_id}")
+        if os.path.exists(marker):
+            return  # re-delivered batch: already applied
+        fn(batch_df, batch_id)
+        open(marker, "w").close()
+
+    return (sdf.writeStream.foreachBatch(wrapped)
+            .option("checkpointLocation", checkpoint)
+            .outputMode(output_mode).start())
+
+
 def write_console(sdf: DataFrame, output_mode: str = "append",
                   num_rows: int = 20) -> StreamingQuery:
     """ConsoleIO (reference runners/spark/.../io/ConsoleIO.java)."""

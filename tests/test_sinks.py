@@ -45,3 +45,28 @@ def test_foreach_batch_sink(spark, tmp_path):
         q.stop()
     assert sum(seen.values()) == 3
     assert len(seen) == 2  # one call per micro-batch
+
+
+def test_idempotent_foreach_batch(spark, tmp_path):
+    """Exactly-once: re-running the same stream against the same commit
+    dir must not re-apply batches (simulates foreachBatch re-delivery)."""
+    from apache_beam_spark.streaming.sinks import idempotent_foreach_batch
+
+    ts = _feed(str(tmp_path / "spool"))
+    applied = []
+
+    def fn(batch_df, batch_id):
+        applied.append((batch_id, batch_df.count()))
+
+    commit = str(tmp_path / "commits")
+    for attempt, ckpt in enumerate(["c1", "c2"]):
+        # second attempt: fresh checkpoint -> batches re-delivered from 0,
+        # but the commit markers suppress re-application
+        q = idempotent_foreach_batch(
+            ts.stream(spark, "k string, v long"), fn,
+            str(tmp_path / ckpt), commit)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    assert sum(n for _, n in applied) == 3  # each row applied exactly once
