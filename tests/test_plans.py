@@ -85,3 +85,20 @@ def test_cache_candidates_detects_shared_subtree(spark):
     # base is consumed by both agg and proj -> candidate; the others
     # appear in no other plan
     assert got == [base]
+
+
+def test_time_series_ops_plan_shapes(spark):
+    """The time-series trio stays shuffle-light: asof = union + one
+    keyed window shuffle; range join = equi-join (broadcast or single
+    hash shuffle), never a nested loop; rollup = one shuffle per level
+    (level-2 input is already tiny)."""
+    from apache_beam_spark.plans import plan_string
+
+    asof = Q["asof_last_purchase"](spark, SF)
+    assert shuffle_count(asof) <= 2
+    rj = Q["range_join_followups"](spark, SF)
+    assert "BroadcastNestedLoopJoin" not in plan_string(rj)
+    assert "CartesianProduct" not in plan_string(rj)
+    assert shuffle_count(rj) <= 2
+    ru = Q["rollup_daily"](spark, SF)
+    assert shuffle_count(ru) == 2  # one per cascade level
