@@ -1205,7 +1205,7 @@ def oracle_sql() -> dict[str, str]:
             WITH e AS (
                 SELECT user_id, ts,
                        CASE WHEN lag(ts) OVER w IS NULL
-                            OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                            OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                             THEN 1 ELSE 0 END AS new_session
                 FROM events
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

@@ -31,37 +31,47 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
 
     ``tolerance``: optional max staleness interval (e.g. ``"1 hour"``) —
     matches older than that are nulled out, exactly pandas' tolerance.
+
+    The matched right row is carried as ONE struct through the running
+    ``last(ignorenulls)`` fill, so a right row with NULLs in some fields
+    cannot mix fields from different (older) right rows — the match is
+    row-atomic, exactly ``merge_asof``.
     """
     right_cols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
+    collide = [c for c in right_cols if c in left.columns]
+    if collide:
+        raise ValueError(
+            f"asof_join: right_cols {collide} collide with left columns; "
+            "rename them on the right side first (e.g. .withColumnRenamed)")
 
-    lhs = left.withColumn("__side__", F.lit(1)).withColumn("__ts__", F.col(left_ts))
+    # pack the whole candidate right row into one struct => atomic match
     rhs = right.select(
-        F.col(on), F.col(right_ts).alias("__rts_src__"),
-        *[F.col(c) for c in right_cols]
-    ).withColumn("__side__", F.lit(0)).withColumn("__ts__", F.col("__rts_src__"))
+        F.col(on),
+        F.struct(F.col(right_ts).alias("__asof_ts__"),
+                 *[F.col(c) for c in right_cols]).alias("__rrow__"),
+    ).withColumn("__side__", F.lit(0)) \
+     .withColumn("__ts__", F.col("__rrow__.__asof_ts__"))
+    rtype = rhs.schema["__rrow__"].dataType
 
-    # outer-union schemas: null-pad each side's missing columns
-    left_only = [c for c in lhs.columns if c not in rhs.columns]
-    right_only = [c for c in rhs.columns if c not in lhs.columns]
-    for c in right_only:
-        lhs = lhs.withColumn(c, F.lit(None).cast(rhs.schema[c].dataType))
-    for c in left_only:
+    lhs = left.withColumn("__side__", F.lit(1)) \
+        .withColumn("__ts__", F.col(left_ts)) \
+        .withColumn("__rrow__", F.lit(None).cast(rtype))
+    for c in [c for c in lhs.columns if c not in rhs.columns]:
         rhs = rhs.withColumn(c, F.lit(None).cast(lhs.schema[c].dataType))
     tagged = lhs.unionByName(rhs.select(*lhs.columns))
 
     # right rows sort BEFORE left rows at equal ts (<= semantics)
     w = (W.partitionBy(on).orderBy(F.col("__ts__"), F.col("__side__"))
          .rowsBetween(W.unboundedPreceding, 0))
-    filled = tagged
-    for c in [*right_cols, "__rts_src__"]:
-        filled = filled.withColumn(c, F.last(c, ignorenulls=True).over(w))
-
-    out = filled.filter(F.col("__side__") == 1)
+    out = tagged.withColumn("__rrow__", F.last("__rrow__", ignorenulls=True).over(w)) \
+        .filter(F.col("__side__") == 1)
     if tolerance is not None:
-        stale = F.col("__rts_src__") < F.col("__ts__") - F.expr(f"INTERVAL {tolerance}")
-        for c in [*right_cols, "__rts_src__"]:
-            out = out.withColumn(
-                c, F.when(stale, F.lit(None).cast(out.schema[c].dataType))
-                .otherwise(F.col(c)))
-    return out.withColumnRenamed("__rts_src__", "__asof_ts__") \
-        .drop("__side__", "__ts__")
+        stale = (F.col("__rrow__.__asof_ts__")
+                 < F.col("__ts__") - F.expr(f"INTERVAL {tolerance}"))
+        out = out.withColumn(
+            "__rrow__",
+            F.when(stale, F.lit(None).cast(rtype)).otherwise(F.col("__rrow__")))
+    return out.select(
+        *left.columns,
+        F.col("__rrow__.__asof_ts__").alias("__asof_ts__"),
+        *[F.col(f"__rrow__.{c}").alias(c) for c in right_cols])

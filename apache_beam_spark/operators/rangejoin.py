@@ -36,7 +36,16 @@ def range_join(left: DataFrame, right: DataFrame, on: Optional[str],
     """Pairs where ``right_ts - left_ts`` ∈ [lower, upper] (bounds may
     be negative/offset, e.g. lower="-1 hour"), optionally also
     equi-keyed on ``on``.  Column name collisions besides ``on`` must be
-    pre-renamed."""
+    pre-renamed.
+
+    Outer modes are real: the bucketized join is computed as INNER
+    (outer on the exploded probe would both duplicate unmatched left
+    rows and then drop them in the range filter), and unmatched rows
+    are recovered with a null-safe anti-join per outer side — one extra
+    shuffle per side, still no nested loop.
+    """
+    if how not in ("inner", "left", "right", "full"):
+        raise ValueError(f"range_join: unsupported how={how!r}")
     lo_s, hi_s = _interval_seconds(lower), _interval_seconds(upper)
     if hi_s < lo_s:
         raise ValueError("upper must be >= lower")
@@ -51,8 +60,29 @@ def range_join(left: DataFrame, right: DataFrame, on: Optional[str],
     r = right.withColumn("__probe__", rbin)
 
     keys = ["__probe__"] + ([on] if on else [])
-    joined = l.join(r, on=keys, how=how)
+    joined = l.join(r, on=keys, how="inner")
     diff = F.unix_timestamp(F.col(right_ts)) - F.unix_timestamp(F.col(left_ts))
     # no dedup needed: a right row lives in exactly one bin, and the two
     # probed bins are distinct, so each (left, right) pair joins once
-    return joined.filter((diff >= lo_s) & (diff <= hi_s)).drop("__probe__")
+    inner = joined.filter((diff >= lo_s) & (diff <= hi_s)).drop("__probe__")
+    if how == "inner":
+        return inner
+
+    def _unmatched(side: DataFrame, pad_from: DataFrame) -> DataFrame:
+        cols = list(side.columns)
+        s, m = side.alias("__s__"), inner.select(*cols).alias("__m__")
+        cond = None
+        for c in cols:  # null-safe: rows with NULLs must still match
+            e = F.col(f"__s__.{c}").eqNullSafe(F.col(f"__m__.{c}"))
+            cond = e if cond is None else cond & e
+        out = s.join(m, on=cond, how="left_anti")
+        for c in [c for c in pad_from.columns if c not in cols]:
+            out = out.withColumn(c, F.lit(None).cast(pad_from.schema[c].dataType))
+        return out
+
+    result = inner
+    if how in ("left", "full"):
+        result = result.unionByName(_unmatched(left, right).select(*result.columns))
+    if how in ("right", "full"):
+        result = result.unionByName(_unmatched(right, left).select(*result.columns))
+    return result

@@ -57,6 +57,13 @@ def _masked_crc(data: bytes) -> int:
     return ((((crc >> 15) | (crc << 17)) + 0xA282EAD8) & 0xFFFFFFFF)
 
 
+def _frame_record(data: bytes) -> bytes:
+    """length(u64le) + masked_crc(length) + data + masked_crc(data)."""
+    header = struct.pack("<Q", len(data))
+    return (header + struct.pack("<I", _masked_crc(header))
+            + data + struct.pack("<I", _masked_crc(data)))
+
+
 def _parse_tfrecords(blob: bytes, verify_crc: bool) -> list[bytes]:
     out, off, n = [], 0, len(blob)
     while off + 12 <= n:
@@ -65,12 +72,21 @@ def _parse_tfrecords(blob: bytes, verify_crc: bool) -> list[bytes]:
         if verify_crc and _masked_crc(blob[off:off + 8]) != len_crc:
             raise ValueError(f"corrupt TFRecord length crc at offset {off}")
         start = off + 12
+        if start + length + 4 > n:
+            raise ValueError(
+                f"truncated TFRecord at offset {off}: record needs "
+                f"{start + length + 4 - off} bytes, only {n - off} remain")
         data = blob[start:start + length]
         (data_crc,) = struct.unpack_from("<I", blob, start + length)
         if verify_crc and _masked_crc(data) != data_crc:
             raise ValueError(f"corrupt TFRecord data crc at offset {start}")
         out.append(data)
         off = start + length + 4
+    if off != n:
+        # reference TFRecordIO fails on truncation rather than dropping tail
+        raise ValueError(
+            f"truncated TFRecord file: {n - off} trailing bytes at offset {off} "
+            "are not a complete record header")
     return out
 
 
@@ -107,12 +123,7 @@ def write_tfrecord(df: DataFrame, record_col: str, path: str,
         wrote = False
         with open(tmp, "wb") as f:
             for row in rows:
-                data_bytes = bytes(row[0])
-                header = struct.pack("<Q", len(data_bytes))
-                f.write(header)
-                f.write(struct.pack("<I", _masked_crc(header)))
-                f.write(data_bytes)
-                f.write(struct.pack("<I", _masked_crc(data_bytes)))
+                f.write(_frame_record(bytes(row[0])))
                 wrote = True
         # commit-by-rename; empty partitions leave no file
         if wrote:

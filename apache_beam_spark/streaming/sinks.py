@@ -42,12 +42,20 @@ def foreach_batch(sdf: DataFrame, fn: Callable[[DataFrame, int], None],
 def idempotent_foreach_batch(sdf: DataFrame, fn: Callable[[DataFrame, int], None],
                              checkpoint: str, commit_dir: str,
                              output_mode: str = "update") -> StreamingQuery:
-    """Exactly-once custom sink: ``foreachBatch`` is at-least-once on
-    retry (a batch can be re-delivered after a failure before its
-    checkpoint commit), so the sink records each committed ``batch_id``
-    as a marker file and skips re-deliveries — the idempotent-write half
-    of the reference's finalize-rename protocol (WriteFiles.java:639),
-    with Spark's checkpoint as the other half."""
+    """Dedupe re-delivered micro-batches: ``foreachBatch`` is
+    at-least-once on retry (a batch can be re-delivered after a failure
+    before its checkpoint commit); the sink records each committed
+    ``batch_id`` as a marker file and skips re-deliveries — the
+    idempotent-write half of the reference's finalize-rename protocol
+    (WriteFiles.java:639), with Spark's checkpoint as the other half.
+
+    NOT exactly-once by itself: the marker is written after ``fn``
+    non-atomically, so a crash between ``fn`` and the marker (or a
+    partially-failed ``fn``) re-applies the batch on retry.  For true
+    exactly-once ``fn`` must itself be idempotent or transactional
+    (e.g. upsert keyed on batch_id); the markers only eliminate
+    post-commit re-deliveries.  ``commit_dir`` must live on durable
+    shared storage (not driver-local disk) to survive driver failover."""
     import os
 
     os.makedirs(commit_dir, exist_ok=True)

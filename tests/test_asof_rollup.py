@@ -72,3 +72,33 @@ def test_rollup_rejects_non_decomposable(spark):
     ev = spark.createDataFrame([(1,)], "v int")
     with pytest.raises(ValueError, match="non-decomposable"):
         rollup_windows(ev, "v", [], {"a": "avg:v"}, ["1 hour"])
+
+def test_asof_null_field_is_row_atomic(spark):
+    """ADVICE regression: a right row with NULL in one column must NOT
+    borrow that column from an older right row — the matched row is
+    atomic (pandas merge_asof semantics)."""
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame([(1, 100)], "k int, lts long") \
+        .select("k", F.timestamp_seconds("lts").alias("lts"))
+    right = spark.createDataFrame(
+        [(1, 50, 7.0, "old"), (1, 90, None, "new")],
+        "k int, rts long, b double, tag string",
+    ).select("k", F.timestamp_seconds("rts").alias("rts"), "b", "tag")
+    out = asof_join(left, right, on="k", left_ts="lts", right_ts="rts").collect()
+    assert len(out) == 1
+    # matched row is ts=90 -> b must be NULL (not 7.0 from ts=50), tag "new"
+    assert out[0]["tag"] == "new"
+    assert out[0]["b"] is None
+
+
+def test_asof_collision_rejected(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame([(1, 100, 1.0)], "k int, lts long, b double") \
+        .select("k", F.timestamp_seconds("lts").alias("lts"), "b")
+    right = spark.createDataFrame([(1, 50, 2.0)], "k int, rts long, b double") \
+        .select("k", F.timestamp_seconds("rts").alias("rts"), "b")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, on="k", left_ts="lts", right_ts="rts")

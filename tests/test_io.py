@@ -62,3 +62,17 @@ def test_xml_roundtrip(spark, tmp_path):
     back = read_xml(spark, out, row_tag="item")
     rows = sorted((r["a"], r["b"]) for r in back.collect())
     assert rows == [(1, "x"), (2, "y")]
+
+def test_tfrecord_truncation_detected():
+    """ADVICE regression: a truncated file must raise, not silently drop
+    tail records (reference TFRecordIO fails on truncation)."""
+    import pytest
+
+    from apache_beam_spark.sources.tfrecord import _frame_record, _parse_tfrecords
+
+    blob = _frame_record(b"hello") + _frame_record(b"world")
+    assert _parse_tfrecords(blob, True) == [b"hello", b"world"]
+    with pytest.raises(ValueError, match="truncated"):
+        _parse_tfrecords(blob[:-3], True)   # torn mid-record
+    with pytest.raises(ValueError, match="truncated"):
+        _parse_tfrecords(blob + b"\x01\x02", True)  # trailing garbage header

@@ -68,3 +68,32 @@ def test_bad_interval_rejected(spark):
     with pytest.raises(ValueError, match="unsupported interval"):
         range_join(left, left, on="k", left_ts="lts", right_ts="lts",
                    lower="0 parsecs", upper="1 hour")
+
+def test_range_join_left_outer_keeps_unmatched(spark):
+    """Outer semantics are real: unmatched left rows appear exactly once
+    null-extended (the exploded probe must not duplicate or drop them)."""
+    left = _df(spark, "l", [("a", "09:00:00"), ("a", "15:00:00"), ("c", "09:00:00")])
+    right = _df(spark, "r", [("a", "09:10:00")])
+    out = range_join(left, right, on="k", left_ts="lts", right_ts="rts",
+                     lower="0 seconds", upper="30 minutes", how="left").collect()
+    assert len(out) == 3
+    matched = [r for r in out if r["r_id"] is not None]
+    unmatched = sorted((r["k"], r["l_id"]) for r in out if r["r_id"] is None)
+    assert [(r["l_id"], r["r_id"]) for r in matched] == [(0, 0)]
+    assert unmatched == [("a", 1), ("c", 2)]
+
+
+def test_range_join_full_outer(spark):
+    left = _df(spark, "l", [("a", "09:00:00")])
+    right = _df(spark, "r", [("a", "09:10:00"), ("b", "09:00:00")])
+    out = range_join(left, right, on="k", left_ts="lts", right_ts="rts",
+                     lower="0 seconds", upper="30 minutes", how="full").collect()
+    assert len(out) == 2
+    assert sorted((r["l_id"] is None, r["r_id"] is None) for r in out) == \
+        [(False, False), (True, False)]
+
+
+def test_range_join_bad_how_rejected(spark):
+    left = _df(spark, "l", [("a", "09:00:00")])
+    with pytest.raises(ValueError, match="unsupported how"):
+        range_join(left, left, on="k", left_ts="lts", right_ts="lts", how="cross")
