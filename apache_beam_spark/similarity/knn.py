@@ -15,6 +15,7 @@ same shape with learned centroids (k-means) instead of random planes.
 from __future__ import annotations
 
 import random
+from typing import Optional
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -51,55 +52,110 @@ def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
 def brute_force_topk_blas(queries: DataFrame, corpus: DataFrame, k: int = 5,
                           query_id: str = "vec_id", corpus_id: str = "vec_id",
                           vec_col: str = "embedding",
-                          self_exclude: bool = True) -> DataFrame:
+                          self_exclude: bool = True,
+                          broadcast_side: str = "corpus") -> DataFrame:
     """Exact cosine top-k via block matrix multiply — the scale path for
-    brute force.
+    brute force.  Identical results to ``brute_force_topk`` (same
+    rounding, same neighbor-id tiebreak) at ~100x the throughput: the
+    per-pair work is a BLAS gemm per Arrow batch instead of an
+    interpreted higher-order Column function.
 
-    The corpus is collected once to a dense float64 matrix and shipped
-    in the task closure (broadcast); every Arrow batch of queries then
-    runs ONE BLAS gemm (Q x D @ D x N) and a per-row argpartition.
-    Identical results to ``brute_force_topk`` (same rounding, same
-    neighbor-id tiebreak) at ~100x the throughput: the per-pair work is
-    a fused multiply-add in native code instead of an interpreted
-    higher-order Column function.
+    ``broadcast_side`` picks which side is densified:
 
-    At 100 TB the corpus side must fit an executor (~1e6 x 1024 f32 =
-    4 GB); beyond that, shard the corpus and union the per-shard top-k
-    (sims are absolute, so a k-way merge of per-shard winners is exact).
+    - ``"corpus"``: the corpus is collected once and shipped via
+      ``sc.broadcast`` (ONE copy per executor — not per task closure);
+      every Arrow batch of queries runs one gemm (Q x D @ D x N).
+      Right when the corpus fits executor memory (~1e6 x 1024 f32 =
+      4 GB).
+    - ``"queries"``: the QUERY matrix is broadcast and the corpus
+      STREAMS through ``mapInPandas`` — each corpus partition emits its
+      local per-query top-k and a window does the exact k-way merge
+      (any global top-k member is in its own partition's top-k, so the
+      merge is lossless).  The corpus is never collected anywhere: this
+      is the 100 TB path, where only the query side must be small.
     """
     import numpy as np
 
-    rows = corpus.select(F.col(corpus_id).alias("id"), F.col(vec_col).alias("v")).collect()
-    ids = np.array([r["id"] for r in rows], dtype=np.int64)
-    mat = np.array([r["v"] for r in rows], dtype=np.float64)
-    mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    if broadcast_side not in ("corpus", "queries"):
+        raise ValueError(f"broadcast_side must be corpus|queries, got {broadcast_side!r}")
+
+    def _densify(df: DataFrame, idc: str):
+        rows = df.select(F.col(idc).alias("id"), F.col(vec_col).alias("v")).collect()
+        ids = np.array([r["id"] for r in rows], dtype=np.int64)
+        mat = np.array([r["v"] for r in rows], dtype=np.float64)
+        return ids, mat / np.linalg.norm(mat, axis=1, keepdims=True)
+
+    out_schema = "query_id bigint, neighbor_id bigint, sim double, rank int"
+
+    if broadcast_side == "corpus":
+        sc = corpus.sparkSession.sparkContext
+        bc = sc.broadcast(_densify(corpus, corpus_id))
+
+        def fn(batches):
+            import pandas as pd
+
+            ids, mat_n = bc.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                q = np.array(list(pdf["__qv__"]), dtype=np.float64)
+                qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+                sims = qn @ mat_n.T                  # one gemm per batch
+                out_q, out_n, out_s, out_r = [], [], [], []
+                for qi, qid in enumerate(pdf["query_id"]):
+                    s = sims[qi]
+                    mask = ids != qid if self_exclude else np.ones(len(ids), bool)
+                    cand = np.nonzero(mask)[0]
+                    # bounded selection, then exact (sim desc, id asc) order
+                    take = min(k, len(cand))
+                    top = cand[np.argpartition(-s[cand], take - 1)[:take]]
+                    order = np.lexsort((ids[top], -s[top]))
+                    for r, j in enumerate(top[order], start=1):
+                        out_q.append(qid); out_n.append(ids[j])
+                        out_s.append(round(float(s[j]), 6)); out_r.append(r)
+                yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n,
+                                    "sim": out_s, "rank": out_r})
+
+        q = queries.select(F.col(query_id).alias("query_id"),
+                           F.col(vec_col).alias("__qv__"))
+        return q.mapInPandas(fn, out_schema)
+
+    # broadcast_side == "queries": corpus streams, per-partition top-k + merge
+    sc = queries.sparkSession.sparkContext
+    bq = sc.broadcast(_densify(queries, query_id))
 
     def fn(batches):
         import pandas as pd
 
+        qids, qn = bq.value
         for pdf in batches:
             if not len(pdf):
                 continue
-            q = np.array(list(pdf["__qv__"]), dtype=np.float64)
-            qn = q / np.linalg.norm(q, axis=1, keepdims=True)
-            sims = qn @ mat_n.T                      # one gemm per batch
-            out_q, out_n, out_s, out_r = [], [], [], []
-            for qi, qid in enumerate(pdf["query_id"]):
+            cids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            c = np.array(list(pdf["__cv__"]), dtype=np.float64)
+            cn = c / np.linalg.norm(c, axis=1, keepdims=True)
+            sims = qn @ cn.T                          # Q x C_batch
+            out_q, out_n, out_s = [], [], []
+            for qi, qid in enumerate(qids):
                 s = sims[qi]
-                mask = ids != qid if self_exclude else np.ones(len(ids), bool)
+                mask = cids != qid if self_exclude else np.ones(len(cids), bool)
                 cand = np.nonzero(mask)[0]
-                # bounded selection, then exact (sim desc, id asc) order
+                if not len(cand):
+                    continue
                 take = min(k, len(cand))
                 top = cand[np.argpartition(-s[cand], take - 1)[:take]]
-                order = np.lexsort((ids[top], -s[top]))
-                for r, j in enumerate(top[order], start=1):
-                    out_q.append(qid); out_n.append(ids[j])
-                    out_s.append(round(float(s[j]), 6)); out_r.append(r)
+                out_q.extend([qid] * len(top))
+                out_n.extend(cids[top]); out_s.extend(s[top])
             yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n,
-                                "sim": out_s, "rank": out_r})
+                                "sim": out_s})
 
-    q = queries.select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("__qv__"))
-    return q.mapInPandas(fn, "query_id bigint, neighbor_id bigint, sim double, rank int")
+    c = corpus.select(F.col(corpus_id).alias("neighbor_id"),
+                      F.col(vec_col).alias("__cv__"))
+    local = c.mapInPandas(fn, "query_id bigint, neighbor_id bigint, sim double")
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (local.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rank"))
 
 
 def _hyperplanes(dim: int, n_bits: int, seed: int = 42) -> list[list[float]]:
@@ -232,13 +288,70 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 5,
 
 def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
                              vec_col: str = "embedding",
-                             threshold: float = 0.95) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (id_a < id_b, sim >= t)."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va__"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb__"))
-    return (
-        a.crossJoin(F.broadcast(b))
+                             threshold: float = 0.95,
+                             n_bands: int = 16, band_bits: int = 8,
+                             seed: int = 42,
+                             max_bucket: int = 10000,
+                             dim: Optional[int] = None) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, sim >= t).
+
+    Candidate generation is banded sign-bit LSH — the same band/bucket
+    shape as ``dedup/minhash.py`` — NOT an all-pairs cross join:
+
+    1. one vectorized pass computes ``n_bands * band_bits`` hyperplane
+       sign bits per vector (a single BLAS gemm per Arrow batch) and
+       packs each band into an int bucket key;
+    2. pairs sharing any (band, bucket) meet in an EQUI-join (shuffle
+       by bucket, ~N/2^band_bits vectors each; degenerate buckets
+       capped at ``max_bucket``);
+    3. exact cosine verifies candidates only.
+
+    At cos >= 0.95 (angle <= 18°) a plane splits a pair with p <= 0.1,
+    so P(miss) <= (1 - 0.9^band_bits)^n_bands ~= 1e-4 at the default
+    16x8 — recall ~1 while comparing ~2^-band_bits of the pairs.
+    """
+    import numpy as np
+
+    if dim is None:  # one-row probe; pass dim to keep the plan lazy
+        dim = len(df.select(vec_col).first()[0])
+    planes = np.random.RandomState(seed).standard_normal(
+        (n_bands * band_bits, dim))
+    pack = (1 << np.arange(band_bits, dtype=np.int64))
+    band_idx = np.arange(n_bands, dtype=np.int64)
+
+    def sig_fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.array(list(pdf["__v__"]), dtype=np.float64)
+            bits = (v @ planes.T) > 0                    # n x (bands*bits)
+            bh = bits.reshape(len(v), n_bands, band_bits) @ pack  # n x bands
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            yield pd.DataFrame({
+                "id": np.repeat(ids, n_bands),
+                "band": np.tile(band_idx, len(v)),
+                "bh": bh.ravel(),
+            })
+
+    sigs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v__")) \
+        .mapInPandas(sig_fn, "id bigint, band int, bh bigint")
+    buckets = (
+        sigs.groupBy("band", "bh").agg(F.collect_list("id").alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+    )
+    pairs = (
+        buckets.select(F.explode("ids").alias("id_a"), "ids")
+        .select("id_a", F.explode("ids").alias("id_b"))
         .filter(F.col("id_a") < F.col("id_b"))
+        .distinct()
+    )
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v__"))
+    return (
+        pairs
+        .join(vecs.select(F.col("id").alias("id_a"), F.col("__v__").alias("__va__")), on="id_a")
+        .join(vecs.select(F.col("id").alias("id_b"), F.col("__v__").alias("__vb__")), on="id_b")
         .select("id_a", "id_b", cosine(F.col("__va__"), F.col("__vb__")).alias("sim"))
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
