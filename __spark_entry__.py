@@ -137,6 +137,21 @@ def _group_by_key(spark, sf_dir):
     return gbk.select("user_id", F.size("values").alias("n")).df
 
 
+def _combine_grouped_values(spark, sf_dir):
+    """Combine.groupedValues (Combine.java:2073): combine each
+    already-grouped GBK bag in place via the aggregate() HOF — no
+    second shuffle after the GroupByKey."""
+    p = Pipeline(spark)
+    ev = p.from_df(load_table(spark, "events", sf_dir))
+    gbk = ev.apply(GroupByKey(keys="user_id", value="value", alias="values"))
+    gv = gbk.apply(Combine.grouped_values(
+        "values", "total",
+        zero=F.lit(0).cast("decimal(38,2)"),
+        merge=lambda acc, v: acc + v.cast("decimal(18,2)"),
+        finish=lambda acc: acc.cast("double")))
+    return gv.select("user_id", F.size("values").alias("n"), "total").df
+
+
 def _combine_per_key_multi(spark, sf_dir):
     """Multiple CombineFns in one pass (TupleCombineFn, combiners.py:442)."""
     p = Pipeline(spark)
@@ -837,6 +852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_orders": _filter_orders,
         "wordcount": _wordcount,
         "group_by_key": _group_by_key,
+        "combine_grouped_values": _combine_grouped_values,
         "combine_per_key_multi": _combine_per_key_multi,
         "count_global": _count_global,
         "count_per_element": _count_per_element,
@@ -950,6 +966,10 @@ def oracle_sql() -> dict[str, str]:
             WHERE word <> '' GROUP BY word""",
         "group_by_key": """
             SELECT user_id, COUNT(value) AS n FROM events GROUP BY user_id""",
+        "combine_grouped_values": """
+            SELECT user_id, COUNT(value) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+            FROM events GROUP BY user_id""",
         "combine_per_key_multi": f"""
             SELECT event_type, {_sql_dsum('value', 'total')},
                    COUNT(*) AS n, MIN(value) AS vmin, MAX(value) AS vmax

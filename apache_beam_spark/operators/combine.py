@@ -70,10 +70,7 @@ class Combine:
 
         class _G(PTransform):
             def expand(self, pcoll: PCollection) -> PCollection:
-                gcols = pcoll.window_group_cols()
-                if gcols:
-                    return pcoll._with_df(pcoll.df.groupBy(*gcols).agg(*aggs))
-                return pcoll._with_df(pcoll.df.agg(*aggs))
+                return pcoll.windowed_agg([], *aggs)
 
         return _G()
 
@@ -85,10 +82,33 @@ class Combine:
 
         class _PK(PTransform):
             def expand(self, pcoll: PCollection) -> PCollection:
-                gcols = [*pcoll.window_group_cols(), *[F.col(k) for k in keys_l]]
-                return pcoll._with_df(pcoll.df.groupBy(*gcols).agg(*aggs))
+                return pcoll.windowed_agg([F.col(k) for k in keys_l], *aggs)
 
         return _PK()
+
+    @staticmethod
+    def grouped_values(values_col: str, out_col: str, zero: Column,
+                       merge: Callable[[Column, Column], Column],
+                       finish: Optional[Callable[[Column], Column]] = None) -> PTransform:
+        """Combine.groupedValues (reference ``Combine.java:2073``):
+        combine each ALREADY-grouped bag — the ``KV<K, Iterable<V>>``
+        output of GroupByKey — in place.
+
+        Lowered to the ``aggregate()`` higher-order function over the
+        array column: zero/merge/finish run inside the row that holds
+        the bag, so there is NO second shuffle — exactly the promise of
+        the reference transform (combine without re-grouping).
+        """
+
+        class _GV(PTransform):
+            def expand(self, pcoll: PCollection) -> PCollection:
+                if finish is not None:
+                    agg = F.aggregate(F.col(values_col), zero, merge, finish)
+                else:
+                    agg = F.aggregate(F.col(values_col), zero, merge)
+                return pcoll._with_df(pcoll.df.withColumn(out_col, agg))
+
+        return _GV()
 
     @staticmethod
     def per_key_fn(keys: Union[str, Sequence[str]], fn: CombineFn, value: str,

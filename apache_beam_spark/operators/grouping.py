@@ -42,9 +42,9 @@ class GroupByKey(PTransform):
         self.value, self.alias = value, alias
 
     def expand(self, pcoll: PCollection) -> PCollection:
-        gcols = _window_key_cols(pcoll, self.keys)
-        df = pcoll.df.groupBy(*gcols).agg(F.collect_list(self.value).alias(self.alias))
-        return pcoll._with_df(df)
+        return pcoll.windowed_agg(
+            [F.col(k) for k in self.keys],
+            F.collect_list(self.value).alias(self.alias))
 
 
 class CoGroupByKey(PTransform):

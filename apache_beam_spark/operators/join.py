@@ -75,8 +75,13 @@ class Join:
         return _Join(right, on, "left_anti", broadcast)
 
 
-def side_input_map(pcoll: PCollection, key: str, value: str) -> dict:
+def side_input_map(pcoll: PCollection, key: str, value: str,
+                   max_rows: int = 100_000) -> dict:
     """Materialize a small PCollection as a driver-side map (reference
     ``View.asMap`` ``transforms/View.java:216``).  Only for genuinely
-    small inputs — large side inputs should be broadcast joins."""
-    return {r[key]: r[value] for r in pcoll.df.select(key, value).collect()}
+    small inputs — larger than ``max_rows`` raises, steering to a
+    broadcast join."""
+    from apache_beam_spark.operators.views import guarded_collect
+
+    return {r[key]: r[value]
+            for r in guarded_collect(pcoll.df.select(key, value), max_rows)}

@@ -19,7 +19,7 @@ plans; Spark's optimizer is our stages 3-5 (SURVEY.md §3.3).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Iterable, Optional, Union
+from typing import Any, Callable, Iterable, Optional, Sequence, Union
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -169,6 +169,7 @@ class PCollection:
         fn: WindowFn,
         allowed_lateness: Optional[str] = None,
         accumulation_mode: Optional[str] = None,
+        timestamp_combiner: Optional[str] = None,
     ) -> "PCollection":
         """reference transforms/windowing/Window.java Window.into —
         records strategy; realized by the next grouping operator."""
@@ -179,6 +180,8 @@ class PCollection:
             ws = _replace(ws, allowed_lateness=allowed_lateness)
         if accumulation_mode is not None:
             ws = _replace(ws, accumulation_mode=accumulation_mode)
+        if timestamp_combiner is not None:
+            ws = _replace(ws, timestamp_combiner=timestamp_combiner)
         out = self._with_df(self.df, windowing=ws)
         if not self.is_bounded and allowed_lateness and self.event_time:
             out = out._with_df(self.df.withWatermark(self.event_time, allowed_lateness), windowing=ws)
@@ -190,6 +193,28 @@ class PCollection:
         if fn.windowed and self.event_time is None:
             raise ValueError("windowed grouping requires with_event_time() first")
         return fn.window_cols(self.event_time) if fn.windowed else []
+
+    def windowed_agg(self, extra_keys: Sequence[Column], *aggs: Column) -> "PCollection":
+        """groupBy(window cols + keys).agg(aggs), realizing the
+        strategy's TimestampCombiner (TimestampCombiner.java): grouped
+        output carries ``__event_time__`` = window.end (END_OF_WINDOW),
+        min(ts) (EARLIEST) or max(ts) (LATEST), and downstream
+        re-windowing keys off it."""
+        from apache_beam_spark import windowing as _w
+
+        gcols = [*self.window_group_cols(), *extra_keys]
+        windowed = self.windowing.window_fn.windowed
+        extra = []
+        if windowed:
+            a = _w.output_ts_agg(self.windowing.timestamp_combiner, self.event_time)
+            if a is not None:
+                extra.append(a)
+        df = (self.df.groupBy(*gcols).agg(*aggs, *extra) if gcols
+              else self.df.agg(*aggs))
+        if windowed and not extra:  # END_OF_WINDOW: derive post-agg
+            df = df.withColumn(_w.OUTPUT_TS_COL, F.col("window.end"))
+        return self._with_df(
+            df, event_time=_w.OUTPUT_TS_COL if windowed else self.event_time)
 
     # -- actions / sinks ------------------------------------------------
     def collect(self):

@@ -141,6 +141,24 @@ END_OF_WINDOW = "end_of_window"
 EARLIEST = "earliest"
 LATEST = "latest"
 
+#: output-timestamp column grouping operators attach when windowed
+OUTPUT_TS_COL = "__event_time__"
+
+
+def output_ts_agg(timestamp_combiner: str, event_time: str):
+    """The extra aggregate realizing a TimestampCombiner
+    (reference ``windowing/TimestampCombiner.java``): the grouped
+    output element's timestamp is min/max of the inputs' timestamps for
+    EARLIEST/LATEST; None for END_OF_WINDOW (derived from the window
+    struct after the aggregate, no agg needed)."""
+    if timestamp_combiner == EARLIEST:
+        return F.min(F.col(event_time)).alias(OUTPUT_TS_COL)
+    if timestamp_combiner == LATEST:
+        return F.max(F.col(event_time)).alias(OUTPUT_TS_COL)
+    if timestamp_combiner == END_OF_WINDOW:
+        return None
+    raise ValueError(f"unknown timestamp_combiner: {timestamp_combiner!r}")
+
 
 @dataclass(frozen=True)
 class WindowingStrategy:
