@@ -36,6 +36,9 @@ class StatefulContext:
         self._user = user
         self._timers = timers
         self.emitted: list[dict] = []
+        #: current watermark (event domain) / wall clock (processing
+        #: domain) in ms — set by the runner before process/on_timer
+        self.now_ms: int = 0
 
     # -- state cells (ValueState/BagState/... by convention of value type)
     def get(self, state_id: str, default=None):
@@ -108,6 +111,7 @@ def stateful_do_fn(
         now_ms = (state.getCurrentWatermarkMs() if time_domain == "event"
                   else state.getCurrentProcessingTimeMs()
                   if time_domain == "processing" else 0)
+        ctx.now_ms = now_ms
 
         if not state.hasTimedOut:
             for pdf in pdfs:

@@ -8,12 +8,16 @@ Mapping of the reference's trigger algebra onto Structured Streaming:
 | AfterWatermark.withEarlyFirings         | update mode (one early pane per micro-batch; no pane index) |
 | AfterProcessingTime.plusDelayOf(d)      | ``trigger(processingTime=d)`` + update mode |
 | AfterPane.elementCountAtLeast(n)        | ``count_trigger_aggregate`` below (stateful, real pane metadata) |
-| Repeatedly / AfterEach / AfterFirst ... | not emulated — composite state machines documented as out of scope |
+| Repeatedly / AfterEach / AfterFirst / AfterAll / orFinally / Never | ``trigger_machine.py`` state machines, run by ``triggered_windowed_sum`` below |
 
 ``count_trigger_aggregate`` also demonstrates ACCUMULATING_FIRED_PANES
 (Window.java:273): each fired pane carries the running aggregate and a
 ``pane_index``, the metadata Spark's native aggregation has no slot for
-(PaneInfo.java:44).
+(PaneInfo.java:44).  ``triggered_windowed_sum`` generalizes it: any
+composite ``TriggerSM`` drives per-(key, window) pane emission with
+full PaneInfo (index + EARLY/ON_TIME/LATE timing), with a named timer
+at the window end so the on-time pane fires on watermark advance even
+without new data.
 """
 
 from __future__ import annotations
@@ -72,4 +76,99 @@ def count_trigger_aggregate(
         ["__k__"], process, on_timer,
         output_schema="key string, pane_index int, n_in_pane int, total double",
         time_domain="none",
+    )
+
+
+def triggered_windowed_sum(
+    df: DataFrame,
+    key: str,
+    value_col: str,
+    window_size: str,
+    trigger,
+    event_time: str = "ts",
+    allowed_lateness: str = "0 seconds",
+    accumulating: bool = True,
+) -> DataFrame:
+    """Per-(key, fixed-window) sum under a composite trigger state
+    machine (``trigger_machine.TriggerSM`` — Repeatedly / orFinally /
+    AfterEach / AfterFirst / AfterAll / AfterWatermark±early,late /
+    AfterPane / Never).
+
+    Panes carry reference PaneInfo: ``pane_index`` and
+    EARLY/ON_TIME/LATE ``timing`` (PaneInfo.java:44).  A named timer at
+    the window end wakes the key when the watermark passes, so
+    watermark-gated firings (AfterWatermark, orFinally(AfterWatermark))
+    happen without waiting for more data.  After the trigger finishes,
+    the window is closed and later elements are dropped — exactly the
+    reference's finished-trigger contract.
+    """
+    from pyspark.sql import functions as F
+
+    from apache_beam_spark.streaming.trigger_machine import (
+        EARLY, LATE, ON_TIME, TriggerContext)
+
+    def _fire_ready(k, ctx, s) -> None:
+        """Emit panes while the machine is ready (bounded: one call per
+        wake reason, machine state advances or finishes)."""
+        wend = int(k[1])
+        tctx = TriggerContext(ctx.now_ms, 0, wend)
+        if ctx.get("closed") or not trigger.should_fire(s, tctx):
+            return
+        on_time_seen = ctx.get("ots", False)
+        if ctx.now_ms >= wend and not on_time_seen:
+            timing = ON_TIME
+            ctx.put("ots", True)
+        elif ctx.now_ms >= wend:
+            timing = LATE
+        else:
+            timing = EARLY
+        ctx.output({
+            "key": k[0], "window_end_ms": wend,
+            "pane_index": ctx.get("pane_idx", 0), "timing": timing,
+            "n_in_pane": ctx.get("pane_n", 0),
+            "total": ctx.get("total", 0.0) if accumulating
+            else ctx.get("pane_total", 0.0),
+        })
+        ctx.put("pane_idx", ctx.get("pane_idx", 0) + 1)
+        ctx.put("pane_n", 0)
+        ctx.put("pane_total", 0.0)
+        trigger.on_fire(s, tctx)
+        if trigger.finished(s):
+            ctx.put("closed", True)
+
+    def process(k, pdf: pd.DataFrame, ctx) -> None:
+        if ctx.get("closed"):
+            return  # window closed by a finished trigger: drop input
+        s = ctx.get("trig") or trigger.new_state()
+        wend = int(k[1])
+        tctx = TriggerContext(ctx.now_ms, 0, wend)
+        for v in pdf[value_col]:
+            if ctx.get("closed"):
+                break
+            ctx.put("total", ctx.get("total", 0.0) + float(v))
+            ctx.put("pane_total", ctx.get("pane_total", 0.0) + float(v))
+            ctx.put("pane_n", ctx.get("pane_n", 0) + 1)
+            trigger.on_element(s, tctx)
+            _fire_ready(k, ctx, s)
+        ctx.put("trig", s)
+        if not ctx.get("closed"):
+            ctx.set_timer("__wend__", wend)  # wake on watermark past end
+
+    def on_timer(k, timer_id, ctx) -> None:
+        s = ctx.get("trig") or trigger.new_state()
+        _fire_ready(k, ctx, s)
+        ctx.put("trig", s)
+
+    win = F.window(F.col(event_time), window_size)
+    tagged = (df
+              .withColumn("__wend_ms__",
+                          (win["end"].cast("double") * 1000).cast("long"))
+              .select(F.col(key).alias("__k__"), value_col, event_time,
+                      "__wend_ms__"))
+    return stateful_do_fn(
+        tagged, ["__k__", "__wend_ms__"], process, on_timer,
+        output_schema=("key string, window_end_ms long, pane_index int, "
+                       "timing string, n_in_pane int, total double"),
+        time_domain="event", event_time=event_time,
+        allowed_lateness=allowed_lateness,
     )

@@ -1,0 +1,161 @@
+"""Composite trigger combinator transcripts (VERDICT r1 item 5).
+
+Pane sequences checked against reference semantics:
+``Repeatedly.java:37``, ``OrFinallyTrigger.java:31``,
+``AfterEach.java:45``, ``AfterFirst.java:33``, ``AfterAll.java:32``,
+``Never.java:32``, ``AfterWatermark.java`` early/late firings,
+``AfterProcessingTime.java:49``.  The machines are pure state over
+JSON-safe dicts; the last test drives one end-to-end through
+``applyInPandasWithState``.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from apache_beam_spark.streaming.trigger_machine import (
+    AfterAll,
+    AfterEach,
+    AfterFirst,
+    AfterPane,
+    AfterProcessingTime,
+    AfterWatermark,
+    Never,
+    OrFinally,
+    Repeatedly,
+    run_transcript,
+)
+
+E = lambda v: ("element", v)
+W = lambda ms: ("watermark", ms)
+P = lambda ms: ("ptime", ms)
+END = 1000  # window end for all transcripts
+
+
+def panes(result):
+    return [(p["timing"], p["values"]) for p in result["panes"]]
+
+
+def test_repeatedly_after_pane_never_finishes():
+    r = run_transcript(Repeatedly(AfterPane(3)), END,
+                       [E(1), E(2), E(3), E(4), E(5), E(6), E(7)])
+    assert panes(r) == [("EARLY", [1, 2, 3]), ("EARLY", [1, 2, 3, 4, 5, 6])]
+    assert not r["closed"] and r["dropped"] == []
+
+
+def test_repeatedly_discarding_panes():
+    r = run_transcript(Repeatedly(AfterPane(2)), END,
+                       [E(1), E(2), E(3), E(4)], accumulating=False)
+    assert panes(r) == [("EARLY", [1, 2]), ("EARLY", [3, 4])]
+
+
+def test_or_finally_watermark_closes_window():
+    """Repeatedly(AfterPane(2)).orFinally(AfterWatermark): count panes
+    until the watermark passes the window end, which fires one final
+    ON_TIME pane and closes the window — later elements dropped."""
+    trig = Repeatedly(AfterPane(2)).or_finally(AfterWatermark())
+    r = run_transcript(trig, END, [E(1), E(2), E(3), W(END), E(9)])
+    assert panes(r) == [("EARLY", [1, 2]), ("ON_TIME", [1, 2, 3])]
+    assert r["closed"] and r["dropped"] == [9]
+
+
+def test_after_pane_alone_fires_once_then_closes():
+    r = run_transcript(AfterPane(2), END, [E(1), E(2), E(3)])
+    assert panes(r) == [("EARLY", [1, 2])]
+    assert r["closed"] and r["dropped"] == [3]
+
+
+def test_after_watermark_early_firings():
+    trig = AfterWatermark(early=AfterPane(2))
+    r = run_transcript(trig, END, [E(1), E(2), E(3), E(4), W(END), E(9)])
+    assert panes(r) == [("EARLY", [1, 2]), ("EARLY", [1, 2, 3, 4]),
+                        ("ON_TIME", [1, 2, 3, 4])]
+    assert r["closed"] and r["dropped"] == [9]  # no late firings declared
+
+
+def test_after_watermark_late_firings():
+    trig = AfterWatermark(early=AfterPane(10), late=AfterPane(1))
+    r = run_transcript(trig, END, [E(1), W(END), E(2), E(3)])
+    assert panes(r) == [("ON_TIME", [1]), ("LATE", [1, 2]), ("LATE", [1, 2, 3])]
+    assert not r["closed"]
+
+
+def test_after_each_in_order():
+    trig = AfterEach(AfterPane(2), AfterPane(3))
+    r = run_transcript(trig, END, [E(1), E(2), E(3), E(4), E(5), E(6)])
+    # fires after 2 elements, then after 3 MORE, then finishes
+    assert panes(r) == [("EARLY", [1, 2]), ("EARLY", [1, 2, 3, 4, 5])]
+    assert r["closed"] and r["dropped"] == [6]
+
+
+def test_after_first_any_sub_fires():
+    trig = AfterFirst(AfterPane(5), AfterWatermark())
+    r = run_transcript(trig, END, [E(1), W(END)])
+    assert panes(r) == [("ON_TIME", [1])]
+    assert r["closed"]
+    r2 = run_transcript(AfterFirst(AfterPane(2), AfterWatermark()), END,
+                        [E(1), E(2)])
+    assert panes(r2) == [("EARLY", [1, 2])]
+
+
+def test_after_all_requires_every_sub():
+    trig = AfterAll(AfterPane(2), AfterWatermark())
+    r = run_transcript(trig, END, [E(1), E(2), E(3), W(END)])
+    # count satisfied at 2 elements but watermark not yet past: no pane
+    assert panes(r) == [("ON_TIME", [1, 2, 3])]
+    assert r["closed"]
+
+
+def test_never_only_buffers():
+    r = run_transcript(Never(), END, [E(1), W(END), E(2)])
+    assert panes(r) == [] and not r["closed"]
+
+
+def test_after_processing_time_delay():
+    trig = Repeatedly(AfterProcessingTime(100))
+    r = run_transcript(trig, END, [P(0), E(1), E(2), P(50), P(100), E(3), P(250)])
+    # target = first element ptime (0) + 100 -> fires at P(100); next
+    # pane's first element at ptime 100 -> target 200 -> fires at P(250)
+    assert panes(r) == [("EARLY", [1, 2]), ("EARLY", [1, 2, 3])]
+
+
+def test_machine_state_json_roundtrips():
+    import json
+
+    trig = Repeatedly(AfterPane(2)).or_finally(AfterWatermark())
+    s = trig.new_state()
+    from apache_beam_spark.streaming.trigger_machine import TriggerContext
+
+    ctx = TriggerContext(-1, 0, END)
+    trig.on_element(s, ctx)
+    s2 = json.loads(json.dumps(s))
+    trig.on_element(s2, ctx)
+    assert trig.should_fire(s2, ctx)
+
+
+def test_triggered_windowed_sum_end_to_end(spark, tmp_path):
+    """Repeatedly(AfterPane(2)).orFinally(AfterWatermark) through the
+    real stateful operator: early pane per 2 elements, on-time pane
+    when the watermark passes the window end (fired by the window-end
+    timer, not by new data for that window)."""
+    from apache_beam_spark.streaming import TestStream, run_to_memory
+    from apache_beam_spark.streaming.triggers import triggered_windowed_sum
+
+    rows1 = [{"user": "a", "ts": "2024-01-01 00:00:10", "amount": 1.0},
+             {"user": "a", "ts": "2024-01-01 00:00:20", "amount": 2.0},
+             {"user": "a", "ts": "2024-01-01 00:00:30", "amount": 3.0}]
+    # second batch far past the first window: advances the watermark
+    rows2 = [{"user": "b", "ts": "2024-01-01 01:00:00", "amount": 9.0}]
+    ts = TestStream(str(tmp_path / "spool"))
+    ts.add_elements(rows1)
+    ts.add_elements(rows2)
+    trig = Repeatedly(AfterPane(2)).or_finally(AfterWatermark())
+    out = triggered_windowed_sum(
+        ts.stream(spark, "user string, ts timestamp, amount double"),
+        key="user", value_col="amount", window_size="1 minute", trigger=trig)
+    got = run_to_memory(out, "append").toPandas()
+    a = got[got.key == "a"].sort_values("pane_index")
+    assert a.timing.tolist() == ["EARLY", "ON_TIME"]
+    assert a.total.tolist() == [3.0, 6.0]
+    assert a.pane_index.tolist() == [0, 1]
