@@ -48,23 +48,106 @@ def file_stream(spark: SparkSession, path: str, format: str = "parquet",
     return r.load(path)
 
 
-def kafka_stream(spark: SparkSession, bootstrap_servers: str, topics: str,
-                 starting_offsets: str = "latest", **options) -> DataFrame:
-    """KafkaIO read (reference io/kafka/.../KafkaIO.java:241).
+def kafka_options(bootstrap_servers: str,
+                  topics: Optional[str] = None,
+                  topic_pattern: Optional[str] = None,
+                  assign: Optional[dict] = None,
+                  starting_offsets: str = "latest",
+                  ending_offsets: Optional[str] = None,
+                  starting_timestamp_ms: Optional[int] = None,
+                  max_offsets_per_trigger: Optional[int] = None,
+                  fail_on_data_loss: bool = True,
+                  group_id_prefix: Optional[str] = None,
+                  **consumer_config) -> dict[str, str]:
+    """Build the Kafka source option map (pure — no broker needed).
+
+    Mirrors KafkaIO.Read's builder (io/kafka/.../KafkaIO.java:241):
+    withTopics / withTopicPartitions (``assign``: {topic: [parts]}) /
+    startReadTime (``starting_timestamp_ms``) / withMaxNumRecords-ish
+    rate control (``max_offsets_per_trigger``) /
+    withConsumerConfigUpdates (prefixed ``kafka.``).  Exactly one of
+    ``topics``, ``topic_pattern``, ``assign`` must be given.  Offsets
+    checkpointing is Spark's (the reference's KafkaCheckpointMark is
+    subsumed by the query checkpoint).
+    """
+    subscriptions = [x for x in (topics, topic_pattern, assign) if x]
+    if len(subscriptions) != 1:
+        raise ValueError(
+            "exactly one of topics, topic_pattern, assign is required")
+    opts: dict[str, str] = {"kafka.bootstrap.servers": bootstrap_servers}
+    if topics:
+        opts["subscribe"] = topics
+    elif topic_pattern:
+        opts["subscribePattern"] = topic_pattern
+    else:
+        opts["assign"] = json.dumps(assign)
+    if starting_timestamp_ms is not None:
+        opts["startingTimestamp"] = str(starting_timestamp_ms)
+    else:
+        opts["startingOffsets"] = starting_offsets
+    if ending_offsets is not None:  # batch reads only
+        opts["endingOffsets"] = ending_offsets
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    if not fail_on_data_loss:
+        opts["failOnDataLoss"] = "false"
+    if group_id_prefix:
+        opts["groupIdPrefix"] = group_id_prefix
+    for k, v in consumer_config.items():
+        opts[f"kafka.{k}"] = str(v)
+    return opts
+
+
+def kafka_stream(spark: SparkSession, bootstrap_servers: str,
+                 topics: Optional[str] = None, **kwargs) -> DataFrame:
+    """KafkaIO unbounded read (reference io/kafka/.../KafkaIO.java:241)
+    -> (key binary, value binary, topic, partition, offset, timestamp,
+    timestampType).  Decode with ``decode_kafka``.
 
     Needs the spark-sql-kafka package on the classpath; raises
     NotImplementedError otherwise (not in this container).
     """
+    opts = kafka_options(bootstrap_servers, topics=topics, **kwargs)
     try:
-        return (spark.readStream.format("kafka")
-                .option("kafka.bootstrap.servers", bootstrap_servers)
-                .option("subscribe", topics)
-                .option("startingOffsets", starting_offsets)
-                .options(**options).load())
+        return spark.readStream.format("kafka").options(**opts).load()
     except Exception as e:  # pragma: no cover - package not in container
         raise NotImplementedError(
             "kafka requires org.apache.spark:spark-sql-kafka on the classpath"
         ) from e
+
+
+def kafka_batch(spark: SparkSession, bootstrap_servers: str,
+                topics: Optional[str] = None,
+                starting_offsets: str = "earliest",
+                ending_offsets: str = "latest", **kwargs) -> DataFrame:
+    """Bounded Kafka read (the reference's withMaxNumRecords /
+    BoundedReadFromUnboundedSource path): a batch scan between two
+    offset ranges."""
+    opts = kafka_options(bootstrap_servers, topics=topics,
+                         starting_offsets=starting_offsets,
+                         ending_offsets=ending_offsets, **kwargs)
+    try:
+        return spark.read.format("kafka").options(**opts).load()
+    except Exception as e:  # pragma: no cover - package not in container
+        raise NotImplementedError(
+            "kafka requires org.apache.spark:spark-sql-kafka on the classpath"
+        ) from e
+
+
+def decode_kafka(df: DataFrame, value_schema=None,
+                 encoding: str = "UTF-8") -> DataFrame:
+    """Decode the Kafka wire columns (key/value binary) the way the
+    reference's withKeyDeserializer/withValueDeserializer did: to
+    strings, or through ``from_json`` when ``value_schema`` is given.
+    Works on any DataFrame with the Kafka source's schema — unit-
+    testable without a broker."""
+    from pyspark.sql import functions as F
+
+    out = df.withColumn("key", F.col("key").cast("string")) \
+            .withColumn("value", F.col("value").cast("string"))
+    if value_schema is not None:
+        out = out.withColumn("value", F.from_json("value", value_schema))
+    return out
 
 
 def read_bounded(sdf: "DataFrame", output_mode: str = "append",

@@ -77,27 +77,45 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    stream_metrics = _streaming_benchmarks(spark)
     print(json.dumps({
         "metric": "headline_suite_seconds",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "streaming_events_per_sec": _streaming_throughput(spark),
+        **stream_metrics,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     spark.stop()
 
 
-def _streaming_throughput(spark) -> int:
-    """BASELINE.md streaming sanity target: replay the events table as a
-    file-source stream through a watermarked fixed-window count and
-    measure end-to-end events/second (target >= 50k/s)."""
+def _run_stream(sdf, output_mode: str = "append") -> float:
+    """Start -> processAllAvailable -> stop; returns wall seconds."""
+    import tempfile
+
+    q = (sdf.writeStream.format("noop")
+         .option("checkpointLocation", tempfile.mkdtemp(prefix="bench_ckpt_"))
+         .outputMode(output_mode).start())
+    t0 = time.time()
+    q.processAllAvailable()
+    wall = time.time() - t0
+    q.stop()
+    return wall
+
+
+def _streaming_benchmarks(spark) -> dict:
+    """Streaming throughput numbers (BASELINE.md target >= 50k ev/s on
+    the windowed count): the events table replayed as a file-source
+    stream through (1) a watermarked fixed-window count, (2) a
+    stream-stream time-range join, (3) a stateful
+    applyInPandasWithState count-trigger operator."""
     import tempfile
 
     from pyspark.sql import functions as F
 
     from apache_beam_spark.sources.tables import load_table
     from apache_beam_spark.streaming import windowed_aggregate
+    from apache_beam_spark.streaming.triggers import count_trigger_aggregate
     from apache_beam_spark.windowing import FixedWindows
 
     events = load_table(spark, "events", SF_DIR)
@@ -106,33 +124,53 @@ def _streaming_throughput(spark) -> int:
     # several files -> several micro-batches with maxFilesPerTrigger
     events.repartition(8).write.mode("overwrite").parquet(spool)
 
+    def source():
+        return (spark.readStream.schema(events.schema)
+                .option("maxFilesPerTrigger", 4).parquet(spool))
+
     # streaming state partitions sized to key cardinality, not the batch
     # default (32 RocksDB instances for ~5 keys is pure overhead; at
     # scale this is the one knob AQE can't tune for you)
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        def run_once() -> float:
-            sdf = (spark.readStream.schema(events.schema)
-                   .option("maxFilesPerTrigger", 4).parquet(spool))
-            agg = windowed_aggregate(
-                sdf, FixedWindows("1 hour"), "ts",
+        def windowed_count():
+            return windowed_aggregate(
+                source(), FixedWindows("1 hour"), "ts",
                 aggs=[F.count(F.lit(1)).alias("n")], keys=["event_type"],
                 allowed_lateness="10 minutes",
             )
-            q = (agg.writeStream.format("noop")
-                 .option("checkpointLocation", tempfile.mkdtemp(prefix="bench_ckpt_"))
-                 .outputMode("append").start())
-            t0 = time.time()
-            q.processAllAvailable()
-            wall = time.time() - t0
-            q.stop()
-            return wall
 
-        run_once()          # warm-up: RocksDB + streaming codegen init
-        wall = run_once()   # measured steady-state replay
+        _run_stream(windowed_count())     # warm-up: state store + codegen
+        window_wall = _run_stream(windowed_count())
+
+        def stream_join():
+            p = (source().filter(F.col("event_type") == "purchase")
+                 .select("user_id", F.col("ts").alias("pts"))
+                 .withWatermark("pts", "10 minutes"))
+            e = (source()
+                 .select(F.col("user_id").alias("user_id_r"),
+                         F.col("ts").alias("ets"), "value")
+                 .withWatermark("ets", "10 minutes"))
+            return p.join(
+                e, (p["user_id"] == e["user_id_r"]) & (e["ets"] >= p["pts"])
+                & (e["ets"] <= p["pts"] + F.expr("interval 30 minutes")),
+                "inner")
+
+        join_wall = _run_stream(stream_join())
+
+        def stateful():
+            return count_trigger_aggregate(
+                source().withColumn("user", F.col("user_id").cast("string")),
+                key="user", value_col="value", fire_every=50)
+
+        stateful_wall = _run_stream(stateful())
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", "32")
-    return int(n / wall)
+    return {
+        "streaming_events_per_sec": int(n / window_wall),
+        "stream_join_events_per_sec": int(2 * n / join_wall),
+        "stateful_events_per_sec": int(n / stateful_wall),
+    }
 
 
 if __name__ == "__main__":
