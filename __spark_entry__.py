@@ -289,6 +289,17 @@ def _sample_any(spark, sf_dir):
     return (o | Sample.any(100)).select("o_orderkey").df
 
 
+def _sample_deterministic(spark, sf_dir):
+    """Sample.fixedSizeGlobally's verification twin: ordering by a
+    cross-engine hash (md5) instead of rand() makes the 'random'
+    100-row sample oracle-checkable while exercising the same
+    order-and-limit plan shape (global top-k, not a full sort)."""
+    o = load_table(spark, "orders", sf_dir)
+    return (o.orderBy(F.md5(F.col("o_orderkey").cast("string").cast("binary")),
+                      "o_orderkey")
+            .limit(100).select("o_orderkey"))
+
+
 def _join_inner(spark, sf_dir):
     """Join.innerJoin (join-library Join.java:48)."""
     p = Pipeline(spark)
@@ -540,10 +551,33 @@ def _dedup_minhash(spark, sf_dir):
     ).select("doc_id")
 
 
+def _dedup_minhash_md5(spark, sf_dir):
+    """MinHash LSH dedup, md5-hash variant: every hash is an md5 hex
+    substring, so DuckDB reproduces the EXACT kept-set — the oracle-
+    checked proof of the LSH pipeline (shingle -> per-hash min -> band
+    key -> bucket-min keep rule) that the fast xxhash64 twin
+    (dedup_minhash) can't give."""
+    from apache_beam_spark.dedup.minhash import minhash_dedup_md5
+
+    return minhash_dedup_md5(
+        load_table(spark, "documents", sf_dir),
+        num_hashes=64, num_bands=16, shingle_k=3)
+
+
 def _dedup_simhash(spark, sf_dir):
     """SimHash near-dedup — rows-only (engine-specific hashes)."""
     return simhash_dedup(load_table(spark, "documents", sf_dir), max_hamming=3) \
         .select("doc_id")
+
+
+def _dedup_simhash_md5(spark, sf_dir):
+    """SimHash dedup, md5 variant: per-token md5 nibble bits + bitstring
+    simhash make the kept-set reproducible in DuckDB — the oracle-
+    checked proof of the simhash pipeline (majority bits -> pigeonhole
+    chunks -> hamming<=3 verify) that the xxhash64 twin can't give."""
+    from apache_beam_spark.dedup.simhash import simhash_dedup_md5
+
+    return simhash_dedup_md5(load_table(spark, "documents", sf_dir))
 
 
 def _ngram_jaccard(spark, sf_dir):
@@ -867,6 +901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles_exact": _quantiles_exact,
         "approx_quantiles": _approx_quantiles,
         "sample_any": _sample_any,
+        "sample_deterministic": _sample_deterministic,
         "join_inner": _join_inner,
         "join_left_agg": _join_left_agg,
         "join_right": _join_right,
@@ -893,7 +928,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_docs": _fingerprint_docs,
         "dedup_exact": _dedup_exact,
         "dedup_minhash": _dedup_minhash,
+        "dedup_minhash_md5": _dedup_minhash_md5,
         "dedup_simhash": _dedup_simhash,
+        "dedup_simhash_md5": _dedup_simhash_md5,
         "ngram_jaccard": _ngram_jaccard,
         "embed_knn": _embed_knn,
         "embed_lsh_knn": _embed_lsh_knn,
@@ -970,6 +1007,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, COUNT(value) AS n,
                    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
             FROM events GROUP BY user_id""",
+        "sample_deterministic": """
+            SELECT o_orderkey FROM orders
+            ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey LIMIT 100""",
         "combine_per_key_multi": f"""
             SELECT event_type, {_sql_dsum('value', 'total')},
                    COUNT(*) AS n, MIN(value) AS vmin, MAX(value) AS vmax
@@ -1135,6 +1175,58 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE doc_id IN (
                 SELECT MIN(doc_id) FROM documents GROUP BY md5({norm_text}))""",
+        "dedup_minhash_md5": f"""
+            WITH t AS (
+                SELECT doc_id, {toks} AS toks FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id AS id,
+                       unnest(list_distinct({shingle_expr})) AS s
+                FROM t
+            ), hx AS (
+                SELECT id, i, MIN(substr(md5(s || ':' || i), 1, 16)) AS h
+                FROM sh, (SELECT unnest(range(0, 64)) AS i)
+                GROUP BY id, i
+            ), bands AS (
+                SELECT id, i // 4 AS band,
+                       md5(string_agg(h, '' ORDER BY i)) AS bh
+                FROM hx GROUP BY id, i // 4
+            ), bmin AS (
+                SELECT band, bh, MIN(id) AS m FROM bands GROUP BY band, bh
+            ), canon AS (
+                SELECT bands.id, MIN(m) AS c
+                FROM bands JOIN bmin USING (band, bh) GROUP BY bands.id
+            )
+            SELECT d.doc_id FROM documents d
+            LEFT JOIN canon ON canon.id = d.doc_id
+            WHERE COALESCE(canon.c, d.doc_id) = d.doc_id""",
+        "dedup_simhash_md5": f"""
+            WITH tok AS (
+                SELECT doc_id AS id, unnest({toks}) AS t FROM documents
+            ), hx AS (
+                SELECT id, substr(md5(t), 1, 16) AS hx FROM tok
+            ), bits AS (
+                SELECT id, j,
+                       (((instr('0123456789abcdef', substr(hx, 16 - j // 4, 1)) - 1)
+                         >> (j % 4)) & 1) AS b
+                FROM hx, (SELECT unnest(range(0, 64)) AS j)
+            ), bsum AS (
+                SELECT id, j, SUM(b) AS ones, COUNT(*) AS n
+                FROM bits GROUP BY id, j
+            ), bitstr AS (
+                SELECT id, string_agg(CASE WHEN 2 * ones > n THEN '1' ELSE '0' END,
+                                      '' ORDER BY j) AS bs
+                FROM bsum GROUP BY id
+            ), chunks AS (
+                SELECT id, bs, c, substr(bs, c * 16 + 1, 16) AS ck
+                FROM bitstr, (SELECT unnest(range(0, 4)) AS c)
+            ), dup AS (
+                SELECT DISTINCT b.id AS id_b
+                FROM chunks a JOIN chunks b ON a.c = b.c AND a.ck = b.ck AND a.id < b.id
+                WHERE len(list_filter(range(1, 65),
+                          j -> substr(a.bs, j, 1) <> substr(b.bs, j, 1))) <= 3
+            )
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT id_b FROM dup)""",
         "ngram_jaccard": f"""
             WITH sh AS (
                 SELECT doc_id AS id, list_distinct({shingle_expr}) AS sh

@@ -155,3 +155,46 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
         .select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
     )
     return out
+
+
+def minhash_dedup_md5(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                      num_hashes: int = 64, num_bands: int = 16,
+                      shingle_k: int = 3) -> DataFrame:
+    """Cross-engine-deterministic MinHash-LSH dedup — the
+    oracle-checkable twin of ``minhash_lsh_dedup``.
+
+    The fast path uses xxhash64 (engine-specific, so its oracle is
+    rows-only); here every hash is an md5 hex substring —
+    ``h_i(shingle) = substr(md5(shingle || ':' || i), 1, 16)`` with
+    LEXICOGRAPHIC min — and band keys are md5 over the concatenated
+    per-band mins, so any SQL engine with md5() reproduces the exact
+    kept-set (see the ``dedup_minhash_md5`` oracle in
+    ``__spark_entry__.py``).  Same word-shingling, bucket-min keep rule
+    and shuffle shape as the fast path; ~num_hashes x more hashing
+    work, so use it for verification, not the hot path.
+
+    Returns the kept ids as one ``id_col`` column.
+    """
+    r = num_hashes // num_bands
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(
+            shingles(F.col(text_col), shingle_k))).alias("s"))
+    hx = (sh.select(
+            "id", "s",
+            F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("i"))
+          .select("id", "i",
+                  F.substring(F.md5(F.encode(
+                      F.concat_ws(":", "s", "i"), "UTF-8")), 1, 16).alias("h"))
+          .groupBy("id", "i").agg(F.min("h").alias("h")))
+    bands = (hx.groupBy("id", F.expr(f"i div {r}").alias("band"))
+             .agg(F.md5(F.encode(F.concat_ws("", F.transform(
+                 F.array_sort(F.collect_list(F.struct("i", "h"))),
+                 lambda x: x["h"])), "UTF-8")).alias("bh")))
+    bmin = bands.groupBy("band", "bh").agg(F.min("id").alias("m"))
+    canon = (bands.join(bmin, ["band", "bh"])
+             .groupBy("id").agg(F.min("m").alias("c")))
+    return (df.select(F.col(id_col).alias("id"))
+            .join(canon, "id", "left")
+            .filter(F.coalesce(F.col("c"), F.col("id")) == F.col("id"))
+            .select(F.col("id").alias(id_col)))

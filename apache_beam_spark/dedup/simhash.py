@@ -111,3 +111,59 @@ def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         .select(F.col("id_b").alias(id_col)).distinct()
     )
     return df.join(dup_of_smaller, on=id_col, how="left_anti")
+
+
+def simhash_dedup_md5(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                      max_hamming: int = 3) -> DataFrame:
+    """Cross-engine-deterministic SimHash dedup — the oracle-checkable
+    twin of ``simhash_dedup`` (same majority-vote bits, pigeonhole
+    chunk banding, exact hamming verify, drop-dup-of-smaller-id rule).
+
+    Portability trick: the per-token hash is the first 16 hex chars of
+    md5, bits extracted by nibble arithmetic, and the 64-bit simhash is
+    carried as a '0'/'1' STRING — every step is reproducible in any SQL
+    engine with md5() (see the ``dedup_simhash_md5`` oracle).  ~64x the
+    hashing work of the xxhash64 path: for verification, not the hot
+    path.  Returns kept ids as one ``id_col`` column.
+    """
+    n_chunks = max_hamming + 1
+    assert _BITS % n_chunks == 0, "chunk count must divide 64"
+    width = _BITS // n_chunks
+
+    toks = df.select(F.col(id_col).alias("id"),
+                     F.explode(word_tokens(F.col(text_col))).alias("t"))
+    hx = toks.select(
+        "id", F.substring(F.md5(F.encode("t", "UTF-8")), 1, 16).alias("hx"))
+    # bit j of the 64-bit hash (LSB-first, matching value >> j & 1):
+    # nibble = hex digit 16 - j//4 (1-based from the left)
+    aggs = [
+        F.sum(F.expr(
+            f"shiftright(instr('0123456789abcdef', "
+            f"substring(hx, {16 - j // 4}, 1)) - 1, {j % 4}) & 1"
+        )).alias(f"b{j}")
+        for j in range(_BITS)
+    ]
+    g = hx.groupBy("id").agg(*aggs, F.count(F.lit(1)).alias("n"))
+    # strict majority per bit (2*ones > n), same rule as simhash_table
+    bs = F.concat(*[
+        F.when(F.col(f"b{j}") * 2 > F.col("n"), F.lit("1")).otherwise(F.lit("0"))
+        for j in range(_BITS)
+    ])
+    t = g.select("id", bs.alias("bs"))
+    chunks = t.select(
+        "id", "bs",
+        F.explode(F.array(*[
+            F.struct(F.lit(c).alias("c"),
+                     F.substring("bs", c * width + 1, width).alias("ck"))
+            for c in range(n_chunks)
+        ])).alias("b"),
+    ).select("id", "bs", "b.c", "b.ck")
+    a = chunks.select("c", "ck", F.col("id").alias("id_a"), F.col("bs").alias("ba"))
+    b = chunks.select("c", "ck", F.col("id").alias("id_b"), F.col("bs").alias("bb"))
+    ham = F.expr(
+        "size(filter(sequence(1, 64), j -> substring(ba, j, 1) != substring(bb, j, 1)))")
+    dup = (a.join(b, ["c", "ck"])
+           .filter((F.col("id_b") > F.col("id_a")) & (ham <= max_hamming))
+           .select("id_b").distinct())
+    return (df.select(F.col(id_col))
+            .join(dup.withColumnRenamed("id_b", id_col), id_col, "left_anti"))
