@@ -229,7 +229,8 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 5,
              n_cells: int = 16, n_probe: int = 4,
              query_id: str = "vec_id", corpus_id: str = "vec_id",
              vec_col: str = "embedding", self_exclude: bool = True,
-             sample_size: int = 10000, seed: int = 42) -> DataFrame:
+             sample_size: int = 10000, seed: int = 42,
+             max_cell: Optional[int] = None) -> DataFrame:
     """IVF approximate top-k: k-means cells as the coarse index.
 
     Corpus vectors live in their nearest-centroid cell; each query
@@ -240,8 +241,14 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 5,
     At 100 TB: centroids are tiny (n_cells x dim floats) and broadcast;
     the cell assignment is one BLAS argmax pass; the candidate join
     shuffles by cell id, so cell balance (k-means, vs LSH's random
-    cuts) is what keeps partitions even.
+    cuts) is what keeps partitions even.  ``max_cell`` handles the
+    skew k-means can't fix: cells above that population are split into
+    ``ceil(count/max_cell)`` salted sub-cells (corpus rows hashed to a
+    salt, queries probe every salt of a probed cell) — identical
+    candidate set, bounded per-task bucket size.
     """
+    import math
+
     import numpy as np
 
     sample = np.array(
@@ -271,7 +278,22 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 5,
     c = assign(corpus.select(F.col(corpus_id).alias("neighbor_id"),
                              F.col(vec_col).alias("__cv__")),
                "neighbor_id", "__cv__", 1)
-    joined = q.join(c, on="__cell__")
+    join_keys = ["__cell__"]
+    if max_cell is not None:
+        # split hot cells into salted sub-cells; the factor map is
+        # n_cells rows — driver-side like the k-means sample
+        factors = {int(r["__cell__"]): max(1, math.ceil(r["cnt"] / max_cell))
+                   for r in c.groupBy("__cell__")
+                   .agg(F.count(F.lit(1)).alias("cnt")).collect()}
+        fmap = F.create_map(*[F.lit(x) for kv in factors.items() for x in kv])
+        c = c.withColumn("__salt__", F.pmod(
+            F.xxhash64("neighbor_id"),
+            F.coalesce(fmap[F.col("__cell__")], F.lit(1))).cast("int"))
+        q = (q.withColumn("__salt__", F.explode(F.sequence(
+                F.lit(0), F.coalesce(fmap[F.col("__cell__")], F.lit(1)) - 1)))
+             .withColumn("__salt__", F.col("__salt__").cast("int")))
+        join_keys.append("__salt__")
+    joined = q.join(c, on=join_keys)
     if self_exclude:
         joined = joined.filter(F.col("query_id") != F.col("neighbor_id"))
     sims = joined.select(

@@ -112,3 +112,36 @@ def test_decode_kafka_on_fabricated_wire_rows(spark):
     out = decode_kafka(df, value_schema="user string, n int")
     got = {r["key"]: (r["value"]["user"], r["value"]["n"]) for r in out.collect()}
     assert got == {"k1": ("a", 3), "k2": ("b", 5)}
+
+
+def test_connector_option_builders():
+    from apache_beam_spark.sources.connectors import (
+        bigquery_options,
+        cassandra_options,
+        elasticsearch_options,
+        mongodb_options,
+    )
+
+    assert mongodb_options("mongodb://h:27017", "db", "coll",
+                           pipeline='[{"$match": {"x": 1}}]') == {
+        "connection.uri": "mongodb://h:27017", "database": "db",
+        "collection": "coll", "aggregation.pipeline": '[{"$match": {"x": 1}}]'}
+    assert cassandra_options("ks", "t", consistency="LOCAL_QUORUM") == {
+        "keyspace": "ks", "table": "t",
+        "spark.cassandra.input.consistency.level": "LOCAL_QUORUM"}
+    assert elasticsearch_options("h:9200", "idx/doc", scroll_size=500) == {
+        "es.nodes": "h:9200", "es.resource": "idx/doc", "es.scroll.size": "500"}
+    assert bigquery_options("proj.ds.t", filter_pushdown="x > 5") == {
+        "table": "proj.ds.t", "filter": "x > 5"}
+
+
+def test_connector_loaders_raise_cleanly(spark):
+    from apache_beam_spark.sources.connectors import (
+        read_cassandra,
+        read_mongodb,
+    )
+
+    with pytest.raises(NotImplementedError, match="mongo-spark-connector"):
+        read_mongodb(spark, "mongodb://h", "db", "c").printSchema()
+    with pytest.raises(NotImplementedError, match="spark-cassandra-connector"):
+        read_cassandra(spark, "ks", "t").printSchema()

@@ -36,3 +36,28 @@ def test_ivf_deterministic(spark):
     a = sorted(map(tuple, ivf_topk(q, emb, dim=64, k=3).collect()))
     b = sorted(map(tuple, ivf_topk(q, emb, dim=64, k=3).collect()))
     assert a == b
+
+
+def test_ivf_salted_cells_identical_results(spark):
+    """max_cell salting repartitions hot cells but queries probe every
+    salt, so the candidate set — and the exact top-k output — is
+    unchanged."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from apache_beam_spark.similarity.knn import ivf_topk
+
+    rng = np.random.RandomState(3)
+    # skewed corpus: half the vectors cluster near one direction
+    hub = rng.standard_normal(16)
+    rows = []
+    for i in range(200):
+        v = hub + 0.1 * rng.standard_normal(16) if i % 2 else rng.standard_normal(16)
+        rows.append((i, v.tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") < 20)
+    base = sorted(map(tuple, ivf_topk(q, df, dim=16, k=3, n_cells=8,
+                                      n_probe=3).collect()))
+    salted = sorted(map(tuple, ivf_topk(q, df, dim=16, k=3, n_cells=8,
+                                        n_probe=3, max_cell=20).collect()))
+    assert base == salted
