@@ -856,6 +856,74 @@ _Q6_SQL = """
       AND l_quantity < 24"""
 
 
+_Q5_SQL = """
+    SELECT n_name,
+           CAST(SUM({disc}) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name"""
+
+_Q10_SQL = """
+    SELECT c_custkey, c_name,
+           CAST(SUM({disc}) AS DOUBLE) AS revenue,
+           CAST(c_acctbal AS DOUBLE) AS c_acctbal, n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20"""
+
+_Q14_SQL = """
+    SELECT CAST(100.00 * SUM(CASE WHEN p_type = 'PROMO' THEN {disc}
+                                  ELSE CAST(0 AS DECIMAL(18,2)) END)
+                / SUM({disc}) AS DOUBLE) AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'"""
+
+_Q18_SQL = """
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300
+    ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+    LIMIT 100"""
+
+
+def _sql_passthrough(sql_tmpl):
+    """Query factory for TPC-H passthrough SQL: register views, run the
+    exact text Catalyst-side; the oracle runs the SAME text in DuckDB."""
+    def fn(spark, sf_dir):
+        from apache_beam_spark.sources.tables import register_views
+
+        register_views(spark, sf_dir)
+        return spark.sql(sql_tmpl.format(disc=_SQL_DISC_PRICE))
+    return fn
+
+
+_q5_local_supplier = _sql_passthrough(_Q5_SQL)
+_q10_returned_items = _sql_passthrough(_Q10_SQL)
+_q14_promo_effect = _sql_passthrough(_Q14_SQL)
+_q18_large_volume = _sql_passthrough(_Q18_SQL)
+
+
 def _q3_shipping_priority(spark, sf_dir):
     """TPC-H Q3 via the SQL passthrough surface (Pipeline.sql /
     register_views): 3-way join + agg + top-10, all planned by Catalyst
@@ -951,7 +1019,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sum_mean_global": _sum_mean_global,
         "latest_global": _latest_global,
         "q3_shipping_priority": _q3_shipping_priority,
+        "q5_local_supplier": _q5_local_supplier,
         "q6_forecast_revenue": _q6_forecast_revenue,
+        "q10_returned_items": _q10_returned_items,
+        "q14_promo_effect": _q14_promo_effect,
+        "q18_large_volume": _q18_large_volume,
     }
 
 
@@ -1358,5 +1430,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, ts, event_type FROM events
             ORDER BY ts DESC, event_id DESC LIMIT 1""",
         "q3_shipping_priority": _Q3_SQL.format(disc=_SQL_DISC_PRICE),
+        "q5_local_supplier": _Q5_SQL.format(disc=_SQL_DISC_PRICE),
         "q6_forecast_revenue": _Q6_SQL,
+        "q10_returned_items": _Q10_SQL.format(disc=_SQL_DISC_PRICE),
+        "q14_promo_effect": _Q14_SQL.format(disc=_SQL_DISC_PRICE),
+        "q18_large_volume": _Q18_SQL.format(disc=_SQL_DISC_PRICE),
     }
