@@ -45,6 +45,12 @@ HEADLINE = [
     "asof_last_purchase",
     "range_join_followups",
     "rollup_daily",
+    "q5_local_supplier",
+    "q10_returned_items",
+    "q18_large_volume",
+    "embed_ivf_knn",
+    "combine_grouped_values",
+    "embed_near_dup",
 ]
 
 

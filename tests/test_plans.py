@@ -102,3 +102,22 @@ def test_time_series_ops_plan_shapes(spark):
     assert shuffle_count(rj) <= 2
     ru = Q["rollup_daily"](spark, SF)
     assert shuffle_count(ru) == 2  # one per cascade level
+
+
+def test_tpch_passthrough_plan_shapes(spark):
+    """The SQL-passthrough TPC-H queries get sane distributed plans
+    straight from Catalyst: dims broadcast in Q5/Q10, Q14's two-table
+    join has at most the agg shuffle + any join shuffles, and no query
+    degenerates to a cartesian product."""
+    from apache_beam_spark.plans import plan_string
+
+    for name in ("q5_local_supplier", "q10_returned_items",
+                 "q14_promo_effect", "q18_large_volume"):
+        plan = plan_string(Q[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    # Q5: nation/region/supplier/customer are all tiny vs lineitem
+    assert broadcast_join_count(Q["q5_local_supplier"](spark, SF)) >= 3
+    # Q6-style pushdown also reaches Q14's lineitem scan
+    pushed = " ".join(pushed_filters(Q["q14_promo_effect"](spark, SF)))
+    assert "l_shipdate" in pushed
