@@ -88,6 +88,7 @@ def triggered_windowed_sum(
     event_time: str = "ts",
     allowed_lateness: str = "0 seconds",
     accumulating: bool = True,
+    timestamp_combiner: str = "end_of_window",
 ) -> DataFrame:
     """Per-(key, fixed-window) sum under a composite trigger state
     machine (``trigger_machine.TriggerSM`` — Repeatedly / orFinally /
@@ -101,7 +102,15 @@ def triggered_windowed_sum(
     happen without waiting for more data.  After the trigger finishes,
     the window is closed and later elements are dropped — exactly the
     reference's finished-trigger contract.
+
+    ``pane_ts_ms`` is the pane's output timestamp per
+    ``timestamp_combiner``: the min (earliest) / max (latest) event
+    time of the pane's elements — the value the reference keeps in
+    WatermarkHold state (WatermarkHold.java) so early panes can carry
+    an element-derived timestamp — or the window end (end_of_window).
     """
+    if timestamp_combiner not in ("end_of_window", "earliest", "latest"):
+        raise ValueError(f"unknown timestamp_combiner {timestamp_combiner!r}")
     from pyspark.sql import functions as F
 
     from apache_beam_spark.streaming.trigger_machine import (
@@ -122,16 +131,25 @@ def triggered_windowed_sum(
             timing = LATE
         else:
             timing = EARLY
+        if timestamp_combiner == "earliest":
+            pane_ts = ctx.get("pane_min_ts")
+        elif timestamp_combiner == "latest":
+            pane_ts = ctx.get("pane_max_ts")
+        else:
+            pane_ts = wend
         ctx.output({
             "key": k[0], "window_end_ms": wend,
             "pane_index": ctx.get("pane_idx", 0), "timing": timing,
             "n_in_pane": ctx.get("pane_n", 0),
+            "pane_ts_ms": pane_ts,
             "total": ctx.get("total", 0.0) if accumulating
             else ctx.get("pane_total", 0.0),
         })
         ctx.put("pane_idx", ctx.get("pane_idx", 0) + 1)
         ctx.put("pane_n", 0)
         ctx.put("pane_total", 0.0)
+        ctx.clear("pane_min_ts")
+        ctx.clear("pane_max_ts")
         trigger.on_fire(s, tctx)
         if trigger.finished(s):
             ctx.put("closed", True)
@@ -142,12 +160,17 @@ def triggered_windowed_sum(
         s = ctx.get("trig") or trigger.new_state()
         wend = int(k[1])
         tctx = TriggerContext(ctx.now_ms, 0, wend)
-        for v in pdf[value_col]:
+        ts_ms = (pd.to_datetime(pdf[event_time]).astype("int64") // 1_000_000)
+        for v, t in zip(pdf[value_col], ts_ms):
             if ctx.get("closed"):
                 break
             ctx.put("total", ctx.get("total", 0.0) + float(v))
             ctx.put("pane_total", ctx.get("pane_total", 0.0) + float(v))
             ctx.put("pane_n", ctx.get("pane_n", 0) + 1)
+            t = int(t)
+            mn, mx = ctx.get("pane_min_ts"), ctx.get("pane_max_ts")
+            ctx.put("pane_min_ts", t if mn is None else min(mn, t))
+            ctx.put("pane_max_ts", t if mx is None else max(mx, t))
             trigger.on_element(s, tctx)
             _fire_ready(k, ctx, s)
         ctx.put("trig", s)
@@ -168,7 +191,8 @@ def triggered_windowed_sum(
     return stateful_do_fn(
         tagged, ["__k__", "__wend_ms__"], process, on_timer,
         output_schema=("key string, window_end_ms long, pane_index int, "
-                       "timing string, n_in_pane int, total double"),
+                       "timing string, n_in_pane int, pane_ts_ms long, "
+                       "total double"),
         time_domain="event", event_time=event_time,
         allowed_lateness=allowed_lateness,
     )

@@ -159,3 +159,31 @@ def test_triggered_windowed_sum_end_to_end(spark, tmp_path):
     assert a.timing.tolist() == ["EARLY", "ON_TIME"]
     assert a.total.tolist() == [3.0, 6.0]
     assert a.pane_index.tolist() == [0, 1]
+
+
+def test_pane_output_timestamp_holds(spark, tmp_path):
+    """WatermarkHold-style pane timestamps: with
+    timestamp_combiner='earliest' each pane carries the min event time
+    of its own elements (the hold the reference keeps in WatermarkHold
+    state), not the window end."""
+    from apache_beam_spark.streaming import TestStream, run_to_memory
+    from apache_beam_spark.streaming.triggers import triggered_windowed_sum
+
+    rows1 = [{"user": "a", "ts": "2024-01-01 00:00:10", "amount": 1.0},
+             {"user": "a", "ts": "2024-01-01 00:00:20", "amount": 2.0},
+             {"user": "a", "ts": "2024-01-01 00:00:30", "amount": 3.0},
+             {"user": "a", "ts": "2024-01-01 00:00:40", "amount": 4.0}]
+    rows2 = [{"user": "b", "ts": "2024-01-01 01:00:00", "amount": 9.0}]
+    ts = TestStream(str(tmp_path / "spool_hold"))
+    ts.add_elements(rows1)
+    ts.add_elements(rows2)
+    trig = Repeatedly(AfterPane(2))
+    out = triggered_windowed_sum(
+        ts.stream(spark, "user string, ts timestamp, amount double"),
+        key="user", value_col="amount", window_size="1 minute",
+        trigger=trig, timestamp_combiner="earliest")
+    got = run_to_memory(out, "append").toPandas()
+    a = got[got.key == "a"].sort_values("pane_index")
+    base = 1704067200000  # 2024-01-01 00:00:00 UTC in ms
+    # pane 0 holds min ts of elements 1-2 (00:00:10); pane 1 of 3-4
+    assert a.pane_ts_ms.tolist() == [base + 10_000, base + 30_000]
