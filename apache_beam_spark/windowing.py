@@ -181,3 +181,64 @@ class WindowingStrategy:
     @property
     def is_global(self) -> bool:
         return isinstance(self.window_fn, GlobalWindows)
+
+
+def merge_intervals(df, keys: list, start_col: str, end_col: str,
+                    out: str = "window"):
+    """Merge overlapping/touching [start, end) proto-windows per key —
+    the batch realization of a custom MERGING WindowFn (reference
+    ``WindowFn.mergeWindows`` / ``MergeOverlappingIntervalWindows.java``):
+    each element's assigned proto-window is merged with any it overlaps,
+    and every element gets its merged window back.
+
+    Gaps-and-islands formulation (one shuffle + sort per key, no
+    pairwise compare): sort by start, an island begins where start
+    exceeds the running max of previous ends, island id = running count
+    of island starts; the merged window is (min start, max end) per
+    island.  Scales like any keyed window function — AQE handles skew.
+    """
+    from pyspark.sql.window import Window as W
+
+    w_sort = W.partitionBy(*keys).orderBy(F.col(start_col), F.col(end_col))
+    prev_max_end = F.max(F.col(end_col)).over(
+        w_sort.rowsBetween(W.unboundedPreceding, -1))
+    new_island = F.when(
+        prev_max_end.isNull() | (F.col(start_col) > prev_max_end), 1).otherwise(0)
+    tagged = df.withColumn("__isl__", F.sum(new_island).over(
+        w_sort.rowsBetween(W.unboundedPreceding, 0)))
+    w_isl = W.partitionBy(*keys, "__isl__")
+    return (tagged
+            .withColumn(out, F.struct(
+                F.min(F.col(start_col)).over(w_isl).alias("start"),
+                F.max(F.col(end_col)).over(w_isl).alias("end")))
+            .drop("__isl__"))
+
+
+@dataclass(frozen=True)
+class MergingWindows(WindowFn):
+    """Custom merging WindowFn (reference ``WindowFn.java`` with
+    ``mergeWindows``; built-in example ``Sessions.java``).  The user
+    supplies ``assign``: ts Column -> (start, end) proto-window
+    Columns; overlapping proto-windows of the same grouping key merge.
+
+    Unlike the non-merging fns this cannot be a pure groupBy column —
+    realize it explicitly with ``apply(df, keys)`` (which uses
+    ``merge_intervals``) and group by the resulting ``window`` struct.
+    ``Sessions(gap)`` is the special case Spark natively supports via
+    ``session_window``; this class covers arbitrary user merge logic
+    (e.g. per-element variable gaps).
+    """
+
+    assign: object  # Callable[[Column], tuple[Column, Column]]
+
+    def window_cols(self, ts_col: str) -> list[Column]:
+        raise ValueError(
+            "merging WindowFn cannot be realized as a groupBy column; "
+            "call MergingWindows.apply(df, keys, ts_col) first and group "
+            "by the produced 'window' struct")
+
+    def apply(self, df, keys: list, ts_col: str, out: str = "window"):
+        start, end = self.assign(F.col(ts_col))
+        tagged = df.withColumn("__ws__", start).withColumn("__we__", end)
+        return merge_intervals(tagged, keys, "__ws__", "__we__", out) \
+            .drop("__ws__", "__we__")

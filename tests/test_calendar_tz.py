@@ -60,3 +60,61 @@ def test_leaderboard_stream(spark, tmp_path):
     # update mode emitted the refinement as an extra pane for red
     red_panes = first_window.filter(F.col("team") == "red").count()
     assert red_panes >= 2
+
+
+def test_merging_windowfn_matches_session_window(spark):
+    """Custom merging WindowFn with a constant gap must reproduce
+    Spark's native session_window exactly (inclusive merge at the gap
+    boundary included)."""
+    from pyspark.sql import functions as F
+
+    from apache_beam_spark.windowing import MergingWindows
+
+    rows = [("a", 0), ("a", 500), ("a", 1100), ("a", 1700),  # chain merges
+            ("a", 4000),                                     # new session
+            ("b", 0), ("b", 601),                            # gap > 600 -> split
+            ("b", 1201)]                                     # exactly gap from 601 -> merges
+    df = spark.createDataFrame(rows, "k string, sec long") \
+        .select("k", F.timestamp_seconds("sec").alias("ts"))
+
+    native = (df.groupBy(F.session_window("ts", "10 minutes").alias("w"), "k")
+              .agg(F.count(F.lit(1)).alias("n"))
+              .select("k", F.col("w.start").alias("start"), "n"))
+
+    fn = MergingWindows(assign=lambda ts: (ts, ts + F.expr("INTERVAL 10 MINUTES")))
+    custom = (fn.apply(df, ["k"], "ts")
+              .groupBy("k", "window").agg(F.count(F.lit(1)).alias("n"))
+              .select("k", F.col("window.start").alias("start"), "n"))
+
+    assert sorted(map(tuple, native.collect())) == sorted(map(tuple, custom.collect()))
+
+
+def test_merging_windowfn_variable_gap(spark):
+    """What session_window can't express: a per-element gap (longer for
+    'slow' event types) — arbitrary user merge logic."""
+    from pyspark.sql import functions as F
+
+    from apache_beam_spark.windowing import MergingWindows
+
+    rows = [("a", 0, "fast"), ("a", 90, "fast"),    # 60s gap: 90 > 0+60 -> split
+            ("b", 0, "slow"), ("b", 90, "slow")]    # 300s gap: merge
+    df = spark.createDataFrame(rows, "k string, sec long, speed string") \
+        .select("k", F.timestamp_seconds("sec").alias("ts"), "speed")
+    gap = F.when(F.col("speed") == "slow", F.expr("INTERVAL 300 SECONDS")) \
+        .otherwise(F.expr("INTERVAL 60 SECONDS"))
+    fn = MergingWindows(assign=lambda ts: (ts, ts + gap))
+    out = (fn.apply(df, ["k"], "ts")
+           .groupBy("k", "window").agg(F.count(F.lit(1)).alias("n")))
+    counts = sorted((r["k"], r["n"]) for r in out.collect())
+    assert counts == [("a", 1), ("a", 1), ("b", 2)]
+
+
+def test_merging_windowfn_rejects_group_col_use(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from apache_beam_spark.windowing import MergingWindows
+
+    fn = MergingWindows(assign=lambda ts: (ts, ts))
+    with pytest.raises(ValueError, match="merging WindowFn"):
+        fn.window_cols("ts")
