@@ -600,11 +600,44 @@ def _embed_knn(spark, sf_dir):
 
 
 def _embed_lsh_knn(spark, sf_dir):
-    """LSH-bucketed ANN — rows-only (recall-approximate)."""
+    """LSH-bucketed ANN.  The random hyperplanes are seeded, so the
+    oracle reproduces the exact buckets by inlining them as SQL
+    literals (repr() round-trips the doubles) — the approximation is
+    deterministic, hence fully value-checked, not rows-only."""
     emb = load_table(spark, "embeddings", sf_dir)
     q = emb.filter(F.col("vec_id") < 100)
     return lsh_topk(q, emb, dim=64, k=3, n_bits=6).select(
         "query_id", "neighbor_id", "rank", "sim")
+
+
+def _lsh_knn_oracle_sql() -> str:
+    """DuckDB twin of _embed_lsh_knn: same seeded planes as literals."""
+    from apache_beam_spark.similarity.knn import _hyperplanes
+
+    planes = _hyperplanes(64, 6, 42)
+
+    def arr(p):
+        return "[" + ",".join(repr(x) for x in p) + "]::DOUBLE[]"
+
+    bucket = " + ".join(
+        f"{1 << i} * (CASE WHEN list_dot_product(embedding::DOUBLE[], {arr(p)})"
+        " > 0 THEN 1 ELSE 0 END)"
+        for i, p in enumerate(planes))
+    cos = ("list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])"
+           " / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))"
+           " * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])))")
+    return f"""
+        WITH b AS (
+            SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+        )
+        SELECT query_id, neighbor_id, rank, sim FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ROUND({cos}, 6) AS sim,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY {cos} DESC, c.vec_id) AS rank
+            FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+            WHERE q.vec_id < 100) t
+        WHERE rank <= 3"""
 
 
 def _embed_ivf_knn(spark, sf_dir):
@@ -1429,6 +1462,7 @@ def oracle_sql() -> dict[str, str]:
         "latest_global": """
             SELECT event_id, ts, event_type FROM events
             ORDER BY ts DESC, event_id DESC LIMIT 1""",
+        "embed_lsh_knn": _lsh_knn_oracle_sql(),
         "q3_shipping_priority": _Q3_SQL.format(disc=_SQL_DISC_PRICE),
         "q5_local_supplier": _Q5_SQL.format(disc=_SQL_DISC_PRICE),
         "q6_forecast_revenue": _Q6_SQL,
