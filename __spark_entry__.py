@@ -640,6 +640,23 @@ def _lsh_knn_oracle_sql() -> str:
         WHERE rank <= 3"""
 
 
+def _embed_ivf_fixed(spark, sf_dir):
+    """IVF ANN with a FIXED coarse quantizer (the first 16 vectors as
+    centroids) instead of sampled k-means: cell assignment becomes
+    pure cosine-argmax, which the oracle reproduces in SQL — the
+    oracle-checked proof of the IVF pipeline (assign -> probe top-4
+    cells -> candidate equi-join -> exact rerank)."""
+    from apache_beam_spark.similarity.knn import ivf_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = [r["embedding"] for r in
+             emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()]
+    q = emb.filter(F.col("vec_id") < 100)
+    return ivf_topk(q, emb, dim=64, k=3, n_cells=16, n_probe=4,
+                    centroids=cents).select(
+        "query_id", "neighbor_id", "rank", "sim")
+
+
 def _embed_ivf_knn(spark, sf_dir):
     """IVF (k-means cell) ANN — rows-only (recall-approximate)."""
     from apache_beam_spark.similarity.knn import ivf_topk
@@ -1036,6 +1053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_knn": _embed_knn,
         "embed_lsh_knn": _embed_lsh_knn,
         "embed_ivf_knn": _embed_ivf_knn,
+        "embed_ivf_fixed": _embed_ivf_fixed,
         "embed_near_dup": _embed_near_dup,
         "secondary_sort": _secondary_sort,
         "sample_fixed_per_key": _sample_fixed_per_key,
@@ -1463,6 +1481,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, ts, event_type FROM events
             ORDER BY ts DESC, event_id DESC LIMIT 1""",
         "embed_lsh_knn": _lsh_knn_oracle_sql(),
+        "embed_ivf_fixed": """
+            WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+            cent AS (SELECT vec_id AS cid, ev AS cv FROM v WHERE vec_id < 16),
+            asn AS (
+                SELECT v.vec_id, cid,
+                       ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+                           list_dot_product(ev, cv)
+                           / (sqrt(list_dot_product(ev, ev))
+                              * sqrt(list_dot_product(cv, cv))) DESC, cid) AS r
+                FROM v CROSS JOIN cent
+            ),
+            c AS (SELECT vec_id AS neighbor_id, cid FROM asn WHERE r = 1),
+            q AS (SELECT vec_id AS query_id, cid FROM asn
+                  WHERE r <= 4 AND vec_id < 100),
+            pairs AS (
+                SELECT DISTINCT query_id, neighbor_id
+                FROM q JOIN c USING (cid) WHERE query_id <> neighbor_id
+            ), scored AS (
+                SELECT p.query_id, p.neighbor_id,
+                       list_dot_product(a.ev, b.ev)
+                       / (sqrt(list_dot_product(a.ev, a.ev))
+                          * sqrt(list_dot_product(b.ev, b.ev))) AS cos
+                FROM pairs p JOIN v a ON a.vec_id = p.query_id
+                             JOIN v b ON b.vec_id = p.neighbor_id
+            )
+            SELECT query_id, neighbor_id, rank, ROUND(cos, 6) AS sim FROM (
+                SELECT query_id, neighbor_id, cos,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY cos DESC, neighbor_id) AS rank
+                FROM scored) t
+            WHERE rank <= 3""",
         "q3_shipping_priority": _Q3_SQL.format(disc=_SQL_DISC_PRICE),
         "q5_local_supplier": _Q5_SQL.format(disc=_SQL_DISC_PRICE),
         "q6_forecast_revenue": _Q6_SQL,

@@ -230,7 +230,8 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 5,
              query_id: str = "vec_id", corpus_id: str = "vec_id",
              vec_col: str = "embedding", self_exclude: bool = True,
              sample_size: int = 10000, seed: int = 42,
-             max_cell: Optional[int] = None) -> DataFrame:
+             max_cell: Optional[int] = None,
+             centroids=None) -> DataFrame:
     """IVF approximate top-k: k-means cells as the coarse index.
 
     Corpus vectors live in their nearest-centroid cell; each query
@@ -251,10 +252,17 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 5,
 
     import numpy as np
 
-    sample = np.array(
-        [r[0] for r in corpus.select(vec_col).limit(sample_size).collect()],
-        dtype=np.float64)
-    cent = _kmeans(sample, n_cells, seed=seed)
+    if centroids is not None:
+        # fixed coarse quantizer (normalized) — deterministic across
+        # engines, so the query becomes oracle-checkable (the k-means
+        # path depends on a driver-side sample)
+        cent = np.asarray(centroids, dtype=np.float64)
+        cent = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+    else:
+        sample = np.array(
+            [r[0] for r in corpus.select(vec_col).limit(sample_size).collect()],
+            dtype=np.float64)
+        cent = _kmeans(sample, n_cells, seed=seed)
 
     def assign(df: DataFrame, id_alias: str, vec_alias: str, probes: int) -> DataFrame:
         def fn(batches):
@@ -264,7 +272,8 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 5,
                 v = np.array(list(pdf[vec_alias]), dtype=np.float64)
                 vn = v / np.linalg.norm(v, axis=1, keepdims=True)
                 sims = vn @ cent.T
-                top = np.argsort(-sims, axis=1)[:, :probes]
+                # stable: ties probe the lowest cell id (oracle-parity)
+                top = np.argsort(-sims, axis=1, kind="stable")[:, :probes]
                 out = pdf.loc[pdf.index.repeat(probes)].copy()
                 out["__cell__"] = top.ravel()
                 yield out
