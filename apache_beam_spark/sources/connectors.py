@@ -16,10 +16,13 @@ pure and unit-tested (the same broker-less strategy as
 | JdbcIO                                            | ``jdbc`` (sources/io.py) |
 | KafkaIO                                           | ``kafka`` (streaming/sources.py) |
 | HCatalogIO                                        | catalog tables (sources/catalog.py) |
+| HBaseIO (io/hbase/.../HBaseIO.java)               | hbase-spark JSON catalog |
+| SolrIO (io/solr/.../SolrIO.java)                  | ``solr`` (spark-solr) |
+| KinesisIO (io/kinesis/.../KinesisIO.java)         | ``kinesis`` (spark-sql-kinesis) |
 
-KinesisIO / PubsubIO / JmsIO / MqttIO / AmqpIO have no first-party OSS
-Spark connector; route those streams through Kafka or file landing
-zones (documented mapping, SURVEY.md §8).
+PubsubIO / JmsIO / MqttIO / AmqpIO have no first-party OSS Spark
+connector; route those streams through Kafka or file landing zones
+(documented mapping, SURVEY.md §8).
 """
 
 from __future__ import annotations
@@ -116,3 +119,72 @@ def read_elasticsearch(spark: SparkSession, nodes: str, index: str, **kw) -> Dat
 
 def read_bigquery(spark: SparkSession, table: str, **kw) -> DataFrame:
     return _load(spark, "bigquery", bigquery_options(table, **kw))
+
+
+def hbase_catalog(table: str, columns: dict[str, tuple[str, str, str]],
+                  namespace: str = "default") -> str:
+    """HBaseIO parity (io/hbase/.../HBaseIO.java): the hbase-spark
+    connector addresses tables through a JSON catalog.  ``columns``:
+    df_col -> (column_family, hbase_qualifier, type); the rowkey column
+    uses family "rowkey"."""
+    import json
+
+    return json.dumps({
+        "table": {"namespace": namespace, "name": table},
+        "rowkey": "key",
+        "columns": {
+            col: {"cf": cf, "col": qual, "type": typ}
+            for col, (cf, qual, typ) in columns.items()
+        },
+    })
+
+
+def solr_options(zkhost: str, collection: str,
+                 query: Optional[str] = None,
+                 fields: Optional[list[str]] = None) -> dict[str, str]:
+    """SolrIO parity (io/solr/.../SolrIO.java): spark-solr options —
+    withConnectionConfiguration(zkHost) / from(collection) / withQuery."""
+    opts = {"zkhost": zkhost, "collection": collection}
+    if query:
+        opts["query"] = query
+    if fields:
+        opts["fields"] = ",".join(fields)
+    return opts
+
+
+def kinesis_options(stream: str, region: str,
+                    endpoint: Optional[str] = None,
+                    initial_position: str = "latest") -> dict[str, str]:
+    """KinesisIO parity (io/kinesis/.../KinesisIO.java): the
+    spark-sql-kinesis connector's option surface — streamName/region /
+    withInitialPositionInStream."""
+    opts = {"streamName": stream, "region": region,
+            "initialPosition": initial_position}
+    if endpoint:
+        opts["endpointUrl"] = endpoint
+    return opts
+
+
+def read_solr(spark: SparkSession, zkhost: str, collection: str, **kw) -> DataFrame:
+    return _load(spark, "solr", solr_options(zkhost, collection, **kw))
+
+
+def read_hbase(spark: SparkSession, catalog: str) -> DataFrame:
+    try:
+        return (spark.read.format("org.apache.hadoop.hbase.spark")
+                .option("hbase.columns.mapping", catalog)
+                .option("catalog", catalog).load())
+    except Exception as e:  # pragma: no cover - connector not in container
+        raise NotImplementedError(
+            "hbase requires org.apache.hbase.connectors.spark:hbase-spark "
+            "on the classpath") from e
+
+
+def kinesis_stream(spark: SparkSession, stream: str, region: str, **kw) -> DataFrame:
+    try:
+        return (spark.readStream.format("kinesis")
+                .options(**kinesis_options(stream, region, **kw)).load())
+    except Exception as e:  # pragma: no cover - connector not in container
+        raise NotImplementedError(
+            "kinesis requires the spark-sql-kinesis connector on the "
+            "classpath") from e

@@ -77,3 +77,20 @@ def write_console(sdf: DataFrame, output_mode: str = "append",
     """ConsoleIO (reference runners/spark/.../io/ConsoleIO.java)."""
     return (sdf.writeStream.format("console")
             .option("numRows", num_rows).outputMode(output_mode).start())
+
+
+def write_kafka(sdf, bootstrap_servers: str, topic: str, checkpoint: str,
+                output_mode: str = "append"):
+    """KafkaIO write (reference io/kafka/.../KafkaIO.java write path):
+    the stream must carry ``value`` (binary/string; optional ``key``).
+    Gated on the spark-sql-kafka package."""
+    try:
+        return (sdf.writeStream.format("kafka")
+                .option("kafka.bootstrap.servers", bootstrap_servers)
+                .option("topic", topic)
+                .option("checkpointLocation", checkpoint)
+                .outputMode(output_mode).start())
+    except Exception as e:  # pragma: no cover - package not in container
+        raise NotImplementedError(
+            "kafka requires org.apache.spark:spark-sql-kafka on the classpath"
+        ) from e

@@ -145,3 +145,24 @@ def test_connector_loaders_raise_cleanly(spark):
         read_mongodb(spark, "mongodb://h", "db", "c").printSchema()
     with pytest.raises(NotImplementedError, match="spark-cassandra-connector"):
         read_cassandra(spark, "ks", "t").printSchema()
+
+
+def test_more_connector_builders():
+    import json
+
+    from apache_beam_spark.sources.connectors import (
+        hbase_catalog,
+        kinesis_options,
+        solr_options,
+    )
+
+    cat = json.loads(hbase_catalog(
+        "t", {"id": ("rowkey", "key", "string"),
+              "v": ("cf1", "val", "double")}))
+    assert cat["table"] == {"namespace": "default", "name": "t"}
+    assert cat["columns"]["v"] == {"cf": "cf1", "col": "val", "type": "double"}
+    assert solr_options("zk:2181", "c", fields=["a", "b"]) == {
+        "zkhost": "zk:2181", "collection": "c", "fields": "a,b"}
+    assert kinesis_options("s", "us-east-1", initial_position="trim_horizon") == {
+        "streamName": "s", "region": "us-east-1",
+        "initialPosition": "trim_horizon"}
