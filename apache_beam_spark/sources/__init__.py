@@ -21,9 +21,18 @@ from apache_beam_spark.sources.io import (
     read_text,
     write_jdbc,
 )
+from apache_beam_spark.sources.catalog import (
+    drop_table,
+    read_table,
+    table_exists,
+    write_table,
+)
+from apache_beam_spark.sources.tfrecord import read_tfrecord, write_tfrecord
 
 __all__ = [
     "TABLES", "load_table", "load_tables", "register_views",
     "read_parquet", "read_text", "read_json", "read_csv", "read_avro",
     "read_orc", "read_jdbc", "write_jdbc", "GenerateSequence",
+    "read_table", "write_table", "table_exists", "drop_table",
+    "read_tfrecord", "write_tfrecord",
 ]

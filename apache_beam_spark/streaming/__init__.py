@@ -26,17 +26,40 @@ from apache_beam_spark.streaming.stateful import (
 )
 from apache_beam_spark.streaming.sinks import (
     foreach_batch,
+    idempotent_foreach_batch,
     write_parquet_stream,
 )
 from apache_beam_spark.streaming.timers import (
     StatefulContext,
     stateful_do_fn,
 )
+from apache_beam_spark.streaming.joins import interval_join
+from apache_beam_spark.streaming.trigger_machine import (
+    AfterAll,
+    AfterEach,
+    AfterFirst,
+    AfterPane,
+    AfterProcessingTime,
+    AfterWatermark,
+    Never,
+    OrFinally,
+    Repeatedly,
+    run_transcript,
+)
+from apache_beam_spark.streaming.triggers import (
+    count_trigger_aggregate,
+    triggered_windowed_sum,
+)
 
 __all__ = [
     "TestStream", "file_stream", "rate_stream",
     "windowed_aggregate", "run_to_memory",
     "stateful_per_key", "group_into_batches_stream", "streaming_distinct",
-    "foreach_batch", "write_parquet_stream",
+    "foreach_batch", "idempotent_foreach_batch", "write_parquet_stream",
     "stateful_do_fn", "StatefulContext",
+    "interval_join",
+    "AfterAll", "AfterEach", "AfterFirst", "AfterPane",
+    "AfterProcessingTime", "AfterWatermark", "Never", "OrFinally",
+    "Repeatedly", "run_transcript",
+    "count_trigger_aggregate", "triggered_windowed_sum",
 ]
