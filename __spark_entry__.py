@@ -957,6 +957,66 @@ _Q18_SQL = """
     LIMIT 100"""
 
 
+_Q7_SQL = """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(volume) AS DOUBLE) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               year(l_shipdate) AS l_year, {disc} AS volume
+        FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year"""
+
+_Q8_SQL = """
+    SELECT o_year,
+           CAST(CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume
+                              ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                / CAST(SUM(volume) AS DOUBLE) AS DOUBLE) AS mkt_share
+    FROM (
+        SELECT year(o_orderdate) AS o_year, {disc} AS volume,
+               n2.n_name AS nation
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region   ON n1.n_regionkey = r_regionkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+          AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    ) all_nations
+    GROUP BY o_year ORDER BY o_year"""
+
+_Q17_SQL = """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) / 7.0 AS DOUBLE)
+           AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#1'
+      AND l_quantity < (
+          SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+          WHERE l2.l_partkey = p_partkey)"""
+
+_Q19_SQL = """
+    SELECT CAST(SUM({disc}) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 30)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+           AND l_quantity >= 10 AND l_quantity <= 40)"""
+
+
 def _sql_passthrough(sql_tmpl):
     """Query factory for TPC-H passthrough SQL: register views, run the
     exact text Catalyst-side; the oracle runs the SAME text in DuckDB."""
@@ -969,9 +1029,13 @@ def _sql_passthrough(sql_tmpl):
 
 
 _q5_local_supplier = _sql_passthrough(_Q5_SQL)
+_q7_volume_shipping = _sql_passthrough(_Q7_SQL)
+_q8_market_share = _sql_passthrough(_Q8_SQL)
 _q10_returned_items = _sql_passthrough(_Q10_SQL)
 _q14_promo_effect = _sql_passthrough(_Q14_SQL)
+_q17_small_qty = _sql_passthrough(_Q17_SQL)
 _q18_large_volume = _sql_passthrough(_Q18_SQL)
+_q19_discounted = _sql_passthrough(_Q19_SQL)
 
 
 def _q3_shipping_priority(spark, sf_dir):
@@ -1072,9 +1136,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping_priority": _q3_shipping_priority,
         "q5_local_supplier": _q5_local_supplier,
         "q6_forecast_revenue": _q6_forecast_revenue,
+        "q7_volume_shipping": _q7_volume_shipping,
+        "q8_market_share": _q8_market_share,
         "q10_returned_items": _q10_returned_items,
         "q14_promo_effect": _q14_promo_effect,
+        "q17_small_qty": _q17_small_qty,
         "q18_large_volume": _q18_large_volume,
+        "q19_discounted": _q19_discounted,
     }
 
 
@@ -1515,7 +1583,11 @@ def oracle_sql() -> dict[str, str]:
         "q3_shipping_priority": _Q3_SQL.format(disc=_SQL_DISC_PRICE),
         "q5_local_supplier": _Q5_SQL.format(disc=_SQL_DISC_PRICE),
         "q6_forecast_revenue": _Q6_SQL,
+        "q7_volume_shipping": _Q7_SQL.format(disc=_SQL_DISC_PRICE),
+        "q8_market_share": _Q8_SQL.format(disc=_SQL_DISC_PRICE),
         "q10_returned_items": _Q10_SQL.format(disc=_SQL_DISC_PRICE),
         "q14_promo_effect": _Q14_SQL.format(disc=_SQL_DISC_PRICE),
+        "q17_small_qty": _Q17_SQL,
         "q18_large_volume": _Q18_SQL.format(disc=_SQL_DISC_PRICE),
+        "q19_discounted": _Q19_SQL.format(disc=_SQL_DISC_PRICE),
     }

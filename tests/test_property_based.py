@@ -102,3 +102,69 @@ def test_shingles_laws(spark, words, k):
         assert all(len(s.split(" ")) == k for s in out)  # width law
     else:
         assert out == [" ".join(words)]       # short-doc fallback
+
+
+# ---------------------------------------------------------------------
+# trigger state machine invariants (random transcripts)
+
+from hypothesis import given, settings, strategies as st
+
+
+def _random_trigger(draw):
+    from apache_beam_spark.streaming.trigger_machine import (
+        AfterAll, AfterEach, AfterFirst, AfterPane, AfterWatermark,
+        OrFinally, Repeatedly)
+
+    leaf = st.sampled_from([AfterPane(1), AfterPane(2), AfterPane(3),
+                            AfterWatermark()])
+    t1, t2 = draw(leaf), draw(leaf)
+    combo = draw(st.sampled_from(["leaf", "repeat", "orfinally", "first",
+                                  "all", "each"]))
+    if combo == "leaf":
+        return t1
+    if combo == "repeat":
+        return Repeatedly(t1)
+    if combo == "orfinally":
+        return OrFinally(Repeatedly(t1), AfterWatermark())
+    if combo == "first":
+        return AfterFirst(t1, t2)
+    if combo == "all":
+        return AfterAll(t1, t2)
+    return AfterEach(t1, t2)
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.data(),
+       events=st.lists(
+           st.one_of(st.integers(0, 99).map(lambda v: ("element", v)),
+                     st.integers(0, 2000).map(lambda w: ("watermark", w))),
+           max_size=30))
+def test_trigger_transcript_invariants(data, events):
+    """Hold for ANY composite trigger and ANY event sequence:
+    pane indices are consecutive, accumulating pane values are
+    prefix-monotone, every input lands in a pane value-set or dropped
+    (never both), and drops only happen after the window closed."""
+    from apache_beam_spark.streaming.trigger_machine import run_transcript
+
+    trig = _random_trigger(data.draw)
+    r = run_transcript(trig, 1000, events, accumulating=True)
+    panes = r["panes"]
+    assert [p["index"] for p in panes] == list(range(len(panes)))
+    for a, b in zip(panes, panes[1:]):
+        assert b["values"][:len(a["values"])] == a["values"]  # prefix order
+    n_elems = sum(1 for e in events if e[0] == "element")
+    covered = (len(panes[-1]["values"]) if panes else 0)
+    # every element is either in the accumulated tail, dropped, or
+    # still buffered awaiting a fire — no double counting
+    assert covered + len(r["dropped"]) <= n_elems
+    if r["dropped"]:
+        assert r["closed"]
+    # timing order: EARLY* then at most one ON_TIME then LATE*
+    timings = [p["timing"] for p in panes]
+    if "ON_TIME" in timings:
+        i = timings.index("ON_TIME")
+        assert all(t == "EARLY" for t in timings[:i])
+        assert all(t == "LATE" for t in timings[i + 1:])
+        assert timings.count("ON_TIME") == 1
+    else:
+        assert all(t == "EARLY" for t in timings)
