@@ -85,3 +85,37 @@ def side_input_map(pcoll: PCollection, key: str, value: str,
 
     return {r[key]: r[value]
             for r in guarded_collect(pcoll.df.select(key, value), max_rows)}
+
+
+def salted_join(left, right, on: str, n_salts: int = 16,
+                how: str = "inner"):
+    """Skew-proof equi-join for a manually-known-skewed key: the big
+    (left) side gets a deterministic salt ``pmod(xxhash64(all left
+    cols), n)`` and the small-but-hot (right) side is replicated n ways,
+    so one hot key spreads over ``n_salts`` tasks instead of one
+    straggler.
+
+    Use when AQE's skew split (enabled by default here —
+    ``spark.sql.adaptive.skewJoin``) can't help: AQE splits by
+    post-shuffle partition SIZE, which misses logical skew that fits a
+    partition but dominates downstream per-row work.  Right-side
+    replication costs n x |right| rows — right must be the small side.
+    ``how``: inner or left (right outer would need dedup of the
+    replicated null-extensions).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner|left, got {how!r}")
+    ldf = getattr(left, "df", left)
+    rdf = getattr(right, "df", right)
+    l = ldf.withColumn(
+        "__salt__",
+        F.pmod(F.xxhash64(*[F.col(c) for c in ldf.columns]),
+               F.lit(n_salts)).cast("int"))
+    r = rdf.withColumn(
+        "__salt__",
+        F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))) \
+        .withColumn("__salt__", F.col("__salt__").cast("int"))
+    out = l.join(r, on=[on, "__salt__"], how=how).drop("__salt__")
+    if hasattr(left, "_with_df"):
+        return left._with_df(out)
+    return out

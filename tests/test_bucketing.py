@@ -52,3 +52,23 @@ def test_unbucketed_join_does_shuffle(spark):
         assert shuffle_count(joined) >= 2  # both sides exchange
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salting redistributes a hot key across n_salts tasks without
+    changing the result (inner and left, incl. unmatched left rows)."""
+    from pyspark.sql import functions as F
+
+    from apache_beam_spark.operators.join import salted_join
+
+    # 10k facts, 90% on one hot key; dim covers keys 0-4 only
+    left = spark.range(10000).select(
+        F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id") % 7).alias("k"),
+        F.col("id").alias("v"))
+    right = spark.range(5).select(F.col("id").alias("k"),
+                                  (F.col("id") * 100).alias("w"))
+    for how in ("inner", "left"):
+        plain = sorted(map(tuple, left.join(right, "k", how).collect()))
+        salted = sorted(map(tuple, salted_join(left, right, "k",
+                                               n_salts=8, how=how).collect()))
+        assert salted == plain, how
