@@ -1016,6 +1016,53 @@ _Q19_SQL = """
        OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
            AND l_quantity >= 10 AND l_quantity <= 40)"""
 
+# Q13 adapted to the reduced schema: orders has no o_comment, so the
+# "not like '%special%requests%'" exclusion becomes an o_orderpriority
+# filter — same plan shape (left outer join with a pushed filter on the
+# right side, then a two-level aggregation over the count distribution).
+_Q13_SQL = """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC"""
+
+# Q15 verbatim modulo the date window (data spans 1995..2001): CTE
+# revenue view, scalar-subquery max, join back to supplier.  Decimal
+# sums keep the max-equality comparison exact in both engines.
+_Q15_SQL = """
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no, SUM({disc}) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey"""
+
+# Q22 adapted: customer has no c_phone, so the country-code prefix
+# grouping becomes c_nationkey and the "never ordered" anti-join becomes
+# "has no URGENT order" (every sf's customer set has at least one order,
+# which would make the verbatim predicate vacuous).  Plan shape is
+# preserved: uncorrelated scalar-subquery average + NOT EXISTS anti-join
+# + final aggregation.
+_Q22_SQL = """
+    SELECT c_nationkey AS cntrycode, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT AVG(CAST(c_acctbal AS DOUBLE))
+                       FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    GROUP BY c_nationkey
+    ORDER BY cntrycode"""
+
 
 def _sql_passthrough(sql_tmpl):
     """Query factory for TPC-H passthrough SQL: register views, run the
@@ -1036,6 +1083,9 @@ _q14_promo_effect = _sql_passthrough(_Q14_SQL)
 _q17_small_qty = _sql_passthrough(_Q17_SQL)
 _q18_large_volume = _sql_passthrough(_Q18_SQL)
 _q19_discounted = _sql_passthrough(_Q19_SQL)
+_q13_customer_distribution = _sql_passthrough(_Q13_SQL)
+_q15_top_supplier = _sql_passthrough(_Q15_SQL)
+_q22_global_sales = _sql_passthrough(_Q22_SQL)
 
 
 def _q3_shipping_priority(spark, sf_dir):
@@ -1143,6 +1193,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_qty": _q17_small_qty,
         "q18_large_volume": _q18_large_volume,
         "q19_discounted": _q19_discounted,
+        "q13_customer_distribution": _q13_customer_distribution,
+        "q15_top_supplier": _q15_top_supplier,
+        "q22_global_sales": _q22_global_sales,
     }
 
 
@@ -1590,4 +1643,7 @@ def oracle_sql() -> dict[str, str]:
         "q17_small_qty": _Q17_SQL,
         "q18_large_volume": _Q18_SQL.format(disc=_SQL_DISC_PRICE),
         "q19_discounted": _Q19_SQL.format(disc=_SQL_DISC_PRICE),
+        "q13_customer_distribution": _Q13_SQL,
+        "q15_top_supplier": _Q15_SQL.format(disc=_SQL_DISC_PRICE),
+        "q22_global_sales": _Q22_SQL,
     }
