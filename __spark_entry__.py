@@ -588,6 +588,20 @@ def _ngram_jaccard(spark, sf_dir):
     )
 
 
+def _dup_clusters(spark, sf_dir):
+    """Near-dup pairs -> clusters: n-gram Jaccard >= 0.5 pairs as the
+    edge set, distributed hash-min connected components (one shuffle
+    join + one shuffle agg per round, O(diameter) rounds) to label
+    every document with its cluster's min doc_id.  Singletons keep
+    their own id.  Oracle: transitive closure via recursive CTE."""
+    from apache_beam_spark.dedup.components import dup_clusters
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = ngram_jaccard_pairs(docs, shingle_k=3, threshold=0.5,
+                                max_df=1_000_000).select("id_a", "id_b")
+    return dup_clusters(pairs, docs.select("doc_id"))
+
+
 def _embed_knn(spark, sf_dir):
     """Brute-force cosine top-3 for the first 100 vectors (block-BLAS
     path: broadcast corpus matrix, one gemm per Arrow batch)."""
@@ -1164,6 +1178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _dedup_simhash,
         "dedup_simhash_md5": _dedup_simhash_md5,
         "ngram_jaccard": _ngram_jaccard,
+        "dup_clusters": _dup_clusters,
         "embed_knn": _embed_knn,
         "embed_lsh_knn": _embed_lsh_knn,
         "embed_ivf_knn": _embed_ivf_knn,
@@ -1487,6 +1502,31 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes a ON a.id = id_a
             JOIN sizes b ON b.id = id_b
             WHERE inter * 1.0 / (a.n + b.n - inter) >= 0.5""",
+        # transitive closure over the SAME jaccard>=0.5 pair set; MIN of
+        # reachable ids == the hash-min fixpoint the Spark operator finds
+        "dup_clusters": f"""
+            WITH RECURSIVE sh AS (
+                SELECT doc_id AS id, list_distinct({shingle_expr}) AS sh
+                FROM (SELECT doc_id, {toks} AS toks FROM documents) t),
+            sizes AS (SELECT id, len(sh) AS n FROM sh),
+            inv AS (SELECT id, unnest(sh) AS g FROM sh),
+            inter AS (
+                SELECT x.id AS id_a, y.id AS id_b, COUNT(*) AS inter
+                FROM inv x JOIN inv y ON x.g = y.g AND x.id < y.id
+                GROUP BY x.id, y.id),
+            pairs AS (
+                SELECT id_a, id_b FROM inter
+                JOIN sizes a ON a.id = id_a
+                JOIN sizes b ON b.id = id_b
+                WHERE inter * 1.0 / (a.n + b.n - inter) >= 0.5),
+            edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+                      UNION SELECT id_b, id_a FROM pairs),
+            reach(node, comp) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.d, r.comp FROM reach r JOIN edges e ON e.s = r.node)
+            SELECT node AS doc_id, MIN(comp) AS component
+            FROM reach GROUP BY node""",
         "embed_knn": """
             SELECT query_id, neighbor_id, rank, sim FROM (
                 SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

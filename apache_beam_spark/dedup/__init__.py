@@ -2,9 +2,11 @@ from apache_beam_spark.dedup.exact import exact_dedup, fingerprint_dedup
 from apache_beam_spark.dedup.minhash import minhash_signature, minhash_lsh_dedup, minhash_lsh_pairs
 from apache_beam_spark.dedup.simhash import simhash, simhash_dedup
 from apache_beam_spark.dedup.ngram import ngram_jaccard_pairs
+from apache_beam_spark.dedup.components import connected_components, dup_clusters
 
 __all__ = [
     "exact_dedup", "fingerprint_dedup",
     "minhash_signature", "minhash_lsh_dedup", "minhash_lsh_pairs",
     "simhash", "simhash_dedup", "ngram_jaccard_pairs",
+    "connected_components", "dup_clusters",
 ]

@@ -1,0 +1,92 @@
+"""Distributed connected components for duplicate-cluster resolution.
+
+Near-dup detection (MinHash/SimHash/n-gram Jaccard) emits PAIRS; turning
+pairs into clusters — so a pipeline can keep exactly one representative
+per duplicate *group*, not per pair — is a connected-components problem.
+The reference has no built-in CC transform (pipelines hand-roll it with
+GroupByKey iterations); here it is a first-class operator.
+
+Algorithm: hash-min label propagation.  Every node starts labeled with
+its own id; each round, every node takes the min of its own label and
+its neighbors' labels; at the fixpoint every node carries the min node
+id of its component.  Each round is ONE shuffle join (edges ⋈ labels)
+plus ONE shuffle aggregation (min per node) — no driver-side graph.
+
+Scale notes (100 TB):
+- Rounds needed = graph diameter.  Duplicate-cluster graphs are
+  near-cliques (every member pairs with most others), so diameter is
+  2-3 and the loop terminates in a handful of rounds.  For
+  high-diameter graphs (chains), the two-phase large-star/small-star
+  variant (Kiveris et al., "Connected Components in MapReduce and
+  Beyond", SoCC'14) converges in O(log^2 n) with the same join shape —
+  swap the propagation step, keep the harness.
+- Lineage is truncated every round (``localCheckpoint``) so the plan
+  does not grow with iterations; on a real cluster prefer
+  ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()`` for
+  fault-tolerant truncation.
+- Convergence is detected with a single scalar aggregate per round
+  (sum of labels, which strictly decreases until the fixpoint) — O(1)
+  driver traffic, no full collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(edges: DataFrame, src: str = "src",
+                         dst: str = "dst", *, nodes: DataFrame | None = None,
+                         max_iter: int = 25) -> DataFrame:
+    """Label each node with the min node id reachable from it.
+
+    edges     undirected pair list (each pair listed once is enough)
+    nodes     optional 1-column DataFrame of the full node universe;
+              nodes with no edges come back as singleton components
+              (component = own id).  Defaults to nodes seen in edges.
+    returns   DataFrame(node, component)
+    """
+    sym = (
+        edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
+        .union(edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr")))
+        .distinct()
+    )
+    if nodes is None:
+        labels = sym.select("node").distinct().withColumn("comp", F.col("node"))
+    else:
+        ncol = nodes.columns[0]
+        labels = nodes.select(F.col(ncol).alias("node")).distinct() \
+            .withColumn("comp", F.col("node"))
+    labels = labels.localCheckpoint(eager=True)
+    prev_sig = None
+
+    for _ in range(max_iter):
+        prop = (
+            sym.join(labels, on="node")
+            .groupBy(F.col("nbr").alias("node"))
+            .agg(F.min("comp").alias("comp"))
+        )
+        labels = (
+            labels.union(prop)
+            .groupBy("node").agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        sig = labels.agg(F.sum("comp").alias("s"), F.count(F.lit(1)).alias("n")) \
+            .collect()[0]
+        sig = (sig["s"], sig["n"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    return labels.select("node", "comp")
+
+
+def dup_clusters(pairs: DataFrame, all_ids: DataFrame,
+                 id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """Near-dup pairs -> (doc_id, component) cluster assignment.
+
+    The representative (the kept document) of each cluster is the row
+    where doc_id == component; everything else is the kill list.
+    """
+    comp = connected_components(pairs, id_a, id_b, nodes=all_ids)
+    idc = all_ids.columns[0]
+    return comp.select(F.col("node").alias(idc), F.col("comp").alias("component"))

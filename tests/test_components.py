@@ -1,0 +1,53 @@
+"""Connected components (dedup/components.py): correctness on known
+graph shapes, singleton handling, and iteration/convergence behavior."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from apache_beam_spark.dedup.components import connected_components, dup_clusters
+
+
+def _cc(spark, edges, nodes=None, **kw):
+    e = spark.createDataFrame(edges, "src long, dst long")
+    n = spark.createDataFrame([(x,) for x in nodes], "id long") if nodes else None
+    out = connected_components(e, nodes=n, **kw)
+    return {r["node"]: r["comp"] for r in out.collect()}
+
+
+def test_two_components(spark):
+    got = _cc(spark, [(1, 2), (2, 3), (10, 11)])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_chain_diameter(spark):
+    # a 9-node path needs several propagation rounds (diameter 8)
+    got = _cc(spark, [(i, i + 1) for i in range(1, 9)])
+    assert set(got.values()) == {1} and len(got) == 9
+
+
+def test_singletons_from_node_universe(spark):
+    got = _cc(spark, [(1, 2)], nodes=[1, 2, 3, 4])
+    assert got == {1: 1, 2: 1, 3: 3, 4: 4}
+
+
+def test_edge_listed_both_directions_ok(spark):
+    got = _cc(spark, [(1, 2), (2, 1), (2, 3)])
+    assert set(got.values()) == {1}
+
+
+def test_dup_clusters_representative(spark):
+    pairs = spark.createDataFrame([(5, 9), (9, 7)], "id_a long, id_b long")
+    ids = spark.createDataFrame([(x,) for x in (1, 5, 7, 9)], "doc_id long")
+    out = dup_clusters(pairs, ids)
+    rows = {r["doc_id"]: r["component"] for r in out.collect()}
+    assert rows == {1: 1, 5: 5, 7: 5, 9: 5}
+    kept = [d for d, c in rows.items() if d == c]
+    assert sorted(kept) == [1, 5]
+
+
+def test_no_edges(spark):
+    e = spark.createDataFrame([], "src long, dst long")
+    n = spark.createDataFrame([(1,), (2,)], "id long")
+    out = connected_components(e, nodes=n)
+    assert {r["node"]: r["comp"] for r in out.collect()} == {1: 1, 2: 2}
