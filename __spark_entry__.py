@@ -815,6 +815,51 @@ def _tfidf(spark, sf_dir):
                     .alias("tfidf")))
 
 
+def _collocations_pmi(spark, sf_dir):
+    """Collocation extraction via pointwise mutual information over
+    adjacent-token bigrams — the linear-cost collocation pass of a
+    training-data pipeline.  Bigrams come from a zip-with-shifted-array
+    HOF (functions/text.py::bigrams), so cost is O(tokens), not a
+    per-doc self-join; totals are in-plan broadcast 1-row aggregates;
+    the unigram-count joins are plain equi-joins AQE will broadcast
+    when the vocabulary is small.  pmi = ln((c_ab/M) / ((c_a/N)^2-ish))
+    over exact integer counts."""
+    d = load_table(spark, "documents", sf_dir)
+    bg = d.select(F.explode(T.bigrams(F.col("text"))).alias("p")) \
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    uni = d.select(F.explode(T.word_tokens(F.col("text"))).alias("w"))
+    c_ab = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    c_a = uni.groupBy(F.col("w").alias("w1")).agg(F.count(F.lit(1)).alias("c_a"))
+    c_b = c_a.select(F.col("w1").alias("w2"), F.col("c_a").alias("c_b"))
+    m = bg.agg(F.count(F.lit(1)).cast("double").alias("__m__"))
+    n = uni.agg(F.count(F.lit(1)).cast("double").alias("__n__"))
+    return (c_ab.filter(F.col("c_ab") >= 20)
+            .join(c_a, on="w1").join(c_b, on="w2")
+            .crossJoin(F.broadcast(m)).crossJoin(F.broadcast(n))
+            .select("w1", "w2", "c_ab",
+                    F.round(F.log((F.col("c_ab") / F.col("__m__"))
+                                  / ((F.col("c_a") / F.col("__n__"))
+                                     * (F.col("c_b") / F.col("__n__")))), 6)
+                    .alias("pmi")))
+
+
+def _sample_stratified(spark, sf_dir):
+    """Stratified sampling with deterministic per-stratum rates — the
+    oracle-checkable twin of DataFrame.sampleBy (reference: Sample.java
+    per-key variants).  A 3-hex-digit md5 bucket of the id is compared
+    against a per-language threshold (hex-string comparison is
+    monotonic), so both engines select the identical subset.  One scan
+    + pushed filter, no shuffle."""
+    d = load_table(spark, "documents", sf_dir)
+    thr = (F.when(F.col("lang") == "en", "800")
+           .when(F.col("lang") == "de", "400")
+           .when(F.col("lang") == "fr", "200")
+           .when(F.col("lang") == "es", "600")
+           .otherwise("100"))
+    h = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 3)
+    return d.filter(h < thr).select("doc_id", "lang")
+
+
 def _user_sessions(spark, sf_dir):
     """examples TopWikipediaSessions.java: sessionize events per user
     (30-min gap), emit per-session event counts.  Session windows via
@@ -1192,6 +1237,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frame_sample": _media_frame_sample,
         "autocomplete": _autocomplete,
         "tfidf": _tfidf,
+        "collocations_pmi": _collocations_pmi,
+        "sample_stratified": _sample_stratified,
         "user_sessions": _user_sessions,
         "asof_last_purchase": _asof_last_purchase,
         "rollup_daily": _rollup_daily,
@@ -1600,6 +1647,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT tf.doc_id, tf.word,
                    ROUND(tf.tf * ln(CAST(nd.n AS DOUBLE) / df.df), 6) AS tfidf
             FROM tf JOIN df USING (word) CROSS JOIN nd""",
+        "collocations_pmi": f"""
+            WITH tk AS (SELECT {toks} AS t FROM documents),
+            bg AS (SELECT t[i] AS w1, t[i+1] AS w2
+                   FROM tk, unnest(range(1, len(t))) AS u(i)),
+            uni AS (SELECT unnest(t) AS w FROM tk),
+            cab AS (SELECT w1, w2, COUNT(*) AS c_ab FROM bg GROUP BY w1, w2),
+            ca AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+            tot AS (SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM bg) AS m,
+                           (SELECT CAST(COUNT(*) AS DOUBLE) FROM uni) AS n)
+            SELECT w1, w2, c_ab,
+                   ROUND(ln((c_ab / m) / ((a.c / n) * (b.c / n))), 6) AS pmi
+            FROM cab CROSS JOIN tot
+            JOIN ca a ON a.w = cab.w1
+            JOIN ca b ON b.w = cab.w2
+            WHERE c_ab >= 20""",
+        "sample_stratified": """
+            SELECT doc_id, lang FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 3) <
+                  CASE lang WHEN 'en' THEN '800' WHEN 'de' THEN '400'
+                            WHEN 'fr' THEN '200' WHEN 'es' THEN '600'
+                            ELSE '100' END""",
         "user_sessions": """
             WITH e AS (
                 SELECT user_id, ts,

@@ -39,6 +39,17 @@ def word_tokens(col: Column) -> Column:
     return F.regexp_extract_all(F.lower(col), F.lit(r"[\p{L}\p{N}_']+"), 0)
 
 
+def bigrams(col: Column) -> Column:
+    """Adjacent word-token pairs as struct(w1, w2) — linear in doc
+    length (zip with the shifted array), unlike a per-doc self-join.
+    Basis for collocation/PMI extraction in a training-data pipeline."""
+    t = word_tokens(col)
+    shifted = F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0)))
+    pairs = F.zip_with(t, shifted,
+                       lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
+    return F.filter(pairs, lambda p: p["w2"].isNotNull())
+
+
 def stopword_ratio(col: Column) -> Column:
     w = word_tokens(col)
     sw = F.filter(w, lambda t: t.isin(_STOPWORDS))
