@@ -588,6 +588,18 @@ def _ngram_jaccard(spark, sf_dir):
     )
 
 
+def _embed_kmeans(spark, sf_dir):
+    """Distributed fixed-iteration Lloyd's k-means over the embedding
+    table (similarity/kmeans.py): gemm-batched assignment, partial-agg
+    centroid update.  Iterative + float-order-dependent, so rows-only
+    (no SQL oracle); cluster quality is unit-tested against a numpy
+    reference in tests/test_kmeans.py."""
+    from apache_beam_spark.similarity.kmeans import kmeans
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return kmeans(emb, k=10, n_iter=5)
+
+
 def _dup_clusters(spark, sf_dir):
     """Near-dup pairs -> clusters: n-gram Jaccard >= 0.5 pairs as the
     edge set, distributed hash-min connected components (one shuffle
@@ -1229,6 +1241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_ivf_knn": _embed_ivf_knn,
         "embed_ivf_fixed": _embed_ivf_fixed,
         "embed_near_dup": _embed_near_dup,
+        "embed_kmeans": _embed_kmeans,
         "secondary_sort": _secondary_sort,
         "sample_fixed_per_key": _sample_fixed_per_key,
         "regex_find_all": _regex_find_all,
