@@ -588,6 +588,18 @@ def _ngram_jaccard(spark, sf_dir):
     )
 
 
+def _pack_sequences(spark, sf_dir):
+    """Sequence packing (operators/packing.py): greedy first-fit of
+    documents into 2000-char budget bins within 8 deterministic shards
+    (doc_id % 8, ascending id) — one shuffle, then linear local work.
+    Oracle: the same first-fit recurrence as a recursive CTE."""
+    from apache_beam_spark.operators.packing import pack_greedy
+
+    docs = load_table(spark, "documents", sf_dir)
+    return pack_greedy(docs, capacity=2000, size_col="n_chars",
+                       id_col="doc_id", n_shards=8)
+
+
 def _embed_kmeans(spark, sf_dir):
     """Distributed fixed-iteration Lloyd's k-means over the embedding
     table (similarity/kmeans.py): gemm-batched assignment, partial-agg
@@ -1242,6 +1254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_ivf_fixed": _embed_ivf_fixed,
         "embed_near_dup": _embed_near_dup,
         "embed_kmeans": _embed_kmeans,
+        "pack_sequences": _pack_sequences,
         "secondary_sort": _secondary_sort,
         "sample_fixed_per_key": _sample_fixed_per_key,
         "regex_find_all": _regex_find_all,
@@ -1681,6 +1694,28 @@ def oracle_sql() -> dict[str, str]:
                   CASE lang WHEN 'en' THEN '800' WHEN 'de' THEN '400'
                             WHEN 'fr' THEN '200' WHEN 'es' THEN '600'
                             ELSE '100' END""",
+        # same greedy first-fit recurrence as operators/packing.py,
+        # expressed as a per-shard recursive walk in row order
+        "pack_sequences": """
+            WITH RECURSIVE d AS (
+                SELECT doc_id, n_chars,
+                       CAST(doc_id % 8 AS INT) AS shard,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id % 8
+                                          ORDER BY doc_id) AS rn
+                FROM documents),
+            pack(shard, rn, doc_id, n_chars, bin, acc) AS (
+                SELECT shard, rn, doc_id, n_chars, 0, n_chars
+                FROM d WHERE rn = 1
+                UNION ALL
+                SELECT d.shard, d.rn, d.doc_id, d.n_chars,
+                       CASE WHEN p.acc + d.n_chars > 2000
+                            THEN p.bin + 1 ELSE p.bin END,
+                       CASE WHEN p.acc + d.n_chars > 2000
+                            THEN d.n_chars ELSE p.acc + d.n_chars END
+                FROM pack p JOIN d ON d.shard = p.shard AND d.rn = p.rn + 1)
+            SELECT doc_id, shard, CAST(bin AS INT) AS bin,
+                   CAST(n_chars AS BIGINT) AS n_chars
+            FROM pack""",
         "user_sessions": """
             WITH e AS (
                 SELECT user_id, ts,
