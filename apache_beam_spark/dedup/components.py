@@ -50,6 +50,11 @@ def connected_components(edges: DataFrame, src: str = "src",
         edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
         .union(edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr")))
         .distinct()
+        # checkpoint: the edge list may sit on an expensive upstream
+        # DAG (e.g. an ngram-similarity join) that must not be
+        # re-executed by every propagation round.  Lazy — round 1's
+        # convergence collect materializes it, later rounds reuse it.
+        .localCheckpoint(eager=False)
     )
     if nodes is None:
         labels = sym.select("node").distinct().withColumn("comp", F.col("node"))
@@ -57,7 +62,7 @@ def connected_components(edges: DataFrame, src: str = "src",
         ncol = nodes.columns[0]
         labels = nodes.select(F.col(ncol).alias("node")).distinct() \
             .withColumn("comp", F.col("node"))
-    labels = labels.localCheckpoint(eager=True)
+    labels = labels.localCheckpoint(eager=False)
     prev_sig = None
 
     for _ in range(max_iter):
@@ -69,7 +74,8 @@ def connected_components(edges: DataFrame, src: str = "src",
         labels = (
             labels.union(prop)
             .groupBy("node").agg(F.min("comp").alias("comp"))
-            .localCheckpoint(eager=True)
+            # lazy: the sig collect below is the materializing action
+            .localCheckpoint(eager=False)
         )
         sig = labels.agg(F.sum("comp").alias("s"), F.count(F.lit(1)).alias("n")) \
             .collect()[0]

@@ -345,7 +345,9 @@ def run_transcript(trigger: TriggerSM, window_end_ms: int,
             all_values.append(arg)
             trigger.on_element(s, ctx())
         elif kind == "watermark":
-            watermark = arg
+            # watermarks are monotone (WatermarkManager semantics): a
+            # regressing update is ignored, never applied
+            watermark = max(watermark, arg)
         elif kind == "ptime":
             ptime = arg
         else:

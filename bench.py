@@ -51,6 +51,11 @@ HEADLINE = [
     "embed_ivf_knn",
     "combine_grouped_values",
     "embed_near_dup",
+    "q13_customer_distribution",
+    "dup_clusters",
+    "collocations_pmi",
+    "embed_kmeans",
+    "pack_sequences",
 ]
 
 
