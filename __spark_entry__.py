@@ -600,6 +600,40 @@ def _pack_sequences(spark, sf_dir):
                        id_col="doc_id", n_shards=8)
 
 
+def _llm_corpus_prep(spark, sf_dir):
+    """End-to-end training-corpus preparation — the 100 TB use case as
+    ONE declarative pipeline: quality gate (gopher-style composite
+    score) -> language allowlist -> exact dedup (min-id witness per
+    normalized text) -> near-dup cluster representatives (n-gram
+    Jaccard >= 0.5 edges + connected components, keep doc == component)
+    -> greedy sequence packing of the survivors into 4000-char bins.
+
+    Every stage is an already-oracled operator; the oracle chains the
+    same CTEs, so the COMPOSITION is value-checked, not just the
+    parts.  Scale shape: filters push to the scan; dedup shuffles
+    (fingerprint, id) pairs only; CC is edge-sized; packing is one
+    shard shuffle."""
+    from apache_beam_spark.dedup.components import dup_clusters
+    from apache_beam_spark.dedup.exact import exact_dedup
+    from apache_beam_spark.operators.packing import pack_greedy
+
+    d = load_table(spark, "documents", sf_dir)
+    kept = (d.filter(T.quality_score(F.col("text")) > F.lit(0.75))
+            .filter(F.col("lang").isin("en", "de", "fr", "es")))
+    # the survivor set is consumed by four downstream stages (pair
+    # generation, CC node universe, representative semi-join, packing)
+    # and the CC loop runs actions during construction — materialize
+    # the quality+dedup subtree exactly once
+    uniq = exact_dedup(kept).cache()
+    pairs = ngram_jaccard_pairs(uniq, shingle_k=3, threshold=0.5,
+                                max_df=1_000_000).select("id_a", "id_b")
+    comp = dup_clusters(pairs, uniq.select("doc_id"))
+    reps = comp.filter(F.col("doc_id") == F.col("component")).select("doc_id")
+    final = uniq.join(reps, on="doc_id", how="left_semi")
+    return pack_greedy(final, capacity=4000, size_col="n_chars",
+                       id_col="doc_id", n_shards=4)
+
+
 def _embed_kmeans(spark, sf_dir):
     """Distributed fixed-iteration Lloyd's k-means over the embedding
     table (similarity/kmeans.py): gemm-batched assignment, partial-agg
@@ -1255,6 +1289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_near_dup": _embed_near_dup,
         "embed_kmeans": _embed_kmeans,
         "pack_sequences": _pack_sequences,
+        "llm_corpus_prep": _llm_corpus_prep,
         "secondary_sort": _secondary_sort,
         "sample_fixed_per_key": _sample_fixed_per_key,
         "regex_find_all": _regex_find_all,
@@ -1694,6 +1729,73 @@ def oracle_sql() -> dict[str, str]:
                   CASE lang WHEN 'en' THEN '800' WHEN 'de' THEN '400'
                             WHEN 'fr' THEN '200' WHEN 'es' THEN '600'
                             ELSE '100' END""",
+        # the full corpus-prep composition: quality gate -> lang
+        # allowlist -> exact dedup -> near-dup representatives
+        # (transitive closure) -> greedy packing, chained from the
+        # same CTE fragments the individual oracles use
+        "llm_corpus_prep": f"""
+            WITH RECURSIVE qual AS MATERIALIZED (
+                SELECT doc_id, text, lang, n_chars, ROUND((
+                    (CASE WHEN LENGTH(text) >= 50 THEN 1.0 ELSE LENGTH(text) / 50.0 END)
+                    + (1.0 - LEAST(2 * (LENGTH(regexp_replace(text,
+                            '[\\p{{L}}\\p{{N}}\\s]', '', 'g')) * 1.0
+                            / NULLIF(LENGTH(text), 0)), 1.0))
+                    + LEAST(5 * (len(list_filter({toks}, t -> t IN ('the','of','and','a','to',
+                            'in','is','it','that','was','for','on','as','with','at','by','an',
+                            'be','this','are','or','not'))) * 1.0 / NULLIF(len({toks}), 0)), 1.0)
+                ) / 3.0, 6) AS q
+                FROM documents),
+            kept AS MATERIALIZED (
+                SELECT doc_id, text, n_chars FROM qual
+                WHERE q > 0.75 AND lang IN ('en','de','fr','es')),
+            uniq AS MATERIALIZED (
+                SELECT doc_id, text, n_chars FROM kept
+                WHERE doc_id IN (
+                    SELECT MIN(doc_id) FROM kept GROUP BY md5({norm_text}))),
+            sh AS MATERIALIZED (
+                SELECT doc_id AS id, list_distinct({shingle_expr}) AS sh
+                FROM (SELECT doc_id, {toks} AS toks FROM uniq) t),
+            sizes AS MATERIALIZED (SELECT id, len(sh) AS n FROM sh),
+            inv AS MATERIALIZED (SELECT id, unnest(sh) AS g FROM sh),
+            inter AS MATERIALIZED (
+                SELECT x.id AS id_a, y.id AS id_b, COUNT(*) AS inter
+                FROM inv x JOIN inv y ON x.g = y.g AND x.id < y.id
+                GROUP BY x.id, y.id),
+            pairs AS MATERIALIZED (
+                SELECT id_a, id_b FROM inter
+                JOIN sizes a ON a.id = id_a
+                JOIN sizes b ON b.id = id_b
+                WHERE inter * 1.0 / (a.n + b.n - inter) >= 0.5),
+            edges AS MATERIALIZED (SELECT id_a AS s, id_b AS d FROM pairs
+                      UNION SELECT id_b, id_a FROM pairs),
+            reach(node, comp) AS (
+                SELECT doc_id, doc_id FROM uniq
+                UNION
+                SELECT e.d, r.comp FROM reach r JOIN edges e ON e.s = r.node),
+            reps AS (
+                SELECT node AS doc_id FROM reach
+                GROUP BY node HAVING node = MIN(comp)),
+            final AS (
+                SELECT u.doc_id, u.n_chars FROM uniq u
+                JOIN reps USING (doc_id)),
+            d2 AS (
+                SELECT doc_id, n_chars, CAST(doc_id % 4 AS INT) AS shard,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id % 4
+                                          ORDER BY doc_id) AS rn
+                FROM final),
+            pack(shard, rn, doc_id, n_chars, bin, acc) AS (
+                SELECT shard, rn, doc_id, n_chars, 0, n_chars
+                FROM d2 WHERE rn = 1
+                UNION ALL
+                SELECT d2.shard, d2.rn, d2.doc_id, d2.n_chars,
+                       CASE WHEN p.acc + d2.n_chars > 4000
+                            THEN p.bin + 1 ELSE p.bin END,
+                       CASE WHEN p.acc + d2.n_chars > 4000
+                            THEN d2.n_chars ELSE p.acc + d2.n_chars END
+                FROM pack p JOIN d2 ON d2.shard = p.shard AND d2.rn = p.rn + 1)
+            SELECT doc_id, shard, CAST(bin AS INT) AS bin,
+                   CAST(n_chars AS BIGINT) AS n_chars
+            FROM pack""",
         # same greedy first-fit recurrence as operators/packing.py,
         # expressed as a per-shard recursive walk in row order
         "pack_sequences": """

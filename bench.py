@@ -56,6 +56,7 @@ HEADLINE = [
     "collocations_pmi",
     "embed_kmeans",
     "pack_sequences",
+    "llm_corpus_prep",
 ]
 
 
