@@ -1224,8 +1224,15 @@ def _q6_forecast_revenue(spark, sf_dir):
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return _q1_pricing_summary(spark, SF0001)
+    """Flagship on /root/testdata/sf0.001; driver checks rows>0.
+
+    The end-to-end corpus-prep pipeline (quality gate -> lang filter ->
+    exact dedup -> near-dup cluster representatives -> sequence
+    packing) — one declarative composition exercising filters,
+    aggregation, joins, iterative connected components, and
+    applyInPandas.  TPC-H Q1 (`q1_pricing_summary`) remains in
+    queries() as the classic scan-agg flagship."""
+    return _llm_corpus_prep(spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

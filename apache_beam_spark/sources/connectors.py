@@ -19,10 +19,15 @@ pure and unit-tested (the same broker-less strategy as
 | HBaseIO (io/hbase/.../HBaseIO.java)               | hbase-spark JSON catalog |
 | SolrIO (io/solr/.../SolrIO.java)                  | ``solr`` (spark-solr) |
 | KinesisIO (io/kinesis/.../KinesisIO.java)         | ``kinesis`` (spark-sql-kinesis) |
+| SpannerIO (io/gcp/spanner/.../SpannerIO.java)     | ``cloud-spanner`` (spark-spanner-connector) |
+| BigtableIO (io/gcp/bigtable/.../BigtableIO.java)  | ``bigtable`` (spark-bigtable connector) |
 
 PubsubIO / JmsIO / MqttIO / AmqpIO have no first-party OSS Spark
 connector; route those streams through Kafka or file landing zones
-(documented mapping, SURVEY.md §8).
+(documented mapping, SURVEY.md §8).  DatastoreIO likewise: use the
+managed export to GCS and read the export files.  HadoopInputFormatIO
+is native Spark (``sparkContext.newAPIHadoopRDD`` with the same
+InputFormat class — no wrapper needed).
 """
 
 from __future__ import annotations
