@@ -901,6 +901,25 @@ def _collocations_pmi(spark, sf_dir):
                     .alias("pmi")))
 
 
+def _trigram_logprob(spark, sf_dir):
+    """Perplexity-proxy quality scoring: a char-trigram language model
+    trained on the corpus itself (explode -> count, with map-side
+    partial aggregation), then every doc scored by the mean
+    log-probability of its trigrams (self-join to the count table,
+    total in-plan as a broadcast 1-row agg).  The statistical-LM
+    filtering stage of a training-data pipeline, all JVM-side."""
+    d = load_table(spark, "documents", sf_dir)
+    g = d.select("doc_id",
+                 F.explode(T.char_ngrams(F.col("text"), 3)).alias("g"))
+    counts = g.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+    tot = g.agg(F.count(F.lit(1)).cast("double").alias("__t__"))
+    return (g.join(counts, on="g")
+            .crossJoin(F.broadcast(tot))
+            .groupBy("doc_id")
+            .agg(F.round(F.avg(F.log(F.col("c") / F.col("__t__"))), 6)
+                 .alias("logprob")))
+
+
 def _sample_stratified(spark, sf_dir):
     """Stratified sampling with deterministic per-stratum rates — the
     oracle-checkable twin of DataFrame.sampleBy (reference: Sample.java
@@ -1307,6 +1326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf": _tfidf,
         "collocations_pmi": _collocations_pmi,
         "sample_stratified": _sample_stratified,
+        "trigram_logprob": _trigram_logprob,
         "user_sessions": _user_sessions,
         "asof_last_purchase": _asof_last_purchase,
         "rollup_daily": _rollup_daily,
@@ -1730,6 +1750,23 @@ def oracle_sql() -> dict[str, str]:
             JOIN ca a ON a.w = cab.w1
             JOIN ca b ON b.w = cab.w2
             WHERE c_ab >= 20""",
+        "trigram_logprob": """
+            WITH s AS (
+                SELECT doc_id,
+                       regexp_replace(lower(text), '\\s+', ' ', 'g') AS s
+                FROM documents),
+            g AS MATERIALIZED (
+                SELECT doc_id,
+                       unnest(CASE WHEN length(s) >= 3
+                              THEN list_transform(range(1, length(s) - 1),
+                                                  i -> substr(s, i, 3))
+                              ELSE [s] END) AS g
+                FROM s),
+            c AS MATERIALIZED (SELECT g, COUNT(*) AS c FROM g GROUP BY g),
+            t AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM g)
+            SELECT doc_id, ROUND(AVG(ln(c.c / t.t)), 6) AS logprob
+            FROM g JOIN c USING (g) CROSS JOIN t
+            GROUP BY doc_id""",
         "sample_stratified": """
             SELECT doc_id, lang FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 3) <
