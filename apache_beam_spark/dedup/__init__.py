@@ -2,11 +2,15 @@ from apache_beam_spark.dedup.exact import exact_dedup, fingerprint_dedup
 from apache_beam_spark.dedup.minhash import minhash_signature, minhash_lsh_dedup, minhash_lsh_pairs
 from apache_beam_spark.dedup.simhash import simhash, simhash_dedup
 from apache_beam_spark.dedup.ngram import ngram_jaccard_pairs
-from apache_beam_spark.dedup.components import connected_components, dup_clusters
+from apache_beam_spark.dedup.components import (
+    connected_components,
+    connected_components_two_phase,
+    dup_clusters,
+)
 
 __all__ = [
     "exact_dedup", "fingerprint_dedup",
     "minhash_signature", "minhash_lsh_dedup", "minhash_lsh_pairs",
     "simhash", "simhash_dedup", "ngram_jaccard_pairs",
-    "connected_components", "dup_clusters",
+    "connected_components", "connected_components_two_phase", "dup_clusters",
 ]

@@ -51,3 +51,27 @@ def test_no_edges(spark):
     n = spark.createDataFrame([(1,), (2,)], "id long")
     out = connected_components(e, nodes=n)
     assert {r["node"]: r["comp"] for r in out.collect()} == {1: 1, 2: 2}
+
+
+def test_two_phase_matches_hash_min(spark):
+    from apache_beam_spark.dedup.components import connected_components_two_phase
+
+    edges = [(1, 2), (2, 3), (10, 11), (11, 12), (3, 10), (20, 21)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    n = spark.createDataFrame([(x,) for x in range(1, 25)], "id long")
+    got = {r["node"]: r["comp"]
+           for r in connected_components_two_phase(e, nodes=n).collect()}
+    exp = {r["node"]: r["comp"]
+           for r in connected_components(e, nodes=n).collect()}
+    assert got == exp
+
+
+def test_two_phase_long_chain(spark):
+    """A 64-node path: hash-min needs ~63 rounds; two-phase must
+    converge well inside its O(log^2 n) bound (max_iter=12 suffices)."""
+    from apache_beam_spark.dedup.components import connected_components_two_phase
+
+    e = spark.createDataFrame([(i, i + 1) for i in range(64)],
+                              "src long, dst long")
+    got = connected_components_two_phase(e, max_iter=12).collect()
+    assert len(got) == 65 and {r["comp"] for r in got} == {0}

@@ -168,3 +168,98 @@ def test_trigger_transcript_invariants(data, events):
         assert timings.count("ON_TIME") == 1
     else:
         assert all(t == "EARLY" for t in timings)
+
+
+# ---------------------------------------------------------------------------
+# connected components ≡ union-find; packing invariants
+# ---------------------------------------------------------------------------
+
+def _union_find_components(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min node id in the component
+    comp = {}
+    for n in nodes:
+        r = find(n)
+        comp.setdefault(r, []).append(n)
+    return {n: min(members) for r, members in comp.items() for n in members}
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(edges=st.lists(st.tuples(st.integers(0, 25), st.integers(0, 25)),
+                      max_size=30))
+def test_connected_components_matches_union_find(spark, edges):
+    from apache_beam_spark.dedup.components import connected_components
+
+    edges = [(a, b) for a, b in edges if a != b]
+    nodes = sorted({n for e in edges for n in e} | {0, 25})
+    e = spark.createDataFrame(edges or [(0, 0)], "src long, dst long") \
+        if edges else spark.createDataFrame([], "src long, dst long")
+    n = spark.createDataFrame([(x,) for x in nodes], "id long")
+    got = {r["node"]: r["comp"]
+           for r in connected_components(e, nodes=n).collect()}
+    assert got == _union_find_components(edges, nodes)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(edges=st.lists(st.tuples(st.integers(0, 25), st.integers(0, 25)),
+                      max_size=30))
+def test_two_phase_cc_matches_union_find(spark, edges):
+    from apache_beam_spark.dedup.components import (
+        connected_components_two_phase,
+    )
+
+    edges = [(a, b) for a, b in edges if a != b]
+    nodes = sorted({n for e in edges for n in e} | {0, 25})
+    e = spark.createDataFrame(edges or [(0, 0)], "src long, dst long") \
+        if edges else spark.createDataFrame([], "src long, dst long")
+    n = spark.createDataFrame([(x,) for x in nodes], "id long")
+    got = {r["node"]: r["comp"]
+           for r in connected_components_two_phase(e, nodes=n).collect()}
+    assert got == _union_find_components(edges, nodes)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(sizes=st.lists(st.integers(1, 30), min_size=1, max_size=25),
+       cap=st.integers(5, 40))
+def test_packing_invariants(spark, sizes, cap):
+    """For ANY input: per-shard bins are contiguous from 0 and filled in
+    id order; no bin with >1 member exceeds the cap; every row appears
+    exactly once."""
+    import collections
+
+    from apache_beam_spark.operators.packing import pack_greedy
+
+    rows = [(i, s) for i, s in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    out = pack_greedy(df, capacity=cap, n_shards=3).collect()
+    assert sorted(r["doc_id"] for r in out) == [i for i, _ in rows]
+    by_shard = collections.defaultdict(list)
+    for r in out:
+        by_shard[r["shard"]].append(r)
+    fill = collections.Counter()
+    members = collections.Counter()
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        bins = [r["bin"] for r in rs]
+        assert bins[0] == 0
+        assert all(b2 - b1 in (0, 1) for b1, b2 in zip(bins, bins[1:]))
+        for r in rs:
+            fill[(shard, r["bin"])] += r["n_chars"]
+            members[(shard, r["bin"])] += 1
+    for key, tot in fill.items():
+        if members[key] > 1:
+            assert tot <= cap
