@@ -34,7 +34,12 @@ from pyspark.sql import functions as F
 def kmeans_fit(df: DataFrame, k: int = 8, n_iter: int = 5,
                id_col: str = "vec_id", vec_col: str = "embedding"):
     """Run fixed-iteration Lloyd's; return the k x dim centroid list
-    (list of list[float], cluster id = list index)."""
+    (list of list[float], cluster id = list index).
+
+    The result plugs straight into ``similarity.knn.ivf_topk(
+    centroids=...)`` as a coarse quantizer trained on the FULL corpus
+    (vs ivf's default driver-side sample) — the right trade when the
+    corpus no longer fits a driver sample."""
     import numpy as np
 
     pts = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))

@@ -61,3 +61,24 @@ def test_ivf_salted_cells_identical_results(spark):
     salted = sorted(map(tuple, ivf_topk(q, df, dim=16, k=3, n_cells=8,
                                         n_probe=3, max_cell=20).collect()))
     assert base == salted
+
+
+def test_ivf_with_distributed_kmeans_quantizer(spark):
+    """kmeans_fit output feeds ivf_topk(centroids=...): full-corpus
+    coarse quantizer training without a driver-side sample."""
+    from apache_beam_spark.similarity.kmeans import kmeans_fit
+    from apache_beam_spark.similarity.knn import brute_force_topk, ivf_topk
+    from apache_beam_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    cents = kmeans_fit(emb, k=8, n_iter=3)
+    q = emb.filter("vec_id < 20")
+    got = ivf_topk(q, emb, dim=64, k=3, n_cells=8, n_probe=4,
+                   centroids=cents).collect()
+    assert {r["query_id"] for r in got} == set(range(20))
+    # recall sanity vs exact: most top-1 neighbors found
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in brute_force_topk(q, emb, k=1).collect()}
+    approx_top1 = {(r["query_id"], r["neighbor_id"])
+                   for r in got if r["rank"] == 1}
+    assert len(exact & approx_top1) >= 12
