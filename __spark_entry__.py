@@ -613,6 +613,12 @@ def _llm_corpus_prep(spark, sf_dir):
     parts.  Scale shape: filters push to the scan; dedup shuffles
     (fingerprint, id) pairs only; CC is edge-sized; packing is one
     shard shuffle."""
+    return _corpus_prep_stages(spark, sf_dir)["packed"]
+
+
+def _corpus_prep_stages(spark, sf_dir):
+    """Shared stage graph for the corpus-prep pipeline (consumed by
+    `_llm_corpus_prep` and `_corpus_prep_stats`)."""
     from apache_beam_spark.dedup.components import dup_clusters
     from apache_beam_spark.dedup.exact import exact_dedup
     from apache_beam_spark.operators.packing import pack_greedy
@@ -630,8 +636,26 @@ def _llm_corpus_prep(spark, sf_dir):
     comp = dup_clusters(pairs, uniq.select("doc_id"))
     reps = comp.filter(F.col("doc_id") == F.col("component")).select("doc_id")
     final = uniq.join(reps, on="doc_id", how="left_semi")
-    return pack_greedy(final, capacity=4000, size_col="n_chars",
-                       id_col="doc_id", n_shards=4)
+    packed = pack_greedy(final, capacity=4000, size_col="n_chars",
+                         id_col="doc_id", n_shards=4)
+    return {"docs": d, "kept": kept, "uniq": uniq, "reps": reps,
+            "packed": packed}
+
+
+def _corpus_prep_stats(spark, sf_dir):
+    """Pipeline observability: per-stage attrition of the corpus-prep
+    chain as ONE row (input docs -> quality+lang survivors -> exact-
+    dedup survivors -> near-dup representatives -> packed bins) — the
+    Metrics story for the flagship, computed in-plan via broadcast
+    1-row aggregates, no separate count jobs."""
+    s = _corpus_prep_stages(spark, sf_dir)
+    a = s["docs"].agg(F.count(F.lit(1)).alias("n_docs"))
+    b = s["kept"].agg(F.count(F.lit(1)).alias("n_kept"))
+    c = s["uniq"].agg(F.count(F.lit(1)).alias("n_uniq"))
+    r = s["reps"].agg(F.count(F.lit(1)).alias("n_reps"))
+    p = s["packed"].agg(F.countDistinct("shard", "bin").alias("n_bins"))
+    return (a.crossJoin(F.broadcast(b)).crossJoin(F.broadcast(c))
+            .crossJoin(F.broadcast(r)).crossJoin(F.broadcast(p)))
 
 
 def _embed_kmeans(spark, sf_dir):
@@ -1316,6 +1340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_kmeans": _embed_kmeans,
         "pack_sequences": _pack_sequences,
         "llm_corpus_prep": _llm_corpus_prep,
+        "corpus_prep_stats": _corpus_prep_stats,
         "secondary_sort": _secondary_sort,
         "sample_fixed_per_key": _sample_fixed_per_key,
         "regex_find_all": _regex_find_all,
@@ -1371,7 +1396,7 @@ def oracle_sql() -> dict[str, str]:
         "ELSE [array_to_string(toks, ' ')] END"
     )
     norm_text = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
-    return {
+    out = {
         "q1_pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
                    {_sql_dsum('l_quantity', 'sum_qty')},
@@ -1949,3 +1974,15 @@ def oracle_sql() -> dict[str, str]:
         "q15_top_supplier": _Q15_SQL.format(disc=_SQL_DISC_PRICE),
         "q22_global_sales": _Q22_SQL,
     }
+    # per-stage attrition: reuse the llm_corpus_prep CTE chain, swap
+    # the final projection for scalar-subquery stage counts
+    final_select = out["llm_corpus_prep"][out["llm_corpus_prep"].rindex(
+        "SELECT doc_id, shard"):]
+    out["corpus_prep_stats"] = out["llm_corpus_prep"].replace(
+        final_select,
+        """SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+                   (SELECT COUNT(*) FROM kept) AS n_kept,
+                   (SELECT COUNT(*) FROM uniq) AS n_uniq,
+                   (SELECT COUNT(*) FROM reps) AS n_reps,
+                   (SELECT COUNT(DISTINCT (shard, bin)) FROM pack) AS n_bins""")
+    return out
