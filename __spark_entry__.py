@@ -588,6 +588,20 @@ def _ngram_jaccard(spark, sf_dir):
     )
 
 
+def _embed_kmeans_fixed(spark, sf_dir):
+    """kmeans_assign with a FIXED quantizer (the embeddings of
+    vec_id 0..7): the assignment path — gemm argmin with
+    lowest-cluster tiebreak — becomes fully value-checkable, the same
+    strategy as `embed_ivf_fixed`.  The trained-fit path stays
+    rows-only in `embed_kmeans`."""
+    from apache_beam_spark.similarity.kmeans import kmeans_assign
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = [r["embedding"]
+             for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()]
+    return kmeans_assign(emb, cents)
+
+
 def _pack_sequences(spark, sf_dir):
     """Sequence packing (operators/packing.py): greedy first-fit of
     documents into 2000-char budget bins within 8 deterministic shards
@@ -1338,6 +1352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_ivf_fixed": _embed_ivf_fixed,
         "embed_near_dup": _embed_near_dup,
         "embed_kmeans": _embed_kmeans,
+        "embed_kmeans_fixed": _embed_kmeans_fixed,
         "pack_sequences": _pack_sequences,
         "llm_corpus_prep": _llm_corpus_prep,
         "corpus_prep_stats": _corpus_prep_stats,
@@ -1865,6 +1880,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, shard, CAST(bin AS INT) AS bin,
                    CAST(n_chars AS BIGINT) AS n_chars
             FROM pack""",
+        # fixed-quantizer assignment: euclidean argmin, ties to the
+        # lowest cluster id — list_distance reproduces the gemm path
+        "embed_kmeans_fixed": """
+            WITH c AS (
+                SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+                FROM embeddings WHERE vec_id < 8),
+            d AS (
+                SELECT e.vec_id, c.cid,
+                       list_distance(e.embedding::DOUBLE[], c.cv) AS dist
+                FROM embeddings e CROSS JOIN c)
+            SELECT vec_id, CAST(cid AS INT) AS cluster
+            FROM (SELECT vec_id, cid,
+                         ROW_NUMBER() OVER (PARTITION BY vec_id
+                                            ORDER BY dist, cid) AS rn
+                  FROM d) t
+            WHERE rn = 1""",
         # same greedy first-fit recurrence as operators/packing.py,
         # expressed as a per-shard recursive walk in row order
         "pack_sequences": """

@@ -176,12 +176,21 @@ def _streaming_benchmarks(spark) -> dict:
                 key="user", value_col="value", fire_every=50)
 
         stateful_wall = _run_stream(stateful())
+
+        def stream_dedup():
+            from apache_beam_spark.streaming import streaming_distinct
+
+            return streaming_distinct(source(), ["event_id"], "ts",
+                                      within="10 minutes")
+
+        dedup_wall = _run_stream(stream_dedup())
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", "32")
     return {
         "streaming_events_per_sec": int(n / window_wall),
         "stream_join_events_per_sec": int(2 * n / join_wall),
         "stateful_events_per_sec": int(n / stateful_wall),
+        "stream_dedup_events_per_sec": int(n / dedup_wall),
     }
 
 
