@@ -1219,6 +1219,38 @@ _Q15_SQL = """
     WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
     ORDER BY s_suppkey"""
 
+# Q4 adapted: lineitem has no l_commitdate/l_receiptdate, so "late
+# lineitem exists" becomes "lineitem shipped after the order date" —
+# same plan shape (EXISTS semi-join into a priority-distribution agg).
+_Q4_SQL = """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority"""
+
+# Q12 adapted: no l_shipmode column, so l_returnflag plays the
+# two-valued mode dimension; the high/low priority split and the
+# join+filter+conditional-agg shape are verbatim.  COUNT(CASE) rather
+# than SUM(CASE) keeps both engines in BIGINT (DuckDB SUM(int) is
+# HUGEINT, which pandas floats).
+_Q12_SQL = """
+    SELECT l_returnflag AS shipmode,
+           COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 1 END) AS high_line_count,
+           COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                      THEN 1 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_returnflag IN ('R', 'A')
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag"""
+
 # Q22 adapted: customer has no c_phone, so the country-code prefix
 # grouping becomes c_nationkey and the "never ordered" anti-join becomes
 # "has no URGENT order" (every sf's customer set has at least one order,
@@ -1260,6 +1292,8 @@ _q19_discounted = _sql_passthrough(_Q19_SQL)
 _q13_customer_distribution = _sql_passthrough(_Q13_SQL)
 _q15_top_supplier = _sql_passthrough(_Q15_SQL)
 _q22_global_sales = _sql_passthrough(_Q22_SQL)
+_q4_order_priority = _sql_passthrough(_Q4_SQL)
+_q12_shipmode_priority = _sql_passthrough(_Q12_SQL)
 
 
 def _q3_shipping_priority(spark, sf_dir):
@@ -1386,6 +1420,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q13_customer_distribution": _q13_customer_distribution,
         "q15_top_supplier": _q15_top_supplier,
         "q22_global_sales": _q22_global_sales,
+        "q4_order_priority": _q4_order_priority,
+        "q12_shipmode_priority": _q12_shipmode_priority,
     }
 
 
@@ -2004,6 +2040,8 @@ def oracle_sql() -> dict[str, str]:
         "q13_customer_distribution": _Q13_SQL,
         "q15_top_supplier": _Q15_SQL.format(disc=_SQL_DISC_PRICE),
         "q22_global_sales": _Q22_SQL,
+        "q4_order_priority": _Q4_SQL,
+        "q12_shipmode_priority": _Q12_SQL,
     }
     # per-stage attrition: reuse the llm_corpus_prep CTE chain, swap
     # the final projection for scalar-subquery stage counts
