@@ -684,6 +684,16 @@ def _embed_kmeans(spark, sf_dir):
     return kmeans(emb, k=10, n_iter=5)
 
 
+def _ngram_containment(spark, sf_dir):
+    """Asymmetric n-gram containment >= 0.8 — subsumed-document
+    detection (dedup/ngram.py::ngram_containment_pairs)."""
+    from apache_beam_spark.dedup.ngram import ngram_containment_pairs
+
+    return ngram_containment_pairs(
+        load_table(spark, "documents", sf_dir), shingle_k=3, threshold=0.8,
+        max_df=1_000_000)
+
+
 def _dup_clusters(spark, sf_dir):
     """Near-dup pairs -> clusters: n-gram Jaccard >= 0.5 pairs as the
     edge set, distributed hash-min connected components (one shuffle
@@ -1379,6 +1389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _dedup_simhash,
         "dedup_simhash_md5": _dedup_simhash_md5,
         "ngram_jaccard": _ngram_jaccard,
+        "ngram_containment": _ngram_containment,
         "dup_clusters": _dup_clusters,
         "embed_knn": _embed_knn,
         "embed_lsh_knn": _embed_lsh_knn,
@@ -1713,6 +1724,20 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes a ON a.id = id_a
             JOIN sizes b ON b.id = id_b
             WHERE inter * 1.0 / (a.n + b.n - inter) >= 0.5""",
+        "ngram_containment": f"""
+            WITH sh AS MATERIALIZED (
+                SELECT doc_id AS id, list_distinct({shingle_expr}) AS sh
+                FROM (SELECT doc_id, {toks} AS toks FROM documents) t),
+            sizes AS (SELECT id, len(sh) AS n FROM sh),
+            inv AS MATERIALIZED (SELECT id, unnest(sh) AS g FROM sh),
+            inter AS MATERIALIZED (
+                SELECT x.id AS id_a, y.id AS id_b, COUNT(*) AS inter
+                FROM inv x JOIN inv y ON x.g = y.g AND x.id <> y.id
+                GROUP BY x.id, y.id)
+            SELECT id_a, id_b,
+                   ROUND(inter * 1.0 / a.n, 6) AS containment
+            FROM inter JOIN sizes a ON a.id = id_a
+            WHERE inter * 1.0 / a.n >= 0.8""",
         # transitive closure over the SAME jaccard>=0.5 pair set; MIN of
         # reachable ids == the hash-min fixpoint the Spark operator finds
         "dup_clusters": f"""

@@ -75,3 +75,18 @@ def test_two_phase_long_chain(spark):
                               "src long, dst long")
     got = connected_components_two_phase(e, max_iter=12).collect()
     assert len(got) == 65 and {r["comp"] for r in got} == {0}
+
+
+def test_containment_finds_subsumed_doc(spark):
+    """A short doc whose shingles all appear in a long doc is flagged
+    with containment 1.0; the reverse direction is not."""
+    from apache_beam_spark.dedup.ngram import ngram_containment_pairs
+
+    long = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    short = "gamma delta epsilon zeta"
+    other = "one two three four five six seven"
+    df = spark.createDataFrame(
+        [(1, long), (2, short), (3, other)], "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): r["containment"]
+           for r in ngram_containment_pairs(df, threshold=0.8).collect()}
+    assert got == {(2, 1): 1.0}
