@@ -949,6 +949,47 @@ def _collocations_pmi(spark, sf_dir):
                     .alias("pmi")))
 
 
+def _source_quality_report(spark, sf_dir):
+    """Source-level corpus diagnostics: per source, volume, mean
+    quality, mean length, and exact-duplicate count (docs that are not
+    their fingerprint group's min-id witness) — the keep/drop-a-crawl
+    report of a corpus curation pipeline.  One scan + one window over
+    the fingerprint + one agg."""
+    from pyspark.sql.window import Window as W
+
+    d = load_table(spark, "documents", sf_dir)
+    fp = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))),
+                                r"\s+", " ").cast("binary"))
+    w = d.select("doc_id", "source", "n_chars",
+                 T.quality_score(F.col("text")).alias("q"),
+                 fp.alias("fp")) \
+        .withColumn("witness", F.min("doc_id").over(W.partitionBy("fp")))
+    return (w.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.avg("q"), 6).alias("avg_quality"),
+                 F.round(F.avg(F.col("n_chars").cast("double")), 6)
+                 .alias("avg_chars"),
+                 F.count(F.when(F.col("doc_id") != F.col("witness"), 1))
+                 .alias("n_dup_docs")))
+
+
+def _funnel_view_purchase(spark, sf_dir):
+    """Funnel analysis: per user, how many 'view' events converted to a
+    'purchase' within the following hour.  The user_id equi-key makes
+    the time-range join a keyed join (per-user event lists are small);
+    the semi-join keeps each converting view exactly once."""
+    ev = load_table(spark, "events", sf_dir)
+    v = ev.filter(F.col("event_type") == "view") \
+        .select("event_id", "user_id", "ts")
+    p = ev.filter(F.col("event_type") == "purchase") \
+        .select(F.col("user_id").alias("pu"), F.col("ts").alias("pts"))
+    conv = v.join(
+        p, (v["user_id"] == p["pu"]) & (p["pts"] > v["ts"])
+        & (p["pts"] <= v["ts"] + F.expr("INTERVAL 1 HOUR")), "left_semi")
+    return conv.groupBy("user_id") \
+        .agg(F.count(F.lit(1)).alias("n_converted_views"))
+
+
 def _trigram_logprob(spark, sf_dir):
     """Perplexity-proxy quality scoring: a char-trigram language model
     trained on the corpus itself (explode -> count, with map-side
@@ -1412,6 +1453,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations_pmi": _collocations_pmi,
         "sample_stratified": _sample_stratified,
         "trigram_logprob": _trigram_logprob,
+        "source_quality_report": _source_quality_report,
+        "funnel_view_purchase": _funnel_view_purchase,
         "user_sessions": _user_sessions,
         "asof_last_purchase": _asof_last_purchase,
         "rollup_daily": _rollup_daily,
@@ -1851,6 +1894,37 @@ def oracle_sql() -> dict[str, str]:
             JOIN ca a ON a.w = cab.w1
             JOIN ca b ON b.w = cab.w2
             WHERE c_ab >= 20""",
+        "source_quality_report": f"""
+            WITH q AS (
+                SELECT doc_id, source, n_chars,
+                       ROUND((
+                        (CASE WHEN LENGTH(text) >= 50 THEN 1.0 ELSE LENGTH(text) / 50.0 END)
+                        + (1.0 - LEAST(2 * (LENGTH(regexp_replace(text,
+                                '[\\p{{L}}\\p{{N}}\\s]', '', 'g')) * 1.0
+                                / NULLIF(LENGTH(text), 0)), 1.0))
+                        + LEAST(5 * (len(list_filter({toks}, t -> t IN ('the','of','and','a','to',
+                                'in','is','it','that','was','for','on','as','with','at','by','an',
+                                'be','this','are','or','not'))) * 1.0 / NULLIF(len({toks}), 0)), 1.0)
+                       ) / 3.0, 6) AS q,
+                       md5({norm_text}) AS fp
+                FROM documents),
+            w AS (SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS witness
+                  FROM q)
+            SELECT source, COUNT(*) AS n_docs,
+                   ROUND(AVG(q), 6) AS avg_quality,
+                   ROUND(AVG(n_chars * 1.0), 6) AS avg_chars,
+                   COUNT(CASE WHEN doc_id <> witness THEN 1 END) AS n_dup_docs
+            FROM w GROUP BY source""",
+        "funnel_view_purchase": """
+            SELECT user_id, COUNT(*) AS n_converted_views
+            FROM events v
+            WHERE event_type = 'view'
+              AND EXISTS (SELECT 1 FROM events p
+                          WHERE p.user_id = v.user_id
+                            AND p.event_type = 'purchase'
+                            AND p.ts > v.ts
+                            AND p.ts <= v.ts + INTERVAL 1 HOUR)
+            GROUP BY user_id""",
         "trigram_logprob": """
             WITH s AS (
                 SELECT doc_id,
