@@ -990,6 +990,36 @@ def _funnel_view_purchase(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_converted_views"))
 
 
+def _weekly_retention(spark, sf_dir):
+    """Cohort retention: users bucketed by the week of their FIRST
+    event, counted as active in each subsequent week-offset — two
+    aggregations (per-user first week, per-(user,week) activity) and a
+    count-distinct, all shuffling only (user, week) pairs."""
+    ev = load_table(spark, "events", sf_dir)
+    wk = F.date_trunc("week", F.col("ts"))
+    first = ev.groupBy("user_id").agg(F.min(wk).alias("cohort_week"))
+    active = ev.select("user_id", wk.alias("week")).distinct()
+    return (active.join(first, on="user_id")
+            .select("cohort_week",
+                    (F.datediff("week", "cohort_week") / 7)
+                    .cast("int").alias("week_offset"), "user_id")
+            .groupBy("cohort_week", "week_offset")
+            .agg(F.countDistinct("user_id").alias("n_users")))
+
+
+def _event_type_pivot(spark, sf_dir):
+    """Per-user event-type crosstab via groupBy().pivot() — Spark's
+    pivot is a single hash aggregation over (user, type) with the
+    pivot columns resolved at plan time (explicit value list: no
+    distinct pre-pass, deterministic schema)."""
+    ev = load_table(spark, "events", sf_dir)
+    return (ev.groupBy("user_id")
+            .pivot("event_type",
+                   ["click", "error", "purchase", "signup", "view"])
+            .agg(F.count(F.lit(1)))
+            .na.fill(0, ["click", "error", "purchase", "signup", "view"]))
+
+
 def _trigram_logprob(spark, sf_dir):
     """Perplexity-proxy quality scoring: a char-trigram language model
     trained on the corpus itself (explode -> count, with map-side
@@ -1455,6 +1485,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trigram_logprob": _trigram_logprob,
         "source_quality_report": _source_quality_report,
         "funnel_view_purchase": _funnel_view_purchase,
+        "weekly_retention": _weekly_retention,
+        "event_type_pivot": _event_type_pivot,
         "user_sessions": _user_sessions,
         "asof_last_purchase": _asof_last_purchase,
         "rollup_daily": _rollup_daily,
@@ -1915,6 +1947,27 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(n_chars * 1.0), 6) AS avg_chars,
                    COUNT(CASE WHEN doc_id <> witness THEN 1 END) AS n_dup_docs
             FROM w GROUP BY source""",
+        "weekly_retention": """
+            WITH first AS (
+                SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+                FROM events GROUP BY user_id),
+            active AS (
+                SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+                FROM events)
+            SELECT f.cohort_week,
+                   CAST(date_diff('day', f.cohort_week, a.week) / 7 AS INT)
+                       AS week_offset,
+                   COUNT(DISTINCT a.user_id) AS n_users
+            FROM active a JOIN first f USING (user_id)
+            GROUP BY f.cohort_week, week_offset""",
+        "event_type_pivot": """
+            SELECT user_id,
+                   COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+                   COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+                   COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+                   COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+                   COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+            FROM events GROUP BY user_id""",
         "funnel_view_purchase": """
             SELECT user_id, COUNT(*) AS n_converted_views
             FROM events v
