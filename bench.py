@@ -57,6 +57,13 @@ HEADLINE = [
     "embed_kmeans",
     "pack_sequences",
     "llm_corpus_prep",
+    "ngram_containment",
+    "trigram_logprob",
+    "funnel_view_purchase",
+    "weekly_retention",
+    "event_type_pivot",
+    "q4_order_priority",
+    "q12_shipmode_priority",
 ]
 
 
