@@ -1028,11 +1028,33 @@ def _trigram_logprob(spark, sf_dir):
     total in-plan as a broadcast 1-row agg).  The statistical-LM
     filtering stage of a training-data pipeline, all JVM-side."""
     d = load_table(spark, "documents", sf_dir)
-    g = d.select("doc_id",
-                 F.explode(T.char_ngrams(F.col("text"), 3)).alias("g"))
+    # Normalize ONCE into a materialized column, then explode positions
+    # and substr per row — all whole-stage-codegen.  (A transform() HOF
+    # that captures the normalization expression re-evaluates the regexp
+    # for every array element: O(len^2) interpreted work per doc.)
+    # Repartition before the explode: trigrams amplify the row count
+    # ~300x, so post-read parallelism must match the exploded size, not
+    # the (small, possibly single-split) source file.
+    s = (d.select("doc_id",
+                  F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+                  .alias("s"))
+         .repartition(spark.sparkContext.defaultParallelism))
+    g = (s.select("doc_id", "s",
+                  F.explode(F.sequence(
+                      F.lit(1),
+                      F.greatest(F.length("s") - 2, F.lit(1)))).alias("i"))
+         .select("doc_id",
+                 F.when(F.length("s") >= 3,
+                        F.col("s").substr(F.col("i"), F.lit(3)))
+                 .otherwise(F.col("s")).alias("g")))
+    # The model is vocabulary-sized (distinct char trigrams — bounded by
+    # the charset, not the corpus), so broadcast it: the exploded stream
+    # then joins map-side instead of shuffling the full trigram stream
+    # on a string key.  The trigram total comes from the count table
+    # itself (sum of c), not a second scan of the corpus.
     counts = g.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
-    tot = g.agg(F.count(F.lit(1)).cast("double").alias("__t__"))
-    return (g.join(counts, on="g")
+    tot = counts.agg(F.sum("c").cast("double").alias("__t__"))
+    return (g.join(F.broadcast(counts), on="g")
             .crossJoin(F.broadcast(tot))
             .groupBy("doc_id")
             .agg(F.round(F.avg(F.log(F.col("c") / F.col("__t__"))), 6)

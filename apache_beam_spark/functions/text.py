@@ -136,9 +136,22 @@ def shingles(col: Column, k: int = 3) -> Column:
 
 
 def char_ngrams(col: Column, n: int = 5) -> Column:
-    """Character n-grams of the normalized text."""
+    """Character n-grams of the normalized text.
+
+    Same shifted-zip construction as :func:`shingles`: the char array is
+    zipped with its own shifted slices, so normalization + split run a
+    constant number of times per row.  (The index-transform formulation
+    ``transform(idx, i -> substr(s, i, n))`` captures the normalization
+    expression inside the lambda and re-evaluates the regexp for every
+    element — O(len²) interpreted work per doc.)
+    """
     s = F.regexp_replace(F.lower(col), r"\s+", " ")
     ln = F.length(s)
-    idx = F.sequence(F.lit(1), F.greatest(ln - n + 1, F.lit(1)))
-    grams = F.transform(idx, lambda i: F.substr(s, i, F.lit(n)))
-    return F.when(ln >= n, grams).otherwise(F.array(s))
+    chars = F.split(s, "")
+    out = chars
+    for i in range(1, n):
+        out = F.zip_with(out, F.slice(chars, i + 1, ln),
+                         lambda a, b: F.concat(a, b))
+    out = F.filter(out, lambda x: x.isNotNull())
+    return (F.when(col.isNull(), F.lit(None).cast("array<string>"))
+            .when(ln >= n, out).otherwise(F.array(s)))

@@ -104,6 +104,23 @@ def test_shingles_laws(spark, words, k):
         assert out == [" ".join(words)]       # short-doc fallback
 
 
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(text=st.text(alphabet="abC xy\tZ", min_size=0, max_size=24),
+       n=st.integers(2, 5))
+def test_char_ngrams_matches_python_reference(spark, text, n):
+    import re
+
+    from apache_beam_spark.functions.text import char_ngrams
+
+    df = spark.createDataFrame([(text,)], ["t"])
+    out = df.select(char_ngrams(F.col("t"), n).alias("g")).first()["g"]
+    s = re.sub(r"\s+", " ", text.lower())
+    want = ([s[i:i + n] for i in range(len(s) - n + 1)]
+            if len(s) >= n else [s])
+    assert out == want
+
+
 # ---------------------------------------------------------------------
 # trigger state machine invariants (random transcripts)
 
