@@ -1061,6 +1061,71 @@ def _trigram_logprob(spark, sf_dir):
                  .alias("logprob")))
 
 
+def _heavy_hitter_words(spark, sf_dir):
+    """Corpus-level heavy-hitter tokens WITHOUT shuffling the token
+    stream: per-partition Misra-Gries summaries (mapInPandas, capacity
+    50) union into a kilobyte-sized candidate set, which is broadcast
+    back for an exact-count pass over matching rows only.  Output is
+    deterministic — exactly the tokens with frequency > n/51 and their
+    exact counts — so it hash-matches the plain SQL GROUP BY/HAVING
+    oracle.  (Reference: Top.java/Count.java composed with a threshold;
+    the sketch replaces the full shuffle they'd cost at 100 TB.)"""
+    from apache_beam_spark.operators.heavy_hitters import heavy_hitters
+
+    d = (load_table(spark, "documents", sf_dir)
+         .repartition(spark.sparkContext.defaultParallelism))
+    toks = d.select(F.explode(T.word_tokens(F.col("text"))).alias("item"))
+    return heavy_hitters(toks, "item", capacity=50)
+
+
+def _top_words(spark, sf_dir):
+    """Approximate top-k tokens: exact counts restricted to Misra-Gries
+    candidates, deterministic (freq desc, item) tiebreak.  Exact — and
+    hash-identical to the SQL ORDER BY/LIMIT oracle — whenever the
+    k-th frequency clears n/(capacity+1), which capacity=200 guarantees
+    for this corpus."""
+    from apache_beam_spark.operators.heavy_hitters import approx_top_k
+
+    d = (load_table(spark, "documents", sf_dir)
+         .repartition(spark.sparkContext.defaultParallelism))
+    toks = d.select(F.explode(T.word_tokens(F.col("text"))).alias("item"))
+    return approx_top_k(toks, "item", k=15, capacity=200)
+
+
+def _repetition_stats(spark, sf_dir):
+    """Gopher-style repetition quality signals per document: duplicate
+    word fraction, most-frequent-word fraction, most-frequent-bigram
+    fraction — the filters that catch boilerplate/spam in a training
+    corpus.  One token explode + (doc, word) partial-agg then per-doc
+    agg; bigrams from the linear zip-with-shifted HOF; all counts exact
+    integers, ratios rounded.  Scales as two map-side-combined shuffles
+    keyed by doc_id — no per-doc data ever collects."""
+    d = (load_table(spark, "documents", sf_dir)
+         .repartition(spark.sparkContext.defaultParallelism))
+    w = d.select("doc_id", F.explode(T.word_tokens(F.col("text"))).alias("w"))
+    wc = w.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    uni = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.max("c").alias("__top_c__"),
+        F.count(F.lit(1)).alias("__n_dist__"))
+    bgp = (d.select("doc_id", F.explode(T.bigrams(F.col("text"))).alias("p"))
+           .select("doc_id",
+                   F.concat_ws(" ", F.col("p.w1"), F.col("p.w2")).alias("b")))
+    bc = bgp.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
+    big = bc.groupBy("doc_id").agg(F.sum("c").alias("__n_bg__"),
+                                   F.max("c").alias("__top_bc__"))
+    return (uni.join(big, on="doc_id", how="left")
+            .select("doc_id", "n_words",
+                    F.round(1 - F.col("__n_dist__") / F.col("n_words"), 6)
+                    .alias("dup_word_frac"),
+                    F.round(F.col("__top_c__") / F.col("n_words"), 6)
+                    .alias("top_word_frac"),
+                    F.round(F.coalesce(
+                        F.col("__top_bc__") / F.col("__n_bg__"),
+                        F.lit(0.0)), 6)
+                    .alias("top_bigram_frac")))
+
+
 def _sample_stratified(spark, sf_dir):
     """Stratified sampling with deterministic per-stratum rates — the
     oracle-checkable twin of DataFrame.sampleBy (reference: Sample.java
@@ -1505,6 +1570,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations_pmi": _collocations_pmi,
         "sample_stratified": _sample_stratified,
         "trigram_logprob": _trigram_logprob,
+        "heavy_hitter_words": _heavy_hitter_words,
+        "top_words": _top_words,
+        "repetition_stats": _repetition_stats,
         "source_quality_report": _source_quality_report,
         "funnel_view_purchase": _funnel_view_purchase,
         "weekly_retention": _weekly_retention,
@@ -2000,6 +2068,41 @@ def oracle_sql() -> dict[str, str]:
                             AND p.ts > v.ts
                             AND p.ts <= v.ts + INTERVAL 1 HOUR)
             GROUP BY user_id""",
+        "heavy_hitter_words": f"""
+            WITH tok AS MATERIALIZED (
+                SELECT unnest({toks}) AS item FROM documents),
+            t AS (SELECT COUNT(*) AS n FROM tok)
+            SELECT item, COUNT(*) AS freq
+            FROM tok CROSS JOIN t
+            GROUP BY item, n
+            HAVING COUNT(*) * 51 > n""",
+        "top_words": f"""
+            WITH tok AS (SELECT unnest({toks}) AS item FROM documents)
+            SELECT item, COUNT(*) AS freq
+            FROM tok GROUP BY item
+            ORDER BY freq DESC, item LIMIT 15""",
+        "repetition_stats": f"""
+            WITH tk AS MATERIALIZED (
+                SELECT doc_id, {toks} AS t FROM documents),
+            uni AS (SELECT doc_id, unnest(t) AS w FROM tk),
+            wc AS (SELECT doc_id, w, COUNT(*) AS c
+                   FROM uni GROUP BY doc_id, w),
+            u AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+                         MAX(c) AS top_c, COUNT(*) AS n_dist
+                  FROM wc GROUP BY doc_id),
+            bg AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS b
+                   FROM tk, unnest(range(1, len(t))) AS u(i)),
+            bc AS (SELECT doc_id, b, COUNT(*) AS c
+                   FROM bg GROUP BY doc_id, b),
+            bgg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bg,
+                           MAX(c) AS top_bc
+                    FROM bc GROUP BY doc_id)
+            SELECT u.doc_id, u.n_words,
+                   ROUND(1 - u.n_dist / u.n_words, 6) AS dup_word_frac,
+                   ROUND(u.top_c / u.n_words, 6) AS top_word_frac,
+                   ROUND(COALESCE(g.top_bc / g.n_bg, 0.0), 6)
+                       AS top_bigram_frac
+            FROM u LEFT JOIN bgg g USING (doc_id)""",
         "trigram_logprob": """
             WITH s AS (
                 SELECT doc_id,

@@ -64,6 +64,8 @@ HEADLINE = [
     "event_type_pivot",
     "q4_order_priority",
     "q12_shipmode_priority",
+    "heavy_hitter_words",
+    "repetition_stats",
 ]
 
 
