@@ -73,15 +73,10 @@ def _band_rows(sig_col: str, num_bands: int, rows_per_band: int) -> Column:
     )
 
 
-def _parallelize_narrow(df: DataFrame) -> DataFrame:
-    """Repartition CPU-bound inputs that arrived in too few partitions
-    (a single small parquet file scans as 1 task — all the hashing would
-    run on one core).  No-op when the scan already has parallelism, as
-    any at-scale input with many files will."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+# shared with simhash/ngram/knn/kmeans; kept importable from here
+from apache_beam_spark.plans.partitioning import (  # noqa: E402
+    parallelize_narrow as _parallelize_narrow,
+)
 
 
 def minhash_lsh_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",

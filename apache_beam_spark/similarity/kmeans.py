@@ -84,8 +84,11 @@ def _assign(pts: DataFrame, cents) -> DataFrame:
             pdf["cluster"] = d.argmin(axis=1).astype("int32")
             yield pdf
 
+    from apache_beam_spark.plans.partitioning import parallelize_narrow
+
     schema = "id bigint, v array<double>, cluster int"
-    return pts.select("id", F.col("v").cast("array<double>").alias("v")) \
+    return parallelize_narrow(
+        pts.select("id", F.col("v").cast("array<double>").alias("v"))) \
         .mapInPandas(fn, schema=schema)
 
 

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from apache_beam_spark.functions.vectors import cosine, dot, normalize
+from apache_beam_spark.plans.partitioning import parallelize_narrow
 
 
 def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
@@ -32,7 +33,9 @@ def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
     The corpus side is broadcast (must be the smaller side); ranking is a
     per-query bounded heap via row_number window.
     """
-    q = queries.select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("__qv__"))
+    q = parallelize_narrow(
+        queries.select(F.col(query_id).alias("query_id"),
+                       F.col(vec_col).alias("__qv__")))
     c = corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("__cv__"))
     joined = q.crossJoin(F.broadcast(c))
     if self_exclude:
@@ -116,8 +119,9 @@ def brute_force_topk_blas(queries: DataFrame, corpus: DataFrame, k: int = 5,
                 yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n,
                                     "sim": out_s, "rank": out_r})
 
-        q = queries.select(F.col(query_id).alias("query_id"),
-                           F.col(vec_col).alias("__qv__"))
+        q = parallelize_narrow(
+            queries.select(F.col(query_id).alias("query_id"),
+                           F.col(vec_col).alias("__qv__")))
         return q.mapInPandas(fn, out_schema)
 
     # broadcast_side == "queries": corpus streams, per-partition top-k + merge
@@ -149,8 +153,9 @@ def brute_force_topk_blas(queries: DataFrame, corpus: DataFrame, k: int = 5,
             yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n,
                                 "sim": out_s})
 
-    c = corpus.select(F.col(corpus_id).alias("neighbor_id"),
-                      F.col(vec_col).alias("__cv__"))
+    c = parallelize_narrow(
+        corpus.select(F.col(corpus_id).alias("neighbor_id"),
+                      F.col(vec_col).alias("__cv__")))
     local = c.mapInPandas(fn, "query_id bigint, neighbor_id bigint, sim double")
     w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (local.withColumn("rank", F.row_number().over(w))
@@ -184,11 +189,11 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 5,
     fewer bits or multi-probe.
     """
     planes = _hyperplanes(dim, n_bits, seed)
-    q = queries.select(
+    q = parallelize_narrow(queries).select(
         F.col(query_id).alias("query_id"), F.col(vec_col).alias("__qv__"),
         _lsh_bucket(F.col(vec_col), planes).alias("__b__"),
     )
-    c = corpus.select(
+    c = parallelize_narrow(corpus).select(
         F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("__cv__"),
         _lsh_bucket(F.col(vec_col), planes).alias("__b__"),
     )
@@ -278,7 +283,7 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 5,
                 out["__cell__"] = top.ravel()
                 yield out
 
-        return df.mapInPandas(
+        return parallelize_narrow(df).mapInPandas(
             fn, f"{id_alias} bigint, {vec_alias} array<double>, __cell__ int")
 
     q = assign(queries.select(F.col(query_id).alias("query_id"),
@@ -366,7 +371,8 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
                 "bh": bh.ravel(),
             })
 
-    sigs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v__")) \
+    sigs = parallelize_narrow(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v__"))) \
         .mapInPandas(sig_fn, "id bigint, band int, bh bigint")
     buckets = (
         sigs.groupBy("band", "bh").agg(F.collect_list("id").alias("ids"))
