@@ -137,21 +137,33 @@ def triggered_windowed_sum(
             pane_ts = ctx.get("pane_max_ts")
         else:
             pane_ts = wend
+        # advance the machine BEFORE emitting so the pane can carry
+        # is_last (PaneInfo.java:44 — LAST is known when the trigger
+        # finishes on this firing and the window closes)
+        trigger.on_fire(s, tctx)
+        finished = trigger.finished(s)
+        pane_idx = ctx.get("pane_idx", 0)
+        if timing == EARLY:
+            on_time_index = -1       # speculative pane (Beam convention)
+        else:
+            on_time_index = ctx.get("oti", 0)
+            ctx.put("oti", on_time_index + 1)
         ctx.output({
             "key": k[0], "window_end_ms": wend,
-            "pane_index": ctx.get("pane_idx", 0), "timing": timing,
+            "pane_index": pane_idx, "timing": timing,
+            "is_first": pane_idx == 0, "is_last": finished,
+            "on_time_index": on_time_index,
             "n_in_pane": ctx.get("pane_n", 0),
             "pane_ts_ms": pane_ts,
             "total": ctx.get("total", 0.0) if accumulating
             else ctx.get("pane_total", 0.0),
         })
-        ctx.put("pane_idx", ctx.get("pane_idx", 0) + 1)
+        ctx.put("pane_idx", pane_idx + 1)
         ctx.put("pane_n", 0)
         ctx.put("pane_total", 0.0)
         ctx.clear("pane_min_ts")
         ctx.clear("pane_max_ts")
-        trigger.on_fire(s, tctx)
-        if trigger.finished(s):
+        if finished:
             ctx.put("closed", True)
 
     def process(k, pdf: pd.DataFrame, ctx) -> None:
@@ -191,7 +203,8 @@ def triggered_windowed_sum(
     return stateful_do_fn(
         tagged, ["__k__", "__wend_ms__"], process, on_timer,
         output_schema=("key string, window_end_ms long, pane_index int, "
-                       "timing string, n_in_pane int, pane_ts_ms long, "
+                       "timing string, is_first boolean, is_last boolean, "
+                       "on_time_index long, n_in_pane int, pane_ts_ms long, "
                        "total double"),
         time_domain="event", event_time=event_time,
         allowed_lateness=allowed_lateness,

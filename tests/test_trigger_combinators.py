@@ -159,6 +159,11 @@ def test_triggered_windowed_sum_end_to_end(spark, tmp_path):
     assert a.timing.tolist() == ["EARLY", "ON_TIME"]
     assert a.total.tolist() == [3.0, 6.0]
     assert a.pane_index.tolist() == [0, 1]
+    # full PaneInfo: first flag, last flag on the closing pane, and the
+    # non-speculative index (-1 for the early pane, 0 for on-time)
+    assert a.is_first.tolist() == [True, False]
+    assert a.is_last.tolist() == [False, True]
+    assert a.on_time_index.tolist() == [-1, 0]
 
 
 def test_pane_output_timestamp_holds(spark, tmp_path):
