@@ -1,0 +1,120 @@
+"""Empirical scale-up check: does each heavy query's runtime grow
+linearly when the data grows 10x?
+
+Usage: python scripts/scale_check.py [k] [out_dir]
+
+Builds a k-times replica of /root/testdata/sf0.1 under
+``.scale/sf0.1xK`` (key-offset replication so joins stay consistent:
+every copy gets disjoint order/cust/part/supp/doc/vec/event/user ids;
+nation/region stay single-copy dims).  Document text and embeddings are
+perturbed per copy (a copy-marker token / a tiny per-copy vector
+offset) so dedup/ANN workloads don't see the replicas as K^2 artificial
+duplicate pairs.  Then times the heavy headline queries at sf0.1 and at
+the replica and prints a JSON line with per-query times and the
+time-ratio vs the 10x data-ratio — the evidence behind SCALING.md.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import sys
+import time
+
+SRC = "/root/testdata/sf0.1"
+
+#: per-table key columns that must stay disjoint across copies
+OFFSET_COLS = {
+    "customer": ["c_custkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "part": ["p_partkey"],
+    "supplier": ["s_suppkey"],
+    "nation": [],
+    "region": [],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+OFF = 100_000_000  # larger than any key at this scale
+
+QUERIES = [
+    "q1_pricing_summary", "star_join_revenue", "q18_large_volume",
+    "dedup_exact", "dedup_minhash", "dedup_simhash", "ngram_jaccard",
+    "trigram_logprob", "heavy_hitter_words", "repetition_stats",
+    "dup_clusters", "llm_corpus_prep", "embed_near_dup", "embed_knn",
+    "user_sessions", "asof_last_purchase",
+]
+
+
+def build_replica(spark, k: int, dst: str) -> None:
+    from pyspark.sql import DataFrame
+    from pyspark.sql import functions as F
+
+    from apache_beam_spark.sources.tables import load_table
+
+    for table, keys in OFFSET_COLS.items():
+        out_path = f"{dst}/{table}.parquet"
+        if os.path.exists(out_path):
+            continue
+        df = load_table(spark, table, SRC)
+        if not keys:               # dims: single copy
+            df.write.mode("overwrite").parquet(out_path)
+            continue
+        copies = []
+        for i in range(k):
+            c = df
+            for col in keys:
+                c = c.withColumn(col, F.col(col) + F.lit(i * OFF))
+            if table == "documents" and i > 0:
+                # perturb so replicas are near- but not exact dups
+                c = (c.withColumn("text", F.concat_ws(
+                        " ", F.lit(f"cp{i}"), F.col("text")))
+                     .withColumn("n_chars", F.length("text")))
+            if table == "embeddings" and i > 0:
+                c = c.withColumn("embedding", F.transform(
+                    "embedding",
+                    lambda x: (x + F.lit(i * 1e-3)).cast("float")))
+            copies.append(c)
+        big = functools.reduce(DataFrame.unionByName, copies)
+        big.repartition(32).write.mode("overwrite").parquet(out_path)
+
+
+def time_suite(spark, queries, sf_dir: str) -> dict[str, float]:
+    out = {}
+    for name in QUERIES:
+        t0 = time.time()
+        queries[name](spark, sf_dir).write.format("noop") \
+            .mode("overwrite").save()
+        out[name] = round(time.time() - t0, 3)
+        print(f"# {sf_dir.rsplit('/', 1)[-1]} {name}: {out[name]:.2f}s",
+              file=sys.stderr)
+    return out
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    dst = sys.argv[2] if len(sys.argv) > 2 else f"/root/repo/.scale/sf0.1x{k}"
+    os.makedirs(dst, exist_ok=True)
+
+    sys.path.insert(0, "/root/repo")
+    from apache_beam_spark.engine import get_spark
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("scale-check")
+    build_replica(spark, k, dst)
+    queries = entrymod.queries()
+
+    base = time_suite(spark, queries, SRC)
+    scaled = time_suite(spark, queries, dst)
+    report = {
+        name: {"t_sf01": base[name], "t_scaled": scaled[name],
+               "time_ratio": round(scaled[name] / base[name], 2)}
+        for name in QUERIES
+    }
+    print(json.dumps({"k": k, "data_ratio": k, "queries": report}))
+
+
+if __name__ == "__main__":
+    main()
