@@ -708,6 +708,18 @@ def _dup_clusters(spark, sf_dir):
     return dup_clusters(pairs, docs.select("doc_id"))
 
 
+def _decontaminate_benchmark(spark, sf_dir):
+    """Benchmark decontamination (dedup/decontaminate.py): flag corpus
+    docs whose distinct trigram overlap with a held-out benchmark slice
+    (every 37th doc) reaches 50%.  Benchmark grams broadcast; corpus
+    text never shuffles; one shuffle total (per-doc count)."""
+    from apache_beam_spark.dedup.decontaminate import decontaminate
+
+    docs = load_table(spark, "documents", sf_dir)
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    return decontaminate(docs, bench, shingle_k=3, threshold=0.5)
+
+
 def _embed_knn(spark, sf_dir):
     """Brute-force cosine top-3 for the first 100 vectors (block-BLAS
     path: broadcast corpus matrix, one gemm per Arrow batch)."""
@@ -1549,6 +1561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _ngram_jaccard,
         "ngram_containment": _ngram_containment,
         "dup_clusters": _dup_clusters,
+        "decontaminate_benchmark": _decontaminate_benchmark,
         "embed_knn": _embed_knn,
         "embed_lsh_knn": _embed_lsh_knn,
         "embed_ivf_knn": _embed_ivf_knn,
@@ -1903,6 +1916,22 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(inter * 1.0 / a.n, 6) AS containment
             FROM inter JOIN sizes a ON a.id = id_a
             WHERE inter * 1.0 / a.n >= 0.8""",
+        "decontaminate_benchmark": f"""
+            WITH sh AS MATERIALIZED (
+                SELECT doc_id, list_distinct({shingle_expr}) AS sh
+                FROM (SELECT doc_id, {toks} AS toks FROM documents) t),
+            bench AS (SELECT DISTINCT unnest(sh) AS g FROM sh
+                      WHERE doc_id % 37 = 0),
+            ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+            agg AS (
+                SELECT ex.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+                       CAST(COUNT(b.g) AS BIGINT) AS n_matched
+                FROM ex LEFT JOIN bench b USING (g)
+                GROUP BY ex.doc_id)
+            SELECT doc_id, n_grams, n_matched,
+                   ROUND(n_matched / n_grams, 6) AS contamination,
+                   ROUND(n_matched / n_grams, 6) >= 0.5 AS contaminated
+            FROM agg""",
         # transitive closure over the SAME jaccard>=0.5 pair set; MIN of
         # reachable ids == the hash-min fixpoint the Spark operator finds
         "dup_clusters": f"""
