@@ -538,6 +538,63 @@ def _fingerprint_docs(spark, sf_dir):
     return d.select("doc_id", T.fingerprint(F.col("text")).alias("fp")).df
 
 
+def _pii_injected_docs(spark, sf_dir):
+    """documents with deterministic doc_id-derived PII appended — the
+    corpus text is synthetic word soup, so the scrub demo composes an
+    injection step (pure Column concat) with the scrubber."""
+    return load_table(spark, "documents", sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com call 555-867-5309 host 10.0."),
+            (F.col("doc_id") % 256).cast("string"), F.lit(".7"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" ssn 123-45-6789"))
+             .otherwise(F.lit("")),
+        ).alias("text"))
+
+
+def _pii_scrub(spark, sf_dir):
+    """PII masking + per-kind counts (functions/pii.py): email / SSN /
+    phone / IPv4, all regexp_replace+regexp_count Column expressions —
+    JVM codegen, no Python row path, runs at scan speed."""
+    from apache_beam_spark.functions.pii import pii_count, scrub_pii
+
+    t = F.col("text")
+    return _pii_injected_docs(spark, sf_dir).select(
+        "doc_id",
+        pii_count(t, "email").cast("bigint").alias("n_email"),
+        pii_count(t, "phone").cast("bigint").alias("n_phone"),
+        pii_count(t, "ipv4").cast("bigint").alias("n_ip"),
+        pii_count(t, "ssn").cast("bigint").alias("n_ssn"),
+        scrub_pii(t).alias("scrubbed"),
+    )
+
+
+def _pii_scrub_oracle_sql() -> str:
+    """DuckDB twin: identical RE2-compatible patterns, same injection."""
+    from apache_beam_spark.functions.pii import PII_PATTERNS
+
+    scrub = "text"
+    for pat, tok in PII_PATTERNS.values():
+        scrub = f"regexp_replace({scrub}, '{pat}', '{tok}', 'g')"
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{PII_PATTERNS[k][0]}')) AS BIGINT)"
+        f" AS n_{a}"
+        for k, a in [("email", "email"), ("phone", "phone"),
+                     ("ipv4", "ip"), ("ssn", "ssn")])
+    return f"""
+        WITH inj AS (
+            SELECT doc_id,
+                   text || ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@mail.example.com call 555-867-5309 host 10.0.'
+                        || CAST(doc_id % 256 AS VARCHAR) || '.7'
+                        || CASE WHEN doc_id % 3 = 0
+                                THEN ' ssn 123-45-6789' ELSE '' END AS text
+            FROM documents)
+        SELECT doc_id, {counts}, {scrub} AS scrubbed FROM inj"""
+
+
 def _dedup_exact(spark, sf_dir):
     """Exact dedup: min-id witness per normalized text."""
     return exact_dedup(load_table(spark, "documents", sf_dir)).select("doc_id")
@@ -1553,6 +1610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _quality_score,
         "lang_id": _lang_id,
         "fingerprint_docs": _fingerprint_docs,
+        "pii_scrub": _pii_scrub,
         "dedup_exact": _dedup_exact,
         "dedup_minhash": _dedup_minhash,
         "dedup_minhash_md5": _dedup_minhash_md5,
@@ -1830,6 +1888,7 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id, {lang_scores} FROM documents) t""",
         "fingerprint_docs": f"""
             SELECT doc_id, md5({norm_text}) AS fp FROM documents""",
+        "pii_scrub": _pii_scrub_oracle_sql(),
         "dedup_exact": f"""
             SELECT doc_id FROM documents
             WHERE doc_id IN (
