@@ -765,6 +765,15 @@ def _dup_clusters(spark, sf_dir):
     return dup_clusters(pairs, docs.select("doc_id"))
 
 
+def _chunk_dedup(spark, sf_dir):
+    """Passage-level dedup (dedup/chunks.py): 10-word chunks, corpus-wide
+    keep-first witness, docs reassembled from surviving chunks.  Two
+    shuffles total (chunk-keyed window + doc-keyed rebuild)."""
+    from apache_beam_spark.dedup.chunks import chunk_dedup
+
+    return chunk_dedup(load_table(spark, "documents", sf_dir), chunk_words=10)
+
+
 def _decontaminate_benchmark(spark, sf_dir):
     """Benchmark decontamination (dedup/decontaminate.py): flag corpus
     docs whose distinct trigram overlap with a held-out benchmark slice
@@ -1620,6 +1629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_containment": _ngram_containment,
         "dup_clusters": _dup_clusters,
         "decontaminate_benchmark": _decontaminate_benchmark,
+        "chunk_dedup": _chunk_dedup,
         "embed_knn": _embed_knn,
         "embed_lsh_knn": _embed_lsh_knn,
         "embed_ivf_knn": _embed_ivf_knn,
@@ -1975,6 +1985,27 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(inter * 1.0 / a.n, 6) AS containment
             FROM inter JOIN sizes a ON a.id = id_a
             WHERE inter * 1.0 / a.n >= 0.8""",
+        "chunk_dedup": f"""
+            WITH toks AS (
+                SELECT doc_id, {toks} AS w FROM documents),
+            ch AS (
+                SELECT doc_id, CAST(i AS INT) AS idx,
+                       array_to_string(w[(i*10+1):(i*10+10)], ' ') AS chunk
+                FROM toks,
+                     unnest(generate_series(0,
+                         CAST(ceil(len(w)/10.0) AS INT) - 1)) AS t(i)
+                WHERE len(w) > 0),
+            ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY chunk ORDER BY doc_id, idx) AS rn
+                FROM ch)
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_chunks,
+                   CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_kept,
+                   COALESCE(string_agg(chunk, ' ' ORDER BY idx)
+                       FILTER (rn = 1), '') AS text_dedup
+            FROM ranked GROUP BY doc_id""",
         "decontaminate_benchmark": f"""
             WITH sh AS MATERIALIZED (
                 SELECT doc_id, list_distinct({shingle_expr}) AS sh
