@@ -1436,6 +1436,111 @@ _Q19_SQL = """
        OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
            AND l_quantity >= 10 AND l_quantity <= 40)"""
 
+# Q2 adapted (no partsupp table in the reduced schema): the
+# supplier-part relation and supply cost are derived from lineitem as
+# MIN(unit price) per (part, supplier); the correlated min-cost
+# subquery shape of the original is preserved verbatim.
+_Q2_SQL = """
+    WITH ps AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             MIN(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)) / l_quantity,
+                       4)) AS ps_supplycost
+      FROM lineitem GROUP BY 1, 2)
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+           CAST(ps_supplycost AS DOUBLE) AS supp_cost
+    FROM part
+    JOIN ps ON p_partkey = ps_partkey
+    JOIN supplier ON s_suppkey = ps_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE p_size = 10 AND r_name = 'EUROPE'
+      AND ps_supplycost = (
+        SELECT MIN(ps2.ps_supplycost) FROM ps ps2
+        JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+        JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+        JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE')
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100"""
+
+# Q9 adapted: ps_supplycost -> 5% of p_retailprice as the unit cost.
+_Q9_SQL = """
+    SELECT n_name AS nation, year(o_orderdate) AS o_year,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                - 0.05 * p_retailprice * l_quantity
+                AS DECIMAL(18,4))) AS DOUBLE) AS profit
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN part ON p_partkey = l_partkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%gear%'
+    GROUP BY n_name, year(o_orderdate)"""
+
+# Q11 adapted: "stock value" of a part held by one nation's suppliers
+# := their lineitem revenue for it; the correlated global-fraction
+# HAVING of the original becomes the scalar subquery on the CTE.
+_Q11_SQL = """
+    WITH val AS (
+      SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS value
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_3' GROUP BY l_partkey)
+    SELECT l_partkey AS ps_partkey, CAST(value AS DOUBLE) AS part_value
+    FROM val WHERE value > (SELECT SUM(value) * 0.002 FROM val)"""
+
+# Q16 adapted: the supplier-part relation comes from lineitem; the
+# "customer complaints" NOT IN exclusion becomes negative-balance
+# suppliers.
+_Q16_SQL = """
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size"""
+
+# Q20 adapted: availqty -> shipped quantity in the window; a supplier
+# qualifies when it carried >30% of some matching part's 1996 volume.
+_Q20_SQL = """
+    WITH sp AS (
+      SELECT l_suppkey, l_partkey, SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                 AS qty
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE '%gear%'
+        AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+      GROUP BY l_suppkey, l_partkey),
+    pt AS (SELECT l_partkey, SUM(qty) AS total FROM sp GROUP BY l_partkey)
+    SELECT s_name, s_acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_5' AND s_suppkey IN (
+      SELECT l_suppkey FROM sp JOIN pt USING (l_partkey)
+      WHERE qty > 0.3 * total)"""
+
+# Q21 adapted (no receipt/commit dates): "kept waiting" := shipped more
+# than 60 days after the order date; the EXISTS / NOT EXISTS
+# multi-supplier-order shape of the original is preserved.
+_Q21_SQL = """
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM lineitem l1
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100"""
+
 # Q13 adapted to the reduced schema: orders has no o_comment, so the
 # "not like '%special%requests%'" exclusion becomes an o_orderpriority
 # filter — same plan shape (left outer join with a pushed filter on the
@@ -1540,6 +1645,12 @@ _q15_top_supplier = _sql_passthrough(_Q15_SQL)
 _q22_global_sales = _sql_passthrough(_Q22_SQL)
 _q4_order_priority = _sql_passthrough(_Q4_SQL)
 _q12_shipmode_priority = _sql_passthrough(_Q12_SQL)
+_q2_min_cost_supplier = _sql_passthrough(_Q2_SQL)
+_q9_product_profit = _sql_passthrough(_Q9_SQL)
+_q11_important_stock = _sql_passthrough(_Q11_SQL)
+_q16_parts_suppliers = _sql_passthrough(_Q16_SQL)
+_q20_potential_promotion = _sql_passthrough(_Q20_SQL)
+_q21_waiting_suppliers = _sql_passthrough(_Q21_SQL)
 
 
 def _q3_shipping_priority(spark, sf_dir):
@@ -1679,6 +1790,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_global_sales": _q22_global_sales,
         "q4_order_priority": _q4_order_priority,
         "q12_shipmode_priority": _q12_shipmode_priority,
+        "q2_min_cost_supplier": _q2_min_cost_supplier,
+        "q9_product_profit": _q9_product_profit,
+        "q11_important_stock": _q11_important_stock,
+        "q16_parts_suppliers": _q16_parts_suppliers,
+        "q20_potential_promotion": _q20_potential_promotion,
+        "q21_waiting_suppliers": _q21_waiting_suppliers,
     }
 
 
@@ -2438,6 +2555,12 @@ def oracle_sql() -> dict[str, str]:
         "q22_global_sales": _Q22_SQL,
         "q4_order_priority": _Q4_SQL,
         "q12_shipmode_priority": _Q12_SQL,
+        "q2_min_cost_supplier": _Q2_SQL,
+        "q9_product_profit": _Q9_SQL,
+        "q11_important_stock": _Q11_SQL,
+        "q16_parts_suppliers": _Q16_SQL,
+        "q20_potential_promotion": _Q20_SQL,
+        "q21_waiting_suppliers": _Q21_SQL,
     }
     # per-stage attrition: reuse the llm_corpus_prep CTE chain, swap
     # the final projection for scalar-subquery stage counts
