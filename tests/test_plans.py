@@ -166,3 +166,21 @@ def test_pack_sequences_single_shuffle(spark):
     """Packing shuffles once (by shard) then works partition-local."""
     df = Q["pack_sequences"](spark, SF)
     assert shuffle_count(df) == 1
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    """The benchmark gram set must reach the corpus via broadcast (the
+    corpus side never shuffles its grams), and the only hash exchange
+    on the corpus path is the per-doc count."""
+    df = Q["decontaminate_benchmark"](spark, SF)
+    assert broadcast_join_count(df) >= 1
+    plan = df._jdf.queryExecution().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_chunk_dedup_two_shuffles(spark):
+    """keep-first window (chunk key) + doc rebuild (doc_id key) —
+    nothing else may shuffle."""
+    df = Q["chunk_dedup"](spark, SF)
+    assert shuffle_count(df) == 2
