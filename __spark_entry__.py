@@ -1221,6 +1221,18 @@ def _sample_stratified(spark, sf_dir):
     return d.filter(h < thr).select("doc_id", "lang")
 
 
+def _mixture_cap_tokens(spark, sf_dir):
+    """Data-mixture construction (operators/mixing.py): per-source token
+    budgets enforced by a hierarchical (bucketed) deterministic prefix
+    sum — no single-reducer running total, no RNG."""
+    from apache_beam_spark.operators.mixing import cap_tokens_per_source
+
+    return cap_tokens_per_source(
+        load_table(spark, "documents", sf_dir),
+        budgets={"src0": 1000, "src1": 200, "src5": 0},
+        default_budget=600)
+
+
 def _user_sessions(spark, sf_dir):
     """examples TopWikipediaSessions.java: sessionize events per user
     (30-min gap), emit per-session event counts.  Session windows via
@@ -1761,6 +1773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf": _tfidf,
         "collocations_pmi": _collocations_pmi,
         "sample_stratified": _sample_stratified,
+        "mixture_cap_tokens": _mixture_cap_tokens,
         "trigram_logprob": _trigram_logprob,
         "heavy_hitter_words": _heavy_hitter_words,
         "top_words": _top_words,
@@ -2362,6 +2375,26 @@ def oracle_sql() -> dict[str, str]:
                   CASE lang WHEN 'en' THEN '800' WHEN 'de' THEN '400'
                             WHEN 'fr' THEN '200' WHEN 'es' THEN '600'
                             ELSE '100' END""",
+        # single-window twin of the hierarchical two-phase prefix sum:
+        # (bucket, h, id) order == (h, id) order because the bucket is a
+        # prefix of h, so the flat cumulative sum is the same total
+        "mixture_cap_tokens": f"""
+            WITH t AS (
+                SELECT doc_id, source,
+                       CAST(len({toks}) AS BIGINT) AS n_tokens,
+                       md5(CAST(doc_id AS VARCHAR)) AS h
+                FROM documents),
+            c AS (
+                SELECT doc_id, source, n_tokens,
+                       CAST(SUM(n_tokens) OVER (
+                           PARTITION BY source ORDER BY h, doc_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+                FROM t)
+            SELECT doc_id, source, n_tokens, cum_tokens FROM c
+            WHERE cum_tokens <= CASE source WHEN 'src0' THEN 1000
+                                            WHEN 'src1' THEN 200
+                                            WHEN 'src5' THEN 0
+                                            ELSE 600 END""",
         # the full corpus-prep composition: quality gate -> lang
         # allowlist -> exact dedup -> near-dup representatives
         # (transitive closure) -> greedy packing, chained from the
