@@ -866,10 +866,29 @@ def _embed_ivf_knn(spark, sf_dir):
 
 
 def _embed_near_dup(spark, sf_dir):
+    """Near-dup pairs over the embeddings PLUS planted near-copies: the
+    synthetic vectors are near-orthogonal (max pairwise cos ~0.51), so
+    at the realistic 0.95 threshold the raw table has zero pairs and
+    the check would be vacuous.  Every 10th vector gets a planted
+    neighbor v + 0.2*v_next (cos ~0.98), which banded sign-LSH must
+    recover and the oracle's exact O(n^2) join verifies."""
     from apache_beam_spark.similarity.knn import embedding_near_dup_pairs
 
-    return embedding_near_dup_pairs(load_table(spark, "embeddings", sf_dir),
-                                    threshold=0.95, dim=64)
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    nxt = emb.select((F.col("vec_id") - 1).alias("vec_id"),
+                     F.col("embedding").alias("__e2__"))
+    planted = (
+        emb.join(nxt, on="vec_id")
+        .filter(F.col("vec_id") % 10 == 0)
+        .select((F.col("vec_id") + 1000000).alias("vec_id"),
+                F.zip_with("embedding", "__e2__",
+                           lambda a, b: a + F.lit(0.2) * b).alias("embedding")))
+    # the (id, vec) corpus feeds three plan branches (signatures + both
+    # verify joins); cache the narrow projection so the planted join
+    # isn't recomputed per branch
+    corpus = emb.unionByName(planted).cache()
+    return embedding_near_dup_pairs(corpus, threshold=0.95, dim=64)
 
 
 def _secondary_sort(spark, sf_dir):
@@ -2192,14 +2211,22 @@ def oracle_sql() -> dict[str, str]:
                 WHERE q.vec_id < 100 AND q.vec_id <> c.vec_id) t
             WHERE rank <= 3""",
         "embed_near_dup": """
+            WITH base AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            planted AS (
+                SELECT a.vec_id + 1000000 AS vec_id,
+                       list_transform(a.v, (x, i) -> x + 0.2 * (b.v)[i]) AS v
+                FROM base a JOIN base b ON b.vec_id = a.vec_id + 1
+                WHERE a.vec_id % 10 = 0),
+            allv AS (SELECT * FROM base UNION ALL SELECT * FROM planted)
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-                         / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-                            * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS sim
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-                  / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-                     * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.95""",
+                   ROUND(list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v))
+                            * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+            FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.v, b.v)
+                  / (sqrt(list_dot_product(a.v, a.v))
+                     * sqrt(list_dot_product(b.v, b.v))) >= 0.95""",
         "secondary_sort": """
             SELECT l_orderkey,
                    ROW_NUMBER() OVER (PARTITION BY l_orderkey

@@ -161,7 +161,10 @@ class PCollection:
         else:
             df = self.df.withColumn(name, F.col(col) if isinstance(col, str) else col)
         if not self.is_bounded and self.windowing.allowed_lateness:
-            df = df.withWatermark(name, self.windowing.allowed_lateness)
+            from apache_beam_spark.windowing import ensure_event_time
+
+            df = ensure_event_time(df, name).withWatermark(
+                name, self.windowing.allowed_lateness)
         return self._with_df(df, event_time=name)
 
     def window_into(
@@ -184,7 +187,12 @@ class PCollection:
             ws = _replace(ws, timestamp_combiner=timestamp_combiner)
         out = self._with_df(self.df, windowing=ws)
         if not self.is_bounded and allowed_lateness and self.event_time:
-            out = out._with_df(self.df.withWatermark(self.event_time, allowed_lateness), windowing=ws)
+            from apache_beam_spark.windowing import ensure_event_time
+
+            out = out._with_df(
+                ensure_event_time(self.df, self.event_time)
+                .withWatermark(self.event_time, allowed_lateness),
+                windowing=ws)
         return out
 
     def window_group_cols(self) -> list[Column]:

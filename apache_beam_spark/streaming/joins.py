@@ -34,8 +34,12 @@ def interval_join(left: DataFrame, right: DataFrame, on: str,
     if overlap:
         raise ValueError(f"interval_join: ambiguous columns {sorted(overlap)}; "
                          "rename one side first")
-    l = left.withWatermark(left_ts, watermark_delay)
-    r = right.withWatermark(right_ts, watermark_delay).withColumnRenamed(on, "__rk__")
+    from apache_beam_spark.windowing import ensure_event_time
+
+    l = ensure_event_time(left, left_ts).withWatermark(left_ts, watermark_delay)
+    r = (ensure_event_time(right, right_ts)
+         .withWatermark(right_ts, watermark_delay)
+         .withColumnRenamed(on, "__rk__"))
     cond = (
         (l[on] == r["__rk__"])
         & (r[right_ts] >= l[left_ts] + F.expr(f"INTERVAL {lower}"))

@@ -105,4 +105,8 @@ def streaming_distinct(df: DataFrame, cols: list[str], event_time: str,
     unbounded input): state-backed dedup whose per-key state is evicted
     once the watermark passes ``within`` — the reference gets the same
     GC from window-expiry of the GroupByKey state."""
-    return df.withWatermark(event_time, within).dropDuplicatesWithinWatermark(cols)
+    from apache_beam_spark.windowing import ensure_event_time
+
+    return (ensure_event_time(df, event_time)
+            .withWatermark(event_time, within)
+            .dropDuplicatesWithinWatermark(cols))

@@ -98,7 +98,10 @@ def stateful_do_fn(
                "processing": GroupStateTimeout.ProcessingTimeTimeout,
                "none": GroupStateTimeout.NoTimeout}[time_domain]
     if time_domain == "event" and df.isStreaming:
-        df = df.withWatermark(event_time, allowed_lateness)
+        from apache_beam_spark.windowing import ensure_event_time
+
+        df = ensure_event_time(df, event_time).withWatermark(
+            event_time, allowed_lateness)
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         user, timers = ({}, [])

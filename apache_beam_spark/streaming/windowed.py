@@ -40,7 +40,10 @@ def windowed_aggregate(
     ``IsBounded`` split the reference threads through every runner
     translation collapses into ``df.isStreaming``."""
     if df.isStreaming and allowed_lateness is not None:
-        df = df.withWatermark(event_time, allowed_lateness)
+        from apache_beam_spark.windowing import ensure_event_time
+
+        df = ensure_event_time(df, event_time).withWatermark(
+            event_time, allowed_lateness)
     wcols = [] if isinstance(window_fn, GlobalWindows) else window_fn.window_cols(event_time)
     kcols = [F.col(k) if isinstance(k, str) else k for k in keys]
     return df.groupBy(*wcols, *kcols).agg(*aggs)

@@ -25,6 +25,21 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def ensure_event_time(df, col: str):
+    """Normalize an event-time column to TIMESTAMP (with local-tz
+    semantics): Spark's ``withWatermark`` rejects TIMESTAMP_NTZ, but
+    parquet written with ``isAdjustedToUTC=false`` (and DuckDB's plain
+    TIMESTAMP) arrives as NTZ.  Under the engine's UTC session timezone
+    the cast is value-preserving, so batch/oracle results are unchanged
+    while streaming gains a watermarkable column."""
+    from pyspark.sql.types import TimestampNTZType
+
+    if col in df.columns and isinstance(df.schema[col].dataType,
+                                        TimestampNTZType):
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 class WindowFn:
     """Base window function. Subclasses produce the grouping column(s)."""
 

@@ -66,6 +66,12 @@ HEADLINE = [
     "q12_shipmode_priority",
     "heavy_hitter_words",
     "repetition_stats",
+    "decontaminate_benchmark",
+    "chunk_dedup",
+    "pii_scrub",
+    "mixture_cap_tokens",
+    "q9_product_profit",
+    "q21_waiting_suppliers",
 ]
 
 
@@ -139,7 +145,11 @@ def _streaming_benchmarks(spark) -> dict:
     from apache_beam_spark.streaming.triggers import count_trigger_aggregate
     from apache_beam_spark.windowing import FixedWindows
 
-    events = load_table(spark, "events", SF_DIR)
+    from apache_beam_spark.windowing import ensure_event_time
+
+    # normalize to watermarkable TIMESTAMP before spooling (sf0.1
+    # parquet carries ts as TIMESTAMP_NTZ, which withWatermark rejects)
+    events = ensure_event_time(load_table(spark, "events", SF_DIR), "ts")
     n = events.count()
     spool = tempfile.mkdtemp(prefix="bench_stream_")
     # several files -> several micro-batches with maxFilesPerTrigger
