@@ -350,9 +350,14 @@ def _join_semi(spark, sf_dir):
 
 
 def _join_anti(spark, sf_dir):
+    """Anti join with a non-empty result: customers with NO high-value
+    (>400k) order.  (Every customer has SOME order in this data, so an
+    unfiltered anti join would pass vacuously with zero rows.)"""
     p = Pipeline(spark)
     c = p.from_df(load_table(spark, "customer", sf_dir))
-    o = p.from_df(load_table(spark, "orders", sf_dir).withColumnRenamed("o_custkey", "c_custkey"))
+    o = p.from_df(load_table(spark, "orders", sf_dir)
+                  .filter(F.col("o_totalprice") > 400000)
+                  .withColumnRenamed("o_custkey", "c_custkey"))
     return c.apply(Join.anti(o, on="c_custkey")).select("c_custkey").df
 
 
@@ -922,11 +927,13 @@ def _sample_fixed_per_key(spark, sf_dir):
 
 def _regex_find_all(spark, sf_dir):
     """Regex.find family (reference transforms/Regex.java): extract all
-    numbers from documents, exploded."""
+    long (6+ letter) words from documents, exploded.  (The synthetic
+    text contains no digits, so a number pattern would match nothing
+    and the check would be vacuous.)"""
     d = load_table(spark, "documents", sf_dir)
     return d.select(
         "doc_id",
-        F.explode(F.expr(r"regexp_extract_all(text, '[0-9]+', 0)")).alias("num"))
+        F.explode(F.expr(r"regexp_extract_all(text, '[a-z]{6,}', 0)")).alias("w"))
 
 
 def _combine_fanout_count(spark, sf_dir):
@@ -1946,7 +1953,9 @@ def oracle_sql() -> dict[str, str]:
             WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
         "join_anti": """
             SELECT c_custkey FROM customer
-            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_totalprice > 400000)""",
         "star_join_revenue": f"""
             SELECT r_name, n_name,
                    CAST(SUM({_SQL_DISC_PRICE}) AS DOUBLE) AS revenue,
@@ -2242,7 +2251,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM lineitem) t
             WHERE rn <= 5""",
         "regex_find_all": """
-            SELECT doc_id, unnest(regexp_extract_all(text, '[0-9]+')) AS num
+            SELECT doc_id, unnest(regexp_extract_all(text, '[a-z]{6,}')) AS w
             FROM documents""",
         "combine_fanout_count": """
             SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type""",
