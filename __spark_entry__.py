@@ -646,7 +646,7 @@ def _ngram_jaccard(spark, sf_dir):
     """Exact 3-gram Jaccard pairs >= 0.5 via inverted index."""
     return ngram_jaccard_pairs(
         load_table(spark, "documents", sf_dir), shingle_k=3, threshold=0.5,
-        max_df=1_000_000,
+        max_df=100,
     )
 
 
@@ -708,7 +708,7 @@ def _corpus_prep_stages(spark, sf_dir):
     # the quality+dedup subtree exactly once
     uniq = exact_dedup(kept).cache()
     pairs = ngram_jaccard_pairs(uniq, shingle_k=3, threshold=0.5,
-                                max_df=1_000_000).select("id_a", "id_b")
+                                max_df=100).select("id_a", "id_b")
     comp = dup_clusters(pairs, uniq.select("doc_id"))
     reps = comp.filter(F.col("doc_id") == F.col("component")).select("doc_id")
     final = uniq.join(reps, on="doc_id", how="left_semi")
@@ -753,7 +753,7 @@ def _ngram_containment(spark, sf_dir):
 
     return ngram_containment_pairs(
         load_table(spark, "documents", sf_dir), shingle_k=3, threshold=0.8,
-        max_df=1_000_000)
+        max_df=100)
 
 
 def _dup_clusters(spark, sf_dir):
@@ -766,7 +766,7 @@ def _dup_clusters(spark, sf_dir):
 
     docs = load_table(spark, "documents", sf_dir)
     pairs = ngram_jaccard_pairs(docs, shingle_k=3, threshold=0.5,
-                                max_df=1_000_000).select("id_a", "id_b")
+                                max_df=100).select("id_a", "id_b")
     return dup_clusters(pairs, docs.select("doc_id"))
 
 
@@ -1257,6 +1257,15 @@ def _mixture_cap_tokens(spark, sf_dir):
         load_table(spark, "documents", sf_dir),
         budgets={"src0": 1000, "src1": 200, "src5": 0},
         default_budget=600)
+
+
+def _epoch_shuffle(spark, sf_dir):
+    """Deterministic epoch shuffle (operators/shuffle.py): seeded
+    (shard, pos) dataloader addressing; shard = leading hex digits of
+    the key, so shards partition the global permutation order."""
+    from apache_beam_spark.operators.shuffle import epoch_shuffle
+
+    return epoch_shuffle(load_table(spark, "documents", sf_dir), seed=0)
 
 
 def _user_sessions(spark, sf_dir):
@@ -1800,6 +1809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations_pmi": _collocations_pmi,
         "sample_stratified": _sample_stratified,
         "mixture_cap_tokens": _mixture_cap_tokens,
+        "epoch_shuffle": _epoch_shuffle,
         "trigram_logprob": _trigram_logprob,
         "heavy_hitter_words": _heavy_hitter_words,
         "top_words": _top_words,
@@ -2117,8 +2127,10 @@ def oracle_sql() -> dict[str, str]:
             WITH sh AS (
                 SELECT doc_id AS id, list_distinct({shingle_expr}) AS sh
                 FROM (SELECT doc_id, {toks} AS toks FROM documents) t),
-            sizes AS (SELECT id, len(sh) AS n FROM sh),
-            inv AS (SELECT id, unnest(sh) AS g FROM sh),
+            inv0 AS (SELECT id, unnest(sh) AS g FROM sh),
+            keepg AS (SELECT g FROM inv0 GROUP BY g HAVING COUNT(*) <= 100),
+            inv AS (SELECT inv0.id, inv0.g FROM inv0 JOIN keepg USING (g)),
+            sizes AS (SELECT id, COUNT(*) AS n FROM inv GROUP BY id),
             inter AS (
                 SELECT x.id AS id_a, y.id AS id_b, COUNT(*) AS inter
                 FROM inv x JOIN inv y ON x.g = y.g AND x.id < y.id
@@ -2133,8 +2145,11 @@ def oracle_sql() -> dict[str, str]:
             WITH sh AS MATERIALIZED (
                 SELECT doc_id AS id, list_distinct({shingle_expr}) AS sh
                 FROM (SELECT doc_id, {toks} AS toks FROM documents) t),
-            sizes AS (SELECT id, len(sh) AS n FROM sh),
-            inv AS MATERIALIZED (SELECT id, unnest(sh) AS g FROM sh),
+            inv0 AS (SELECT id, unnest(sh) AS g FROM sh),
+            keepg AS (SELECT g FROM inv0 GROUP BY g HAVING COUNT(*) <= 100),
+            inv AS MATERIALIZED (
+                SELECT inv0.id, inv0.g FROM inv0 JOIN keepg USING (g)),
+            sizes AS (SELECT id, COUNT(*) AS n FROM inv GROUP BY id),
             inter AS MATERIALIZED (
                 SELECT x.id AS id_a, y.id AS id_b, COUNT(*) AS inter
                 FROM inv x JOIN inv y ON x.g = y.g AND x.id <> y.id
@@ -2186,8 +2201,10 @@ def oracle_sql() -> dict[str, str]:
             WITH RECURSIVE sh AS (
                 SELECT doc_id AS id, list_distinct({shingle_expr}) AS sh
                 FROM (SELECT doc_id, {toks} AS toks FROM documents) t),
-            sizes AS (SELECT id, len(sh) AS n FROM sh),
-            inv AS (SELECT id, unnest(sh) AS g FROM sh),
+            inv0 AS (SELECT id, unnest(sh) AS g FROM sh),
+            keepg AS (SELECT g FROM inv0 GROUP BY g HAVING COUNT(*) <= 100),
+            inv AS (SELECT inv0.id, inv0.g FROM inv0 JOIN keepg USING (g)),
+            sizes AS (SELECT id, COUNT(*) AS n FROM inv GROUP BY id),
             inter AS (
                 SELECT x.id AS id_a, y.id AS id_b, COUNT(*) AS inter
                 FROM inv x JOIN inv y ON x.g = y.g AND x.id < y.id
@@ -2431,6 +2448,20 @@ def oracle_sql() -> dict[str, str]:
                                             WHEN 'src1' THEN 200
                                             WHEN 'src5' THEN 0
                                             ELSE 600 END""",
+        "epoch_shuffle": """
+            WITH k AS (
+                SELECT doc_id, md5('0:' || CAST(doc_id AS VARCHAR)) AS h
+                FROM documents),
+            s AS (
+                SELECT doc_id, h,
+                       CAST(16*(instr('0123456789abcdef', substr(h,1,1))-1)
+                            + (instr('0123456789abcdef', substr(h,2,1))-1)
+                            AS INT) AS shard
+                FROM k)
+            SELECT doc_id, shard,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                        ORDER BY h, doc_id) AS INT) AS pos
+            FROM s""",
         # the full corpus-prep composition: quality gate -> lang
         # allowlist -> exact dedup -> near-dup representatives
         # (transitive closure) -> greedy packing, chained from the
@@ -2457,8 +2488,12 @@ def oracle_sql() -> dict[str, str]:
             sh AS MATERIALIZED (
                 SELECT doc_id AS id, list_distinct({shingle_expr}) AS sh
                 FROM (SELECT doc_id, {toks} AS toks FROM uniq) t),
-            sizes AS MATERIALIZED (SELECT id, len(sh) AS n FROM sh),
-            inv AS MATERIALIZED (SELECT id, unnest(sh) AS g FROM sh),
+            inv0 AS (SELECT id, unnest(sh) AS g FROM sh),
+            keepg AS (SELECT g FROM inv0 GROUP BY g HAVING COUNT(*) <= 100),
+            inv AS MATERIALIZED (
+                SELECT inv0.id, inv0.g FROM inv0 JOIN keepg USING (g)),
+            sizes AS MATERIALIZED (
+                SELECT id, COUNT(*) AS n FROM inv GROUP BY id),
             inter AS MATERIALIZED (
                 SELECT x.id AS id_a, y.id AS id_b, COUNT(*) AS inter
                 FROM inv x JOIN inv y ON x.g = y.g AND x.id < y.id
