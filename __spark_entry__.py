@@ -1259,6 +1259,17 @@ def _mixture_cap_tokens(spark, sf_dir):
         default_budget=600)
 
 
+def _funnel_instances(spark, sf_dir):
+    """Sequence-pattern instances (operators/sequences.py): each view
+    -> earliest click within 1 day -> earliest purchase within 1 day
+    of that click; one window pass + one keyed join per chained step."""
+    from apache_beam_spark.operators.sequences import funnel_instances
+
+    return funnel_instances(load_table(spark, "events", sf_dir),
+                            steps=["view", "click", "purchase"],
+                            within_each="1 day")
+
+
 def _epoch_shuffle(spark, sf_dir):
     """Deterministic epoch shuffle (operators/shuffle.py): seeded
     (shard, pos) dataloader addressing; shard = leading hex digits of
@@ -1810,6 +1821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": _sample_stratified,
         "mixture_cap_tokens": _mixture_cap_tokens,
         "epoch_shuffle": _epoch_shuffle,
+        "funnel_instances": _funnel_instances,
         "trigram_logprob": _trigram_logprob,
         "heavy_hitter_words": _heavy_hitter_words,
         "top_words": _top_words,
@@ -2448,6 +2460,29 @@ def oracle_sql() -> dict[str, str]:
                                             WHEN 'src1' THEN 200
                                             WHEN 'src5' THEN 0
                                             ELSE 600 END""",
+        "funnel_instances": """
+            WITH v AS (SELECT user_id, ts AS view_ts FROM events
+                       WHERE event_type = 'view'),
+            c AS (
+                SELECT user_id, view_ts,
+                       (SELECT min(e.ts) FROM events e
+                        WHERE e.user_id = v.user_id
+                          AND e.event_type = 'click'
+                          AND e.ts > v.view_ts
+                          AND e.ts <= v.view_ts + INTERVAL 1 DAY)
+                           AS click_ts
+                FROM v),
+            p AS (
+                SELECT user_id, view_ts, click_ts,
+                       (SELECT min(e.ts) FROM events e
+                        WHERE e.user_id = c.user_id
+                          AND e.event_type = 'purchase'
+                          AND e.ts > c.click_ts
+                          AND e.ts <= c.click_ts + INTERVAL 1 DAY)
+                           AS purchase_ts
+                FROM c WHERE click_ts IS NOT NULL)
+            SELECT user_id, view_ts, click_ts, purchase_ts
+            FROM p WHERE purchase_ts IS NOT NULL""",
         "epoch_shuffle": """
             WITH k AS (
                 SELECT doc_id, md5('0:' || CAST(doc_id AS VARCHAR)) AS h

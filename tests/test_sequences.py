@@ -1,0 +1,52 @@
+from __future__ import annotations
+
+import datetime as dt
+
+from apache_beam_spark.operators.sequences import funnel_instances
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(i, u, T0 + dt.timedelta(minutes=m), t) for i, (u, m, t) in enumerate(rows)],
+        ["event_id", "user_id", "ts", "event_type"])
+
+
+def test_chained_earliest_match(spark):
+    ev = _ev(spark, [
+        (1, 0, "view"), (1, 5, "click"), (1, 8, "click"), (1, 12, "purchase"),
+        (2, 0, "view"), (2, 40, "click"),          # click too late for 30m bound
+        (3, 0, "click"), (3, 5, "purchase"),        # no anchoring view
+    ])
+    out = funnel_instances(ev, ["view", "click", "purchase"], "30 minutes").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.user_id == 1
+    # earliest click (t+5), then earliest purchase after THAT click
+    assert (r.click_ts - r.view_ts).total_seconds() == 300
+    assert (r.purchase_ts - r.view_ts).total_seconds() == 720
+
+
+def test_second_step_window_anchors_on_matched_event(spark):
+    # purchase is 25m after the click but 45m after the view: the bound
+    # applies per step, so the chain completes
+    ev = _ev(spark, [(5, 0, "view"), (5, 20, "click"), (5, 45, "purchase")])
+    out = funnel_instances(ev, ["view", "click", "purchase"], "30 minutes").collect()
+    assert len(out) == 1
+
+
+def test_each_anchor_matches_independently(spark):
+    ev = _ev(spark, [
+        (7, 0, "view"), (7, 10, "view"), (7, 15, "click"), (7, 20, "purchase"),
+    ])
+    out = funnel_instances(ev, ["view", "click", "purchase"], "30 minutes").collect()
+    # both views resolve to the same (click, purchase) pair
+    assert len(out) == 2
+    assert len({r.click_ts for r in out}) == 1
+
+
+def test_two_step_pattern(spark):
+    ev = _ev(spark, [(9, 0, "view"), (9, 10, "purchase"), (9, 70, "view")])
+    out = funnel_instances(ev, ["view", "purchase"], "30 minutes").collect()
+    assert len(out) == 1 and (out[0].purchase_ts - out[0].view_ts).total_seconds() == 600
