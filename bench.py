@@ -72,6 +72,8 @@ HEADLINE = [
     "mixture_cap_tokens",
     "q9_product_profit",
     "q21_waiting_suppliers",
+    "epoch_shuffle",
+    "funnel_instances",
 ]
 
 
