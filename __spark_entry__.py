@@ -1259,6 +1259,22 @@ def _mixture_cap_tokens(spark, sf_dir):
         default_budget=600)
 
 
+def _game_stats_spam(spark, sf_dir):
+    """examples/java8/.../game/GameStats.java:122-142 — spammy-user
+    detection: users whose event volume exceeds 1.15x the global mean
+    user volume.  The global mean is an in-plan single-row aggregate
+    broadcast back (the reference's View.asSingleton side input), not
+    a driver-side collect."""
+    ev = load_table(spark, "events", sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"))
+    mean = per_user.agg(
+        F.round(F.sum("n_events") / F.count(F.lit(1)), 6).alias("__mean__"))
+    return (per_user.join(F.broadcast(mean))
+            .filter(F.col("n_events") > 1.15 * F.col("__mean__"))
+            .select("user_id", "n_events"))
+
+
 def _funnel_instances(spark, sf_dir):
     """Sequence-pattern instances (operators/sequences.py): each view
     -> earliest click within 1 day -> earliest purchase within 1 day
@@ -1822,6 +1838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_cap_tokens": _mixture_cap_tokens,
         "epoch_shuffle": _epoch_shuffle,
         "funnel_instances": _funnel_instances,
+        "game_stats_spam": _game_stats_spam,
         "trigram_logprob": _trigram_logprob,
         "heavy_hitter_words": _heavy_hitter_words,
         "top_words": _top_words,
@@ -2460,6 +2477,12 @@ def oracle_sql() -> dict[str, str]:
                                             WHEN 'src1' THEN 200
                                             WHEN 'src5' THEN 0
                                             ELSE 600 END""",
+        "game_stats_spam": """
+            WITH pu AS (SELECT user_id, COUNT(*) AS n_events
+                        FROM events GROUP BY user_id),
+            m AS (SELECT ROUND(SUM(n_events) / COUNT(*), 6) AS mean FROM pu)
+            SELECT user_id, n_events FROM pu, m
+            WHERE n_events > 1.15 * mean""",
         "funnel_instances": """
             WITH v AS (SELECT user_id, ts AS view_ts FROM events
                        WHERE event_type = 'view'),
