@@ -1,0 +1,126 @@
+"""Streaming sequence-pattern (funnel) matching.
+
+The unbounded twin of ``operators/sequences.py::funnel_instances``:
+the same greedy-earliest chained pattern, computed incrementally with
+per-key state (reference shape: stateful ParDo with BagState buffer +
+watermark-driven processing, ``StatefulDoFnRunner.java:46``).
+
+Out-of-order arrivals are handled the way the reference's event-time
+machinery does: events buffer in state until the key's watermark
+(max seen event time minus ``lateness_ms``) passes them, then are
+processed in event-time order — so any event no later than the
+lateness bound lands in its correct sequence position.  Partial
+matches expire once the watermark proves their next step can no longer
+arrive.
+
+The watermark is Spark's own GLOBAL query watermark (``withWatermark``
+on the event-time column, read back via ``getCurrentWatermarkMs``), so
+one key's quiet period cannot stall another key's sealing; idle keys
+re-awaken through an event-time timeout the moment the watermark
+passes their buffered events (the reference's watermark timer).
+
+State is one JSON blob per key (same style as the trigger state
+machines): the unsealed event buffer and the open partial chains per
+stage.  At scale the buffer per key is bounded by (lateness window x
+per-key event rate) — the identical bound Spark's own stream-stream
+joins keep.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampType, TimestampNTZType
+
+from apache_beam_spark.streaming.stateful import stateful_per_key
+
+
+def streaming_funnel(df: DataFrame, steps: Sequence[str], within_ms: int,
+                     key_col: str = "user_id", ts_col: str = "ts",
+                     type_col: str = "event_type", id_col: str = "event_id",
+                     lateness_ms: int = 0) -> DataFrame:
+    """Emit completed ``steps[0] -> steps[1] -> ...`` chains per key.
+
+    Output: ``(key_col, <step>_ts ...)`` with timestamps as epoch
+    MICROSECOND longs (convert with ``timestamp_micros``).  Semantics
+    match the batch operator for every event arriving within
+    ``lateness_ms`` of the key's max seen event time.
+    """
+    if len(steps) < 2:
+        raise ValueError("streaming_funnel needs at least 2 steps")
+    n_steps = len(steps)
+    within_us = within_ms * 1000
+    lateness_us = lateness_ms * 1000
+
+    dtype = df.schema[ts_col].dataType
+    ts_long = (F.unix_micros(F.col(ts_col).cast("timestamp"))
+               if isinstance(dtype, (TimestampType, TimestampNTZType))
+               else F.col(ts_col).cast("long"))
+    src = (df.select(F.col(key_col).cast("long").alias("k"),
+                     ts_long.alias("t"),
+                     F.col(type_col).alias("y"),
+                     F.col(id_col).cast("long").alias("i"),
+                     F.timestamp_micros(ts_long).alias("__wmts__"))
+           .withWatermark("__wmts__", f"{max(lateness_ms, 0)} milliseconds"))
+
+    out_cols = ", ".join(f"{s}_ts bigint" for s in steps)
+    out_schema = f"{key_col} bigint, {out_cols}"
+    state_schema = "js string"
+
+    def fn(key, pdfs, state):
+        s = (json.loads(state.get[0])
+             if state.exists else {"buf": [], "parts": []})
+        buf, parts = s["buf"], s["parts"]
+        wm_ms = state.getCurrentWatermarkMs()
+        wm = wm_ms * 1000  # query watermark (µs): global, monotone
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                # Spark's late-row rule: a row with event time < the
+                # watermark is beyond the lateness bound -> dropped
+                buf.extend(e for e in zip(pdf["t"].astype(int).tolist(),
+                                          pdf["y"].tolist(),
+                                          pdf["i"].astype(int).tolist())
+                           if e[0] >= wm)
+
+        # seal strictly below the watermark: a row EQUAL to it could
+        # still legally arrive, so it stays buffered one more beat
+        sealed = sorted((e for e in buf if e[0] < wm),
+                        key=lambda e: (e[0], e[2]))
+        buf = [e for e in buf if e[0] >= wm]
+
+        done = []
+        for t, y, _ in sealed:
+            # advance deepest stages first so an event never advances a
+            # chain it just extended in this same pass
+            for j in range(n_steps - 1, 0, -1):
+                if y != steps[j]:
+                    continue
+                for p in parts:
+                    if len(p) == j and p[-1] < t and t - p[-1] <= within_us:
+                        p.append(t)
+                        if len(p) == n_steps:
+                            done.append(p)
+            if y == steps[0]:
+                parts.append([t])
+        parts = [p for p in parts
+                 if len(p) < n_steps and wm <= p[-1] + within_us]
+
+        if buf or parts:
+            state.update((json.dumps({"buf": buf, "parts": parts}),))
+            # wake this key as soon as the watermark moves again, even
+            # if it never receives another event
+            state.setTimeoutTimestamp(wm_ms + 1)
+        elif state.exists:
+            state.remove()
+        if done:
+            yield pd.DataFrame(
+                {key_col: [key[0]] * len(done),
+                 **{f"{s}_ts": [d[i] for d in done]
+                    for i, s in enumerate(steps)}})
+
+    return stateful_per_key(src, ["k"], fn, out_schema, state_schema,
+                            timeout="EventTimeTimeout")
