@@ -205,6 +205,15 @@ def _streaming_benchmarks(spark) -> dict:
                                       within="10 minutes")
 
         dedup_wall = _run_stream(stream_dedup())
+
+        def stream_funnel():
+            from apache_beam_spark.streaming import streaming_funnel
+
+            return streaming_funnel(source(),
+                                    ["view", "click", "purchase"],
+                                    within_ms=24 * 60 * 60_000)
+
+        funnel_wall = _run_stream(stream_funnel())
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", "32")
     return {
@@ -212,6 +221,7 @@ def _streaming_benchmarks(spark) -> dict:
         "stream_join_events_per_sec": int(2 * n / join_wall),
         "stateful_events_per_sec": int(n / stateful_wall),
         "stream_dedup_events_per_sec": int(n / dedup_wall),
+        "stream_funnel_events_per_sec": int(n / funnel_wall),
     }
 
 
