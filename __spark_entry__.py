@@ -870,15 +870,12 @@ def _embed_ivf_knn(spark, sf_dir):
         "query_id", "neighbor_id", "rank", "sim")
 
 
-def _embed_near_dup(spark, sf_dir):
-    """Near-dup pairs over the embeddings PLUS planted near-copies: the
-    synthetic vectors are near-orthogonal (max pairwise cos ~0.51), so
-    at the realistic 0.95 threshold the raw table has zero pairs and
-    the check would be vacuous.  Every 10th vector gets a planted
-    neighbor v + 0.2*v_next (cos ~0.98), which banded sign-LSH must
-    recover and the oracle's exact O(n^2) join verifies."""
-    from apache_beam_spark.similarity.knn import embedding_near_dup_pairs
-
+def _planted_embeddings(spark, sf_dir):
+    """embeddings PLUS planted near-copies: the synthetic vectors are
+    near-orthogonal (max pairwise cos ~0.51), so at a realistic 0.95
+    threshold the raw table has no near-dup pairs and any dedup check
+    would be vacuous.  Every 10th vector gets a planted neighbor
+    v + 0.2*v_next (cos ~0.98) under id+1000000."""
     emb = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
     nxt = emb.select((F.col("vec_id") - 1).alias("vec_id"),
@@ -889,11 +886,53 @@ def _embed_near_dup(spark, sf_dir):
         .select((F.col("vec_id") + 1000000).alias("vec_id"),
                 F.zip_with("embedding", "__e2__",
                            lambda a, b: a + F.lit(0.2) * b).alias("embedding")))
-    # the (id, vec) corpus feeds three plan branches (signatures + both
-    # verify joins); cache the narrow projection so the planted join
-    # isn't recomputed per branch
-    corpus = emb.unionByName(planted).cache()
-    return embedding_near_dup_pairs(corpus, threshold=0.95, dim=64)
+    # the (id, vec) corpus feeds several plan branches; cache the
+    # narrow projection so the planted join isn't recomputed per branch
+    return emb.unionByName(planted).cache()
+
+
+def _embed_near_dup(spark, sf_dir):
+    """Near-dup pairs over the planted-copy corpus: banded sign-LSH
+    candidates, exact-cosine verify; the oracle's exact O(n^2) join
+    must be recovered in full (recall 1 on the planted pairs)."""
+    from apache_beam_spark.similarity.knn import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(_planted_embeddings(spark, sf_dir),
+                                    threshold=0.95, dim=64)
+
+
+def _semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup: quantize every vector to its
+    nearest fixed centroid (the first 8 base embeddings — value-
+    checkable, same strategy as embed_kmeans_fixed), mine exact-cosine
+    >= 0.95 pairs WITHIN each cell only, resolve clusters by
+    connected components, keep the min-id representative.  In-cell
+    pair mining bounds the quadratic term at (cell size)^2 — the IVF
+    cell takes the place of the LSH bucket, and at scale hot cells
+    split via the same salting as embed_ivf_knn."""
+    from apache_beam_spark.dedup.components import dup_clusters
+    from apache_beam_spark.functions.vectors import cosine
+    from apache_beam_spark.similarity.kmeans import kmeans_assign
+
+    corpus = _planted_embeddings(spark, sf_dir)
+    cents = [r[0] for r in
+             load_table(spark, "embeddings", sf_dir)
+             .filter(F.col("vec_id") < 8).orderBy("vec_id")
+             .select(F.col("embedding").cast("array<double>")).collect()]
+    assigned = kmeans_assign(corpus, cents)
+    v = corpus.join(assigned, on="vec_id").select(
+        "vec_id", "cluster", F.col("embedding").alias("v"))
+    a = v.select(F.col("vec_id").alias("id_a"), "cluster",
+                 F.col("v").alias("va"))
+    b = v.select(F.col("vec_id").alias("id_b"), "cluster",
+                 F.col("v").alias("vb"))
+    pairs = (a.join(b, on="cluster")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .filter(cosine(F.col("va"), F.col("vb")) >= 0.95)
+             .select("id_a", "id_b"))
+    comp = dup_clusters(pairs, corpus.select("vec_id"))
+    return comp.withColumn("is_representative",
+                           F.col("vec_id") == F.col("component"))
 
 
 def _secondary_sort(spark, sf_dir):
@@ -1257,6 +1296,34 @@ def _mixture_cap_tokens(spark, sf_dir):
         load_table(spark, "documents", sf_dir),
         budgets={"src0": 1000, "src1": 200, "src5": 0},
         default_budget=600)
+
+
+def _trending_topk(spark, sf_dir):
+    """Sliding-window trending: top-2 event types per 1h/30m window by
+    count (rank inside the windowed aggregate — the composition of
+    SlidingWindows + Top.perKey the reference builds by hand)."""
+    ev = load_table(spark, "events", sf_dir)
+    agg = (ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"),
+                      "event_type")
+           .agg(F.count(F.lit(1)).alias("n"))
+           .select(F.col("w.start").alias("ws"), "event_type", "n"))
+    from pyspark.sql.window import Window as W
+
+    r = F.row_number().over(
+        W.partitionBy("ws").orderBy(F.col("n").desc(), "event_type"))
+    return agg.withColumn("rank", r).filter(F.col("rank") <= 2)
+
+
+def _value_histogram(spark, sf_dir):
+    """Corpus profiling: equal-width histogram of the events value
+    column (20 bins of width 25 over [0, 500)) — one scan, one narrow
+    agg."""
+    ev = load_table(spark, "events", sf_dir)
+    b = F.floor(F.col("value") / 25).cast("int")
+    bin_ = F.when(b < 0, -1).when(b >= 20, 20).otherwise(b)
+    return (ev.groupBy(bin_.alias("bin"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 _dsum("value", "sum_value", 4)))
 
 
 def _game_stats_spam(spark, sf_dir):
@@ -1820,6 +1887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_ivf_knn": _embed_ivf_knn,
         "embed_ivf_fixed": _embed_ivf_fixed,
         "embed_near_dup": _embed_near_dup,
+        "semantic_dedup": _semantic_dedup,
         "embed_kmeans": _embed_kmeans,
         "embed_kmeans_fixed": _embed_kmeans_fixed,
         "pack_sequences": _pack_sequences,
@@ -1839,6 +1907,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_shuffle": _epoch_shuffle,
         "funnel_instances": _funnel_instances,
         "game_stats_spam": _game_stats_spam,
+        "trending_topk": _trending_topk,
+        "value_histogram": _value_histogram,
         "trigram_logprob": _trigram_logprob,
         "heavy_hitter_words": _heavy_hitter_words,
         "top_words": _top_words,
@@ -2282,6 +2352,41 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_dot_product(a.v, b.v)
                   / (sqrt(list_dot_product(a.v, a.v))
                      * sqrt(list_dot_product(b.v, b.v))) >= 0.95""",
+        "semantic_dedup": """
+            WITH RECURSIVE base AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            planted AS (
+                SELECT a.vec_id + 1000000 AS vec_id,
+                       list_transform(a.v, (x, i) -> x + 0.2 * (b.v)[i]) AS v
+                FROM base a JOIN base b ON b.vec_id = a.vec_id + 1
+                WHERE a.vec_id % 10 = 0),
+            allv AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+            c AS (SELECT vec_id AS cid, v AS cv FROM base WHERE vec_id < 8),
+            asg AS (
+                SELECT vec_id, cid FROM (
+                    SELECT e.vec_id, c.cid,
+                           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                               ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
+                    FROM allv e CROSS JOIN c) t
+                WHERE rn = 1),
+            pv AS (SELECT a.vec_id, a.v, asg.cid
+                   FROM allv a JOIN asg USING (vec_id)),
+            pairs AS (
+                SELECT x.vec_id AS id_a, y.vec_id AS id_b
+                FROM pv x JOIN pv y
+                  ON x.cid = y.cid AND x.vec_id < y.vec_id
+                WHERE list_dot_product(x.v, y.v)
+                      / (sqrt(list_dot_product(x.v, x.v))
+                         * sqrt(list_dot_product(y.v, y.v))) >= 0.95),
+            edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+                      UNION SELECT id_b, id_a FROM pairs),
+            reach(node, comp) AS (
+                SELECT vec_id, vec_id FROM allv
+                UNION
+                SELECT e.d, r.comp FROM reach r JOIN edges e ON e.s = r.node)
+            SELECT node AS vec_id, MIN(comp) AS component,
+                   node = MIN(comp) AS is_representative
+            FROM reach GROUP BY node""",
         "secondary_sort": """
             SELECT l_orderkey,
                    ROW_NUMBER() OVER (PARTITION BY l_orderkey
@@ -2477,6 +2582,30 @@ def oracle_sql() -> dict[str, str]:
                                             WHEN 'src1' THEN 200
                                             WHEN 'src5' THEN 0
                                             ELSE 600 END""",
+        "trending_topk": """
+            WITH w AS (
+                SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws,
+                       event_type FROM events
+                UNION ALL
+                SELECT time_bucket(INTERVAL '30 minutes', ts)
+                       - INTERVAL '30 minutes' AS ws,
+                       event_type FROM events),
+            agg AS (SELECT ws, event_type, COUNT(*) AS n
+                    FROM w GROUP BY ws, event_type)
+            SELECT ws, event_type, n, rank FROM (
+                SELECT ws, event_type, n,
+                       CAST(ROW_NUMBER() OVER (PARTITION BY ws
+                            ORDER BY n DESC, event_type) AS INT) AS rank
+                FROM agg) t
+            WHERE rank <= 2""",
+        "value_histogram": f"""
+            SELECT CASE WHEN b < 0 THEN -1 WHEN b >= 20 THEN 20
+                        ELSE b END AS bin,
+                   COUNT(*) AS n,
+                   {_sql_dsum('value', 'sum_value', 4)}
+            FROM (SELECT CAST(FLOOR(value / 25) AS INT) AS b, value
+                  FROM events) t
+            GROUP BY 1""",
         "game_stats_spam": """
             WITH pu AS (SELECT user_id, COUNT(*) AS n_events
                         FROM events GROUP BY user_id),
