@@ -74,6 +74,8 @@ HEADLINE = [
     "q21_waiting_suppliers",
     "epoch_shuffle",
     "funnel_instances",
+    "semantic_dedup",
+    "trending_topk",
 ]
 
 

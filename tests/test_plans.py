@@ -184,3 +184,19 @@ def test_chunk_dedup_two_shuffles(spark):
     nothing else may shuffle."""
     df = Q["chunk_dedup"](spark, SF)
     assert shuffle_count(df) == 2
+
+
+def test_semantic_dedup_no_cross_join(spark):
+    """Pair mining must stay within quantizer cells (equi-join on the
+    cell id) — no cartesian/broadcast-nested-loop anywhere."""
+    df = Q["semantic_dedup"](spark, SF)
+    plan = df._jdf.queryExecution().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_trending_single_shuffle_plus_window(spark):
+    """Windowed count then per-window rank: the rank window reuses the
+    aggregate's hash partitioning where possible — at most 2 exchanges."""
+    df = Q["trending_topk"](spark, SF)
+    assert shuffle_count(df) <= 2
