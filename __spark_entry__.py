@@ -1298,6 +1298,48 @@ def _mixture_cap_tokens(spark, sf_dir):
         default_budget=600)
 
 
+def _dedup_incremental(spark, sf_dir):
+    """Incremental ingestion dedup: a NEW batch exact-deduped against
+    the EXISTING corpus (doc_id < 250) by normalized-text fingerprint —
+    an anti join on the md5, so only fingerprints shuffle and the
+    existing corpus is never rewritten; in-batch keep-first applies the
+    same witness rule as exact_dedup.  The corpus has no natural exact
+    dups (dedup_exact keeps all 500), so the new batch PLANTS them:
+    docs >= 250 plus copies of docs 0..49 (re-idd +10000; cross-batch
+    dups the anti join must drop) plus a copy of doc 300 (id 10300; an
+    in-batch dup keep-first must drop)."""
+    d = load_table(spark, "documents", sf_dir)
+    fp = T.fingerprint(F.col("text")).alias("fp")
+    base = d.select("doc_id", fp)
+    new = (base.filter(F.col("doc_id") >= 250)
+           .unionByName(base.filter(F.col("doc_id") < 50)
+                        .select((F.col("doc_id") + 10000).alias("doc_id"),
+                                "fp"))
+           .unionByName(base.filter(F.col("doc_id") == 300)
+                        .select((F.col("doc_id") + 10000).alias("doc_id"),
+                                "fp")))
+    old = base.filter(F.col("doc_id") < 250).select("fp")
+    from pyspark.sql.window import Window as W
+
+    first_in_batch = F.row_number().over(
+        W.partitionBy("fp").orderBy("doc_id")) == 1
+    return (new.join(old, on="fp", how="left_anti")
+            .withColumn("__keep__", first_in_batch)
+            .filter("__keep__").select("doc_id"))
+
+
+def _quantiles_per_key(spark, sf_dir):
+    """Exact per-key quantiles (ApproximateQuantiles.perKey exact twin,
+    reference transforms/ApproximateQuantiles.java:116): p50/p95 of
+    value per event type via Spark's exact percentile aggregate —
+    interpolation semantics verified identical to DuckDB
+    quantile_cont."""
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"))
+
+
 def _trending_topk(spark, sf_dir):
     """Sliding-window trending: top-2 event types per 1h/30m window by
     count (rank inside the windowed aggregate — the composition of
@@ -1909,6 +1951,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "game_stats_spam": _game_stats_spam,
         "trending_topk": _trending_topk,
         "value_histogram": _value_histogram,
+        "dedup_incremental": _dedup_incremental,
+        "quantiles_per_key": _quantiles_per_key,
         "trigram_logprob": _trigram_logprob,
         "heavy_hitter_words": _heavy_hitter_words,
         "top_words": _top_words,
@@ -2582,6 +2626,27 @@ def oracle_sql() -> dict[str, str]:
                                             WHEN 'src1' THEN 200
                                             WHEN 'src5' THEN 0
                                             ELSE 600 END""",
+        "dedup_incremental": f"""
+            WITH f AS (SELECT doc_id, md5({norm_text}) AS fp
+                       FROM documents),
+            newb AS (
+                SELECT doc_id, fp FROM f WHERE doc_id >= 250
+                UNION ALL
+                SELECT doc_id + 10000, fp FROM f WHERE doc_id < 50
+                UNION ALL
+                SELECT doc_id + 10000, fp FROM f WHERE doc_id = 300)
+            SELECT doc_id FROM (
+                SELECT doc_id, fp,
+                       ROW_NUMBER() OVER (PARTITION BY fp
+                                          ORDER BY doc_id) AS rn
+                FROM newb
+                WHERE fp NOT IN (SELECT fp FROM f WHERE doc_id < 250)) t
+            WHERE rn = 1""",
+        "quantiles_per_key": """
+            SELECT event_type,
+                   ROUND(quantile_cont(value, 0.5), 6) AS p50,
+                   ROUND(quantile_cont(value, 0.95), 6) AS p95
+            FROM events GROUP BY event_type""",
         "trending_topk": """
             WITH w AS (
                 SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws,
