@@ -81,3 +81,42 @@ def test_late_event_beyond_lateness_drops_chain(spark):
     ]
     got = _stream_rows(spark, batches, lateness_ms=0)
     assert got == set()
+
+
+def test_funnel_state_survives_restart(spark, tmp_path):
+    """A view buffered before shutdown must still anchor a chain whose
+    click/purchase only arrive after restart from the same checkpoint —
+    the JSON state blob (buffer + open partials) is checkpointed."""
+    import pandas as pd
+
+    spool = str(tmp_path / "spool")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    pq_schema = "event_id long, user_id long, ts long, event_type string"
+
+    def write(rows):
+        (spark.createDataFrame(pd.DataFrame(rows))
+         .coalesce(1).write.mode("append").parquet(spool))
+
+    def run_once():
+        sdf = streaming_funnel(
+            spark.readStream.schema(pq_schema)
+            .option("maxFilesPerTrigger", 1).parquet(spool),
+            ["view", "click", "purchase"], within_ms=30 * 60_000,
+            lateness_ms=24 * 60 * 60_000)
+        q = (sdf.writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .outputMode("append").start())
+        q.processAllAvailable()
+        q.stop()
+
+    write([_ev(1, 4, 0, "view")])
+    run_once()
+    write([_ev(2, 4, 5, "click"), _ev(3, 4, 12, "purchase")])
+    write([_ev(8, 9, 3000, "error")])
+    write([_ev(9, 9, 3001, "error")])
+    run_once()
+
+    got = {(r.user_id, r.view_ts, r.click_ts, r.purchase_ts)
+           for r in spark.read.parquet(out).collect()}
+    assert got == {(4, BASE, BASE + 5 * M, BASE + 12 * M)}
