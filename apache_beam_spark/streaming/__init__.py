@@ -19,6 +19,7 @@ from apache_beam_spark.streaming.windowed import (
     run_to_memory,
     windowed_aggregate,
 )
+from apache_beam_spark.streaming.heavy import streaming_heavy_hitters
 from apache_beam_spark.streaming.sequences import streaming_funnel
 from apache_beam_spark.streaming.stateful import (
     group_into_batches_stream,
@@ -56,7 +57,7 @@ __all__ = [
     "TestStream", "file_stream", "rate_stream",
     "windowed_aggregate", "run_to_memory",
     "stateful_per_key", "group_into_batches_stream", "streaming_distinct",
-    "streaming_funnel",
+    "streaming_funnel", "streaming_heavy_hitters",
     "foreach_batch", "idempotent_foreach_batch", "write_parquet_stream",
     "stateful_do_fn", "StatefulContext",
     "interval_join",
