@@ -1298,6 +1298,40 @@ def _mixture_cap_tokens(spark, sf_dir):
         default_budget=600)
 
 
+def _rolling_features(spark, sf_dir):
+    """Point-in-time feature engineering: at EVERY event, the user's
+    trailing-1-hour event count and value sum (range-framed window —
+    per-event features, not per-window buckets; the training-data twin
+    of the as-of join).  One keyed shuffle; the frame is computed
+    inside the sort, no self-join."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, "events", sf_dir)
+    w = (W.partitionBy("user_id")
+         .orderBy(F.col("ts").cast("timestamp").cast("long"))
+         .rangeBetween(-3600, 0))
+    return ev.select(
+        "event_id", "user_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")).over(w)
+                .cast("double"), 6).alias("sum_1h"))
+
+
+def _inverted_index(spark, sf_dir):
+    """Posting-list materialization: word -> (df, first 20 doc ids in
+    order) for words of >= 4 chars — the search-index build step.  The
+    postings cap keeps hot words from dominating reducer memory
+    (sort_array + slice INSIDE the aggregate, no global sort)."""
+    d = load_table(spark, "documents", sf_dir)
+    w = d.select("doc_id",
+                 F.explode(T.word_tokens(F.col("text"))).alias("word")) \
+        .filter(F.length("word") >= 4).distinct()
+    return (w.groupBy("word")
+            .agg(F.count(F.lit(1)).alias("df"),
+                 F.slice(F.sort_array(F.collect_list("doc_id")), 1, 20)
+                 .alias("postings")))
+
+
 def _dedup_incremental(spark, sf_dir):
     """Incremental ingestion dedup: a NEW batch exact-deduped against
     the EXISTING corpus (doc_id < 250) by normalized-text fingerprint —
@@ -1953,6 +1987,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram": _value_histogram,
         "dedup_incremental": _dedup_incremental,
         "quantiles_per_key": _quantiles_per_key,
+        "rolling_features": _rolling_features,
+        "inverted_index": _inverted_index,
         "trigram_logprob": _trigram_logprob,
         "heavy_hitter_words": _heavy_hitter_words,
         "top_words": _top_words,
@@ -2626,6 +2662,23 @@ def oracle_sql() -> dict[str, str]:
                                             WHEN 'src1' THEN 200
                                             WHEN 'src5' THEN 0
                                             ELSE 600 END""",
+        "rolling_features": """
+            SELECT event_id, user_id,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+                   ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w
+                         AS DOUBLE), 6) AS sum_1h
+            FROM events
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY (epoch_us(ts) // 1000000)
+                         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""",
+        "inverted_index": f"""
+            WITH wt AS (
+                SELECT DISTINCT doc_id, w FROM (
+                    SELECT doc_id, unnest({toks}) AS w FROM documents) t
+                WHERE length(w) >= 4)
+            SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS df,
+                   list_sort(list(doc_id))[1:20] AS postings
+            FROM wt GROUP BY w""",
         "dedup_incremental": f"""
             WITH f AS (SELECT doc_id, md5({norm_text}) AS fp
                        FROM documents),
