@@ -1328,8 +1328,9 @@ def _inverted_index(spark, sf_dir):
         .filter(F.length("word") >= 4).distinct()
     return (w.groupBy("word")
             .agg(F.count(F.lit(1)).alias("df"),
-                 F.slice(F.sort_array(F.collect_list("doc_id")), 1, 20)
-                 .alias("postings")))
+                 F.array_join(
+                     F.slice(F.sort_array(F.collect_list("doc_id")), 1, 20),
+                     ",").alias("postings")))
 
 
 def _dedup_incremental(spark, sf_dir):
@@ -2677,7 +2678,8 @@ def oracle_sql() -> dict[str, str]:
                     SELECT doc_id, unnest({toks}) AS w FROM documents) t
                 WHERE length(w) >= 4)
             SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS df,
-                   list_sort(list(doc_id))[1:20] AS postings
+                   array_to_string(list_sort(list(doc_id))[1:20], ',')
+                       AS postings
             FROM wt GROUP BY w""",
         "dedup_incremental": f"""
             WITH f AS (SELECT doc_id, md5({norm_text}) AS fp
