@@ -1298,6 +1298,21 @@ def _mixture_cap_tokens(spark, sf_dir):
         default_budget=600)
 
 
+def _props_flatten(spark, sf_dir):
+    """Typed JSON flattening (from_json with an explicit schema, not
+    per-field string extraction): parse events.props into a struct and
+    aggregate on the typed field — the schema'd path Catalyst can prune
+    and push, unlike get_json_object string probing."""
+    ev = load_table(spark, "events", sf_dir)
+    parsed = ev.select(
+        "event_type",
+        F.from_json("props", "k int").alias("p"))
+    return (parsed.groupBy("event_type", (F.col("p.k") % 10).alias("k_mod"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("p.k").alias("k_min"),
+                 F.max("p.k").alias("k_max")))
+
+
 def _rolling_features(spark, sf_dir):
     """Point-in-time feature engineering: at EVERY event, the user's
     trailing-1-hour event count and value sum (range-framed window —
@@ -1990,6 +2005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles_per_key": _quantiles_per_key,
         "rolling_features": _rolling_features,
         "inverted_index": _inverted_index,
+        "props_flatten": _props_flatten,
         "trigram_logprob": _trigram_logprob,
         "heavy_hitter_words": _heavy_hitter_words,
         "top_words": _top_words,
@@ -2663,6 +2679,16 @@ def oracle_sql() -> dict[str, str]:
                                             WHEN 'src1' THEN 200
                                             WHEN 'src5' THEN 0
                                             ELSE 600 END""",
+        "props_flatten": """
+            SELECT event_type,
+                   CAST(k % 10 AS INT) AS k_mod,
+                   COUNT(*) AS n,
+                   CAST(MIN(k) AS INT) AS k_min,
+                   CAST(MAX(k) AS INT) AS k_max
+            FROM (SELECT event_type,
+                         CAST(json_extract(props, '$.k') AS INT) AS k
+                  FROM events) t
+            GROUP BY 1, 2""",
         "rolling_features": """
             SELECT event_id, user_id,
                    CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,

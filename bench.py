@@ -76,6 +76,8 @@ HEADLINE = [
     "funnel_instances",
     "semantic_dedup",
     "trending_topk",
+    "rolling_features",
+    "dedup_incremental",
 ]
 
 
