@@ -1298,6 +1298,33 @@ def _mixture_cap_tokens(spark, sf_dir):
         default_budget=600)
 
 
+def _table_profile(spark, sf_dir):
+    """One-pass table profiler (the engine-utility df.describe() twin,
+    but exact and unpivoted): per column of orders — row count, nulls,
+    exact distinct count, min/max as strings.  ONE aggregate job
+    computes every column's stats (no per-column scans); the unpivot is
+    a zero-shuffle stack of the single result row."""
+    o = load_table(spark, "orders", sf_dir)
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    one = o.agg(*aggs)
+    stacked = ", ".join(
+        f"'{c}', {c}__n, {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c in cols)
+    return one.select(F.expr(
+        f"stack({len(cols)}, {stacked}) AS "
+        "(column, n, nulls, n_distinct, min_s, max_s)"))
+
+
 def _props_flatten(spark, sf_dir):
     """Typed JSON flattening (from_json with an explicit schema, not
     per-field string extraction): parse events.props into a struct and
@@ -2006,6 +2033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_features": _rolling_features,
         "inverted_index": _inverted_index,
         "props_flatten": _props_flatten,
+        "table_profile": _table_profile,
         "trigram_logprob": _trigram_logprob,
         "heavy_hitter_words": _heavy_hitter_words,
         "top_words": _top_words,
@@ -2679,6 +2707,48 @@ def oracle_sql() -> dict[str, str]:
                                             WHEN 'src1' THEN 200
                                             WHEN 'src5' THEN 0
                                             ELSE 600 END""",
+        "table_profile": """
+            SELECT 'o_orderkey' AS "column", CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
+                   CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+                   CAST(MIN(o_orderkey) AS VARCHAR) AS min_s,
+                   CAST(MAX(o_orderkey) AS VARCHAR) AS max_s
+            FROM orders
+            UNION ALL
+            SELECT 'o_custkey' AS "column", CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
+                   CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+                   CAST(MIN(o_custkey) AS VARCHAR) AS min_s,
+                   CAST(MAX(o_custkey) AS VARCHAR) AS max_s
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus' AS "column", CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
+                   CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_distinct,
+                   CAST(MIN(o_orderstatus) AS VARCHAR) AS min_s,
+                   CAST(MAX(o_orderstatus) AS VARCHAR) AS max_s
+            FROM orders
+            UNION ALL
+            SELECT 'o_totalprice' AS "column", CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
+                   CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS n_distinct,
+                   CAST(MIN(o_totalprice) AS VARCHAR) AS min_s,
+                   CAST(MAX(o_totalprice) AS VARCHAR) AS max_s
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderdate' AS "column", CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
+                   CAST(COUNT(DISTINCT o_orderdate) AS BIGINT) AS n_distinct,
+                   CAST(MIN(o_orderdate) AS VARCHAR) AS min_s,
+                   CAST(MAX(o_orderdate) AS VARCHAR) AS max_s
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority' AS "column", CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
+                   CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_distinct,
+                   CAST(MIN(o_orderpriority) AS VARCHAR) AS min_s,
+                   CAST(MAX(o_orderpriority) AS VARCHAR) AS max_s
+            FROM orders""",
         "props_flatten": """
             SELECT event_type,
                    CAST(k % 10 AS INT) AS k_mod,

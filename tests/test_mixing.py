@@ -42,3 +42,37 @@ def test_matches_flat_window_semantics(spark):
             .rowsBetween(W.unboundedPreceding, 0)).alias("cum"))
     want = {r.doc_id: r.cum for r in flat.collect()}
     assert got == want
+
+
+def test_budget_invariants_randomized(spark):
+    """Property: per source, (a) kept tokens never exceed the budget,
+    (b) the kept set is a PREFIX of the hash order — the first excluded
+    doc would not have fit."""
+    import hashlib
+
+    rows = [(i, f"s{i % 4}", "w " * (1 + (i * 7) % 13)) for i in range(120)]
+    df = _mk(spark, rows)
+    budgets = {"s0": 37, "s1": 0, "s2": 10_000}
+    out = cap_tokens_per_source(df, budgets, default_budget=55).collect()
+    ntok = {i: 1 + (i * 7) % 13 for i, _, _ in rows}
+    by_src: dict[str, list] = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    order = {s: sorted((i for i, src, _ in rows if src == s),
+                       key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+             for s in ("s0", "s1", "s2", "s3")}
+    for s in ("s0", "s2", "s3"):
+        budget = budgets.get(s, 55)
+        kept = {r.doc_id for r in by_src.get(s, [])}
+        total = sum(ntok[i] for i in kept)
+        assert total <= budget
+        # prefix property + maximality
+        run = 0
+        for i in order[s]:
+            if run + ntok[i] <= budget:
+                assert i in kept, (s, i)
+                run += ntok[i]
+            else:
+                assert i not in kept, (s, i)
+                break
+    assert "s1" not in by_src
