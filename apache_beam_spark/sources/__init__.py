@@ -12,10 +12,12 @@ subsumed by Spark's file partitioning); streaming sources are
 from apache_beam_spark.sources.tables import TABLES, load_table, load_tables, register_views
 from apache_beam_spark.sources.io import (
     GenerateSequence,
+    match_files,
     read_avro,
     read_csv,
     read_jdbc,
     read_json,
+    read_matches,
     read_orc,
     read_parquet,
     read_text,
@@ -34,5 +36,6 @@ __all__ = [
     "read_parquet", "read_text", "read_json", "read_csv", "read_avro",
     "read_orc", "read_jdbc", "write_jdbc", "GenerateSequence",
     "read_table", "write_table", "table_exists", "drop_table",
+    "match_files", "read_matches",
     "read_tfrecord", "write_tfrecord",
 ]

@@ -108,3 +108,38 @@ class GenerateSequence:
     def with_rate(spark: SparkSession, rows_per_second: int) -> DataFrame:
         return (spark.readStream.format("rate")
                 .option("rowsPerSecond", rows_per_second).load())
+
+
+def match_files(spark: SparkSession, pattern: str) -> DataFrame:
+    """FileIO.match / MatchResult (reference
+    ``sdks/java/core/.../io/FileIO.java:~200``, ``fs/MatchResult.java``):
+    expand a glob into a DataFrame of file metadata
+    ``(path string, size_bytes bigint, mtime_ms bigint)``.
+
+    Listing runs through the Hadoop FileSystem layer on the driver —
+    the same place Beam's match expansion runs — so it works on any
+    configured filesystem (local, HDFS, s3a, ...).  The MANIFEST is
+    driver-side; the downstream per-file WORK stays distributed (pass
+    the paths to ``spark.read`` or parallelize the manifest).
+    """
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(pattern)
+    fs = p.getFileSystem(conf)
+    statuses = fs.globStatus(p)
+    rows = [(s.getPath().toString(), s.getLen(), s.getModificationTime())
+            for s in (statuses or [])]
+    return spark.createDataFrame(
+        rows, "path string, size_bytes bigint, mtime_ms bigint")
+
+
+def read_matches(spark: SparkSession, manifest: DataFrame,
+                 format: str = "parquet", **options) -> DataFrame:
+    """FileIO.readMatches + the format read (reference
+    ``FileIO.java readMatches``): consume a ``match_files`` manifest by
+    reading the matched paths through the normal distributed reader
+    (which re-splits large files — Beam's ReadableFile never did)."""
+    paths = [r.path for r in manifest.select("path").collect()]
+    if not paths:
+        raise ValueError("read_matches: empty manifest")
+    return spark.read.format(format).options(**options).load(paths)

@@ -76,3 +76,22 @@ def test_tfrecord_truncation_detected():
         _parse_tfrecords(blob[:-3], True)   # torn mid-record
     with pytest.raises(ValueError, match="truncated"):
         _parse_tfrecords(blob + b"\x01\x02", True)  # trailing garbage header
+
+
+def test_match_files_and_read_matches(spark, tmp_path):
+    from apache_beam_spark.sources.io import match_files, read_matches
+
+    for i in range(3):
+        spark.range(10).write.mode("overwrite").parquet(
+            str(tmp_path / f"t{i}.parquet"))
+    m = match_files(spark, str(tmp_path / "t*.parquet"))
+    rows = m.collect()
+    assert len(rows) == 3
+    assert all(r.size_bytes > 0 and r.mtime_ms > 0 for r in rows)
+    assert read_matches(spark, m).count() == 30
+
+
+def test_match_files_no_hits_is_empty(spark, tmp_path):
+    from apache_beam_spark.sources.io import match_files
+
+    assert match_files(spark, str(tmp_path / "nope*")).count() == 0
