@@ -143,3 +143,32 @@ def read_matches(spark: SparkSession, manifest: DataFrame,
     if not paths:
         raise ValueError("read_matches: empty manifest")
     return spark.read.format(format).options(**options).load(paths)
+
+
+def read_parquet_evolving(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution read: union the schemas of all footers
+    (``mergeSchema``) so files written before a column was added read
+    back with NULLs in it — the reference handled this at the Avro
+    layer via reader/writer schema resolution (AvroIO withSchema)."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def compact_parquet(spark: SparkSession, src: str, dest: str,
+                    target_mb: int = 512) -> int:
+    """Small-file compaction: rewrite a directory of parquet files into
+    ``ceil(total_bytes / target_mb)`` similarly-sized files.
+
+    The operational fix for the classic 100 TB failure mode — millions
+    of kilobyte files from over-parallel writes drowning the namenode
+    and the scan planner.  File count comes from the MANIFEST (cheap
+    driver-side listing), not from reading data twice; the rewrite is
+    one distributed read + round-robin repartition + write.  Returns
+    the output file count.
+    """
+    import math
+
+    manifest = match_files(spark, src.rstrip("/") + "/*.parquet")
+    total = sum(r.size_bytes for r in manifest.collect())
+    n = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    spark.read.parquet(src).repartition(n).write.mode("overwrite").parquet(dest)
+    return n

@@ -95,3 +95,32 @@ def test_match_files_no_hits_is_empty(spark, tmp_path):
     from apache_beam_spark.sources.io import match_files
 
     assert match_files(spark, str(tmp_path / "nope*")).count() == 0
+
+
+def test_schema_evolution_merge(spark, tmp_path):
+    from apache_beam_spark.sources.io import read_parquet_evolving
+
+    p = str(tmp_path / "evolve")
+    spark.createDataFrame([(1, "a")], "id long, name string") \
+        .write.mode("append").parquet(p)
+    spark.createDataFrame([(2, "b", 9.5)],
+                          "id long, name string, score double") \
+        .write.mode("append").parquet(p)
+    df = read_parquet_evolving(spark, p)
+    assert set(df.columns) == {"id", "name", "score"}
+    rows = {r.id: r.score for r in df.collect()}
+    assert rows[1] is None and rows[2] == 9.5
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    import glob
+
+    from apache_beam_spark.sources.io import compact_parquet
+
+    src, dest = str(tmp_path / "many"), str(tmp_path / "few")
+    spark.range(10_000).repartition(64).write.parquet(src)
+    assert len(glob.glob(src + "/*.parquet")) == 64
+    n = compact_parquet(spark, src, dest, target_mb=512)
+    assert n == 1
+    assert len(glob.glob(dest + "/*.parquet")) == 1
+    assert spark.read.parquet(dest).count() == 10_000
