@@ -1298,6 +1298,38 @@ def _mixture_cap_tokens(spark, sf_dir):
         default_budget=600)
 
 
+def _feature_store_events(spark, sf_dir):
+    """Per-event training-feature materialization — the events-side
+    flagship composition: at EVERY event, point-in-time-correct
+    (1) trailing-1h activity (range frame), (2) most recent PRIOR
+    purchase timestamp (as-of, rows frame over preceding rows only —
+    no leakage), (3) the session the event belongs to (gaps-and-
+    islands running max).  All three window families share the
+    (user_id, ts) partitioning and sort, so the whole feature table is
+    ONE keyed shuffle + one sort — the shape a feature-store backfill
+    needs at 100 TB."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, "events", sf_dir)
+    sec = F.col("ts").cast("timestamp").cast("long")
+    by_user = W.partitionBy("user_id").orderBy(sec)
+    w_1h = by_user.rangeBetween(-3600, 0)
+    w_prev = by_user.rowsBetween(W.unboundedPreceding, -1)
+    w_run = by_user.rowsBetween(W.unboundedPreceding, 0)
+
+    gap = sec - F.lag(sec).over(by_user)
+    new_session = F.when(gap.isNull() | (gap > 1800), sec)
+    return ev.select(
+        "event_id", "user_id",
+        F.count(F.lit(1)).over(w_1h).alias("n_1h"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")).over(w_1h)
+                .cast("double"), 6).alias("sum_1h"),
+        F.max(F.when(F.col("event_type") == "purchase", sec)).over(w_prev)
+        .alias("last_purchase_s"),
+        F.max(new_session).over(w_run).alias("session_start_s"),
+    )
+
+
 def _table_profile(spark, sf_dir):
     """One-pass table profiler (the engine-utility df.describe() twin,
     but exact and unpivoted): per column of orders — row count, nulls,
@@ -2034,6 +2066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": _inverted_index,
         "props_flatten": _props_flatten,
         "table_profile": _table_profile,
+        "feature_store_events": _feature_store_events,
         "trigram_logprob": _trigram_logprob,
         "heavy_hitter_words": _heavy_hitter_words,
         "top_words": _top_words,
@@ -2749,6 +2782,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MIN(o_orderpriority) AS VARCHAR) AS min_s,
                    CAST(MAX(o_orderpriority) AS VARCHAR) AS max_s
             FROM orders""",
+        "feature_store_events": """
+            SELECT event_id, user_id,
+                   CAST(COUNT(*) OVER w1h AS BIGINT) AS n_1h,
+                   ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w1h
+                         AS DOUBLE), 6) AS sum_1h,
+                   MAX(CASE WHEN event_type = 'purchase' THEN s END)
+                       OVER wprev AS last_purchase_s,
+                   MAX(CASE WHEN gap IS NULL OR gap > 1800 THEN s END)
+                       OVER wrun AS session_start_s
+            FROM (
+                SELECT event_id, user_id, event_type, value,
+                       (epoch_us(ts) // 1000000) AS s,
+                       (epoch_us(ts) // 1000000)
+                       - LAG(epoch_us(ts) // 1000000) OVER
+                             (PARTITION BY user_id ORDER BY epoch_us(ts))
+                           AS gap
+                FROM events) t
+            WINDOW
+                w1h AS (PARTITION BY user_id ORDER BY s
+                        RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW),
+                wprev AS (PARTITION BY user_id ORDER BY s
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING),
+                wrun AS (PARTITION BY user_id ORDER BY s
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)""",
         "props_flatten": """
             SELECT event_type,
                    CAST(k % 10 AS INT) AS k_mod,

@@ -200,3 +200,11 @@ def test_trending_single_shuffle_plus_window(spark):
     aggregate's hash partitioning where possible — at most 2 exchanges."""
     df = Q["trending_topk"](spark, SF)
     assert shuffle_count(df) <= 2
+
+
+def test_feature_store_single_shuffle(spark):
+    """Three window families (range 1h, preceding-rows as-of, running
+    session max) share (user_id, ts) partitioning+sort: the whole
+    feature table must plan as ONE exchange."""
+    df = Q["feature_store_events"](spark, SF)
+    assert shuffle_count(df) == 1
