@@ -78,6 +78,7 @@ HEADLINE = [
     "trending_topk",
     "rolling_features",
     "dedup_incremental",
+    "feature_store_events",
 ]
 
 
