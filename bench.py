@@ -219,6 +219,15 @@ def _streaming_benchmarks(spark) -> dict:
                                     within_ms=24 * 60 * 60_000)
 
         funnel_wall = _run_stream(stream_funnel())
+
+        def stream_heavy():
+            from apache_beam_spark.streaming import streaming_heavy_hitters
+
+            return streaming_heavy_hitters(
+                source(), "event_type", window_ms=60 * 60_000,
+                capacity=16, min_count=10)
+
+        heavy_wall = _run_stream(stream_heavy())
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", "32")
     return {
@@ -227,6 +236,7 @@ def _streaming_benchmarks(spark) -> dict:
         "stateful_events_per_sec": int(n / stateful_wall),
         "stream_dedup_events_per_sec": int(n / dedup_wall),
         "stream_funnel_events_per_sec": int(n / funnel_wall),
+        "stream_heavy_hitters_events_per_sec": int(n / heavy_wall),
     }
 
 
