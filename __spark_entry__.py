@@ -1298,6 +1298,20 @@ def _mixture_cap_tokens(spark, sf_dir):
         default_budget=600)
 
 
+def _quality_percentile(spark, sf_dir):
+    """Global CDF normalization of the quality score
+    (operators/ranks.py): every doc's corpus-wide percent rank WITHOUT
+    a global sort — order-aligned score buckets rank in parallel, the
+    per-bucket offsets come from a window over the tiny bucket-count
+    aggregate.  The oracle is the naive single-sort formula, proving
+    the hierarchical plan computes the identical ranks."""
+    from apache_beam_spark.operators.ranks import global_percent_rank
+
+    d = load_table(spark, "documents", sf_dir)
+    scored = d.select("doc_id", T.quality_score(F.col("text")).alias("q"))
+    return global_percent_rank(scored, F.col("q"), "doc_id")
+
+
 def _feature_store_events(spark, sf_dir):
     """Per-event training-feature materialization — the events-side
     flagship composition: at EVERY event, point-in-time-correct
@@ -2067,6 +2081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "props_flatten": _props_flatten,
         "table_profile": _table_profile,
         "feature_store_events": _feature_store_events,
+        "quality_percentile": _quality_percentile,
         "trigram_logprob": _trigram_logprob,
         "heavy_hitter_words": _heavy_hitter_words,
         "top_words": _top_words,
@@ -2782,6 +2797,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MIN(o_orderpriority) AS VARCHAR) AS min_s,
                    CAST(MAX(o_orderpriority) AS VARCHAR) AS max_s
             FROM orders""",
+        "quality_percentile": f"""
+            WITH s AS (
+                SELECT doc_id, ROUND((
+                    (CASE WHEN LENGTH(text) >= 50 THEN 1.0
+                          ELSE LENGTH(text) / 50.0 END)
+                    + (1.0 - LEAST(2 * (LENGTH(regexp_replace(text,
+                            '[\\p{{L}}\\p{{N}}\\s]', '', 'g')) * 1.0
+                            / NULLIF(LENGTH(text), 0)), 1.0))
+                    + LEAST(5 * (len(list_filter({toks},
+                            t -> t IN ('the','of','and','a','to',
+                            'in','is','it','that','was','for','on','as',
+                            'with','at','by','an','be','this','are','or',
+                            'not'))) * 1.0 / NULLIF(len({toks}), 0)), 1.0)
+                ) / 3.0, 6) AS q
+                FROM documents)
+            SELECT doc_id, q AS score,
+                   ROUND((ROW_NUMBER() OVER (ORDER BY q, doc_id) - 1.0)
+                         / (COUNT(*) OVER () - 1), 6) AS pct
+            FROM s""",
         "feature_store_events": """
             SELECT event_id, user_id,
                    CAST(COUNT(*) OVER w1h AS BIGINT) AS n_1h,
