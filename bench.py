@@ -79,6 +79,7 @@ HEADLINE = [
     "rolling_features",
     "dedup_incremental",
     "feature_store_events",
+    "quality_percentile",
 ]
 
 
