@@ -1298,6 +1298,47 @@ def _mixture_cap_tokens(spark, sf_dir):
         default_budget=600)
 
 
+def _value_zscore_outliers(spark, sf_dir):
+    """Per-type anomaly flagging: events whose value deviates > 2.5
+    sample-stddevs from their type's mean.  The per-type stats are an
+    in-plan aggregate broadcast back (tiny side), not a driver round
+    trip; one scan + one broadcast join."""
+    ev = load_table(spark, "events", sf_dir)
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("__mu__"),
+        F.stddev_samp("value").alias("__sd__"))
+    return (ev.join(F.broadcast(stats), on="event_type")
+            .withColumn("z", F.round((F.col("value") - F.col("__mu__"))
+                                     / F.col("__sd__"), 6))
+            .filter(F.abs(F.col("z")) > 2.5)
+            .select("event_id", "event_type", "value", "z"))
+
+
+def _rfm_segments(spark, sf_dir):
+    """Customer RFM analysis: recency (days since last order, against
+    the corpus max date computed in-plan), frequency (order count),
+    monetary (decimal-exact spend) + a coarse segment label — the
+    classic retention cut, one shuffle on the customer key."""
+    o = load_table(spark, "orders", sf_dir)
+    anchor = o.agg(F.max("o_orderdate").alias("__d0__"))
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        _dsum("o_totalprice", "monetary"))
+    return (per_cust.join(F.broadcast(anchor))
+            .withColumn("recency_days",
+                        F.datediff(F.col("__d0__"), F.col("last_order"))
+                        .cast("int"))
+            .withColumn("segment",
+                        F.when((F.col("recency_days") <= 180)
+                               & (F.col("frequency") >= 10), "champion")
+                        .when(F.col("recency_days") <= 180, "active")
+                        .when(F.col("frequency") >= 10, "at_risk_big")
+                        .otherwise("dormant"))
+            .select("o_custkey", "recency_days", "frequency",
+                    "monetary", "segment"))
+
+
 def _quality_percentile(spark, sf_dir):
     """Global CDF normalization of the quality score
     (operators/ranks.py): every doc's corpus-wide percent rank WITHOUT
@@ -2082,6 +2123,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_profile": _table_profile,
         "feature_store_events": _feature_store_events,
         "quality_percentile": _quality_percentile,
+        "value_zscore_outliers": _value_zscore_outliers,
+        "rfm_segments": _rfm_segments,
         "trigram_logprob": _trigram_logprob,
         "heavy_hitter_words": _heavy_hitter_words,
         "top_words": _top_words,
@@ -2797,6 +2840,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MIN(o_orderpriority) AS VARCHAR) AS min_s,
                    CAST(MAX(o_orderpriority) AS VARCHAR) AS max_s
             FROM orders""",
+        "value_zscore_outliers": """
+            WITH st AS (
+                SELECT event_type, AVG(value) AS mu,
+                       STDDEV_SAMP(value) AS sd
+                FROM events GROUP BY event_type)
+            SELECT event_id, e.event_type, value,
+                   ROUND((value - mu) / sd, 6) AS z
+            FROM events e JOIN st ON e.event_type = st.event_type
+            WHERE ABS((value - mu) / sd) > 2.5""",
+        "rfm_segments": f"""
+            WITH d0 AS (SELECT MAX(o_orderdate) AS d FROM orders),
+            pc AS (
+                SELECT o_custkey, MAX(o_orderdate) AS last_order,
+                       COUNT(*) AS frequency,
+                       {_sql_dsum('o_totalprice', 'monetary')}
+                FROM orders GROUP BY o_custkey)
+            SELECT o_custkey,
+                   CAST(datediff('day', last_order, d) AS INT)
+                       AS recency_days,
+                   frequency, monetary,
+                   CASE WHEN datediff('day', last_order, d) <= 180
+                             AND frequency >= 10 THEN 'champion'
+                        WHEN datediff('day', last_order, d) <= 180
+                             THEN 'active'
+                        WHEN frequency >= 10 THEN 'at_risk_big'
+                        ELSE 'dormant' END AS segment
+            FROM pc, d0""",
         "quality_percentile": f"""
             WITH s AS (
                 SELECT doc_id, ROUND((
