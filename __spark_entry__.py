@@ -1298,6 +1298,20 @@ def _mixture_cap_tokens(spark, sf_dir):
         default_budget=600)
 
 
+def _train_val_test_split(spark, sf_dir):
+    """Deterministic stratified 3-way split (80/10/10 per language):
+    the md5 hex of the id against fixed thresholds — reproducible
+    across runs/engines, no RNG state, stratification is free because
+    the hash is independent of the stratum.  One scan, zero shuffles."""
+    d = load_table(spark, "documents", sf_dir)
+    h = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")),
+                    1, 3)
+    split = (F.when(h < "ccd", "train")      # 0xccc/0xfff ~= 0.8
+             .when(h < "e66", "val")         # next ~0.1
+             .otherwise("test"))
+    return d.select("doc_id", "lang", split.alias("split"))
+
+
 def _value_zscore_outliers(spark, sf_dir):
     """Per-type anomaly flagging: events whose value deviates > 2.5
     sample-stddevs from their type's mean.  The per-type stats are an
@@ -2125,6 +2139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_percentile": _quality_percentile,
         "value_zscore_outliers": _value_zscore_outliers,
         "rfm_segments": _rfm_segments,
+        "train_val_test_split": _train_val_test_split,
         "trigram_logprob": _trigram_logprob,
         "heavy_hitter_words": _heavy_hitter_words,
         "top_words": _top_words,
@@ -2840,6 +2855,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MIN(o_orderpriority) AS VARCHAR) AS min_s,
                    CAST(MAX(o_orderpriority) AS VARCHAR) AS max_s
             FROM orders""",
+        "train_val_test_split": """
+            SELECT doc_id, lang,
+                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 3)
+                             < 'ccd' THEN 'train'
+                        WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 3)
+                             < 'e66' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents""",
         "value_zscore_outliers": """
             WITH st AS (
                 SELECT event_type, AVG(value) AS mu,

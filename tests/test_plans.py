@@ -208,3 +208,18 @@ def test_feature_store_single_shuffle(spark):
     feature table must plan as ONE exchange."""
     df = Q["feature_store_events"](spark, SF)
     assert shuffle_count(df) == 1
+
+
+def test_rfm_and_zscore_broadcast_stats(spark):
+    """The tiny stats sides (per-type mean/std, corpus max date) must
+    broadcast — never a shuffled sort-merge against the fact side.
+    (The single-row anchor legitimately plans as a broadcast
+    nested-loop: a 1-row cross join, not a scale risk.)"""
+    assert broadcast_join_count(Q["value_zscore_outliers"](spark, SF)) >= 1
+    plan = Q["rfm_segments"](spark, SF)._jdf.queryExecution().toString()
+    assert "Broadcast" in plan and "SortMergeJoin" not in plan
+
+
+def test_split_zero_shuffles(spark):
+    df = Q["train_val_test_split"](spark, SF)
+    assert shuffle_count(df) == 0
