@@ -328,7 +328,8 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
                              n_bands: int = 16, band_bits: int = 8,
                              seed: int = 42,
                              max_bucket: int = 10000,
-                             dim: Optional[int] = None) -> DataFrame:
+                             dim: Optional[int] = None,
+                             group_col: Optional[str] = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, sim >= t).
 
     Candidate generation is banded sign-bit LSH — the same band/bucket
@@ -345,6 +346,12 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
     At cos >= 0.95 (angle <= 18°) a plane splits a pair with p <= 0.1,
     so P(miss) <= (1 - 0.9^band_bits)^n_bands ~= 1e-4 at the default
     16x8 — recall ~1 while comparing ~2^-band_bits of the pairs.
+
+    ``group_col``: optional pre-partitioning (e.g. an IVF cell id) —
+    pairs are then mined only WITHIN a group: the bucket key becomes
+    (group, band, bucket), so per-bucket width is bounded by the LSH
+    bucket discipline even when one group holds O(N) vectors.  This is
+    the SemDeDup in-cell shape with the quadratic term capped.
     """
     import numpy as np
 
@@ -354,6 +361,7 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
         (n_bands * band_bits, dim))
     pack = (1 << np.arange(band_bits, dtype=np.int64))
     band_idx = np.arange(n_bands, dtype=np.int64)
+    has_grp = group_col is not None
 
     def sig_fn(batches):
         import pandas as pd
@@ -365,17 +373,25 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
             bits = (v @ planes.T) > 0                    # n x (bands*bits)
             bh = bits.reshape(len(v), n_bands, band_bits) @ pack  # n x bands
             ids = pdf["id"].to_numpy(dtype=np.int64)
-            yield pd.DataFrame({
+            out = {
                 "id": np.repeat(ids, n_bands),
                 "band": np.tile(band_idx, len(v)),
                 "bh": bh.ravel(),
-            })
+            }
+            if has_grp:
+                out["grp"] = np.repeat(
+                    pdf["grp"].to_numpy(dtype=np.int64), n_bands)
+            yield pd.DataFrame(out)
 
-    sigs = parallelize_narrow(
-        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v__"))) \
-        .mapInPandas(sig_fn, "id bigint, band int, bh bigint")
+    cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("__v__")]
+    sig_schema = "id bigint, band int, bh bigint"
+    if has_grp:
+        cols.append(F.col(group_col).cast("bigint").alias("grp"))
+        sig_schema += ", grp bigint"
+    sigs = parallelize_narrow(df.select(*cols)).mapInPandas(sig_fn, sig_schema)
+    bucket_keys = (["grp"] if has_grp else []) + ["band", "bh"]
     buckets = (
-        sigs.groupBy("band", "bh").agg(F.collect_list("id").alias("ids"))
+        sigs.groupBy(*bucket_keys).agg(F.collect_list("id").alias("ids"))
         .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
     )
     pairs = (
