@@ -1383,8 +1383,13 @@ def _feature_store_events(spark, sf_dir):
 
     ev = load_table(spark, "events", sf_dir)
     sec = F.col("ts").cast("timestamp").cast("long")
-    by_user = W.partitionBy("user_id").orderBy(sec)
-    w_1h = by_user.rangeBetween(-3600, 0)
+    # RANGE frames are value-based (all equal-second rows in frame), so
+    # w_1h orders by sec alone; the ROWS frames and lag() tie-break on
+    # event_id so same-second events per user are deterministic and
+    # identical to the oracle's ordering.
+    by_user = W.partitionBy("user_id").orderBy(sec, "event_id")
+    w_1h = (W.partitionBy("user_id").orderBy(sec)
+            .rangeBetween(-3600, 0))
     w_prev = by_user.rowsBetween(W.unboundedPreceding, -1)
     w_run = by_user.rowsBetween(W.unboundedPreceding, 0)
 
@@ -2925,16 +2930,17 @@ def oracle_sql() -> dict[str, str]:
                        (epoch_us(ts) // 1000000) AS s,
                        (epoch_us(ts) // 1000000)
                        - LAG(epoch_us(ts) // 1000000) OVER
-                             (PARTITION BY user_id ORDER BY epoch_us(ts))
+                             (PARTITION BY user_id
+                              ORDER BY epoch_us(ts) // 1000000, event_id)
                            AS gap
                 FROM events) t
             WINDOW
                 w1h AS (PARTITION BY user_id ORDER BY s
                         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW),
-                wprev AS (PARTITION BY user_id ORDER BY s
+                wprev AS (PARTITION BY user_id ORDER BY s, event_id
                           ROWS BETWEEN UNBOUNDED PRECEDING
                           AND 1 PRECEDING),
-                wrun AS (PARTITION BY user_id ORDER BY s
+                wrun AS (PARTITION BY user_id ORDER BY s, event_id
                          ROWS BETWEEN UNBOUNDED PRECEDING
                          AND CURRENT ROW)""",
         "props_flatten": """

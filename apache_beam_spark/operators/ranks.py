@@ -34,9 +34,21 @@ def global_percent_rank(df: DataFrame, score: Column,
     6 dp.  ``bucket_width`` quantizes the score into the parallel
     ranking buckets; any width works (correctness is exact — buckets
     only partition the sort), smaller widths = more parallelism.
+
+    NULL scores have no rank position and would otherwise vanish
+    silently through the bucket join, so they are rejected up front.
+    A 1-row input yields ``pct = 0.0`` (the sole row is the whole CDF)
+    rather than NULL from the 0/0 division.
     """
-    scored = df.select(F.col(id_col), score.alias("__s__"),
-                       F.floor(score / F.lit(bucket_width))
+    # fail in-plan (no extra driver job) the moment a NULL score is
+    # scanned, instead of silently dropping the row at the bucket join
+    checked = F.when(
+        score.isNull(),
+        F.raise_error(F.lit(
+            "global_percent_rank: NULL score has no CDF position; filter "
+            "or coalesce before ranking"))).otherwise(score)
+    scored = df.select(F.col(id_col), checked.alias("__s__"),
+                       F.floor(checked / F.lit(bucket_width))
                        .cast("long").alias("__b__"))
 
     counts = scored.groupBy("__b__").agg(F.count(F.lit(1)).alias("__c__"))
@@ -55,5 +67,7 @@ def global_percent_rank(df: DataFrame, score: Column,
         W.partitionBy("__b__").orderBy("__s__", id_col))
     return (scored.join(F.broadcast(offsets), on="__b__")
             .select(id_col, F.col("__s__").alias("score"),
-                    F.round((F.col("__off__") + local - 1)
-                            / (F.col("__n__") - 1), 6).alias("pct")))
+                    F.when(F.col("__n__") == 1, F.lit(0.0))
+                    .otherwise(F.round((F.col("__off__") + local - 1)
+                                       / (F.col("__n__") - 1), 6))
+                    .alias("pct")))

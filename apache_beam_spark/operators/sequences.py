@@ -7,23 +7,23 @@ that, and so on — the "next matching event" chain analysts write with
 MATCH_RECOGNIZE or sessionized UDFs.  (Funnel COUNTS are a different,
 cheaper query; this returns the matched timestamps themselves.)
 
-Spark shape: "earliest event of type T after t" is computed for EVERY
-row in one pass with a reverse-ordered running minimum —
+Spark shape: "earliest event of type T strictly after t" is computed
+for EVERY row in one pass with a reverse-ordered running minimum over
+a RANGE frame on the event-time epoch —
 
-    min(ts if type == T) OVER (PARTITION BY key ORDER BY ts DESC
-                               ROWS UNBOUNDED PRECEDING .. 1 PRECEDING)
+    min(ts if type == T) OVER (PARTITION BY key ORDER BY epoch_us DESC
+                               RANGE UNBOUNDED PRECEDING .. 1 PRECEDING)
 
 — one window (= one keyed shuffle, reused by all steps since they
 share partitioning and ordering), no per-row subqueries, no Python.
-Each chained step then resolves through ONE keyed equi-join back to
-the event row it matched, to pick up THAT row's next-step pointer.
-Per key the work is O(events · steps); keys parallelize freely, so a
-1000-executor cluster sees only `steps` keyed shuffles total.
-
-Ties: two events of one key sharing an identical timestamp would make
-"strictly after" ambiguous; the window breaks them deterministically
-by event id, and microsecond event time makes real collisions
-vanishing.
+The RANGE frame makes "strictly after" exact: events sharing the
+current row's timestamp are OUTSIDE the frame, so the pointer is a
+pure function of (key, ts).  That purity is what lets each chained
+step resolve through ONE deduplicated keyed equi-join back to the
+matched timestamp without fan-out when several events of the chained
+type share a timestamp.  Per key the work is O(events · steps); keys
+parallelize freely, so a 1000-executor cluster sees only `steps`
+keyed shuffles total.
 """
 
 from __future__ import annotations
@@ -44,17 +44,25 @@ def funnel_instances(events: DataFrame, steps: Sequence[str],
 
     Returns one row per completed chain:
     ``(key_col, <step0>_ts, <step1>_ts, ...)`` where each following
-    step is the earliest event of its type strictly after the previous
+    step is the earliest event of its type STRICTLY after the previous
     step's timestamp and no more than ``within_each`` later.  A step-0
-    event anchors at most one instance (the greedy-earliest one).
+    event anchors at most one instance (the greedy-earliest one);
+    equal-timestamp events of the chained type share one pointer, so
+    no join fan-out occurs.
     """
     if len(steps) < 2:
         raise ValueError("funnel_instances needs at least 2 steps")
 
+    # RANGE frame on epoch micros: strictly-later events only (an
+    # equal-ts event is NOT "after"), matching min(ts) WHERE ts > t.
+    # cast handles TIMESTAMP_NTZ parquet columns; any tz shift is a
+    # constant offset, so the strict ordering the frame needs survives
+    ev = events.withColumn(
+        "__us__", F.unix_micros(F.col(ts_col).cast("timestamp")))
     w = (W.partitionBy(key_col)
-         .orderBy(F.col(ts_col).desc(), F.col(id_col).desc())
-         .rowsBetween(W.unboundedPreceding, -1))
-    nxt = events.select(
+         .orderBy(F.col("__us__").desc())
+         .rangeBetween(W.unboundedPreceding, -1))
+    nxt = ev.select(
         key_col, ts_col, type_col,
         *[F.min(F.when(F.col(type_col) == s, F.col(ts_col))).over(w)
           .alias(f"__next_{i}__")
@@ -71,10 +79,13 @@ def funnel_instances(events: DataFrame, steps: Sequence[str],
                           & (F.col(f"__next_{i}__") <= F.col(prev_ts) + within))
                .withColumnRenamed(f"__next_{i}__", step_ts))
         if i + 1 < len(steps):
-            # fetch the matched row's own next-step pointer
-            link = nxt.filter(F.col(type_col) == steps[i]).select(
-                key_col, F.col(ts_col).alias(step_ts),
-                F.col(f"__next_{i+1}__"))
+            # fetch the matched row's own next-step pointer; the
+            # pointer depends only on (key, ts), so dedup makes the
+            # join exactly 1:1 even with equal-ts duplicate events
+            link = (nxt.filter(F.col(type_col) == steps[i])
+                    .select(key_col, F.col(ts_col).alias(step_ts),
+                            F.col(f"__next_{i+1}__"))
+                    .dropDuplicates([key_col, step_ts]))
             out = out.join(link, on=[key_col, step_ts])
         prev_ts = step_ts
     return out

@@ -34,9 +34,25 @@ from collections.abc import Sequence
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import TimestampType, TimestampNTZType
+from pyspark.sql.types import (ByteType, IntegerType, LongType, ShortType,
+                               TimestampType, TimestampNTZType)
 
 from apache_beam_spark.streaming.stateful import stateful_per_key
+
+_INTEGRAL = (ByteType, ShortType, IntegerType, LongType)
+
+
+def _require_integral(df: DataFrame, col: str, role: str) -> None:
+    """Fail loudly on non-integral key/id columns: cast('long') on a
+    string/struct column silently yields NULL, which would collapse all
+    rows into one state key instead of erroring."""
+    dtype = df.schema[col].dataType
+    if not isinstance(dtype, _INTEGRAL):
+        raise TypeError(
+            f"streaming_funnel {role} column {col!r} must be an integral "
+            f"type, got {dtype.simpleString()}; hash or dictionary-encode "
+            "it to a long first (non-numeric values cast to NULL and "
+            "would merge every row into a single state key)")
 
 
 def streaming_funnel(df: DataFrame, steps: Sequence[str], within_ms: int,
@@ -52,6 +68,8 @@ def streaming_funnel(df: DataFrame, steps: Sequence[str], within_ms: int,
     """
     if len(steps) < 2:
         raise ValueError("streaming_funnel needs at least 2 steps")
+    _require_integral(df, key_col, "key")
+    _require_integral(df, id_col, "id")
     n_steps = len(steps)
     within_us = within_ms * 1000
     lateness_us = lateness_ms * 1000

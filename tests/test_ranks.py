@@ -1,6 +1,7 @@
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pytest
 
 from apache_beam_spark.operators.ranks import global_percent_rank
 
@@ -22,6 +23,19 @@ def test_ties_break_by_id(spark):
     got = {r.doc_id: r.pct
            for r in global_percent_rank(df, F.col("s"), "doc_id").collect()}
     assert got == {3: 0.0, 1: 0.5, 2: 1.0}
+
+
+def test_null_score_raises_not_drops(spark):
+    df = spark.createDataFrame([(1, 0.5), (2, None), (3, 0.1)],
+                               ["doc_id", "s"])
+    with pytest.raises(Exception, match="NULL score"):
+        global_percent_rank(df, F.col("s"), "doc_id").collect()
+
+
+def test_single_row_pct_is_zero(spark):
+    df = spark.createDataFrame([(1, 0.7)], ["doc_id", "s"])
+    [r] = global_percent_rank(df, F.col("s"), "doc_id").collect()
+    assert r.pct == 0.0
 
 
 def test_bucket_width_does_not_change_result(spark):

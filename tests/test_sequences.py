@@ -46,6 +46,26 @@ def test_each_anchor_matches_independently(spark):
     assert len({r.click_ts for r in out}) == 1
 
 
+def test_equal_ts_chained_events_no_fanout(spark):
+    # two clicks at the SAME instant: the chain pointer is a pure
+    # function of (user, ts), so the link join must not duplicate the
+    # instance, and the purchase must still resolve once
+    ev = _ev(spark, [
+        (11, 0, "view"), (11, 5, "click"), (11, 5, "click"),
+        (11, 9, "purchase"),
+    ])
+    out = funnel_instances(ev, ["view", "click", "purchase"], "30 minutes").collect()
+    assert len(out) == 1
+    assert (out[0].purchase_ts - out[0].click_ts).total_seconds() == 240
+
+
+def test_strictly_after_excludes_equal_ts(spark):
+    # a click at exactly the view's timestamp is NOT "after" it
+    ev = _ev(spark, [(13, 0, "view"), (13, 0, "click"), (13, 4, "purchase")])
+    out = funnel_instances(ev, ["view", "click", "purchase"], "30 minutes").collect()
+    assert out == []
+
+
 def test_two_step_pattern(spark):
     ev = _ev(spark, [(9, 0, "view"), (9, 10, "purchase"), (9, 70, "view")])
     out = funnel_instances(ev, ["view", "purchase"], "30 minutes").collect()

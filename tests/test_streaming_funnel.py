@@ -120,3 +120,12 @@ def test_funnel_state_survives_restart(spark, tmp_path):
     got = {(r.user_id, r.view_ts, r.click_ts, r.purchase_ts)
            for r in spark.read.parquet(out).collect()}
     assert got == {(4, BASE, BASE + 5 * M, BASE + 12 * M)}
+
+
+def test_non_integral_key_raises(spark):
+    import pytest
+    df = spark.createDataFrame(
+        [(1, "alice", BASE, "view")],
+        "event_id bigint, user_id string, ts bigint, event_type string")
+    with pytest.raises(TypeError, match="integral"):
+        streaming_funnel(df, ["view", "click"], within_ms=60_000)
