@@ -940,16 +940,19 @@ def _semantic_dedup(spark, sf_dir):
 def _secondary_sort(spark, sf_dir):
     """SortValues secondary sort (reference
     sdks/java/extensions/sorter/.../SortValues.java:51): values grouped
-    per key, sorted WITHIN the group by a secondary key —
-    sort_array(collect_list(struct)) keeps the sort inside the
-    aggregation (Tungsten spills it; no global orderBy)."""
+    per key, ranked WITHIN the group by a secondary key.  A
+    row_number() window is the Spark-native shape: ONE keyed shuffle
+    with an in-partition sort, whole-stage codegen end to end, and —
+    unlike collect_list+sort_array+posexplode — no per-key array ever
+    materializes, so a degenerate hot key spills to disk instead of
+    blowing executor memory."""
+    from pyspark.sql.window import Window as W
+
     li = load_table(spark, "lineitem", sf_dir)
-    grouped = li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_list(F.struct("l_shipdate", "l_linenumber"))).alias("vs"))
-    return grouped.select(
-        "l_orderkey", F.posexplode("vs").alias("pos", "v")
-    ).select("l_orderkey", (F.col("pos") + 1).alias("pos_rank"),
-             F.col("v.l_linenumber").alias("l_linenumber"))
+    w = W.partitionBy("l_orderkey").orderBy("l_shipdate", "l_linenumber")
+    return li.select("l_orderkey",
+                     F.row_number().over(w).alias("pos_rank"),
+                     "l_linenumber")
 
 
 def _sample_fixed_per_key(spark, sf_dir):

@@ -35,6 +35,9 @@ _ENGINE_CONF = {
     "spark.sql.files.maxPartitionBytes": "134217728",
     "spark.sql.autoBroadcastJoinThreshold": "64m",
     "spark.sql.session.timeZone": "UTC",
+    # 8g measured faster than 32g on this suite (G1 at 32g turns the
+    # collect_list/bucket arrays into humongous-object churn: ngram
+    # mining 3x slower); override via SPARK_GRAFT_DRIVER_MEM if needed
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.ui.enabled": "false",
     "spark.sql.streaming.stateStore.providerClass": (

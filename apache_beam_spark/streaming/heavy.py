@@ -35,13 +35,20 @@ def streaming_heavy_hitters(df: DataFrame, item_col: str,
                             window_ms: int, capacity: int = 50,
                             min_count: int = 1,
                             ts_col: str = "ts",
-                            lateness_ms: int = 0) -> DataFrame:
+                            lateness_ms: int = 0,
+                            n_shards: int = 0) -> DataFrame:
     """Per closed window: items whose MG count reaches ``min_count``.
 
     Output ``(window_start, item, approx_count)`` — ``window_start`` as
     epoch MICROSECOND long; ``approx_count`` undercounts by at most
     (window rows)/(capacity+1).  Rows later than ``lateness_ms`` are
     dropped (standard watermark discipline).
+
+    ``n_shards`` > 0 multiplexes many windows through one state key
+    (``hash(window) % n_shards`` key-grouping, same trick as
+    ``streaming_funnel``): long replays touching hundreds of windows per
+    micro-batch pay ``n_shards`` Python round trips instead of one per
+    window.  Results identical; 0 = one state key per window.
     """
     window_us = window_ms * 1000
 
@@ -59,6 +66,25 @@ def streaming_heavy_hitters(df: DataFrame, item_col: str,
     out_schema = "window_start bigint, item string, approx_count bigint"
     state_schema = "js string"
 
+    def _absorb(counters, pdf):
+        for item, c in pdf["item"].value_counts().items():
+            counters[item] = counters.get(item, 0) + int(c)
+        if len(counters) > capacity:
+            # mergeable-summaries trim: subtract the
+            # (capacity+1)-th largest count from everyone
+            cut = sorted(counters.values())[-(capacity + 1)]
+            counters = {i: n - cut for i, n in counters.items() if n > cut}
+        return counters
+
+    def _close(w_start, counters):
+        items = [(i, n) for i, n in counters.items() if n >= min_count]
+        if items:
+            return pd.DataFrame({
+                "window_start": [w_start] * len(items),
+                "item": [i for i, _ in items],
+                "approx_count": [n for _, n in items]})
+        return None
+
     def fn(key, pdfs, state):
         w_start = key[0]
         counters = json.loads(state.get[0]) if state.exists else {}
@@ -67,27 +93,45 @@ def streaming_heavy_hitters(df: DataFrame, item_col: str,
             for pdf in pdfs:
                 # standard late-row discipline: rows behind the
                 # watermark are beyond the lateness bound -> dropped
-                pdf = pdf[pdf["t"] >= wm_us]
-                for item, c in pdf["item"].value_counts().items():
-                    counters[item] = counters.get(item, 0) + int(c)
-                if len(counters) > capacity:
-                    # mergeable-summaries trim: subtract the
-                    # (capacity+1)-th largest count from everyone
-                    cut = sorted(counters.values())[-(capacity + 1)]
-                    counters = {i: n - cut for i, n in counters.items()
-                                if n > cut}
+                counters = _absorb(counters, pdf[pdf["t"] >= wm_us])
         if wm_us >= w_start + window_us:  # window closed: emit + free
             if state.exists:
                 state.remove()
-            items = [(i, n) for i, n in counters.items() if n >= min_count]
-            if items:
-                yield pd.DataFrame({
-                    "window_start": [w_start] * len(items),
-                    "item": [i for i, _ in items],
-                    "approx_count": [n for _, n in items]})
+            out = _close(w_start, counters)
+            if out is not None:
+                yield out
         else:
             state.update((json.dumps(counters),))
             state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
 
+    def fn_sharded(key, pdfs, state):
+        wins = json.loads(state.get[0]) if state.exists else {}
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                pdf = pdf[pdf["t"] >= wm_us]
+                for w_start, grp in pdf.groupby("w"):
+                    k = str(int(w_start))
+                    wins[k] = _absorb(wins.get(k, {}), grp)
+        outs = []
+        for k in [k for k in wins
+                  if wm_us >= int(k) + window_us]:  # closed windows
+            out = _close(int(k), wins.pop(k))
+            if out is not None:
+                outs.append(out)
+        if wins:
+            state.update((json.dumps(wins),))
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+        elif state.exists:
+            state.remove()
+        if outs:
+            yield pd.concat(outs, ignore_index=True)
+
+    if n_shards > 0:
+        sharded = src.withColumn(
+            "__shard__", F.pmod(F.hash("w"), F.lit(n_shards)))
+        return stateful_per_key(sharded, ["__shard__"], fn_sharded,
+                                out_schema, state_schema,
+                                timeout="EventTimeTimeout")
     return stateful_per_key(src, ["w"], fn, out_schema, state_schema,
                             timeout="EventTimeTimeout")

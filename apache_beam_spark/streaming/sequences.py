@@ -58,13 +58,21 @@ def _require_integral(df: DataFrame, col: str, role: str) -> None:
 def streaming_funnel(df: DataFrame, steps: Sequence[str], within_ms: int,
                      key_col: str = "user_id", ts_col: str = "ts",
                      type_col: str = "event_type", id_col: str = "event_id",
-                     lateness_ms: int = 0) -> DataFrame:
+                     lateness_ms: int = 0,
+                     n_shards: int = 0) -> DataFrame:
     """Emit completed ``steps[0] -> steps[1] -> ...`` chains per key.
 
     Output: ``(key_col, <step>_ts ...)`` with timestamps as epoch
     MICROSECOND longs (convert with ``timestamp_micros``).  Semantics
     match the batch operator for every event arriving within
     ``lateness_ms`` of the key's max seen event time.
+
+    ``n_shards`` > 0 multiplexes many user-keys through one state key
+    (``hash(key) % n_shards`` — Flink's key-group idea): the per-batch
+    Python/Arrow round trip count drops from #distinct-keys to
+    ``n_shards`` while per-user buffers stay independent inside the
+    shard blob.  Results are identical; pick ~10x the executor-core
+    count.  0 = one state key per user key (finest granularity).
     """
     if len(steps) < 2:
         raise ValueError("streaming_funnel needs at least 2 steps")
@@ -72,7 +80,6 @@ def streaming_funnel(df: DataFrame, steps: Sequence[str], within_ms: int,
     _require_integral(df, id_col, "id")
     n_steps = len(steps)
     within_us = within_ms * 1000
-    lateness_us = lateness_ms * 1000
 
     dtype = df.schema[ts_col].dataType
     ts_long = (F.unix_micros(F.col(ts_col).cast("timestamp"))
@@ -89,6 +96,38 @@ def streaming_funnel(df: DataFrame, steps: Sequence[str], within_ms: int,
     out_schema = f"{key_col} bigint, {out_cols}"
     state_schema = "js string"
 
+    def _advance(buf, parts, wm, done, out_keys, user):
+        """Seal events behind the watermark and push them through the
+        open partial chains; returns the surviving (buf, parts)."""
+        # seal strictly below the watermark: a row EQUAL to it could
+        # still legally arrive, so it stays buffered one more beat
+        sealed = sorted((e for e in buf if e[0] < wm),
+                        key=lambda e: (e[0], e[2]))
+        buf = [e for e in buf if e[0] >= wm]
+        for t, y, _ in sealed:
+            # advance deepest stages first so an event never advances a
+            # chain it just extended in this same pass
+            for j in range(n_steps - 1, 0, -1):
+                if y != steps[j]:
+                    continue
+                for p in parts:
+                    if len(p) == j and p[-1] < t and t - p[-1] <= within_us:
+                        p.append(t)
+                        if len(p) == n_steps:
+                            done.append(p)
+                            out_keys.append(user)
+            if y == steps[0]:
+                parts.append([t])
+        parts = [p for p in parts
+                 if len(p) < n_steps and wm <= p[-1] + within_us]
+        return buf, parts
+
+    def _emit(done, out_keys):
+        return pd.DataFrame(
+            {key_col: out_keys,
+             **{f"{s}_ts": [d[i] for d in done]
+                for i, s in enumerate(steps)}})
+
     def fn(key, pdfs, state):
         s = (json.loads(state.get[0])
              if state.exists else {"buf": [], "parts": []})
@@ -104,28 +143,8 @@ def streaming_funnel(df: DataFrame, steps: Sequence[str], within_ms: int,
                                           pdf["i"].astype(int).tolist())
                            if e[0] >= wm)
 
-        # seal strictly below the watermark: a row EQUAL to it could
-        # still legally arrive, so it stays buffered one more beat
-        sealed = sorted((e for e in buf if e[0] < wm),
-                        key=lambda e: (e[0], e[2]))
-        buf = [e for e in buf if e[0] >= wm]
-
-        done = []
-        for t, y, _ in sealed:
-            # advance deepest stages first so an event never advances a
-            # chain it just extended in this same pass
-            for j in range(n_steps - 1, 0, -1):
-                if y != steps[j]:
-                    continue
-                for p in parts:
-                    if len(p) == j and p[-1] < t and t - p[-1] <= within_us:
-                        p.append(t)
-                        if len(p) == n_steps:
-                            done.append(p)
-            if y == steps[0]:
-                parts.append([t])
-        parts = [p for p in parts
-                 if len(p) < n_steps and wm <= p[-1] + within_us]
+        done, out_keys = [], []
+        buf, parts = _advance(buf, parts, wm, done, out_keys, key[0])
 
         if buf or parts:
             state.update((json.dumps({"buf": buf, "parts": parts}),))
@@ -135,10 +154,50 @@ def streaming_funnel(df: DataFrame, steps: Sequence[str], within_ms: int,
         elif state.exists:
             state.remove()
         if done:
-            yield pd.DataFrame(
-                {key_col: [key[0]] * len(done),
-                 **{f"{s}_ts": [d[i] for d in done]
-                    for i, s in enumerate(steps)}})
+            yield _emit(done, out_keys)
 
+    def fn_sharded(key, pdfs, state):
+        users = json.loads(state.get[0]) if state.exists else {}
+        wm_ms = state.getCurrentWatermarkMs()
+        wm = wm_ms * 1000
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                ks = pdf["k"].astype(int).tolist()
+                ts = pdf["t"].astype(int).tolist()
+                ys = pdf["y"].tolist()
+                iis = pdf["i"].astype(int).tolist()
+                for u, t, y, i in zip(ks, ts, ys, iis):
+                    if t >= wm:
+                        st = users.get(str(u))
+                        if st is None:
+                            st = users[str(u)] = {"buf": [], "parts": []}
+                        st["buf"].append((t, y, i))
+
+        done, out_keys = [], []
+        dead = []
+        for u, st in users.items():
+            buf, parts = _advance(st["buf"], st["parts"], wm,
+                                  done, out_keys, int(u))
+            if buf or parts:
+                st["buf"], st["parts"] = buf, parts
+            else:
+                dead.append(u)
+        for u in dead:
+            del users[u]
+
+        if users:
+            state.update((json.dumps(users),))
+            state.setTimeoutTimestamp(wm_ms + 1)
+        elif state.exists:
+            state.remove()
+        if done:
+            yield _emit(done, out_keys)
+
+    if n_shards > 0:
+        sharded = src.withColumn(
+            "__shard__", F.pmod(F.hash("k"), F.lit(n_shards)))
+        return stateful_per_key(sharded, ["__shard__"], fn_sharded,
+                                out_schema, state_schema,
+                                timeout="EventTimeTimeout")
     return stateful_per_key(src, ["k"], fn, out_schema, state_schema,
                             timeout="EventTimeTimeout")

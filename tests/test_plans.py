@@ -223,3 +223,18 @@ def test_rfm_and_zscore_broadcast_stats(spark):
 def test_split_zero_shuffles(spark):
     df = Q["train_val_test_split"](spark, SF)
     assert shuffle_count(df) == 0
+
+
+def test_lsh_knn_bucket_join_no_cartesian(spark):
+    """lsh_topk's candidate generation is an equi-join on the bucket id
+    (never a cross join), and the per-query ranking is a bounded
+    row_number window — the shape that holds at any corpus size."""
+    from apache_beam_spark.plans import plan_string, shuffle_count
+
+    df = Q["embed_lsh_knn"](spark, SF)
+    plan = plan_string(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # bucket equi-join + window repartition + the narrow-scan spreads:
+    # bounded, not data-dependent
+    assert shuffle_count(df) <= 5

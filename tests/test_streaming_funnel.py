@@ -129,3 +129,16 @@ def test_non_integral_key_raises(spark):
         "event_id bigint, user_id string, ts bigint, event_type string")
     with pytest.raises(TypeError, match="integral"):
         streaming_funnel(df, ["view", "click"], within_ms=60_000)
+
+
+def test_sharded_matches_unsharded(spark):
+    rows = [_ev(1, 1, 0, "view"), _ev(2, 1, 5, "click"),
+            _ev(3, 1, 8, "click"), _ev(4, 1, 12, "purchase"),
+            _ev(5, 2, 0, "view"), _ev(6, 2, 40, "click"),
+            _ev(7, 2, 45, "purchase"),
+            _ev(8, 3, 0, "view"), _ev(9, 3, 10, "view"),
+            _ev(10, 3, 15, "click"), _ev(11, 3, 20, "purchase"),
+            _ev(12, 4, 0, "view"), _ev(13, 4, 29, "purchase")]
+    plain = _stream_rows(spark, [rows])
+    shard = _stream_rows(spark, [rows], n_shards=2)
+    assert plain == shard and len(plain) > 0

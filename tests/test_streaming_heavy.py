@@ -58,3 +58,13 @@ def test_late_window_does_not_reopen(spark):
     got = _run(spark, batches, capacity=10, min_count=1)
     w0 = BASE
     assert got[(w0, "a")] == 3  # the late 5 never re-open the window
+
+
+def test_sharded_matches_unsharded(spark):
+    rows = ([_ev(1, "a")] * 5 + [_ev(2, "b")] * 3 + [_ev(3, "c")]
+            + [_ev(11, "a")] * 2 + [_ev(12, "d")] * 4
+            + [_ev(21, "e")] * 6)
+    batches = [rows[:6], rows[6:], [_ev(600, "zz")], [_ev(601, "zz")]]
+    plain = _run(spark, batches, capacity=50, min_count=2)
+    shard = _run(spark, batches, capacity=50, min_count=2, n_shards=2)
+    assert plain == shard and len(plain) > 0
