@@ -2042,6 +2042,75 @@ def _q6_forecast_revenue(spark, sf_dir):
     return spark.sql(_Q6_SQL)
 
 
+def _bm25_search(spark, sf_dir):
+    """BM25 retrieval (operators/retrieval.py): top-20 documents for a
+    three-term query, Lucene-style idf; the query term set broadcasts
+    so corpus tokens are filtered before any shuffle and the global
+    top-k is a TakeOrderedAndProject, not a one-partition window."""
+    from apache_beam_spark.operators.retrieval import bm25_topk
+
+    return bm25_topk(load_table(spark, "documents", sf_dir),
+                     ["spark", "join", "filter"], k=20)
+
+
+_CDC_CUTOFF = "2024-02-15 00:00:00"
+
+
+def _cdc_changes(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    return (ev.filter(F.col("ts") >= F.lit(_CDC_CUTOFF).cast("timestamp"))
+            .select("user_id", "event_id", "ts", "value",
+                    F.when(F.col("event_type") == "error", F.lit("D"))
+                    .otherwise(F.lit("U")).alias("op")))
+
+
+def _cdc_upsert_snapshot(spark, sf_dir):
+    """CDC latest-wins upsert merge (operators/cdc.py apply_changes):
+    the per-user state before a cutoff is the base snapshot; events
+    after it form the changelog (error rows = deletes).  One keyed
+    shuffle across window + anti join + union."""
+    from apache_beam_spark.operators.cdc import apply_changes, latest_changes
+
+    ev = load_table(spark, "events", sf_dir)
+    base = latest_changes(
+        ev.filter(F.col("ts") < F.lit(_CDC_CUTOFF).cast("timestamp"))
+        .select("user_id", "event_id", "ts", "value"),
+        keys=["user_id"], seq_col="ts", tiebreak="event_id")
+    return apply_changes(base, _cdc_changes(spark, sf_dir),
+                         keys=["user_id"], seq_col="ts",
+                         tiebreak="event_id").select(
+        "user_id", "event_id", "ts", "value")
+
+
+def _scd2_user_history(spark, sf_dir):
+    """SCD2 history build (operators/cdc.py scd2_history): purchase
+    events become validity-interval version rows per user (valid_from =
+    event time, valid_to = next purchase, NULL = current)."""
+    from apache_beam_spark.operators.cdc import scd2_history
+
+    ev = (load_table(spark, "events", sf_dir)
+          .filter(F.col("event_type") == "purchase")
+          .select("user_id", "event_id", "ts", "value"))
+    return scd2_history(ev, keys=["user_id"], seq_col="ts",
+                        tiebreak="event_id").select(
+        "user_id", "event_id", "ts", "value",
+        "valid_from", "valid_to", "is_current")
+
+
+def _mixture_temperature(spark, sf_dir):
+    """Temperature-scaled mixture (operators/mixing.py
+    temperature_budgets, T=2 — the UniMax recipe): per-source budgets
+    proportional to sqrt(natural token count), then the same
+    hierarchical prefix-sum cap as mixture_cap_tokens.  The budget
+    computation collects only #sources rows."""
+    from apache_beam_spark.operators.mixing import (
+        cap_tokens_per_source, temperature_budgets)
+
+    docs = load_table(spark, "documents", sf_dir)
+    budgets = temperature_budgets(docs, total_budget=30000, temperature=2.0)
+    return cap_tokens_per_source(docs, budgets, default_budget=0)
+
+
 def _proto_roundtrip(spark, sf_dir):
     """ProtoCoder parity (reference sdks/java/extensions/protobuf/.../
     ProtoCoder.java:93): events rows encoded through the pure-Python
@@ -2265,6 +2334,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_parts_suppliers": _q16_parts_suppliers,
         "q20_potential_promotion": _q20_potential_promotion,
         "q21_waiting_suppliers": _q21_waiting_suppliers,
+        "bm25_search": _bm25_search,
+        "cdc_upsert_snapshot": _cdc_upsert_snapshot,
+        "scd2_user_history": _scd2_user_history,
+        "mixture_temperature": _mixture_temperature,
         "proto_roundtrip": _proto_roundtrip,
         "hadoop_sequence_file": _hadoop_sequence_file,
         "pubsub_timestamps": _pubsub_timestamps,
@@ -3348,6 +3421,93 @@ def oracle_sql() -> dict[str, str]:
         "q16_parts_suppliers": _Q16_SQL,
         "q20_potential_promotion": _Q20_SQL,
         "q21_waiting_suppliers": _Q21_SQL,
+        "bm25_search": f"""
+            WITH dl AS (
+                SELECT doc_id, CAST(len({toks}) AS DOUBLE) AS dl
+                FROM documents),
+            stats AS (
+                SELECT CAST(COUNT(*) AS DOUBLE) AS N, AVG(dl) AS avgdl
+                FROM dl),
+            tf AS (
+                SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+                FROM (SELECT doc_id, unnest({toks}) AS term FROM documents)
+                WHERE term IN ('filter', 'join', 'spark')
+                GROUP BY doc_id, term),
+            dfreq AS (
+                SELECT term, CAST(COUNT(*) AS DOUBLE) AS df
+                FROM tf GROUP BY term),
+            scored AS (
+                SELECT tf.doc_id,
+                       SUM(ln(1.0 + (stats.N - df + 0.5) / (df + 0.5))
+                           * tf * 2.2
+                           / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS raw
+                FROM tf
+                JOIN dfreq USING (term)
+                JOIN dl ON tf.doc_id = dl.doc_id
+                CROSS JOIN stats
+                GROUP BY tf.doc_id)
+            SELECT doc_id, ROUND(raw, 6) AS score, rank FROM (
+                SELECT doc_id, raw,
+                       CAST(ROW_NUMBER() OVER (ORDER BY raw DESC, doc_id)
+                            AS INT) AS rank
+                FROM scored)
+            WHERE rank <= 20""",
+        "cdc_upsert_snapshot": f"""
+            WITH base AS (
+                SELECT user_id, event_id, ts, value FROM (
+                    SELECT user_id, event_id, ts, value,
+                           ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+                    FROM events
+                    WHERE ts < TIMESTAMP '{_CDC_CUTOFF}')
+                WHERE rn = 1),
+            latest AS (
+                SELECT user_id, event_id, ts, value, op FROM (
+                    SELECT user_id, event_id, ts, value,
+                           CASE WHEN event_type = 'error' THEN 'D'
+                                ELSE 'U' END AS op,
+                           ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+                    FROM events
+                    WHERE ts >= TIMESTAMP '{_CDC_CUTOFF}')
+                WHERE rn = 1)
+            SELECT b.user_id, b.event_id, b.ts, b.value FROM base b
+            WHERE NOT EXISTS (SELECT 1 FROM latest l
+                              WHERE l.user_id = b.user_id)
+            UNION ALL
+            SELECT user_id, event_id, ts, value FROM latest
+            WHERE op <> 'D'""",
+        "scd2_user_history": """
+            SELECT user_id, event_id, ts, value,
+                   ts AS valid_from,
+                   LEAD(ts) OVER w AS valid_to,
+                   LEAD(ts) OVER w IS NULL AS is_current
+            FROM events WHERE event_type = 'purchase'
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+        "mixture_temperature": f"""
+            WITH t AS (
+                SELECT doc_id, source,
+                       CAST(len({toks}) AS BIGINT) AS n_tokens,
+                       md5(CAST(doc_id AS VARCHAR)) AS h
+                FROM documents),
+            src AS (
+                SELECT source, CAST(SUM(n_tokens) AS DOUBLE) AS tt
+                FROM t GROUP BY source),
+            b AS (
+                SELECT source,
+                       CAST(trunc(30000 * sqrt(tt)
+                            / (SELECT SUM(sqrt(tt) ORDER BY source)
+                               FROM src)) AS BIGINT) AS budget
+                FROM src),
+            c AS (
+                SELECT doc_id, source, n_tokens,
+                       CAST(SUM(n_tokens) OVER (
+                           PARTITION BY source ORDER BY h, doc_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+                FROM t)
+            SELECT c.doc_id, c.source, c.n_tokens, c.cum_tokens
+            FROM c JOIN b USING (source)
+            WHERE cum_tokens <= budget""",
         "proto_roundtrip": """
             SELECT event_id, user_id, event_type, value FROM events
         """,

@@ -1,0 +1,75 @@
+"""Change-data-capture materialization: upsert merge and SCD2 history.
+
+Beyond-reference operators for the ingestion edge of a training-data
+/ analytics lake: a base snapshot plus a change stream (insert/update/
+delete rows carrying a sequence number) materialized either as the
+new snapshot (latest-wins upsert, Delta ``MERGE`` / Flink upsert-kafka
+semantics) or as a type-2 slowly-changing-dimension history with
+validity intervals.
+
+100 TB shape: everything is keyed by the merge key — the
+latest-change window, the anti join against the base, and the union
+all shuffle ONCE on that key (co-partitioned); no driver-side state,
+no global ordering.  Ties on the sequence column are broken by an
+explicit tiebreak column — merges must be deterministic or two runs
+of the same changelog diverge.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def latest_changes(changes: DataFrame, keys: Sequence[str], seq_col: str,
+                   tiebreak: Optional[str] = None) -> DataFrame:
+    """One row per key: the change with the highest (seq, tiebreak)."""
+    order = [F.col(seq_col).desc()]
+    if tiebreak:
+        order.append(F.col(tiebreak).desc())
+    w = W.partitionBy(*keys).orderBy(*order)
+    return (changes.withColumn("__rn__", F.row_number().over(w))
+            .filter(F.col("__rn__") == 1).drop("__rn__"))
+
+
+def apply_changes(base: DataFrame, changes: DataFrame, keys: Sequence[str],
+                  seq_col: str, op_col: str = "op", delete_op: str = "D",
+                  tiebreak: Optional[str] = None) -> DataFrame:
+    """Latest-wins upsert merge: the new snapshot after applying the
+    changelog to ``base``.
+
+    * keys present only in ``base`` pass through;
+    * keys whose latest change is an upsert take the change row;
+    * keys whose latest change is ``delete_op`` disappear.
+
+    ``changes`` must carry the base schema plus ``op_col``; ``base``
+    rows never need an op column.  Exactly one shuffle key (the merge
+    key) across the window, anti join, and union.
+    """
+    keys = list(keys)
+    latest = latest_changes(changes, keys, seq_col, tiebreak)
+    surviving = base.join(latest.select(*keys), on=keys, how="left_anti")
+    upserts = latest.filter(F.col(op_col) != delete_op).drop(op_col)
+    return surviving.unionByName(upserts)
+
+
+def scd2_history(changes: DataFrame, keys: Sequence[str], seq_col: str,
+                 tiebreak: Optional[str] = None,
+                 valid_from: str = "valid_from",
+                 valid_to: str = "valid_to",
+                 current_col: str = "is_current") -> DataFrame:
+    """Type-2 dimension from a changelog: each change becomes a version
+    row valid from its sequence value until the next change of the same
+    key (NULL = still current).  One keyed shuffle (the lead window)."""
+    order = [F.col(seq_col).asc()]
+    if tiebreak:
+        order.append(F.col(tiebreak).asc())
+    w = W.partitionBy(*keys).orderBy(*order)
+    nxt = F.lead(F.col(seq_col)).over(w)
+    return (changes
+            .withColumn(valid_from, F.col(seq_col))
+            .withColumn(valid_to, nxt)
+            .withColumn(current_col, nxt.isNull()))

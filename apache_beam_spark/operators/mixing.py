@@ -82,3 +82,35 @@ def cap_tokens_per_source(df: DataFrame, budgets: dict[str, int],
         .filter(F.col("cum_tokens") <= budget)
         .select(id_col, source_col, "n_tokens", "cum_tokens")
     )
+
+
+def temperature_budgets(df: DataFrame, total_budget: int,
+                        temperature: float = 2.0,
+                        source_col: str = "source",
+                        text_col: str = "text") -> dict[str, int]:
+    """Temperature-scaled mixture budgets (the UniMax / multilingual-LM
+    recipe): source s gets ``total_budget * t_s^(1/T) / sum(t^(1/T))``
+    tokens, where ``t_s`` is its natural token count — T=1 reproduces
+    natural proportions, T→∞ uniform.  The per-source token counts are
+    ONE partial-agg shuffle producing #sources rows; the driver only
+    sees that kilobyte frame.
+
+    T=2 (the default) uses ``sqrt``, which is correctly-rounded IEEE in
+    every engine — budgets are then bit-reproducible cross-engine, and
+    the result feeds ``cap_tokens_per_source`` unchanged.
+    """
+    import math
+
+    if temperature <= 0:
+        raise ValueError("temperature must be positive")
+    counts = {r[source_col]: r["t"] for r in df.groupBy(source_col).agg(
+        F.sum(F.size(word_tokens(F.col(text_col)))).alias("t")).collect()}
+    if temperature == 2.0:
+        scaled = {s: math.sqrt(float(t)) for s, t in counts.items()}
+    else:
+        scaled = {s: float(t) ** (1.0 / temperature)
+                  for s, t in counts.items()}
+    # sequential left-fold in source order: reproducible in SQL as
+    # SUM(x ORDER BY source), unlike an unordered double sum
+    z = sum(scaled[s] for s in sorted(scaled))
+    return {s: int(total_budget * v / z) for s, v in scaled.items()}

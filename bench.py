@@ -80,6 +80,9 @@ HEADLINE = [
     "dedup_incremental",
     "feature_store_events",
     "quality_percentile",
+    "bm25_search",
+    "cdc_upsert_snapshot",
+    "mixture_temperature",
 ]
 
 
@@ -175,10 +178,18 @@ def _streaming_benchmarks(spark) -> dict:
         return (spark.readStream.schema(events.schema)
                 .option("maxFilesPerTrigger", 4).parquet(spool))
 
-    # streaming state partitions sized to key cardinality, not the batch
-    # default (32 RocksDB instances for ~5 keys is pure overhead; at
-    # scale this is the one knob AQE can't tune for you)
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # streaming state partitions sized PER QUERY to its key cardinality
+    # and operator shape, not the batch default (32 state stores for a
+    # handful of keys is pure per-batch commit overhead; at scale this
+    # is the one knob AQE can't tune for you).  Measured at sf0.1:
+    # small-state JVM aggs (windowed count ~8.5k groups, dedup) and the
+    # 64-shard Python-stateful operators run fastest at 4 state
+    # partitions (fewer store commits per trigger); the per-user
+    # stateful op (~2k keys, heavier per-key work) and the symmetric
+    # stream-stream join prefer 8.
+    def _parts(p):
+        spark.conf.set("spark.sql.shuffle.partitions", str(p))
+
     try:
         def windowed_count():
             return windowed_aggregate(
@@ -187,6 +198,7 @@ def _streaming_benchmarks(spark) -> dict:
                 allowed_lateness="10 minutes",
             )
 
+        _parts(4)
         _run_stream(windowed_count())     # warm-up: state store + codegen
         window_wall = _best_stream(windowed_count)
 
@@ -203,6 +215,7 @@ def _streaming_benchmarks(spark) -> dict:
                 & (e["ets"] <= p["pts"] + F.expr("interval 30 minutes")),
                 "inner")
 
+        _parts(8)
         join_wall = _best_stream(stream_join)
 
         def stateful():
@@ -210,6 +223,7 @@ def _streaming_benchmarks(spark) -> dict:
                 source().withColumn("user", F.col("user_id").cast("string")),
                 key="user", value_col="value", fire_every=50)
 
+        _parts(8)
         stateful_wall = _best_stream(stateful)
 
         def stream_dedup():
@@ -218,6 +232,7 @@ def _streaming_benchmarks(spark) -> dict:
             return streaming_distinct(source(), ["event_id"], "ts",
                                       within="10 minutes")
 
+        _parts(4)
         dedup_wall = _best_stream(stream_dedup)
 
         def stream_funnel():
@@ -228,6 +243,7 @@ def _streaming_benchmarks(spark) -> dict:
                                     within_ms=24 * 60 * 60_000,
                                     n_shards=64)
 
+        _parts(4)
         funnel_wall = _best_stream(stream_funnel)
 
         def stream_heavy():
@@ -237,6 +253,7 @@ def _streaming_benchmarks(spark) -> dict:
                 source(), "event_type", window_ms=60 * 60_000,
                 capacity=16, min_count=10, n_shards=64)
 
+        _parts(4)
         heavy_wall = _best_stream(stream_heavy)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", "32")

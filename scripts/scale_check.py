@@ -45,6 +45,9 @@ QUERIES = [
     "trigram_logprob", "heavy_hitter_words", "repetition_stats",
     "dup_clusters", "llm_corpus_prep", "embed_near_dup", "embed_knn",
     "user_sessions", "asof_last_purchase",
+    # round-2c heavyweights (VERDICT r2 item 9)
+    "semantic_dedup", "feature_store_events", "quality_percentile",
+    "chunk_dedup", "mixture_cap_tokens",
 ]
 
 
