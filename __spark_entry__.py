@@ -2053,6 +2053,16 @@ def _bm25_search(spark, sf_dir):
                      ["spark", "join", "filter"], k=20)
 
 
+def _zorder_oracle_sql() -> str:
+    from apache_beam_spark.plans.layout import zvalue_sql
+
+    return f"""
+        SELECT event_id, ({zvalue_sql(['ub', 'db'], 10)}) AS zval FROM (
+            SELECT event_id, user_id % 1024 AS ub,
+                   date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS db
+            FROM events)"""
+
+
 _CDC_CUTOFF = "2024-02-15 00:00:00"
 
 
@@ -2109,6 +2119,23 @@ def _mixture_temperature(spark, sf_dir):
     docs = load_table(spark, "documents", sf_dir)
     budgets = temperature_budgets(docs, total_budget=30000, temperature=2.0)
     return cap_tokens_per_source(docs, budgets, default_budget=0)
+
+
+def _zorder_curve(spark, sf_dir):
+    """Z-order layout key (plans/layout.py): events bucketed to 10-bit
+    (user, day) coordinates, bit-interleaved into the Morton value the
+    clustered write sorts by.  Pure integer Column arithmetic; the
+    oracle reproduces the identical unrolled shift/mask expression, so
+    the curve is value-checked bit-for-bit."""
+    from apache_beam_spark.plans.layout import zvalue
+
+    ev = load_table(spark, "events", sf_dir)
+    d = ev.select(
+        "event_id",
+        F.pmod(F.col("user_id"), F.lit(1024)).alias("ub"),
+        F.datediff(F.to_date("ts"),
+                   F.lit("2024-01-01").cast("date")).alias("db"))
+    return d.select("event_id", zvalue(["ub", "db"], bits=10).alias("zval"))
 
 
 def _proto_roundtrip(spark, sf_dir):
@@ -2334,6 +2361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_parts_suppliers": _q16_parts_suppliers,
         "q20_potential_promotion": _q20_potential_promotion,
         "q21_waiting_suppliers": _q21_waiting_suppliers,
+        "zorder_curve": _zorder_curve,
         "bm25_search": _bm25_search,
         "cdc_upsert_snapshot": _cdc_upsert_snapshot,
         "scd2_user_history": _scd2_user_history,
@@ -3421,6 +3449,7 @@ def oracle_sql() -> dict[str, str]:
         "q16_parts_suppliers": _Q16_SQL,
         "q20_potential_promotion": _Q20_SQL,
         "q21_waiting_suppliers": _Q21_SQL,
+        "zorder_curve": _zorder_oracle_sql(),
         "bm25_search": f"""
             WITH dl AS (
                 SELECT doc_id, CAST(len({toks}) AS DOUBLE) AS dl

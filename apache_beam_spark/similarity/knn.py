@@ -199,13 +199,31 @@ def _hyperplanes(dim: int, n_bits: int, seed: int = 42) -> list[list[float]]:
 
 
 def _lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit bucket id from fixed random hyperplanes."""
-    bucket = F.lit(0).cast("bigint")
+    """Sign-bit bucket id from fixed random hyperplanes.
+
+    Built as ONE ``F.expr`` string: the naive Column construction makes
+    ``n_bits * dim`` ``F.lit`` py4j round trips (~2.4 s of pure driver
+    time at 6x64 — measured r3, the embed_lsh_knn bench regression);
+    identical expression tree, identical double arithmetic (literals
+    ``repr``-round-trip and are cast to double exactly as the Column
+    HOF version did)."""
+    def dlit(x: float) -> str:
+        # scientific notation is a DOUBLE literal in Spark SQL (bare
+        # decimals would be DECIMAL); 17 sig digits round-trips exactly
+        s = f"{x:.17g}"
+        return s if "e" in s or "E" in s else s + "E0"
+
+    terms = []
     for i, plane in enumerate(planes):
-        p = F.array(*[F.lit(x) for x in plane])
-        bit = (dot(vec, p) > 0).cast("bigint")
-        bucket = bucket.bitwiseOR(F.shiftleft(bit, i))
-    return bucket
+        arr = "array(" + ",".join(dlit(x) for x in plane) + ")"
+        d = (f"aggregate(zip_with({{v}}, {arr}, "
+             "(x, y) -> cast(x as double) * y), "
+             "cast(0.0 as double), (acc, v) -> acc + v)")
+        terms.append(f"shiftleft(cast(({d}) > 0 as bigint), {i})")
+    expr = " | ".join(terms)
+    # vec must be a plain column reference for the SQL string
+    name = vec._jc.toString() if hasattr(vec, "_jc") else str(vec)
+    return F.expr(expr.replace("{v}", name))
 
 
 def lsh_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 5,
