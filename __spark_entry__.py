@@ -2121,6 +2121,39 @@ def _mixture_temperature(spark, sf_dir):
     return cap_tokens_per_source(docs, budgets, default_budget=0)
 
 
+def _rag_chunks(spark, sf_dir):
+    """Overlapping retrieval chunks (dedup/chunks.py sliding_chunks):
+    30-word windows advancing by 20 (10 words shared context) — the
+    RAG-ingest splitter as pure Column HOFs fused into the scan."""
+    from apache_beam_spark.dedup.chunks import sliding_chunks
+
+    return sliding_chunks(load_table(spark, "documents", sf_dir),
+                          chunk_words=30, overlap_words=10)
+
+
+def _dau_mau_stickiness(spark, sf_dir):
+    """DAU/MAU stickiness per day.  The scalable shape: distinct
+    (user, day) first (one shuffle), then each active day contributes
+    to the 30 trailing target days via a BOUNDED 30x explode (the
+    sliding-window expansion trick — no day-by-day self-join over raw
+    events, no 30-day range join), distinct again, divide."""
+    ev = load_table(spark, "events", sf_dir)
+    ud = ev.select(F.col("user_id"),
+                   F.to_date("ts").alias("day")).distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    contrib = ud.select(
+        "user_id",
+        F.explode(F.sequence(
+            F.col("day"), F.date_add(F.col("day"), 29))).alias("day"))
+    mau = (contrib.distinct()
+           .groupBy("day").agg(F.count(F.lit(1)).alias("mau")))
+    return (dau.join(mau, on="day")
+            .select(F.col("day").cast("timestamp").alias("day"),
+                    "dau", "mau",
+                    F.round(F.col("dau") / F.col("mau"), 6)
+                    .alias("stickiness")))
+
+
 def _zorder_curve(spark, sf_dir):
     """Z-order layout key (plans/layout.py): events bucketed to 10-bit
     (user, day) coordinates, bit-interleaved into the Morton value the
@@ -2361,6 +2394,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_parts_suppliers": _q16_parts_suppliers,
         "q20_potential_promotion": _q20_potential_promotion,
         "q21_waiting_suppliers": _q21_waiting_suppliers,
+        "rag_chunks": _rag_chunks,
+        "dau_mau_stickiness": _dau_mau_stickiness,
         "zorder_curve": _zorder_curve,
         "bm25_search": _bm25_search,
         "cdc_upsert_snapshot": _cdc_upsert_snapshot,
@@ -3449,6 +3484,35 @@ def oracle_sql() -> dict[str, str]:
         "q16_parts_suppliers": _Q16_SQL,
         "q20_potential_promotion": _Q20_SQL,
         "q21_waiting_suppliers": _Q21_SQL,
+        "rag_chunks": f"""
+            WITH t AS (SELECT doc_id, {toks} AS tk FROM documents),
+            s AS (
+                SELECT doc_id, tk,
+                       GREATEST(CAST(ceil((len(tk) - 10) / 20.0) AS BIGINT),
+                                1) AS nc
+                FROM t),
+            e AS (
+                SELECT doc_id, tk, unnest(range(0, nc)) AS ci FROM s)
+            SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+                   array_to_string(tk[ci*20+1 : ci*20+30], ' ') AS chunk_text,
+                   CAST(len(tk[ci*20+1 : ci*20+30]) AS INT) AS n_words
+            FROM e
+            WHERE len(tk[ci*20+1 : ci*20+30]) >= 1""",
+        "dau_mau_stickiness": """
+            WITH ud AS (
+                SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                FROM events),
+            dau AS (
+                SELECT day, COUNT(*) AS dau FROM ud GROUP BY day),
+            contrib AS (
+                SELECT DISTINCT user_id,
+                       CAST(day + INTERVAL (off) DAY AS DATE) AS day
+                FROM ud, (SELECT unnest(range(0, 30)) AS off)),
+            mau AS (
+                SELECT day, COUNT(*) AS mau FROM contrib GROUP BY day)
+            SELECT CAST(dau.day AS TIMESTAMP) AS day, dau.dau, mau.mau,
+                   ROUND(CAST(dau.dau AS DOUBLE) / mau.mau, 6) AS stickiness
+            FROM dau JOIN mau ON dau.day = mau.day""",
         "zorder_curve": _zorder_oracle_sql(),
         "bm25_search": f"""
             WITH dl AS (

@@ -70,3 +70,39 @@ def chunk_dedup(df: DataFrame, text_col: str = "text",
                      lambda s: s.chunk),
                  " ").alias("text_dedup"))
     )
+
+
+def sliding_chunks(df: DataFrame, chunk_words: int = 100,
+                   overlap_words: int = 20, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   min_words: int = 1) -> DataFrame:
+    """Overlapping retrieval chunks (the RAG-ingest shape): word
+    windows of ``chunk_words`` advancing by ``chunk_words - overlap``,
+    so consecutive chunks share ``overlap_words`` words of context.
+
+    Pure Column HOFs (tokenize -> index sequence -> ``slice``), no
+    Python, no shuffle — chunking fuses into the scan, and only
+    (id, idx, chunk) rows flow downstream.  Returns
+    ``(id_col, chunk_idx, chunk_text, n_words)``; the final short
+    remainder chunk is kept when it has >= ``min_words`` NEW words
+    (starts past the previous chunk), mirroring the usual tokenizer
+    splitters.
+    """
+    if overlap_words >= chunk_words:
+        raise ValueError("overlap must be smaller than chunk size")
+    step = chunk_words - overlap_words
+    toks = word_tokens(F.col(text_col))
+    n = F.size(toks)
+    # starts: 0, step, 2*step, ... while start < n (at least one chunk)
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap_words)) / F.lit(step)), F.lit(1))
+    starts = F.sequence(F.lit(0), (n_chunks - 1) * step, F.lit(step))
+    d = df.select(
+        F.col(id_col), toks.alias("__t__"),
+        F.posexplode(starts).alias("chunk_idx", "__s__"))
+    chunk = F.slice(F.col("__t__"), F.col("__s__") + 1, chunk_words)
+    return (d.select(
+        id_col, "chunk_idx",
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).alias("n_words"))
+        .filter(F.col("n_words") >= min_words))

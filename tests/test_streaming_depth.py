@@ -1,0 +1,76 @@
+"""Round-3 streaming depth: session windows on unbounded input and
+null-extended outer stream-stream interval joins."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from apache_beam_spark.streaming import windowed_aggregate
+from apache_beam_spark.streaming.joins import interval_join
+from apache_beam_spark.streaming.sources import TestStream
+from apache_beam_spark.streaming.windowed import run_to_memory
+from apache_beam_spark.windowing import Sessions
+
+
+def test_streaming_session_windows_match_batch(spark, tmp_path):
+    """Sessions through windowed_aggregate on a STREAM: merged session
+    extents and aggregates equal the batch run of the same code path
+    (reference Sessions.java:40 via session_window state merge)."""
+    schema = "key string, ts timestamp, value double"
+    rows = [("a", "2024-01-01T00:00:00Z", 1.0),
+            ("a", "2024-01-01T00:05:00Z", 2.0),   # same session (gap 10m)
+            ("a", "2024-01-01T00:30:00Z", 4.0),   # new session
+            ("b", "2024-01-01T00:02:00Z", 8.0)]
+    ts = TestStream(str(tmp_path / "sess"))
+    ts.add_elements([dict(zip(("key", "ts", "value"), r)) for r in rows])
+    # watermark-advancing batch closes all sessions
+    ts.add_elements([{"key": "z", "ts": "2024-01-01T06:00:00Z", "value": 0.0}])
+
+    def agg(df):
+        return windowed_aggregate(
+            df, Sessions("10 minutes"), "ts",
+            aggs=[F.sum("value").alias("total")], keys=["key"],
+            allowed_lateness="0 seconds")
+
+    got = {(r["key"], r["window"].start.minute): r["total"]
+           for r in run_to_memory(agg(ts.stream(spark, schema))).collect()
+           if r["key"] != "z"}
+    assert got == {("a", 0): 3.0, ("a", 30): 4.0, ("b", 2): 8.0}
+
+    batch = spark.createDataFrame(
+        [(k, dt.datetime.fromisoformat(t.replace("Z", "+00:00"))
+          .replace(tzinfo=None), v) for k, t, v in rows], schema)
+    bgot = {(r["key"], r["window"].start.minute): r["total"]
+            for r in agg(batch).collect()}
+    assert bgot == got
+
+
+def test_interval_join_left_outer_streaming(spark, tmp_path):
+    """Left-outer stream-stream interval join: unmatched left rows are
+    null-extended once the watermark passes their join window
+    (reference CoGBK outer semantics on the streaming path)."""
+    lschema = "user long, lts timestamp, amount double"
+    rschema = "user long, rts timestamp, tag string"
+    lts = TestStream(str(tmp_path / "l"))
+    rts = TestStream(str(tmp_path / "r"))
+    lts.add_elements([
+        {"user": 1, "lts": "2024-01-01T00:00:00Z", "amount": 10.0},
+        {"user": 2, "lts": "2024-01-01T00:01:00Z", "amount": 20.0}])
+    rts.add_elements([
+        {"user": 1, "rts": "2024-01-01T00:05:00Z", "tag": "hit"}])
+    # advance both watermarks far past the 10-minute join window
+    lts.add_elements([{"user": 9, "lts": "2024-01-01T06:00:00Z", "amount": 0.0}])
+    rts.add_elements([{"user": 9, "rts": "2024-01-01T06:00:00Z", "tag": "x"}])
+
+    joined = interval_join(
+        lts.stream(spark, lschema), rts.stream(spark, rschema), on="user",
+        left_ts="lts", right_ts="rts",
+        lower="0 seconds", upper="10 minutes",
+        watermark_delay="0 seconds", how="left")
+    rows = {(r["user"], r["amount"]): r["tag"]
+            for r in run_to_memory(joined, output_mode="append").collect()
+            if r["user"] != 9}
+    assert rows[(1, 10.0)] == "hit"       # matched inside the interval
+    assert rows[(2, 20.0)] is None        # null-extended after watermark
