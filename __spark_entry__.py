@@ -2121,6 +2121,38 @@ def _mixture_temperature(spark, sf_dir):
     return cap_tokens_per_source(docs, budgets, default_budget=0)
 
 
+def _wav_roundtrip(spark, sf_dir):
+    """REAL audio codec round trip (multimodal/codecs.py): per doc, a
+    PCM WAV payload is synthesized from an integer sample formula,
+    encoded with encode_wav, decoded back by the decode_audio stage
+    (RIFF chunk walk, struct/numpy — no media libs), and the decoded
+    (rate, count, peak) are value-checked against the oracle computing
+    the same formula in SQL — the codec is verified end-to-end through
+    the distributed mapInPandas plumbing."""
+    from apache_beam_spark.multimodal.columns import decode_audio
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "n_chars")
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from apache_beam_spark.multimodal.codecs import encode_wav
+
+        for pdf in batches:
+            rows = []
+            for d, n in zip(pdf["doc_id"], pdf["n_chars"]):
+                i = np.arange(int(n), dtype=np.int64)
+                x = ((int(d) * 31 + i) * 2654435761) % 65536 - 32768
+                rows.append({"doc_id": int(d),
+                             "payload": encode_wav(x.astype(np.int16), 8000)})
+            yield pd.DataFrame(rows)
+
+    enc = docs.mapInPandas(gen, "doc_id bigint, payload binary")
+    return decode_audio(enc).select(
+        "doc_id", "sample_rate", "num_samples", "peak_abs")
+
+
 def _rag_chunks(spark, sf_dir):
     """Overlapping retrieval chunks (dedup/chunks.py sliding_chunks):
     30-word windows advancing by 20 (10 words shared context) — the
@@ -2394,6 +2426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_parts_suppliers": _q16_parts_suppliers,
         "q20_potential_promotion": _q20_potential_promotion,
         "q21_waiting_suppliers": _q21_waiting_suppliers,
+        "wav_roundtrip": _wav_roundtrip,
         "rag_chunks": _rag_chunks,
         "dau_mau_stickiness": _dau_mau_stickiness,
         "zorder_curve": _zorder_curve,
@@ -3484,6 +3517,15 @@ def oracle_sql() -> dict[str, str]:
         "q16_parts_suppliers": _Q16_SQL,
         "q20_potential_promotion": _Q20_SQL,
         "q21_waiting_suppliers": _Q21_SQL,
+        "wav_roundtrip": """
+            SELECT doc_id, 8000 AS sample_rate,
+                   CAST(n_chars AS BIGINT) AS num_samples,
+                   CAST(CASE WHEN n_chars = 0 THEN 0 ELSE
+                       list_max(list_transform(range(0, n_chars),
+                           i -> abs((doc_id * 31 + i) * 2654435761
+                                    % 65536 - 32768)))
+                   END AS BIGINT) AS peak_abs
+            FROM documents""",
         "rag_chunks": f"""
             WITH t AS (SELECT doc_id, {toks} AS tk FROM documents),
             s AS (

@@ -7,11 +7,13 @@ input split — media work parallelizes by repartitioning on row count,
 not bytes, so ``repartition_for_media`` sizes partitions by payload
 bytes instead).
 
-Decode internals are STUBBED: ``_decode_image_impl`` raises
-``NotImplementedError`` unless a deterministic fake is requested (no
-image libs in this container).  The fake derives (width, height,
-channels) and pixel statistics purely from the payload bytes, so tests
-exercise the full distributed plumbing with stable expected values.
+Uncompressed containers decode FOR REAL via ``codecs.py`` (pure
+struct/numpy — PCM WAV audio, 24bpp BMP and P6 PPM images).
+Compressed formats (JPEG/PNG/MP3/H.264) are gated behind
+``NotImplementedError`` naming the needed library; a deterministic
+fake decoder remains for plumbing tests of those paths — it derives
+(width, height, channels) and pixel statistics purely from the payload
+bytes, so tests have stable expected values.
 """
 
 from __future__ import annotations
@@ -44,13 +46,24 @@ def attach_media_metadata(df: DataFrame, payload_col: str = "payload",
 
 
 def _decode_image_impl(payload: bytes, fake: bool) -> tuple[int, int, int, bytes]:
-    """(width, height, channels, pixel_bytes).  Real codecs are not
-    available in this container — the deterministic fake derives
-    everything from the payload so plumbing tests have stable oracles."""
+    """(width, height, channels, pixel_bytes).
+
+    Uncompressed containers (BMP 24bpp, PPM P6) decode FOR REAL via
+    ``codecs.py`` — pure struct/numpy, no media libs.  Compressed
+    formats stay gated; the deterministic fake derives everything from
+    the payload so plumbing tests have stable oracles."""
+    from apache_beam_spark.multimodal.codecs import (
+        decode_image_real, sniff_format)
+
+    if sniff_format(payload) in ("bmp", "ppm"):
+        rgb = decode_image_real(payload)
+        h_, w_, c_ = rgb.shape
+        return w_, h_, c_, rgb.tobytes()
     if not fake:
         raise NotImplementedError(
-            "image decoding requires PIL/opencv (not in this container); "
-            "pass fake=True for the deterministic test decoder")
+            "compressed image decoding requires PIL/opencv (not in this "
+            "container); BMP/PPM decode natively, or pass fake=True for "
+            "the deterministic test decoder")
     h = hashlib.sha256(payload).digest()
     width = 8 + h[0] % 8
     height = 8 + h[1] % 8
@@ -175,3 +188,44 @@ def repartition_for_media(df: DataFrame, payload_col: str = "payload",
     parts = max(int(total // target_partition_bytes) + 1,
                 df.sparkSession.sparkContext.defaultParallelism)
     return df.repartition(parts)
+
+
+def decode_audio(df: DataFrame, payload_col: str = "payload",
+                 id_col: str = "doc_id") -> DataFrame:
+    """REAL audio decode stage for PCM WAV payloads (codecs.py — pure
+    struct/numpy): (id, sample_rate, channels, num_samples,
+    duration_s, peak_abs, rms).  Compressed audio raises with the
+    needed library (gated-loader pattern)."""
+    schema = (f"{id_col} bigint, sample_rate int, channels int, "
+              "num_samples bigint, duration_s double, peak_abs bigint, "
+              "rms double")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from apache_beam_spark.multimodal.codecs import (
+            decode_wav, sniff_format)
+
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload)
+                if sniff_format(b) != "wav":
+                    raise NotImplementedError(
+                        "compressed audio requires ffmpeg/librosa (not in "
+                        "this container); PCM WAV decodes natively")
+                rate, channels, samples = decode_wav(b)
+                s = samples.astype(np.float64)
+                # abs in int64: np.abs(int16 -32768) overflows back to
+                # -32768 in the narrow dtype (caught by the oracle)
+                wide = samples.astype(np.int64)
+                rows.append({
+                    id_col: i, "sample_rate": rate, "channels": channels,
+                    "num_samples": samples.shape[0],
+                    "duration_s": samples.shape[0] / rate,
+                    "peak_abs": int(np.abs(wide).max()) if samples.size else 0,
+                    "rms": float(np.sqrt((s * s).mean())) if samples.size else 0.0,
+                })
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(fn, schema)
