@@ -2121,6 +2121,31 @@ def _mixture_temperature(spark, sf_dir):
     return cap_tokens_per_source(docs, budgets, default_budget=0)
 
 
+def _dq_report(spark, sf_dir):
+    """Declarative data-quality constraints (operators/quality.py):
+    six rules over lineitem/orders — row-level rules share ONE scan
+    (a single conditional-count agg), unique is one keyed agg,
+    referential integrity one anti join.  The range rule is
+    deliberately violated by real rows (quantity capped at 30) so the
+    report carries non-zero counts the oracle must reproduce."""
+    from apache_beam_spark.operators import quality as Q
+
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    rules = [
+        Q.not_null("orderkey_not_null", "l_orderkey"),
+        Q.in_range("quantity_1_30", "l_quantity", 1, 30),
+        Q.isin("returnflag_domain", "l_returnflag", ["A", "N", "R"]),
+        Q.custom("discount_le_tax_plus_half",
+                 F.col("l_discount") <= F.col("l_tax") + F.lit(0.5)),
+        Q.unique("linenumber_unique_per_order_NOT",
+                 "l_orderkey"),  # intentionally violated: multi-line orders
+        Q.foreign_key("orderkey_in_orders", "l_orderkey",
+                      orders, "o_orderkey"),
+    ]
+    return Q.check_constraints(li, rules)
+
+
 def _wav_roundtrip(spark, sf_dir):
     """REAL audio codec round trip (multimodal/codecs.py): per doc, a
     PCM WAV payload is synthesized from an integer sample formula,
@@ -2426,6 +2451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_parts_suppliers": _q16_parts_suppliers,
         "q20_potential_promotion": _q20_potential_promotion,
         "q21_waiting_suppliers": _q21_waiting_suppliers,
+        "dq_report": _dq_report,
         "wav_roundtrip": _wav_roundtrip,
         "rag_chunks": _rag_chunks,
         "dau_mau_stickiness": _dau_mau_stickiness,
@@ -3517,6 +3543,41 @@ def oracle_sql() -> dict[str, str]:
         "q16_parts_suppliers": _Q16_SQL,
         "q20_potential_promotion": _Q20_SQL,
         "q21_waiting_suppliers": _Q21_SQL,
+        "dq_report": """
+            SELECT 'orderkey_not_null' AS rule, 'not_null' AS kind,
+                   CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_violations
+            FROM lineitem
+            UNION ALL
+            SELECT 'quantity_1_30', 'range',
+                   CAST(SUM(CASE WHEN l_quantity IS NOT NULL
+                            AND NOT (l_quantity BETWEEN 1 AND 30)
+                            THEN 1 ELSE 0 END) AS BIGINT)
+            FROM lineitem
+            UNION ALL
+            SELECT 'returnflag_domain', 'isin',
+                   CAST(SUM(CASE WHEN l_returnflag IS NOT NULL
+                            AND l_returnflag NOT IN ('A','N','R')
+                            THEN 1 ELSE 0 END) AS BIGINT)
+            FROM lineitem
+            UNION ALL
+            SELECT 'discount_le_tax_plus_half', 'custom',
+                   CAST(SUM(CASE WHEN NOT COALESCE(
+                            l_discount <= l_tax + 0.5, FALSE)
+                            THEN 1 ELSE 0 END) AS BIGINT)
+            FROM lineitem
+            UNION ALL
+            SELECT 'linenumber_unique_per_order_NOT', 'unique',
+                   CAST(COALESCE(SUM(n), 0) AS BIGINT)
+            FROM (SELECT COUNT(*) AS n FROM lineitem
+                  GROUP BY l_orderkey HAVING COUNT(*) > 1)
+            UNION ALL
+            SELECT 'orderkey_in_orders', 'foreign_key',
+                   CAST(COUNT(*) AS BIGINT)
+            FROM lineitem l
+            WHERE l.l_orderkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)""",
         "wav_roundtrip": """
             SELECT doc_id, 8000 AS sample_rate,
                    CAST(n_chars AS BIGINT) AS num_samples,
