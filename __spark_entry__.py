@@ -2121,6 +2121,19 @@ def _mixture_temperature(spark, sf_dir):
     return cap_tokens_per_source(docs, budgets, default_budget=0)
 
 
+def _rate_limit_events(spark, sf_dir):
+    """Per-key event-time token bucket (streaming/stateful.py): at most
+    3 events per user per hour window, admitted in (ts, id) order —
+    the batch twin of streaming_rate_limit (parity-tested in
+    tests/test_rate_limit.py); one keyed shuffle."""
+    from apache_beam_spark.streaming.stateful import rate_limit_batch
+
+    return rate_limit_batch(load_table(spark, "events", sf_dir),
+                            key="user_id", event_time="ts",
+                            id_col="event_id", window_ms=3_600_000,
+                            max_per_window=3)
+
+
 def _dq_report(spark, sf_dir):
     """Declarative data-quality constraints (operators/quality.py):
     six rules over lineitem/orders — row-level rules share ONE scan
@@ -2451,6 +2464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_parts_suppliers": _q16_parts_suppliers,
         "q20_potential_promotion": _q20_potential_promotion,
         "q21_waiting_suppliers": _q21_waiting_suppliers,
+        "rate_limit_events": _rate_limit_events,
         "dq_report": _dq_report,
         "wav_roundtrip": _wav_roundtrip,
         "rag_chunks": _rag_chunks,
@@ -3543,6 +3557,17 @@ def oracle_sql() -> dict[str, str]:
         "q16_parts_suppliers": _Q16_SQL,
         "q20_potential_promotion": _Q20_SQL,
         "q21_waiting_suppliers": _Q21_SQL,
+        "rate_limit_events": """
+            SELECT * FROM (
+                SELECT CAST(user_id AS VARCHAR) AS user_id, event_id,
+                       epoch_ms(ts) AS ts_ms,
+                       epoch_ms(ts) // 3600000 * 3600000 AS win_start_ms,
+                       CAST(ROW_NUMBER() OVER (
+                           PARTITION BY user_id,
+                                        epoch_ms(ts) // 3600000 * 3600000
+                           ORDER BY epoch_ms(ts), event_id) AS INT) AS seq
+                FROM events)
+            WHERE seq <= 3""",
         "dq_report": """
             SELECT 'orderkey_not_null' AS rule, 'not_null' AS kind,
                    CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)

@@ -110,3 +110,93 @@ def streaming_distinct(df: DataFrame, cols: list[str], event_time: str,
     return (ensure_event_time(df, event_time)
             .withWatermark(event_time, within)
             .dropDuplicatesWithinWatermark(cols))
+
+
+def rate_limit_batch(df: DataFrame, key: str, event_time: str,
+                     id_col: str, window_ms: int,
+                     max_per_window: int) -> DataFrame:
+    """Batch twin of ``streaming_rate_limit``: admit the first
+    ``max_per_window`` events per (key, event-time window) in
+    (ts, id) order.  One keyed shuffle (the window)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    ts_ms = F.unix_millis(F.col(event_time).cast("timestamp"))
+    win = (ts_ms / window_ms).cast("long") * window_ms
+    w = W.partitionBy(key, "win_start_ms").orderBy("ts_ms", id_col)
+    return (df.select(F.col(key).cast("string").alias(key),
+                      F.col(id_col).cast("long").alias(id_col),
+                      ts_ms.alias("ts_ms"), win.alias("win_start_ms"))
+            .withColumn("seq", F.row_number().over(w))
+            .filter(F.col("seq") <= max_per_window))
+
+
+def streaming_rate_limit(df: DataFrame, key: str, event_time: str,
+                         id_col: str, window_ms: int,
+                         max_per_window: int) -> DataFrame:
+    """Per-key event-time token bucket: admit at most
+    ``max_per_window`` events per key per ``window_ms`` event-time
+    window; excess rows are dropped (throttling / abuse-limiting at
+    the ingestion edge).
+
+    Deterministic: admission order within a micro-batch is
+    (event_time, id).  State is one (window_start -> admitted_count)
+    map per key; windows older than the watermark minus one window are
+    evicted on every invocation, so state is bounded by
+    ``lateness / window`` entries per key.  Output:
+    ``(key, id, ts_ms, win_start_ms, seq)`` — matches
+    ``rate_limit_batch`` on in-order input (parity-tested).
+    """
+    from pyspark.sql import functions as F
+
+    from apache_beam_spark.windowing import ensure_event_time
+
+    out_schema = (f"{key} string, {id_col} long, ts_ms long, "
+                  "win_start_ms long, seq int")
+    state_schema = "wins array<long>, counts array<long>"
+
+    def fn(k, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:  # pragma: no cover - NoTimeout configured
+            state.remove()
+            return
+        wins, counts = (state.get if state.exists else ([], []))
+        bucket = dict(zip(wins, counts))
+        out = {key: [], id_col: [], "ts_ms": [], "win_start_ms": [],
+               "seq": []}
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(["__ts_ms__", id_col])
+            for i, t in zip(pdf[id_col], pdf["__ts_ms__"]):
+                w = int(t) // window_ms * window_ms
+                c = bucket.get(w, 0)
+                if c < max_per_window:
+                    bucket[w] = c + 1
+                    out[key].append(k[0])
+                    out[id_col].append(int(i))
+                    out["ts_ms"].append(int(t))
+                    out["win_start_ms"].append(w)
+                    out["seq"].append(c + 1)
+        # evict windows the watermark has passed (bounded state)
+        wm = state.getCurrentWatermarkMs()
+        if wm > 0:
+            bucket = {w: c for w, c in bucket.items()
+                      if w + window_ms > wm - window_ms}
+        if bucket:
+            state.update((list(bucket), list(bucket.values())))
+        elif state.exists:
+            state.remove()
+        if out[key]:
+            yield pd.DataFrame(out)
+
+    prepped = (ensure_event_time(df, event_time)
+               .withWatermark(event_time, f"{window_ms // 1000} seconds"))
+    # the watermarked column must survive into applyInPandasWithState
+    # (dropping it would detach the watermark and break
+    # getCurrentWatermarkMs) — keep it alongside the ms projection
+    prepped = prepped.select(
+        F.col(key).cast("string").alias(key),
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(event_time),
+        F.unix_millis(F.col(event_time)).alias("__ts_ms__"))
+    return stateful_per_key(prepped, [key], fn, out_schema, state_schema)
