@@ -2121,6 +2121,20 @@ def _mixture_temperature(spark, sf_dir):
     return cap_tokens_per_source(docs, budgets, default_budget=0)
 
 
+def _readability_scores(spark, sf_dir):
+    """Flesch reading ease per document (functions/text.py): vowel-run
+    syllable estimate + terminator-run sentence estimate, all codegen
+    Column regexps — the classic readability gate of quality
+    pipelines."""
+    d = load_table(spark, "documents", sf_dir)
+    return d.select(
+        "doc_id",
+        F.size(T.word_tokens(F.col("text"))).alias("n_words"),
+        T.sentence_count(F.col("text")).alias("n_sentences"),
+        T.syllable_count(F.col("text")).alias("n_syllables"),
+        T.flesch_reading_ease(F.col("text")).alias("flesch"))
+
+
 def _rate_limit_events(spark, sf_dir):
     """Per-key event-time token bucket (streaming/stateful.py): at most
     3 events per user per hour window, admitted in (ts, id) order —
@@ -2464,6 +2478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_parts_suppliers": _q16_parts_suppliers,
         "q20_potential_promotion": _q20_potential_promotion,
         "q21_waiting_suppliers": _q21_waiting_suppliers,
+        "readability_scores": _readability_scores,
         "rate_limit_events": _rate_limit_events,
         "dq_report": _dq_report,
         "wav_roundtrip": _wav_roundtrip,
@@ -3557,6 +3572,23 @@ def oracle_sql() -> dict[str, str]:
         "q16_parts_suppliers": _Q16_SQL,
         "q20_potential_promotion": _Q20_SQL,
         "q21_waiting_suppliers": _Q21_SQL,
+        "readability_scores": f"""
+            SELECT doc_id,
+                   CAST(len({toks}) AS INT) AS n_words,
+                   CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')),
+                                 1) AS INT) AS n_sentences,
+                   CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                        AS INT) AS n_syllables,
+                   CASE WHEN len({toks}) > 0 THEN ROUND(
+                       206.835
+                       - 1.015 * (CAST(len({toks}) AS DOUBLE)
+                           / GREATEST(len(regexp_extract_all(text,
+                                                             '[.!?]+')), 1))
+                       - 84.6 * (CAST(len(regexp_extract_all(lower(text),
+                                     '[aeiouy]+')) AS DOUBLE)
+                           / len({toks})), 6)
+                   END AS flesch
+            FROM documents""",
         "rate_limit_events": """
             SELECT * FROM (
                 SELECT CAST(user_id AS VARCHAR) AS user_id, event_id,

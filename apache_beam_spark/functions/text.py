@@ -155,3 +155,30 @@ def char_ngrams(col: Column, n: int = 5) -> Column:
     out = F.filter(out, lambda x: x.isNotNull())
     return (F.when(col.isNull(), F.lit(None).cast("array<string>"))
             .when(ln >= n, out).otherwise(F.array(s)))
+
+
+def syllable_count(col: Column) -> Column:
+    """Vowel-group syllable approximation over the whole text (the
+    classic readability-formula estimator): count of maximal
+    ``[aeiouy]+`` runs in the lowercased text."""
+    return F.size(F.regexp_extract_all(F.lower(col), F.lit("[aeiouy]+"),
+                                       F.lit(0)))
+
+
+def sentence_count(col: Column) -> Column:
+    """Terminator-run sentence estimate: maximal ``[.!?]+`` runs,
+    floored at 1 (a fragment is one sentence)."""
+    return F.greatest(
+        F.size(F.regexp_extract_all(col, F.lit("[.!?]+"), F.lit(0))),
+        F.lit(1))
+
+
+def flesch_reading_ease(col: Column) -> Column:
+    """Flesch reading ease: 206.835 - 1.015*(words/sentences)
+    - 84.6*(syllables/words); NULL for wordless text (no 0/0)."""
+    words = F.size(word_tokens(col)).cast("double")
+    sents = sentence_count(col).cast("double")
+    syls = syllable_count(col).cast("double")
+    return F.when(words > 0, F.round(
+        F.lit(206.835) - F.lit(1.015) * (words / sents)
+        - F.lit(84.6) * (syls / words), 6))

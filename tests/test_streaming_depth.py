@@ -74,3 +74,22 @@ def test_interval_join_left_outer_streaming(spark, tmp_path):
             if r["user"] != 9}
     assert rows[(1, 10.0)] == "hit"       # matched inside the interval
     assert rows[(2, 20.0)] is None        # null-extended after watermark
+
+
+def test_stream_static_broadcast_enrichment(spark, tmp_path):
+    """Stream-static join (the reference's side-input enrichment on an
+    unbounded main input): a streaming fact joined to a small static
+    dimension broadcasts the dim — no stream-stream state machinery."""
+    dim = spark.createDataFrame(
+        [("view", 1.0), ("click", 2.0)], "etype string, weight double")
+    ts = TestStream(str(tmp_path / "enrich"))
+    ts.add_elements([
+        {"etype": "view", "ts": "2024-01-01T00:00:00Z", "v": 10.0},
+        {"etype": "click", "ts": "2024-01-01T00:00:01Z", "v": 5.0},
+        {"etype": "other", "ts": "2024-01-01T00:00:02Z", "v": 1.0}])
+    sdf = (ts.stream(spark, "etype string, ts timestamp, v double")
+           .join(F.broadcast(dim), on="etype", how="left")
+           .select("etype", (F.col("v") * F.coalesce("weight", F.lit(0.0)))
+                   .alias("weighted")))
+    got = {r["etype"]: r["weighted"] for r in run_to_memory(sdf).collect()}
+    assert got == {"view": 10.0, "click": 10.0, "other": 0.0}
