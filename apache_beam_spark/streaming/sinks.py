@@ -94,3 +94,54 @@ def write_kafka(sdf, bootstrap_servers: str, topic: str, checkpoint: str,
         raise NotImplementedError(
             "kafka requires org.apache.spark:spark-sql-kafka on the classpath"
         ) from e
+
+
+def upsert_snapshot_sink(sdf: DataFrame, path: str, checkpoint: str,
+                         keys: list, seq_col: str, op_col: str = "op",
+                         delete_op: str = "D",
+                         tiebreak: str | None = None):
+    """Materialize a changelog STREAM into a latest-wins snapshot table
+    (the Delta `MERGE` / Flink upsert-sink pattern without an ACID
+    format): every micro-batch is folded into the parquet snapshot via
+    ``operators/cdc.apply_changes``, written to a fresh directory and
+    atomically renamed over the old one — readers see either the old
+    or the new snapshot, never a partial write.
+
+    Restart safety: the swap is idempotent per batch content (replaying
+    a batch re-derives the same snapshot), the standard
+    foreachBatch-exactly-once argument.  Cross-batch ordering: folding
+    batch-by-batch equals a global latest-wins merge when sequence
+    numbers arrive in order per key; out-of-order deletes across
+    batches would need tombstone retention (a real table format's
+    job).  At scale, swap the
+    directory-rename for a real table format's transaction; the merge
+    itself is unchanged.
+    """
+    import os
+    import shutil
+
+    from apache_beam_spark.operators.cdc import apply_changes
+
+    spark = sdf.sparkSession
+    cur = os.path.join(path, "current")
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        if os.path.exists(cur):
+            base = spark.read.parquet(cur)
+        else:
+            base = batch_df.sparkSession.createDataFrame(
+                [], batch_df.drop(op_col).schema)
+        snap = apply_changes(base, batch_df, keys=keys, seq_col=seq_col,
+                             op_col=op_col, delete_op=delete_op,
+                             tiebreak=tiebreak)
+        staged = os.path.join(path, f"_staged_{batch_id}")
+        snap.write.mode("overwrite").parquet(staged)
+        old = os.path.join(path, f"_old_{batch_id}")
+        if os.path.exists(cur):
+            os.rename(cur, old)
+        os.rename(staged, cur)
+        shutil.rmtree(old, ignore_errors=True)
+
+    return (sdf.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("update").start())

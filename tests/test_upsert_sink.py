@@ -1,0 +1,39 @@
+"""Streaming changelog -> snapshot materialization
+(streaming/sinks.py upsert_snapshot_sink)."""
+
+from __future__ import annotations
+
+import os
+
+from apache_beam_spark.streaming.sources import TestStream
+
+SCHEMA = "id long, seq long, payload string, op string"
+
+
+def test_upsert_snapshot_sink(spark, tmp_path):
+    ts = TestStream(str(tmp_path / "changes"))
+    ts.add_elements([
+        {"id": 1, "seq": 10, "payload": "a1", "op": "U"},
+        {"id": 2, "seq": 10, "payload": "b1", "op": "U"}])
+    ts.add_elements([
+        {"id": 1, "seq": 20, "payload": "a2", "op": "U"},   # update
+        {"id": 2, "seq": 20, "payload": "x", "op": "D"},    # delete
+        {"id": 3, "seq": 20, "payload": "c1", "op": "U"}])  # insert
+
+    from apache_beam_spark.streaming.sinks import upsert_snapshot_sink
+
+    out = str(tmp_path / "snapshot")
+    q = upsert_snapshot_sink(
+        ts.stream(spark, SCHEMA), out, str(tmp_path / "ckpt"),
+        keys=["id"], seq_col="seq")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    snap = spark.read.parquet(os.path.join(out, "current"))
+    got = {r["id"]: r["payload"] for r in snap.collect()}
+    assert got == {1: "a2", 3: "c1"}   # 2 deleted, 1 updated, 3 inserted
+    # no staging/old leftovers from the atomic swap
+    leftovers = [d for d in os.listdir(out) if d != "current"]
+    assert leftovers == []
