@@ -24,9 +24,25 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 
+def _require_keys(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """NULL merge keys make the anti join silently double-apply (NULL
+    never equals NULL) — fail in-plan instead (filter, not a dropped
+    projection, so pruning can't remove it)."""
+    out = df
+    for k in keys:
+        out = out.filter(
+            F.when(F.col(k).isNull(),
+                   F.raise_error(F.lit(
+                       f"cdc: NULL merge key {k!r}; filter or coalesce "
+                       "before merging")).cast("boolean"))
+            .otherwise(F.lit(True)))
+    return out
+
+
 def latest_changes(changes: DataFrame, keys: Sequence[str], seq_col: str,
                    tiebreak: Optional[str] = None) -> DataFrame:
     """One row per key: the change with the highest (seq, tiebreak)."""
+    changes = _require_keys(changes, keys)
     order = [F.col(seq_col).desc()]
     if tiebreak:
         order.append(F.col(tiebreak).desc())

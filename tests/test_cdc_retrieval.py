@@ -120,3 +120,12 @@ def test_temperature_budgets(spark):
     assert b1["big"] == 800 and b1["small"] == 200
     with pytest.raises(ValueError):
         temperature_budgets(docs, 1000, temperature=0)
+
+
+def test_apply_changes_null_key_fails_loudly(spark):
+    changes = spark.createDataFrame(
+        [(None, 20, "ghost", "U")],
+        "id long, seq long, payload string, op string")
+    out = apply_changes(_base(spark), changes, keys=["id"], seq_col="seq")
+    with pytest.raises(Exception, match="NULL merge key"):
+        out.count()
