@@ -377,7 +377,8 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
                              seed: int = 42,
                              max_bucket: int = 10000,
                              dim: Optional[int] = None,
-                             group_col: Optional[str] = None) -> DataFrame:
+                             group_col: Optional[str] = None,
+                             vectors_df: Optional[DataFrame] = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, sim >= t).
 
     Candidate generation is banded sign-bit LSH — the same band/bucket
@@ -400,6 +401,12 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
     (group, band, bucket), so per-bucket width is bounded by the LSH
     bucket discipline even when one group holds O(N) vectors.  This is
     the SemDeDup in-cell shape with the quadratic term capped.
+
+    ``vectors_df``: optional (id, vec) source for the exact-cosine
+    verification joins.  When ``df`` is itself a join (e.g. corpus x
+    cell assignment), pass the raw corpus here so the candidate-verify
+    joins don't recompute that upstream join twice — the group column
+    only matters for bucketing, never for verification.
     """
     import numpy as np
 
@@ -448,7 +455,8 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
         .filter(F.col("id_a") < F.col("id_b"))
         .distinct()
     )
-    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v__"))
+    vecs = (vectors_df if vectors_df is not None else df).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("__v__"))
     return (
         pairs
         .join(vecs.select(F.col("id").alias("id_a"), F.col("__v__").alias("__va__")), on="id_a")
