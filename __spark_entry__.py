@@ -2121,6 +2121,44 @@ def _mixture_temperature(spark, sf_dir):
     return cap_tokens_per_source(docs, budgets, default_budget=0)
 
 
+def _ab_test_report(spark, sf_dir):
+    """Two-sample experiment readout: users hash-bucketed into arms by
+    a seeded md5 (the sample_deterministic addressing — no RNG state),
+    per-(event_type, arm) exact-decimal means and variances, pooled
+    into a Welch z-score per event_type.  One partial-agg shuffle;
+    arms never materialize separately."""
+    ev = load_table(spark, "events", sf_dir)
+    h = F.md5(F.concat(F.lit("ab1:"), F.col("user_id").cast("string"))
+              .cast("binary"))
+    arm = F.when(F.substring(h, 1, 1) < "8", F.lit(0)) \
+        .otherwise(F.lit(1)).alias("arm")
+    d = ev.select("event_type", arm,
+                  F.col("value").cast("decimal(18,2)").alias("v"))
+    g = d.groupBy("event_type").agg(
+        F.sum(F.when(F.col("arm") == 0, F.lit(1)).otherwise(F.lit(0)))
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, F.lit(1)).otherwise(F.lit(0)))
+        .alias("n_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("v"))
+              .otherwise(F.lit(0).cast("decimal(18,2)"))).alias("s_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("v"))
+              .otherwise(F.lit(0).cast("decimal(18,2)"))).alias("s_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("v") * F.col("v"))
+              .otherwise(F.lit(0).cast("decimal(38,4)"))).alias("ss_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("v") * F.col("v"))
+              .otherwise(F.lit(0).cast("decimal(38,4)"))).alias("ss_b"))
+    mean_a = F.col("s_a").cast("double") / F.col("n_a")
+    mean_b = F.col("s_b").cast("double") / F.col("n_b")
+    var_a = (F.col("ss_a").cast("double") / F.col("n_a")) - mean_a * mean_a
+    var_b = (F.col("ss_b").cast("double") / F.col("n_b")) - mean_b * mean_b
+    z = (mean_b - mean_a) / F.sqrt(var_a / F.col("n_a")
+                                   + var_b / F.col("n_b"))
+    return g.select("event_type", "n_a", "n_b",
+                    F.round(mean_a, 6).alias("mean_a"),
+                    F.round(mean_b, 6).alias("mean_b"),
+                    F.round(z, 6).alias("z_score"))
+
+
 def _readability_scores(spark, sf_dir):
     """Flesch reading ease per document (functions/text.py): vowel-run
     syllable estimate + terminator-run sentence estimate, all codegen
@@ -2478,6 +2516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_parts_suppliers": _q16_parts_suppliers,
         "q20_potential_promotion": _q20_potential_promotion,
         "q21_waiting_suppliers": _q21_waiting_suppliers,
+        "ab_test_report": _ab_test_report,
         "readability_scores": _readability_scores,
         "rate_limit_events": _rate_limit_events,
         "dq_report": _dq_report,
@@ -3572,6 +3611,39 @@ def oracle_sql() -> dict[str, str]:
         "q16_parts_suppliers": _Q16_SQL,
         "q20_potential_promotion": _Q20_SQL,
         "q21_waiting_suppliers": _Q21_SQL,
+        "ab_test_report": """
+            WITH d AS (
+                SELECT event_type,
+                       CASE WHEN substring(md5('ab1:' || CAST(user_id AS
+                            VARCHAR)), 1, 1) < '8' THEN 0 ELSE 1 END AS arm,
+                       CAST(value AS DECIMAL(18,2)) AS v
+                FROM events),
+            g AS (
+                SELECT event_type,
+                       SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_a,
+                       SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_b,
+                       SUM(CASE WHEN arm = 0 THEN v
+                           ELSE CAST(0 AS DECIMAL(18,2)) END) AS s_a,
+                       SUM(CASE WHEN arm = 1 THEN v
+                           ELSE CAST(0 AS DECIMAL(18,2)) END) AS s_b,
+                       SUM(CASE WHEN arm = 0 THEN CAST(v * v AS DECIMAL(38,4))
+                           ELSE CAST(0 AS DECIMAL(38,4)) END) AS ss_a,
+                       SUM(CASE WHEN arm = 1 THEN CAST(v * v AS DECIMAL(38,4))
+                           ELSE CAST(0 AS DECIMAL(38,4)) END) AS ss_b
+                FROM d GROUP BY event_type)
+            SELECT event_type, n_a, n_b,
+                   ROUND(CAST(s_a AS DOUBLE) / n_a, 6) AS mean_a,
+                   ROUND(CAST(s_b AS DOUBLE) / n_b, 6) AS mean_b,
+                   ROUND(((CAST(s_b AS DOUBLE) / n_b)
+                          - (CAST(s_a AS DOUBLE) / n_a))
+                         / sqrt(((CAST(ss_a AS DOUBLE) / n_a)
+                                 - (CAST(s_a AS DOUBLE) / n_a)
+                                   * (CAST(s_a AS DOUBLE) / n_a)) / n_a
+                                + ((CAST(ss_b AS DOUBLE) / n_b)
+                                   - (CAST(s_b AS DOUBLE) / n_b)
+                                     * (CAST(s_b AS DOUBLE) / n_b)) / n_b),
+                         6) AS z_score
+            FROM g""",
         "readability_scores": f"""
             SELECT doc_id,
                    CAST(len({toks}) AS INT) AS n_words,
