@@ -2121,6 +2121,38 @@ def _mixture_temperature(spark, sf_dir):
     return cap_tokens_per_source(docs, budgets, default_budget=0)
 
 
+def _attribution_last_touch(spark, sf_dir):
+    """Last-touch marketing attribution: each purchase credits the
+    latest prior view/click by the same user within 24 hours — the
+    as-of join (operators/asof.py merge_asof semantics with tolerance)
+    composed over two filtered branches of one events scan; one keyed
+    shuffle, match is row-atomic."""
+    from apache_beam_spark.operators.asof import asof_join
+
+    ev = load_table(spark, "events", sf_dir)
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("user_id", F.col("event_id").alias("purchase_id"),
+                         "ts", F.col("value").alias("amount")))
+    from pyspark.sql.window import Window as W
+
+    touches = (ev.filter(F.col("event_type").isin("view", "click"))
+               .select("user_id", F.col("ts").alias("touch_ts"),
+                       F.col("event_id").alias("touch_id"),
+                       F.col("event_type").alias("touch_type")))
+    # one touch per (user, ts): equal-timestamp touches make the
+    # carried row ambiguous — keep the max event_id (both engines)
+    dedup_w = W.partitionBy("user_id", "touch_ts").orderBy(
+        F.col("touch_id").desc())
+    touches = (touches.withColumn("__rn__", F.row_number().over(dedup_w))
+               .filter(F.col("__rn__") == 1).drop("__rn__"))
+    out = asof_join(purchases, touches, on="user_id",
+                    left_ts="ts", right_ts="touch_ts",
+                    right_cols=["touch_id", "touch_type"],
+                    tolerance="24 hours")
+    return out.select("user_id", "purchase_id", "amount",
+                      "touch_id", "touch_type")
+
+
 def _ab_test_report(spark, sf_dir):
     """Two-sample experiment readout: users hash-bucketed into arms by
     a seeded md5 (the sample_deterministic addressing — no RNG state),
@@ -2516,6 +2548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_parts_suppliers": _q16_parts_suppliers,
         "q20_potential_promotion": _q20_potential_promotion,
         "q21_waiting_suppliers": _q21_waiting_suppliers,
+        "attribution_last_touch": _attribution_last_touch,
         "ab_test_report": _ab_test_report,
         "readability_scores": _readability_scores,
         "rate_limit_events": _rate_limit_events,
@@ -3611,6 +3644,28 @@ def oracle_sql() -> dict[str, str]:
         "q16_parts_suppliers": _Q16_SQL,
         "q20_potential_promotion": _Q20_SQL,
         "q21_waiting_suppliers": _Q21_SQL,
+        "attribution_last_touch": """
+            WITH purchases AS (
+                SELECT user_id, event_id AS purchase_id, ts,
+                       value AS amount
+                FROM events WHERE event_type = 'purchase'),
+            touches AS (
+                SELECT user_id, ts AS touch_ts, event_id AS touch_id,
+                       event_type AS touch_type
+                FROM (SELECT *, ROW_NUMBER() OVER (
+                          PARTITION BY user_id, ts
+                          ORDER BY event_id DESC) AS rn
+                      FROM events
+                      WHERE event_type IN ('view', 'click'))
+                WHERE rn = 1)
+            SELECT p.user_id, p.purchase_id, p.amount,
+                   CASE WHEN t.touch_ts >= p.ts - INTERVAL 24 HOURS
+                        THEN t.touch_id END AS touch_id,
+                   CASE WHEN t.touch_ts >= p.ts - INTERVAL 24 HOURS
+                        THEN t.touch_type END AS touch_type
+            FROM purchases p
+            ASOF LEFT JOIN touches t
+              ON p.user_id = t.user_id AND p.ts >= t.touch_ts""",
         "ab_test_report": """
             WITH d AS (
                 SELECT event_type,
