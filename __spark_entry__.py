@@ -2121,6 +2121,17 @@ def _mixture_temperature(spark, sf_dir):
     return cap_tokens_per_source(docs, budgets, default_budget=0)
 
 
+def _char_entropy_quality(spark, sf_dir):
+    """Character-entropy quality signal (functions/text.py
+    char_entropy): bits/char of each document's character distribution
+    — the compression-ratio proxy Gopher-family filters gate on.  Fold
+    order is sorted-char on both engines, so the double summation is
+    bit-identical."""
+    d = load_table(spark, "documents", sf_dir)
+    return d.select("doc_id",
+                    T.char_entropy(F.col("text")).alias("entropy_bits"))
+
+
 def _attribution_last_touch(spark, sf_dir):
     """Last-touch marketing attribution: each purchase credits the
     latest prior view/click by the same user within 24 hours — the
@@ -2548,6 +2559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_parts_suppliers": _q16_parts_suppliers,
         "q20_potential_promotion": _q20_potential_promotion,
         "q21_waiting_suppliers": _q21_waiting_suppliers,
+        "char_entropy_quality": _char_entropy_quality,
         "attribution_last_touch": _attribution_last_touch,
         "ab_test_report": _ab_test_report,
         "readability_scores": _readability_scores,
@@ -3644,6 +3656,27 @@ def oracle_sql() -> dict[str, str]:
         "q16_parts_suppliers": _Q16_SQL,
         "q20_potential_promotion": _Q20_SQL,
         "q21_waiting_suppliers": _Q21_SQL,
+        "char_entropy_quality": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_extract_all(text, '[\s\S]') AS chars
+                FROM documents),
+            u AS (
+                SELECT doc_id, chars,
+                       CAST(len(chars) AS DOUBLE) AS n,
+                       list_sort(list_distinct(chars)) AS uniq
+                FROM t)
+            SELECT doc_id,
+                   CASE WHEN n > 0 THEN ROUND(
+                       -list_reduce(
+                           list_transform(uniq, c ->
+                               (CAST(len(list_filter(chars, x -> x = c))
+                                     AS DOUBLE) / n)
+                               * log2(CAST(len(list_filter(chars, x -> x = c))
+                                           AS DOUBLE) / n)),
+                           (a, b) -> a + b), 6)
+                   END AS entropy_bits
+            FROM u""",
         "attribution_last_touch": """
             WITH purchases AS (
                 SELECT user_id, event_id AS purchase_id, ts,

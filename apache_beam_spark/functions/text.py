@@ -182,3 +182,22 @@ def flesch_reading_ease(col: Column) -> Column:
     return F.when(words > 0, F.round(
         F.lit(206.835) - F.lit(1.015) * (words / sents)
         - F.lit(84.6) * (syls / words), 6))
+
+
+def char_entropy(col: Column) -> Column:
+    """Shannon entropy (bits/char) of the character distribution — the
+    SQL-expressible stand-in for a compression-ratio quality signal
+    (low-entropy text is repetitive boilerplate; Gopher-family rules
+    gate on it).  Pure HOFs, O(len x alphabet) per row: sorted distinct
+    chars -> filter-count each -> fold -sum(p*log2 p) in SORTED char
+    order, so the floating-point summation order is identical in every
+    engine (the oracle folds the same sorted list)."""
+    chars = F.regexp_extract_all(col, F.lit("[\\s\\S]"), F.lit(0))
+    n = F.size(chars).cast("double")
+    uniq = F.array_sort(F.array_distinct(chars))
+    probs = F.transform(
+        uniq, lambda c: F.size(F.filter(chars, lambda x: x == c))
+        .cast("double") / n)
+    return F.when(n > 0, F.round(
+        -F.aggregate(probs, F.lit(0.0),
+                     lambda acc, p: acc + p * F.log2(p)), 6))
