@@ -2121,6 +2121,71 @@ def _mixture_temperature(spark, sf_dir):
     return cap_tokens_per_source(docs, budgets, default_budget=0)
 
 
+def _textrank_words(spark, sf_dir):
+    """TextRank keyword extraction: PageRank (operators/graph.py, 5
+    fixed power iterations, damping 0.85) over the undirected word
+    adjacency graph of the corpus — top-30 words by rank.  Each
+    iteration is one join + one keyed partial-agg shuffle; nothing
+    collects but the node count."""
+    from apache_beam_spark.operators.graph import pagerank
+
+    d = load_table(spark, "documents", sf_dir)
+    toks = d.select(T.word_tokens(F.col("text")).alias("tk"))
+    pairs = (toks.select(F.explode(F.expr(
+        "transform(sequence(0, size(tk) - 2), "
+        "i -> struct(tk[i] as src, tk[i+1] as dst))")).alias("p"))
+        .select("p.src", "p.dst")
+        .filter(F.col("src") != F.col("dst")).distinct())
+    edges = pairs.union(pairs.select(F.col("dst").alias("src"),
+                                     F.col("src").alias("dst"))).distinct()
+    pr = pagerank(edges, iters=5)
+    top = pr.orderBy(F.col("rank").desc(), "node").limit(30)
+    from pyspark.sql.window import Window as W
+
+    return top.withColumn(
+        "pos", F.row_number().over(
+            W.orderBy(F.col("rank").desc(), "node"))).select(
+        F.col("node").alias("word"), "rank", "pos")
+
+
+def _textrank_oracle_sql() -> str:
+    """DuckDB twin of _textrank_words: the 5 power iterations unrolled
+    as chained CTEs (recursive CTEs can't aggregate), numerically the
+    same loop."""
+    iters, damping = 5, 0.85
+    ctes = ["""t AS (SELECT {toks} AS tk FROM documents),
+        pairs AS (
+            SELECT DISTINCT tk[i + 1] AS src, tk[i + 2] AS dst
+            FROM t, LATERAL (SELECT unnest(range(0, len(tk) - 1)) AS i)
+            WHERE tk[i + 1] <> tk[i + 2]),
+        edges AS (
+            SELECT src, dst FROM pairs
+            UNION
+            SELECT dst AS src, src AS dst FROM pairs),
+        nodes AS (SELECT DISTINCT src AS node FROM edges),
+        nn AS (SELECT COUNT(*) AS n FROM nodes),
+        deg AS (SELECT src AS node, COUNT(*) AS deg
+                FROM edges GROUP BY src),
+        r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""]
+    for i in range(1, iters + 1):
+        ctes.append(f"""r{i} AS (
+            SELECT nd.node,
+                   (1 - {damping}) / (SELECT n FROM nn)
+                   + {damping} * COALESCE(c.inr, 0) AS rank
+            FROM nodes nd LEFT JOIN (
+                SELECT e.dst AS node, SUM(p.rank / d.deg) AS inr
+                FROM r{i - 1} p
+                JOIN edges e ON e.src = p.node
+                JOIN deg d ON d.node = p.node
+                GROUP BY e.dst) c ON c.node = nd.node)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+        SELECT node AS word, ROUND(rank, 6) AS rank,
+               CAST(ROW_NUMBER() OVER (ORDER BY ROUND(rank, 6) DESC, node)
+                    AS INT) AS pos
+        FROM r{iters}
+        ORDER BY ROUND(rank, 6) DESC, node LIMIT 30""")
+
+
 def _char_entropy_quality(spark, sf_dir):
     """Character-entropy quality signal (functions/text.py
     char_entropy): bits/char of each document's character distribution
@@ -2559,6 +2624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_parts_suppliers": _q16_parts_suppliers,
         "q20_potential_promotion": _q20_potential_promotion,
         "q21_waiting_suppliers": _q21_waiting_suppliers,
+        "textrank_words": _textrank_words,
         "char_entropy_quality": _char_entropy_quality,
         "attribution_last_touch": _attribution_last_touch,
         "ab_test_report": _ab_test_report,
@@ -3656,6 +3722,7 @@ def oracle_sql() -> dict[str, str]:
         "q16_parts_suppliers": _Q16_SQL,
         "q20_potential_promotion": _Q20_SQL,
         "q21_waiting_suppliers": _Q21_SQL,
+        "textrank_words": _textrank_oracle_sql().replace("{toks}", toks),
         "char_entropy_quality": r"""
             WITH t AS (
                 SELECT doc_id,

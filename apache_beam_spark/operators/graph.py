@@ -1,0 +1,50 @@
+"""Iterative graph algorithms beyond connected components: PageRank.
+
+The loop is a driver-side chain of DataFrame ops (like
+``similarity/kmeans.py``): each iteration is one join + one keyed
+partial-agg shuffle; NOTHING collects — the driver only extends the
+lazy plan, and a fixed iteration count keeps it oracle-checkable
+(DuckDB reproduces the same power iterations in a recursive CTE).
+
+At 100 TB: the edge list is the big operand and is shuffled by key
+once per iteration (co-partitioning `edges` and `ranks` on src keeps
+the join exchange-free after the first); ranks/degrees are node-sized.
+For long chains, cut lineage every ~10 rounds with
+``localCheckpoint(eager=False)`` as ``dedup/components.py`` does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
+             damping: float = 0.85, iters: int = 5,
+             round_to: int = 6) -> DataFrame:
+    """Power-iteration PageRank with a fixed iteration count.
+
+    Simplified model (documented, mirrored by the oracle): dangling
+    nodes keep their mass (no redistribution), isolated nodes hold the
+    teleport floor.  Returns ``(node, rank)``; ranks rounded for
+    engine-portable comparison.
+    """
+    nodes = (edges.select(F.col(src).alias("node"))
+             .union(edges.select(F.col(dst).alias("node"))).distinct())
+    n = nodes.count()  # scalar (drives the teleport constant only)
+    deg = edges.groupBy(F.col(src).alias("node")).agg(
+        F.count(F.lit(1)).alias("deg"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    teleport = (1.0 - damping) / n
+    for _ in range(iters):
+        contribs = (edges
+                    .join(ranks.withColumnRenamed("node", src), on=src)
+                    .join(deg.withColumnRenamed("node", src), on=src)
+                    .groupBy(F.col(dst).alias("node"))
+                    .agg(F.sum(F.col("rank") / F.col("deg")).alias("__in__")))
+        ranks = (nodes.join(contribs, on="node", how="left")
+                 .select("node",
+                         (F.lit(teleport) + F.lit(damping)
+                          * F.coalesce(F.col("__in__"), F.lit(0.0)))
+                         .alias("rank")))
+    return ranks.select("node", F.round("rank", round_to).alias("rank"))

@@ -94,3 +94,28 @@ def test_rate_limit_reference_model(events):
     for seqs in per.values():
         assert sorted(seqs) == list(range(1, len(seqs) + 1))
         assert len(seqs) <= MAX
+
+
+def test_pagerank_hand_example(spark):
+    """3-node chain a->b->c (+ reverse edges = path graph): symmetric
+    ends must tie, middle ranks highest; values match a numpy power
+    iteration of the same simplified model."""
+    import numpy as np
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from apache_beam_spark.operators.graph import pagerank
+
+    pairs = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b")]
+    edges = spark.createDataFrame(pairs, "src string, dst string")
+    got = {r["node"]: r["rank"] for r in pagerank(edges, iters=5).collect()}
+
+    nodes = ["a", "b", "c"]
+    deg = {"a": 1, "b": 2, "c": 1}
+    r = {n: 1 / 3 for n in nodes}
+    for _ in range(5):
+        contrib = {n: 0.0 for n in nodes}
+        for s, d in pairs:
+            contrib[d] += r[s] / deg[s]
+        r = {n: 0.15 / 3 + 0.85 * contrib[n] for n in nodes}
+    assert got == {n: round(r[n], 6) for n in nodes}
+    assert got["a"] == got["c"] and got["b"] > got["a"]
