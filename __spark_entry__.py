@@ -2121,6 +2121,28 @@ def _mixture_temperature(spark, sf_dir):
     return cap_tokens_per_source(docs, budgets, default_budget=0)
 
 
+def _rollup_incremental(spark, sf_dir):
+    """Incremental continuous-aggregate refresh (operators/rollup.py
+    merge_rollups): the daily rollup computed as (rollup of history
+    before Feb 15) merged with (rollup of the new partition) — the
+    oracle aggregates the raw table directly, proving the mergeable
+    refresh exact without a history rescan."""
+    from apache_beam_spark.operators.rollup import merge_rollups, rollup_windows
+
+    ev = load_table(spark, "events", sf_dir) \
+        .withColumn("value_dec", F.col("value").cast("decimal(18,4)"))
+    cutoff = F.lit(_CDC_CUTOFF).cast("timestamp")
+    aggs = {"total": "sum:value_dec", "n": "count", "vmax": "max:value"}
+    old = rollup_windows(ev.filter(F.col("ts") < cutoff), "ts",
+                         ["event_type"], aggs, ["1 day"])["1 day"]
+    new = rollup_windows(ev.filter(F.col("ts") >= cutoff), "ts",
+                         ["event_type"], aggs, ["1 day"])["1 day"]
+    merged = merge_rollups(old, new, ["event_type"], aggs)
+    return merged.select(
+        F.col("window.start").alias("day"), "event_type",
+        F.col("total").cast("double").alias("total"), "n", "vmax")
+
+
 def _textrank_words(spark, sf_dir):
     """TextRank keyword extraction: PageRank (operators/graph.py, 5
     fixed power iterations, damping 0.85) over the undirected word
@@ -2624,6 +2646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_parts_suppliers": _q16_parts_suppliers,
         "q20_potential_promotion": _q20_potential_promotion,
         "q21_waiting_suppliers": _q21_waiting_suppliers,
+        "rollup_incremental": _rollup_incremental,
         "textrank_words": _textrank_words,
         "char_entropy_quality": _char_entropy_quality,
         "attribution_last_touch": _attribution_last_touch,
@@ -3722,6 +3745,11 @@ def oracle_sql() -> dict[str, str]:
         "q16_parts_suppliers": _Q16_SQL,
         "q20_potential_promotion": _Q20_SQL,
         "q21_waiting_suppliers": _Q21_SQL,
+        "rollup_incremental": """
+            SELECT date_trunc('day', ts) AS day, event_type,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total,
+                   COUNT(*) AS n, MAX(value) AS vmax
+            FROM events GROUP BY 1, 2""",
         "textrank_words": _textrank_oracle_sql().replace("{toks}", toks),
         "char_entropy_quality": r"""
             WITH t AS (

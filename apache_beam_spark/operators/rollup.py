@@ -51,3 +51,24 @@ def rollup_windows(df: DataFrame, event_time: str, keys: Sequence[str],
             .agg(*merge)
         out[lvl] = cur
     return out
+
+
+def merge_rollups(existing: DataFrame, delta: DataFrame,
+                  keys: Sequence[str],
+                  aggs: dict[str, str]) -> DataFrame:
+    """Incremental continuous-aggregate refresh: fold a DELTA rollup
+    (new raw partition, same grain) into an EXISTING rollup without
+    rescanning history — union + one keyed re-aggregation using each
+    metric's merge function (count merges as sum).  Exact for the
+    decomposable aggregates ``rollup_windows`` allows; at 100 TB the
+    refresh cost is O(delta + touched windows), not O(history)."""
+    parsed = {}
+    for out_col, spec in aggs.items():
+        kind, _, _src = spec.partition(":")
+        if kind not in _MERGE:
+            raise ValueError(f"non-decomposable aggregate: {kind}")
+        parsed[out_col] = kind
+    merge = [_MERGE[kind](out_col).alias(out_col)
+             for out_col, kind in parsed.items()]
+    both = existing.unionByName(delta)
+    return both.groupBy("window", *keys).agg(*merge)
