@@ -229,3 +229,51 @@ def decode_audio(df: DataFrame, payload_col: str = "payload",
             yield pd.DataFrame(rows)
 
     return df.select(id_col, payload_col).mapInPandas(fn, schema)
+
+
+def decode_media_with_deadletter(df: DataFrame, payload_col: str = "payload",
+                                 id_col: str = "doc_id") -> tuple[DataFrame, DataFrame]:
+    """Decode a MIXED media column, routing failures to a dead-letter
+    output instead of failing the job (the 100 TB reality: some
+    payloads are always corrupt or in a codec you don't have).
+
+    Returns ``(ok, errors)``: ok rows carry the sniffed format + the
+    decoded summary (image dims or audio rate/samples); error rows
+    carry the id, sniffed format, error class and message.  One pass,
+    Arrow-batched; both outputs derive from the same tagged frame, the
+    multi-output-ParDo shape (reference additionalOutputs)."""
+    from apache_beam_spark.multimodal.codecs import (
+        decode_image_real, decode_wav, sniff_format)
+
+    schema = (f"{id_col} bigint, ok boolean, format string, width int, "
+              "height int, sample_rate int, num_samples bigint, "
+              "error string")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload)
+                fmt = sniff_format(b)
+                row = {id_col: int(i), "ok": True, "format": fmt,
+                       "width": None, "height": None,
+                       "sample_rate": None, "num_samples": None,
+                       "error": None}
+                try:
+                    if fmt == "wav":
+                        rate, _, samples = decode_wav(b)
+                        row["sample_rate"] = rate
+                        row["num_samples"] = samples.shape[0]
+                    else:
+                        rgb = decode_image_real(b)
+                        row["height"], row["width"] = rgb.shape[:2]
+                except Exception as e:  # noqa: BLE001 - the dead letter IS the handler
+                    row["ok"] = False
+                    row["error"] = f"{type(e).__name__}: {e}"
+                rows.append(row)
+            yield pd.DataFrame(rows)
+
+    tagged = df.select(id_col, payload_col).mapInPandas(fn, schema)
+    ok = tagged.filter("ok").drop("ok", "error")
+    errors = tagged.filter("NOT ok").select(id_col, "format", "error")
+    return ok, errors

@@ -112,3 +112,25 @@ def test_decode_audio_stage(spark):
     assert row["peak_abs"] == 400
     assert row["duration_s"] == pytest.approx(4 / 8000)
     assert row["rms"] == pytest.approx(float(np.sqrt((s.astype(float)**2).mean())))
+
+
+def test_decode_media_deadletter_routing(spark):
+    from apache_beam_spark.multimodal.codecs import encode_bmp, encode_wav
+    from apache_beam_spark.multimodal.columns import decode_media_with_deadletter
+
+    img = np.zeros((2, 3, 3), dtype=np.uint8)
+    wav = encode_wav(np.array([1, 2], dtype=np.int16), 8000)
+    rows = [(1, bytearray(encode_bmp(img))),
+            (2, bytearray(wav)),
+            (3, bytearray(b"\xff\xd8\xffjpeg-ish")),   # gated codec
+            (4, bytearray(b"garbage"))]                 # unknown container
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    ok, errors = decode_media_with_deadletter(df)
+    got = {r["doc_id"]: (r["format"], r["width"], r["sample_rate"])
+           for r in ok.collect()}
+    assert got[1] == ("bmp", 3, None)
+    assert got[2] == ("wav", None, 8000)
+    errs = {r["doc_id"]: (r["format"], r["error"]) for r in errors.collect()}
+    assert set(errs) == {3, 4}
+    assert errs[3][0] == "jpeg" and "NotImplementedError" in errs[3][1]
+    assert "unrecognized" in errs[4][1]
