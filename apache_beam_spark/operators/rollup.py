@@ -47,8 +47,13 @@ def rollup_windows(df: DataFrame, event_time: str, keys: Sequence[str],
     for lvl in levels[1:]:
         merge = [_MERGE[kind](out_col).alias(out_col)
                  for out_col, (kind, _) in parsed.items()]
-        cur = cur.groupBy(F.window(F.col("window.start"), lvl).alias("window"), *keys) \
-            .agg(*merge)
+        # streaming: window-of-window keeps the event-time watermark
+        # attached through the chained stateful aggregations (Spark's
+        # multiple-stateful-operator support); batch: plain re-window
+        # on the start timestamp (identical result)
+        coarser = (F.window(F.col("window"), lvl) if df.isStreaming
+                   else F.window(F.col("window.start"), lvl))
+        cur = cur.groupBy(coarser.alias("window"), *keys).agg(*merge)
         out[lvl] = cur
     return out
 

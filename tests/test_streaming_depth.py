@@ -93,3 +93,38 @@ def test_stream_static_broadcast_enrichment(spark, tmp_path):
                    .alias("weighted")))
     got = {r["etype"]: r["weighted"] for r in run_to_memory(sdf).collect()}
     assert got == {"view": 10.0, "click": 10.0, "other": 0.0}
+
+
+def test_streaming_rollup_cascade_matches_batch(spark, tmp_path):
+    """Two-level rollup (hourly -> daily) on a STREAM via window-of-
+    window chained stateful aggregations == the batch cascade of the
+    same code path (operators/rollup.py)."""
+    from apache_beam_spark.operators.rollup import rollup_windows
+
+    rows = [("a", "2024-01-01T00:10:00Z", 1.0),
+            ("a", "2024-01-01T02:10:00Z", 2.0),
+            ("b", "2024-01-01T10:00:00Z", 4.0),
+            ("a", "2024-01-02T00:30:00Z", 8.0)]
+    ts = TestStream(str(tmp_path / "roll"))
+    ts.add_elements([dict(zip(("k", "ts", "v"), r)) for r in rows])
+    ts.add_elements([{"k": "z", "ts": "2024-01-09T00:00:00Z", "v": 0.0}])
+
+    aggs = {"s": "sum:v", "n": "count", "m": "max:v"}
+
+    sdf = (ts.stream(spark, "k string, ts timestamp, v double")
+           .withWatermark("ts", "0 seconds"))
+    sout = rollup_windows(sdf, "ts", ["k"], aggs,
+                          ["1 hour", "1 day"])["1 day"]
+    got = {(r["window"].start.day, r["k"]): (r["s"], r["n"], r["m"])
+           for r in run_to_memory(sout).collect() if r["k"] != "z"}
+
+    batch = spark.createDataFrame(
+        [(k, dt.datetime.fromisoformat(t.replace("Z", "+00:00"))
+          .replace(tzinfo=None), v) for k, t, v in rows],
+        "k string, ts timestamp, v double")
+    bout = rollup_windows(batch, "ts", ["k"], aggs,
+                          ["1 hour", "1 day"])["1 day"]
+    exp = {(r["window"].start.day, r["k"]): (r["s"], r["n"], r["m"])
+           for r in bout.collect()}
+    assert got == exp == {(1, "a"): (3.0, 2, 2.0), (1, "b"): (4.0, 1, 4.0),
+                          (2, "a"): (8.0, 1, 8.0)}
