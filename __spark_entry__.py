@@ -2121,6 +2121,35 @@ def _mixture_temperature(spark, sf_dir):
     return cap_tokens_per_source(docs, budgets, default_budget=0)
 
 
+def _mad_outliers(spark, sf_dir):
+    """Robust per-key outlier flagging via median absolute deviation
+    (the z-score twin that survives heavy tails): per event_type,
+    median and MAD of value (exact percentile, interpolation verified
+    identical to DuckDB quantile_cont), then count |x - med| >
+    3 * 1.4826 * MAD.  Two keyed aggs over one scan lineage — the
+    medians frame is key-sized and broadcast back."""
+    ev = load_table(spark, "events", sf_dir)
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med"))
+    dev = (ev.join(F.broadcast(med), on="event_type")
+           .withColumn("absdev", F.abs(F.col("value") - F.col("med"))))
+    mad = dev.groupBy("event_type").agg(
+        F.first("med").alias("med"),
+        F.expr("percentile(absdev, 0.5)").alias("mad"))
+    flagged = (dev.join(F.broadcast(mad.select("event_type", "mad")),
+                        on="event_type")
+               .withColumn("is_outlier",
+                           F.col("absdev") > 3 * 1.4826 * F.col("mad")))
+    return (flagged.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("is_outlier").cast("bigint"))
+                 .alias("n_outliers"))
+            .join(mad, on="event_type")
+            .select("event_type", "n", "n_outliers",
+                    F.round("med", 6).alias("med"),
+                    F.round("mad", 6).alias("mad")))
+
+
 def _rollup_incremental(spark, sf_dir):
     """Incremental continuous-aggregate refresh (operators/rollup.py
     merge_rollups): the daily rollup computed as (rollup of history
@@ -2646,6 +2675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_parts_suppliers": _q16_parts_suppliers,
         "q20_potential_promotion": _q20_potential_promotion,
         "q21_waiting_suppliers": _q21_waiting_suppliers,
+        "mad_outliers": _mad_outliers,
         "rollup_incremental": _rollup_incremental,
         "textrank_words": _textrank_words,
         "char_entropy_quality": _char_entropy_quality,
@@ -3745,6 +3775,25 @@ def oracle_sql() -> dict[str, str]:
         "q16_parts_suppliers": _Q16_SQL,
         "q20_potential_promotion": _Q20_SQL,
         "q21_waiting_suppliers": _Q21_SQL,
+        "mad_outliers": """
+            WITH med AS (
+                SELECT event_type, quantile_cont(value, 0.5) AS med
+                FROM events GROUP BY event_type),
+            dev AS (
+                SELECT e.event_type, e.value, med.med,
+                       abs(e.value - med.med) AS absdev
+                FROM events e JOIN med USING (event_type)),
+            mad AS (
+                SELECT event_type, ANY_VALUE(med) AS med,
+                       quantile_cont(absdev, 0.5) AS mad
+                FROM dev GROUP BY event_type)
+            SELECT d.event_type, COUNT(*) AS n,
+                   SUM(CASE WHEN d.absdev > 3 * 1.4826 * m.mad
+                       THEN 1 ELSE 0 END) AS n_outliers,
+                   ROUND(ANY_VALUE(m.med), 6) AS med,
+                   ROUND(ANY_VALUE(m.mad), 6) AS mad
+            FROM dev d JOIN mad m USING (event_type)
+            GROUP BY d.event_type""",
         "rollup_incremental": """
             SELECT date_trunc('day', ts) AS day, event_type,
                    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total,
