@@ -2121,6 +2121,23 @@ def _mixture_temperature(spark, sf_dir):
     return cap_tokens_per_source(docs, budgets, default_budget=0)
 
 
+def _unicode_nfc_stats(spark, sf_dir):
+    """Unicode NFC hygiene (functions/text.py nfc_normalize): the
+    corpus is perturbed with decomposed accents (every 'a' -> 'a' +
+    U+0301), normalized back to NFC, and fingerprinted — the oracle
+    runs DuckDB's nfc_normalize over the same perturbation, so the
+    Python unicodedata path is value-checked char-for-char."""
+    d = load_table(spark, "documents", sf_dir)
+    decomposed = F.regexp_replace(
+        F.col("text"), "a", "a\u0301")  # decomposed: a + combining acute
+    norm = T.nfc_normalize(decomposed)
+    return d.select(
+        "doc_id",
+        F.length(decomposed).alias("len_decomposed"),
+        F.length(norm).alias("len_nfc"),
+        F.md5(norm.cast("binary")).alias("nfc_md5"))
+
+
 def _mad_outliers(spark, sf_dir):
     """Robust per-key outlier flagging via median absolute deviation
     (the z-score twin that survives heavy tails): per event_type,
@@ -2675,6 +2692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_parts_suppliers": _q16_parts_suppliers,
         "q20_potential_promotion": _q20_potential_promotion,
         "q21_waiting_suppliers": _q21_waiting_suppliers,
+        "unicode_nfc_stats": _unicode_nfc_stats,
         "mad_outliers": _mad_outliers,
         "rollup_incremental": _rollup_incremental,
         "textrank_words": _textrank_words,
@@ -3775,6 +3793,15 @@ def oracle_sql() -> dict[str, str]:
         "q16_parts_suppliers": _Q16_SQL,
         "q20_potential_promotion": _Q20_SQL,
         "q21_waiting_suppliers": _Q21_SQL,
+        "unicode_nfc_stats": """
+            SELECT doc_id,
+                   length(replace(text, 'a', 'a' || chr(769)))
+                       AS len_decomposed,
+                   length(nfc_normalize(replace(text, 'a', 'a' || chr(769))))
+                       AS len_nfc,
+                   md5(nfc_normalize(replace(text, 'a', 'a' || chr(769))))
+                       AS nfc_md5
+            FROM documents""",
         "mad_outliers": """
             WITH med AS (
                 SELECT event_type, quantile_cont(value, 0.5) AS med

@@ -7,6 +7,7 @@ n_chars) but applicable to any string column.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -201,3 +202,21 @@ def char_entropy(col: Column) -> Column:
     return F.when(n > 0, F.round(
         -F.aggregate(probs, F.lit(0.0),
                      lambda acc, p: acc + p * F.log2(p)), 6))
+
+
+def nfc_normalize(col: Column) -> Column:
+    """Unicode NFC normalization (corpus-prep hygiene: decomposed
+    sequences and composed chars must dedup/fingerprint identically).
+    No Spark builtin exists, so this is an Arrow-batched pandas UDF
+    over ``unicodedata`` — the one text function here that leaves the
+    JVM; keep it out of hot joins and normalize ONCE at ingest."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(lambda x: unicodedata.normalize("NFC", x)
+                     if x is not None else None)
+
+    return _nfc(col)
