@@ -238,3 +238,52 @@ def test_lsh_knn_bucket_join_no_cartesian(spark):
     # bucket equi-join + window repartition + the narrow-scan spreads:
     # bounded, not data-dependent
     assert shuffle_count(df) <= 5
+
+
+def test_round3_query_shapes(spark):
+    """Round-3 additions keep their 100 TB shapes: no cartesian joins
+    anywhere, bounded shuffle counts, broadcasts where a tiny side
+    exists."""
+    from apache_beam_spark.plans import plan_string, shuffle_count
+
+    for name, max_shuffles in [
+        ("cdc_upsert_snapshot", 4),    # window + anti join + union agg
+        ("rate_limit_events", 2),      # one keyed window (+AQE read)
+        ("dau_mau_stickiness", 6),     # 2 distincts + 2 aggs + join
+        ("rollup_incremental", 5),     # two rollups + merge re-agg
+        ("mad_outliers", 6),           # two percentile aggs + re-agg
+        ("attribution_last_touch", 6), # dedup window + asof merge
+    ]:
+        df = Q[name](spark, SF)
+        plan = plan_string(df)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert shuffle_count(df) <= max_shuffles, (
+            name, shuffle_count(df))
+
+
+def test_bm25_broadcasts_stats_and_idf(spark):
+    """BM25's corpus stats and idf table are kilobyte frames — they
+    must broadcast; the token stream must never sort-merge against
+    them."""
+    from apache_beam_spark.plans import plan_string
+
+    df = Q["bm25_search"](spark, SF)
+    assert broadcast_join_count(df) >= 1
+    assert "TakeOrderedAndProject" in plan_string(df)
+
+
+def test_zorder_write_is_single_range_exchange(spark):
+    """zorder_by plans exactly one range exchange (the layout sort) —
+    no extra shuffles, no cartesian."""
+    from apache_beam_spark.plans import plan_string, shuffle_count
+    from apache_beam_spark.plans.layout import zorder_by
+    from pyspark.sql import functions as F
+
+    df = spark.range(1000).select(
+        F.col("id"), F.pmod(F.col("id"), F.lit(64)).alias("a"),
+        F.pmod(F.col("id") * 7, F.lit(64)).alias("b"))
+    out = zorder_by(df, ["a", "b"], bits=6, num_files=8)
+    plan = plan_string(out)
+    assert plan.count("rangepartitioning") + plan.count("RangePartitioning") >= 1
+    assert shuffle_count(out) == 1
