@@ -133,46 +133,57 @@ def rate_limit_batch(df: DataFrame, key: str, event_time: str,
 
 def streaming_rate_limit(df: DataFrame, key: str, event_time: str,
                          id_col: str, window_ms: int,
-                         max_per_window: int) -> DataFrame:
+                         max_per_window: int,
+                         n_shards: int = 0) -> DataFrame:
     """Per-key event-time token bucket: admit at most
     ``max_per_window`` events per key per ``window_ms`` event-time
     window; excess rows are dropped (throttling / abuse-limiting at
     the ingestion edge).
 
     Deterministic: admission order within a micro-batch is
-    (event_time, id).  State is one (window_start -> admitted_count)
-    map per key; windows older than the watermark minus one window are
-    evicted on every invocation, so state is bounded by
-    ``lateness / window`` entries per key.  Output:
+    (event_time, id) per key.  State is one (window_start ->
+    admitted_count) map per key; windows older than the watermark
+    minus one window are evicted on every invocation, so state is
+    bounded by ``lateness / window`` entries per key.  Output:
     ``(key, id, ts_ms, win_start_ms, seq)`` — matches
     ``rate_limit_batch`` on in-order input (parity-tested).
+
+    ``n_shards`` > 0 multiplexes many keys through one state key
+    (hash(key) % n_shards — the Flink key-group idea also used by
+    streaming_funnel): per-batch Python/Arrow round trips drop from
+    #distinct-keys to n_shards; per-key buckets stay independent
+    inside the shard blob, results identical (parity-tested).
     """
+    import json
+
     from pyspark.sql import functions as F
 
     from apache_beam_spark.windowing import ensure_event_time
 
     out_schema = (f"{key} string, {id_col} long, ts_ms long, "
                   "win_start_ms long, seq int")
-    state_schema = "wins array<long>, counts array<long>"
+    state_schema = "js string"
+    sharded = n_shards > 0
 
     def fn(k, pdfs: Iterable[pd.DataFrame], state: GroupState):
         if state.hasTimedOut:  # pragma: no cover - NoTimeout configured
             state.remove()
             return
-        wins, counts = (state.get if state.exists else ([], []))
-        bucket = dict(zip(wins, counts))
+        # {user_key: {win_start: count}} (single-key mode uses one entry)
+        blob = json.loads(state.get[0]) if state.exists else {}
         out = {key: [], id_col: [], "ts_ms": [], "win_start_ms": [],
                "seq": []}
         for pdf in pdfs:
             if not len(pdf):
                 continue
-            pdf = pdf.sort_values(["__ts_ms__", id_col])
-            for i, t in zip(pdf[id_col], pdf["__ts_ms__"]):
+            pdf = pdf.sort_values([key, "__ts_ms__", id_col])
+            for uk, i, t in zip(pdf[key], pdf[id_col], pdf["__ts_ms__"]):
+                bucket = blob.setdefault(str(uk), {})
                 w = int(t) // window_ms * window_ms
-                c = bucket.get(w, 0)
+                c = bucket.get(str(w), 0)
                 if c < max_per_window:
-                    bucket[w] = c + 1
-                    out[key].append(k[0])
+                    bucket[str(w)] = c + 1
+                    out[key].append(str(uk))
                     out[id_col].append(int(i))
                     out["ts_ms"].append(int(t))
                     out["win_start_ms"].append(w)
@@ -180,10 +191,11 @@ def streaming_rate_limit(df: DataFrame, key: str, event_time: str,
         # evict windows the watermark has passed (bounded state)
         wm = state.getCurrentWatermarkMs()
         if wm > 0:
-            bucket = {w: c for w, c in bucket.items()
-                      if w + window_ms > wm - window_ms}
-        if bucket:
-            state.update((list(bucket), list(bucket.values())))
+            blob = {uk: kept for uk, b in blob.items()
+                    if (kept := {w: c for w, c in b.items()
+                                 if int(w) + window_ms > wm - window_ms})}
+        if blob:
+            state.update((json.dumps(blob),))
         elif state.exists:
             state.remove()
         if out[key]:
@@ -199,4 +211,9 @@ def streaming_rate_limit(df: DataFrame, key: str, event_time: str,
         F.col(id_col).cast("long").alias(id_col),
         F.col(event_time),
         F.unix_millis(F.col(event_time)).alias("__ts_ms__"))
+    if sharded:
+        prepped = prepped.withColumn(
+            "__shard__", F.pmod(F.xxhash64(F.col(key)), F.lit(n_shards)))
+        return stateful_per_key(prepped, ["__shard__"], fn, out_schema,
+                                state_schema)
     return stateful_per_key(prepped, [key], fn, out_schema, state_schema)

@@ -81,3 +81,24 @@ def test_streaming_quota_spans_micro_batches(spark, tmp_path):
                                window_ms=60_000, max_per_window=3)
     admitted = sorted(r["event_id"] for r in run_to_memory(sdf).collect())
     assert admitted == [1, 2, 3]
+
+
+def test_sharded_matches_unsharded(spark, tmp_path):
+    """n_shards (key-group multiplexing) must not change results."""
+    ts = TestStream(str(tmp_path / "rls"))
+    rows = _rows()
+    ts.add_elements(rows[:4])
+    ts.add_elements(rows[4:])
+
+    def run(shards, d):
+        t = TestStream(str(tmp_path / d))
+        t.add_elements(rows[:4])
+        t.add_elements(rows[4:])
+        sdf = streaming_rate_limit(t.stream(spark, SCHEMA), key="user",
+                                   event_time="ts", id_col="event_id",
+                                   window_ms=60_000, max_per_window=3,
+                                   n_shards=shards)
+        return sorted((r["user"], r["event_id"], r["win_start_ms"],
+                       r["seq"]) for r in run_to_memory(sdf).collect())
+
+    assert run(4, "a") == run(0, "b")
