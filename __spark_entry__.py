@@ -2121,6 +2121,25 @@ def _mixture_temperature(spark, sf_dir):
     return cap_tokens_per_source(docs, budgets, default_budget=0)
 
 
+def _url_domain_stats(spark, sf_dir):
+    """URL extraction + per-domain rollup (the link-metadata pass of a
+    web-corpus pipeline): URLs planted deterministically per doc,
+    extracted with a Java∩RE2-portable regex, reduced to registrable
+    domain, counted.  Pure codegen; one agg shuffle."""
+    d = load_table(spark, "documents", sf_dir)
+    text2 = F.concat(
+        F.col("text"),
+        F.lit(" see https://site"), (F.col("doc_id") % 20).cast("string"),
+        F.lit(".example/p/"), F.col("doc_id").cast("string"),
+        F.lit(" and http://ref"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example/x"))
+    urls = F.regexp_extract_all(text2, F.lit("https?://[^ ]+"), F.lit(0))
+    domain = F.regexp_extract(F.col("url"), "^https?://([^/]+)", 1)
+    return (d.select(F.explode(urls).alias("url"))
+            .select(domain.alias("domain"))
+            .groupBy("domain").agg(F.count(F.lit(1)).alias("n")))
+
+
 def _unicode_nfc_stats(spark, sf_dir):
     """Unicode NFC hygiene (functions/text.py nfc_normalize): the
     corpus is perturbed with decomposed accents (every 'a' -> 'a' +
@@ -2692,6 +2711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_parts_suppliers": _q16_parts_suppliers,
         "q20_potential_promotion": _q20_potential_promotion,
         "q21_waiting_suppliers": _q21_waiting_suppliers,
+        "url_domain_stats": _url_domain_stats,
         "unicode_nfc_stats": _unicode_nfc_stats,
         "mad_outliers": _mad_outliers,
         "rollup_incremental": _rollup_incremental,
@@ -3793,6 +3813,20 @@ def oracle_sql() -> dict[str, str]:
         "q16_parts_suppliers": _Q16_SQL,
         "q20_potential_promotion": _Q20_SQL,
         "q21_waiting_suppliers": _Q21_SQL,
+        "url_domain_stats": """
+            WITH t AS (
+                SELECT text || ' see https://site' ||
+                       CAST(doc_id % 20 AS VARCHAR) || '.example/p/' ||
+                       CAST(doc_id AS VARCHAR) || ' and http://ref' ||
+                       CAST(doc_id % 7 AS VARCHAR) || '.example/x' AS t2
+                FROM documents),
+            u AS (
+                SELECT unnest(regexp_extract_all(t2, 'https?://[^ ]+'))
+                    AS url
+                FROM t)
+            SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS domain,
+                   COUNT(*) AS n
+            FROM u GROUP BY 1""",
         "unicode_nfc_stats": """
             SELECT doc_id,
                    length(replace(text, 'a', 'a' || chr(769)))

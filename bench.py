@@ -255,6 +255,17 @@ def _streaming_benchmarks(spark) -> dict:
 
         _parts(4)
         heavy_wall = _best_stream(stream_heavy)
+
+        def stream_rate_limit():
+            from apache_beam_spark.streaming.stateful import (
+                streaming_rate_limit)
+
+            return streaming_rate_limit(
+                source(), key="user_id", event_time="ts",
+                id_col="event_id", window_ms=60 * 60_000,
+                max_per_window=3, n_shards=64)
+
+        rate_wall = _best_stream(stream_rate_limit)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", "32")
     return {
@@ -264,6 +275,7 @@ def _streaming_benchmarks(spark) -> dict:
         "stream_dedup_events_per_sec": int(n / dedup_wall),
         "stream_funnel_events_per_sec": int(n / funnel_wall),
         "stream_heavy_hitters_events_per_sec": int(n / heavy_wall),
+        "stream_rate_limit_events_per_sec": int(n / rate_wall),
     }
 
 
