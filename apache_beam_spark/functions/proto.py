@@ -60,6 +60,8 @@ def _write_varint(out: bytearray, v: int) -> None:
 def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
     shift = result = 0
     while True:
+        if pos >= len(buf):
+            raise ValueError("truncated varint")
         b = buf[pos]
         pos += 1
         result |= (b & 0x7F) << shift
@@ -158,6 +160,8 @@ class ProtoSchema:
                 val = raw_b
             elif wt == _WT_LEN:
                 ln, pos = _read_varint(data, pos)
+                if pos + ln > len(data):
+                    raise ValueError("truncated length-delimited field")
                 val, pos = data[pos:pos + ln], pos + ln
             else:
                 raise ValueError(f"unsupported wire type {wt}")
@@ -171,20 +175,32 @@ class ProtoSchema:
         return msg
 
     def _coerce(self, f: ProtoField, wt: int, val: Any) -> Any:
-        if f.type in _VARINT_TYPES:
+        # wire-type validation for EVERY kind — a field arriving with
+        # the wrong wire type is malformed input and must raise the
+        # clean parse error, not a duck-typing crash (fuzz-found)
+        if f.type in _VARINT_TYPES or f.type in _ZIGZAG_TYPES:
+            if wt != _WT_VARINT:
+                raise ValueError(f"wire type mismatch for {f.name}")
+            if f.type in _ZIGZAG_TYPES:
+                return _unzigzag(val)
             if f.type == "bool":
                 return bool(val)
             if f.type in ("int32", "int64") and val >= 1 << 63:
                 return val - (1 << 64)  # two's complement
             return val
-        if f.type in _ZIGZAG_TYPES:
-            return _unzigzag(val)
         if f.type in _FIXED:
             fmt, exp_wt = _FIXED[f.type]
-            if wt != exp_wt:
+            if wt != exp_wt or len(val) != struct.calcsize(fmt):
                 raise ValueError(f"wire type mismatch for {f.name}")
             return struct.unpack(fmt, val)[0]
-        return val.decode("utf-8") if f.type == "string" else bytes(val)
+        if wt != _WT_LEN:
+            raise ValueError(f"wire type mismatch for {f.name}")
+        if f.type == "string":
+            try:
+                return val.decode("utf-8")
+            except UnicodeDecodeError as e:
+                raise ValueError(f"invalid UTF-8 in {f.name}") from e
+        return bytes(val)
 
     # -- Spark-side types --------------------------------------------------
     _SPARK = {"int32": "int", "sint32": "int", "sfixed32": "int",

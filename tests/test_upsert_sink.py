@@ -37,3 +37,37 @@ def test_upsert_snapshot_sink(spark, tmp_path):
     # no staging/old leftovers from the atomic swap
     leftovers = [d for d in os.listdir(out) if d != "current"]
     assert leftovers == []
+
+
+def test_upsert_sink_restart_from_checkpoint(spark, tmp_path):
+    """Stop after batch 1, restart with the same checkpoint: batch 1
+    is not re-applied (offsets committed), batch 2 folds in, final
+    snapshot is correct."""
+    spool = str(tmp_path / "changes2")
+    ts = TestStream(spool)
+    ts.add_elements([
+        {"id": 1, "seq": 10, "payload": "a1", "op": "U"}])
+
+    from apache_beam_spark.streaming.sinks import upsert_snapshot_sink
+
+    out, ckpt = str(tmp_path / "snap2"), str(tmp_path / "ckpt2")
+    q = upsert_snapshot_sink(ts.stream(spark, SCHEMA), out, ckpt,
+                             keys=["id"], seq_col="seq")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    ts.add_elements([
+        {"id": 1, "seq": 20, "payload": "a2", "op": "U"},
+        {"id": 2, "seq": 20, "payload": "b1", "op": "U"}])
+    q2 = upsert_snapshot_sink(ts.stream(spark, SCHEMA), out, ckpt,
+                              keys=["id"], seq_col="seq")
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    snap = spark.read.parquet(os.path.join(out, "current"))
+    assert {r["id"]: r["payload"] for r in snap.collect()} == \
+        {1: "a2", 2: "b1"}
