@@ -2121,6 +2121,18 @@ def _mixture_temperature(spark, sf_dir):
     return cap_tokens_per_source(docs, budgets, default_budget=0)
 
 
+def _weighted_sample_docs(spark, sf_dir):
+    """Weight-proportional sampling without replacement (operators/
+    shuffle.py weighted_sample, Efraimidis-Spirakis): 100 docs sampled
+    proportional to n_chars via seeded-md5 uniforms — deterministic,
+    top-k plan shape (no global sort), oracle replays the identical
+    arithmetic."""
+    from apache_beam_spark.operators.shuffle import weighted_sample
+
+    return weighted_sample(load_table(spark, "documents", sf_dir),
+                           weight_col="n_chars", n=100)
+
+
 def _url_domain_stats(spark, sf_dir):
     """URL extraction + per-domain rollup (the link-metadata pass of a
     web-corpus pipeline): URLs planted deterministically per doc,
@@ -2711,6 +2723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_parts_suppliers": _q16_parts_suppliers,
         "q20_potential_promotion": _q20_potential_promotion,
         "q21_waiting_suppliers": _q21_waiting_suppliers,
+        "weighted_sample_docs": _weighted_sample_docs,
         "url_domain_stats": _url_domain_stats,
         "unicode_nfc_stats": _unicode_nfc_stats,
         "mad_outliers": _mad_outliers,
@@ -3813,6 +3826,20 @@ def oracle_sql() -> dict[str, str]:
         "q16_parts_suppliers": _Q16_SQL,
         "q20_potential_promotion": _Q20_SQL,
         "q21_waiting_suppliers": _Q21_SQL,
+        "weighted_sample_docs": """
+            SELECT doc_id, n_chars AS weight,
+                   ROUND(ln((CAST(('0x' || substring(md5('ws1:' ||
+                             CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                             + 1) / 4294967296.0)
+                         / GREATEST(CAST(n_chars AS DOUBLE), 1.0), 6)
+                       AS sample_key
+            FROM documents
+            ORDER BY ln((CAST(('0x' || substring(md5('ws1:' ||
+                        CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                        + 1) / 4294967296.0)
+                     / GREATEST(CAST(n_chars AS DOUBLE), 1.0) DESC,
+                     doc_id
+            LIMIT 100""",
         "url_domain_stats": """
             WITH t AS (
                 SELECT text || ' see https://site' ||

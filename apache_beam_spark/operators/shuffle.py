@@ -55,3 +55,24 @@ def epoch_shuffle(df: DataFrame, id_col: str = "doc_id", seed: int = 0,
         id_col, "shard",
         F.row_number().over(
             W.partitionBy("shard").orderBy("__h__", id_col)).alias("pos"))
+
+
+def weighted_sample(df: DataFrame, weight_col: str, n: int,
+                    id_col: str = "doc_id",
+                    seed: str = "ws1") -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis-Spirakis A-ES): each row draws a seeded-md5 uniform u
+    and the top-n rows by ln(u)/w win — inclusion probability
+    proportional to weight, one TakeOrdered pass, no RNG state, fully
+    reproducible cross-engine (the oracle replays the same md5
+    arithmetic).  Weights are floored at 1."""
+    h = F.md5(F.concat(F.lit(seed + ":"),
+                       F.col(id_col).cast("string")).cast("binary"))
+    u = ((F.conv(F.substring(h, 1, 8), 16, 10).cast("double") + 1)
+         / F.lit(float(1 << 32)))
+    key = F.log(u) / F.greatest(F.col(weight_col).cast("double"), F.lit(1.0))
+    return (df.withColumn("__wkey__", key)
+            .orderBy(F.col("__wkey__").desc(), id_col)
+            .limit(n)
+            .select(id_col, F.col(weight_col).alias("weight"),
+                    F.round("__wkey__", 6).alias("sample_key")))
