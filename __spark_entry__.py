@@ -2121,6 +2121,26 @@ def _mixture_temperature(spark, sf_dir):
     return cap_tokens_per_source(docs, budgets, default_budget=0)
 
 
+def _hybrid_search_rrf(spark, sf_dir):
+    """Hybrid retrieval via reciprocal-rank fusion (operators/
+    retrieval.py rrf_fuse): BM25 relevance (top-100) fused with a
+    document-quality ranking (top-100) at k=60 — the standard
+    lexical+signal combiner of RAG search stacks.  Both rankers and
+    the fusion are value-oracled end to end."""
+    from pyspark.sql.window import Window as W
+
+    from apache_beam_spark.operators.retrieval import bm25_topk, rrf_fuse
+
+    docs = load_table(spark, "documents", sf_dir)
+    r1 = bm25_topk(docs, ["spark", "join", "filter"], k=100)
+    topq = (docs.select("doc_id", T.quality_score(F.col("text")).alias("q"))
+            .orderBy(F.col("q").desc(), "doc_id").limit(100))
+    r2 = topq.withColumn(
+        "rank", F.row_number().over(W.orderBy(F.col("q").desc(), "doc_id")))
+    return rrf_fuse([r1.select("doc_id", "rank"),
+                     r2.select("doc_id", "rank")], k=60, top=20)
+
+
 def _weighted_sample_docs(spark, sf_dir):
     """Weight-proportional sampling without replacement (operators/
     shuffle.py weighted_sample, Efraimidis-Spirakis): 100 docs sampled
@@ -2723,6 +2743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_parts_suppliers": _q16_parts_suppliers,
         "q20_potential_promotion": _q20_potential_promotion,
         "q21_waiting_suppliers": _q21_waiting_suppliers,
+        "hybrid_search_rrf": _hybrid_search_rrf,
         "weighted_sample_docs": _weighted_sample_docs,
         "url_domain_stats": _url_domain_stats,
         "unicode_nfc_stats": _unicode_nfc_stats,
@@ -3826,6 +3847,70 @@ def oracle_sql() -> dict[str, str]:
         "q16_parts_suppliers": _Q16_SQL,
         "q20_potential_promotion": _Q20_SQL,
         "q21_waiting_suppliers": _Q21_SQL,
+        "hybrid_search_rrf": f"""
+            WITH dl AS (
+                SELECT doc_id, CAST(len({toks}) AS DOUBLE) AS dl
+                FROM documents),
+            stats AS (
+                SELECT CAST(COUNT(*) AS DOUBLE) AS N, AVG(dl) AS avgdl
+                FROM dl),
+            tf AS (
+                SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+                FROM (SELECT doc_id, unnest({toks}) AS term FROM documents)
+                WHERE term IN ('filter', 'join', 'spark')
+                GROUP BY doc_id, term),
+            dfreq AS (
+                SELECT term, CAST(COUNT(*) AS DOUBLE) AS df
+                FROM tf GROUP BY term),
+            bm25s AS (
+                SELECT tf.doc_id,
+                       SUM(ln(1.0 + (stats.N - df + 0.5) / (df + 0.5))
+                           * tf * 2.2
+                           / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS raw
+                FROM tf
+                JOIN dfreq USING (term)
+                JOIN dl ON tf.doc_id = dl.doc_id
+                CROSS JOIN stats
+                GROUP BY tf.doc_id),
+            r1 AS (
+                SELECT doc_id, rank FROM (
+                    SELECT doc_id,
+                           ROW_NUMBER() OVER (ORDER BY raw DESC, doc_id)
+                               AS rank
+                    FROM bm25s)
+                WHERE rank <= 100),
+            qscore AS (
+                SELECT doc_id, ROUND((
+                    (CASE WHEN LENGTH(text) >= 50 THEN 1.0
+                          ELSE LENGTH(text) / 50.0 END)
+                    + (1.0 - LEAST(2 * (LENGTH(regexp_replace(text,
+                            '[\\p{{L}}\\p{{N}}\\s]', '', 'g')) * 1.0
+                            / NULLIF(LENGTH(text), 0)), 1.0))
+                    + LEAST(5 * (len(list_filter({toks},
+                            t -> t IN ('the','of','and','a','to','in','is',
+                            'it','that','was','for','on','as','with','at',
+                            'by','an','be','this','are','or','not'))) * 1.0
+                            / NULLIF(len({toks}), 0)), 1.0)
+                ) / 3.0, 6) AS q
+                FROM documents),
+            r2 AS (
+                SELECT doc_id, rank FROM (
+                    SELECT doc_id,
+                           ROW_NUMBER() OVER (ORDER BY q DESC, doc_id)
+                               AS rank
+                    FROM qscore)
+                WHERE rank <= 100),
+            u AS (
+                SELECT doc_id, 1.0 / (60 + rank) AS r FROM r1
+                UNION ALL
+                SELECT doc_id, 1.0 / (60 + rank) AS r FROM r2),
+            fused AS (
+                SELECT doc_id, SUM(r) AS raw FROM u GROUP BY doc_id)
+            SELECT doc_id, ROUND(raw, 6) AS rrf_score,
+                   CAST(ROW_NUMBER() OVER (ORDER BY raw DESC, doc_id)
+                        AS INT) AS fused_rank
+            FROM fused
+            ORDER BY raw DESC, doc_id LIMIT 20""",
         "weighted_sample_docs": """
             SELECT doc_id, n_chars AS weight,
                    ROUND(ln((CAST(('0x' || substring(md5('ws1:' ||

@@ -79,3 +79,26 @@ def bm25_topk(docs: DataFrame, query_terms: Sequence[str], k: int = 20,
     w = W.orderBy(F.col("raw").desc(), F.col(id_col))
     return (top.withColumn("rank", F.row_number().over(w))
             .select(id_col, F.round("raw", 6).alias("score"), "rank"))
+
+
+def rrf_fuse(rankings: Sequence[DataFrame], k: int = 60, top: int = 20,
+             id_col: str = "doc_id", rank_col: str = "rank") -> DataFrame:
+    """Reciprocal-rank fusion (the standard hybrid-search combiner):
+    score(d) = sum over rankers of 1 / (k + rank_i(d)); documents
+    missing from a ranker contribute nothing.  Union + one keyed agg +
+    TakeOrdered — ranker frames are top-k sized, so this is
+    negligible next to the rankers themselves."""
+    if not rankings:
+        raise ValueError("at least one ranking required")
+    parts = [r.select(F.col(id_col),
+                      (F.lit(1.0) / (F.lit(float(k)) + F.col(rank_col)))
+                      .alias("__rrf__")) for r in rankings]
+    allr = parts[0]
+    for p in parts[1:]:
+        allr = allr.unionByName(p)
+    fused = allr.groupBy(id_col).agg(F.sum("__rrf__").alias("raw"))
+    out = fused.orderBy(F.col("raw").desc(), F.col(id_col)).limit(top)
+    w = W.orderBy(F.col("raw").desc(), F.col(id_col))
+    return (out.withColumn("fused_rank", F.row_number().over(w))
+            .select(id_col, F.round("raw", 6).alias("rrf_score"),
+                    "fused_rank"))
