@@ -2121,6 +2121,32 @@ def _mixture_temperature(spark, sf_dir):
     return cap_tokens_per_source(docs, budgets, default_budget=0)
 
 
+def _embed_quantize_int8(spark, sf_dir):
+    """Per-vector symmetric int8 quantization (functions/vectors.py
+    quantize_int8 — the 4x embedding-store compression step) with a
+    reconstruction-error report: scale, code checksum/extremes, and
+    max |x - q*scale| per vector, all pure HOFs.  The oracle replays
+    the identical arithmetic in DuckDB list functions."""
+    from apache_beam_spark.functions.vectors import dequantize, quantize_int8
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qs = quantize_int8(F.col("embedding"))
+    d = emb.select("vec_id", F.col("embedding").alias("x"), qs.alias("qs"))
+    recon = dequantize(F.col("qs"))
+    err = F.aggregate(
+        F.zip_with(F.col("x"), recon,
+                   lambda a, b: F.abs(a.cast("double") - b)),
+        F.lit(0.0), lambda acc, v: F.greatest(acc, v))
+    return d.select(
+        "vec_id",
+        F.round(F.col("qs.scale"), 6).alias("scale"),
+        F.aggregate(F.col("qs.q"), F.lit(0).cast("bigint"),
+                    lambda acc, v: acc + v).alias("q_sum"),
+        F.array_min("qs.q").alias("q_min"),
+        F.array_max("qs.q").alias("q_max"),
+        F.round(err, 6).alias("max_abs_err"))
+
+
 def _hybrid_search_rrf(spark, sf_dir):
     """Hybrid retrieval via reciprocal-rank fusion (operators/
     retrieval.py rrf_fuse): BM25 relevance (top-100) fused with a
@@ -2743,6 +2769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_parts_suppliers": _q16_parts_suppliers,
         "q20_potential_promotion": _q20_potential_promotion,
         "q21_waiting_suppliers": _q21_waiting_suppliers,
+        "embed_quantize_int8": _embed_quantize_int8,
         "hybrid_search_rrf": _hybrid_search_rrf,
         "weighted_sample_docs": _weighted_sample_docs,
         "url_domain_stats": _url_domain_stats,
@@ -3847,6 +3874,27 @@ def oracle_sql() -> dict[str, str]:
         "q16_parts_suppliers": _Q16_SQL,
         "q20_potential_promotion": _Q20_SQL,
         "q21_waiting_suppliers": _Q21_SQL,
+        "embed_quantize_int8": """
+            WITH t AS (
+                SELECT vec_id, embedding::DOUBLE[] AS x,
+                       list_max(list_transform(embedding::DOUBLE[],
+                                               v -> abs(v))) AS am
+                FROM embeddings),
+            q AS (
+                SELECT vec_id, x, am / 127.0 AS scale,
+                       CASE WHEN am > 0 THEN
+                           list_transform(x, v -> CAST(round(
+                               v / (am / 127.0)) AS INTEGER))
+                       ELSE list_transform(x, v -> 0) END AS qq
+                FROM t)
+            SELECT vec_id, ROUND(scale, 6) AS scale,
+                   CAST(list_sum(qq) AS BIGINT) AS q_sum,
+                   CAST(list_min(qq) AS INTEGER) AS q_min,
+                   CAST(list_max(qq) AS INTEGER) AS q_max,
+                   ROUND(list_max(list_transform(range(1, len(x) + 1),
+                         i -> abs(x[i] - qq[i] * scale))), 6)
+                       AS max_abs_err
+            FROM q""",
         "hybrid_search_rrf": f"""
             WITH dl AS (
                 SELECT doc_id, CAST(len({toks}) AS DOUBLE) AS dl

@@ -38,3 +38,25 @@ def normalize(a: Column) -> Column:
     the per-pair cost of a similarity join."""
     n = norm(a)
     return F.transform(a, lambda x: x.cast("double") / n)
+
+
+def quantize_int8(a: Column) -> Column:
+    """Symmetric per-vector int8 quantization (the 4x storage/ANN
+    compression step of an embedding store): scale = max|x| / 127,
+    q_i = round(x_i / scale).  Returns struct(scale double,
+    q array<int>); zero vectors get scale 0 and all-zero codes.
+    Pure HOFs — quantization fuses into the scan."""
+    absmax = F.aggregate(
+        a, F.lit(0.0),
+        lambda acc, v: F.greatest(acc, F.abs(v.cast("double"))))
+    scale = absmax / F.lit(127.0)
+    q = F.when(absmax > 0, F.transform(
+        a, lambda v: F.round(v.cast("double") / scale).cast("int"))
+    ).otherwise(F.transform(a, lambda v: F.lit(0)))
+    return F.struct(scale.alias("scale"), q.alias("q"))
+
+
+def dequantize(qstruct: Column) -> Column:
+    """Inverse map: x_i ~ q_i * scale (array<double>)."""
+    return F.transform(qstruct.getField("q"),
+                       lambda v: v.cast("double") * qstruct.getField("scale"))
