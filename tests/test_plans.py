@@ -287,3 +287,49 @@ def test_zorder_write_is_single_range_exchange(spark):
     plan = plan_string(out)
     assert plan.count("rangepartitioning") + plan.count("RangePartitioning") >= 1
     assert shuffle_count(out) == 1
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """The engine's skew story is AQE (SURVEY §2.4 / README): a join
+    where one key owns ~90% of the rows must plan a skew-split
+    sort-merge join (skew=true in the final adaptive plan), not one
+    giant straggler partition."""
+    from pyspark.sql import functions as F
+
+    keys = ("spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.shuffle.partitions")
+    old = {}
+    for k in keys:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+    try:
+        for k, v in (("spark.sql.autoBroadcastJoinThreshold", "-1"),
+                     ("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2"),
+                     ("spark.sql.adaptive.skewJoin"
+                      ".skewedPartitionThresholdInBytes", "64KB"),
+                     ("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                      "64KB"),
+                     ("spark.sql.shuffle.partitions", "8")):
+            spark.conf.set(k, v)
+        left = spark.range(50_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0)).otherwise(F.col("id"))
+            .alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"))
+        right = spark.range(1000).select(F.col("id").alias("k"),
+                                         F.lit("dim").alias("v"))
+        j = left.join(right, on="k")
+        assert len(j.collect()) == 45_100
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
