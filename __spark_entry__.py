@@ -2063,7 +2063,7 @@ def _zorder_oracle_sql() -> str:
             FROM events)"""
 
 
-_CDC_CUTOFF = "2024-02-15 00:00:00"
+_CDC_CUTOFF = "2024-01-20 00:00:00"
 
 
 def _cdc_changes(spark, sf_dir):
@@ -2119,6 +2119,23 @@ def _mixture_temperature(spark, sf_dir):
     docs = load_table(spark, "documents", sf_dir)
     budgets = temperature_budgets(docs, total_budget=30000, temperature=2.0)
     return cap_tokens_per_source(docs, budgets, default_budget=0)
+
+
+def _snapshot_diff(spark, sf_dir):
+    """Snapshot diff -> changelog (operators/cdc.py derive_changes,
+    the inverse of apply_changes — tested round-trip law): the
+    per-user state before the cutoff vs the final state, emitted as
+    I/U/D rows.  One full-outer join on the key; NULL-safe struct
+    comparison."""
+    from apache_beam_spark.operators.cdc import derive_changes, latest_changes
+
+    ev = load_table(spark, "events", sf_dir)
+    snap = lambda d: latest_changes(  # noqa: E731
+        d.select("user_id", "event_id", "ts", "value"),
+        keys=["user_id"], seq_col="ts", tiebreak="event_id")
+    old = snap(ev.filter(F.col("ts") < F.lit(_CDC_CUTOFF).cast("timestamp")))
+    new = snap(ev)
+    return derive_changes(old, new, keys=["user_id"])
 
 
 def _embed_quantize_int8(spark, sf_dir):
@@ -2769,6 +2786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_parts_suppliers": _q16_parts_suppliers,
         "q20_potential_promotion": _q20_potential_promotion,
         "q21_waiting_suppliers": _q21_waiting_suppliers,
+        "snapshot_diff": _snapshot_diff,
         "embed_quantize_int8": _embed_quantize_int8,
         "hybrid_search_rrf": _hybrid_search_rrf,
         "weighted_sample_docs": _weighted_sample_docs,
@@ -3874,6 +3892,34 @@ def oracle_sql() -> dict[str, str]:
         "q16_parts_suppliers": _Q16_SQL,
         "q20_potential_promotion": _Q20_SQL,
         "q21_waiting_suppliers": _Q21_SQL,
+        "snapshot_diff": f"""
+            WITH oldsnap AS (
+                SELECT user_id, event_id, ts, value FROM (
+                    SELECT user_id, event_id, ts, value,
+                           ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+                    FROM events
+                    WHERE ts < TIMESTAMP '{_CDC_CUTOFF}')
+                WHERE rn = 1),
+            newsnap AS (
+                SELECT user_id, event_id, ts, value FROM (
+                    SELECT user_id, event_id, ts, value,
+                           ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+                    FROM events)
+                WHERE rn = 1)
+            SELECT COALESCE(n.user_id, o.user_id) AS user_id,
+                   COALESCE(n.event_id, o.event_id) AS event_id,
+                   COALESCE(n.ts, o.ts) AS ts,
+                   COALESCE(n.value, o.value) AS value,
+                   CASE WHEN o.user_id IS NULL THEN 'I'
+                        WHEN n.user_id IS NULL THEN 'D'
+                        ELSE 'U' END AS op
+            FROM oldsnap o
+            FULL OUTER JOIN newsnap n ON o.user_id = n.user_id
+            WHERE o.user_id IS NULL OR n.user_id IS NULL
+               OR (o.event_id, o.ts, o.value) IS DISTINCT FROM
+                  (n.event_id, n.ts, n.value)""",
         "embed_quantize_int8": """
             WITH t AS (
                 SELECT vec_id, embedding::DOUBLE[] AS x,

@@ -89,3 +89,36 @@ def scd2_history(changes: DataFrame, keys: Sequence[str], seq_col: str,
             .withColumn(valid_from, F.col(seq_col))
             .withColumn(valid_to, nxt)
             .withColumn(current_col, nxt.isNull()))
+
+
+def derive_changes(old: DataFrame, new: DataFrame, keys: Sequence[str],
+                   op_col: str = "op") -> DataFrame:
+    """Snapshot diff -> changelog (the inverse of ``apply_changes``):
+    compare two versions of a table by key and emit insert/update/
+    delete rows — 'I'/'U' rows carry the NEW values, 'D' rows the old
+    key's last values.  One full-outer join on the key; value
+    comparison is struct equality over the non-key columns (NULL-safe).
+
+    Law (tested): ``apply_changes(old, derive_changes(old, new))``
+    reproduces ``new`` exactly.
+    """
+    keys = list(keys)
+    old = _require_keys(old, keys)
+    new = _require_keys(new, keys)
+    vcols = [c for c in new.columns if c not in keys]
+    if vcols != [c for c in old.columns if c not in keys]:
+        raise ValueError("old and new must share a schema")
+    o = old.select(*keys, F.struct(*vcols).alias("__old__"))
+    nw = new.select(*keys, F.struct(*vcols).alias("__new__"))
+    j = o.join(nw, on=keys, how="full_outer")
+    changed = (
+        j.withColumn(
+            op_col,
+            F.when(F.col("__old__").isNull(), F.lit("I"))
+            .when(F.col("__new__").isNull(), F.lit("D"))
+            .when(~F.col("__old__").eqNullSafe(F.col("__new__")),
+                  F.lit("U")))
+        .filter(F.col(op_col).isNotNull()))
+    carried = F.coalesce(F.col("__new__"), F.col("__old__"))
+    return changed.select(
+        *keys, *[carried.getField(c).alias(c) for c in vcols], op_col)

@@ -129,3 +129,22 @@ def test_apply_changes_null_key_fails_loudly(spark):
     out = apply_changes(_base(spark), changes, keys=["id"], seq_col="seq")
     with pytest.raises(Exception, match="NULL merge key"):
         out.count()
+
+
+def test_derive_changes_and_round_trip_law(spark):
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, payload string")
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "b2"), (4, "d")], "id long, payload string")
+    from apache_beam_spark.operators.cdc import derive_changes
+
+    ch = derive_changes(old, new, keys=["id"])
+    got = {r["id"]: (r["op"], r["payload"]) for r in ch.collect()}
+    assert got == {2: ("U", "b2"), 3: ("D", "c"), 4: ("I", "d")}
+
+    # round-trip law: applying the derived changelog reproduces new
+    applied = apply_changes(
+        old.withColumn("seq", F.lit(0)),
+        ch.withColumn("seq", F.lit(1)), keys=["id"], seq_col="seq")
+    assert sorted(map(tuple, applied.select("id", "payload").collect())) == \
+        sorted(map(tuple, new.collect()))
