@@ -2121,6 +2121,29 @@ def _mixture_temperature(spark, sf_dir):
     return cap_tokens_per_source(docs, budgets, default_budget=0)
 
 
+def _event_paths_top(spark, sf_dir):
+    """Path mining: the 20 most common 3-step event-type sequences
+    across user journeys (lead-window trigram over each user's
+    time-ordered stream — one keyed shuffle, no self-joins), with
+    deterministic (ts, id) ordering."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, "events", sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    paths = (ev.select(
+        "user_id",
+        F.col("event_type").alias("s1"),
+        F.lead("event_type", 1).over(w).alias("s2"),
+        F.lead("event_type", 2).over(w).alias("s3"))
+        .filter(F.col("s3").isNotNull()))
+    counted = paths.groupBy("s1", "s2", "s3").agg(
+        F.count(F.lit(1)).alias("n"))
+    top = counted.orderBy(F.col("n").desc(), "s1", "s2", "s3").limit(20)
+    return top.withColumn(
+        "pos", F.row_number().over(
+            W.orderBy(F.col("n").desc(), "s1", "s2", "s3")))
+
+
 def _snapshot_diff(spark, sf_dir):
     """Snapshot diff -> changelog (operators/cdc.py derive_changes,
     the inverse of apply_changes — tested round-trip law): the
@@ -2786,6 +2809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_parts_suppliers": _q16_parts_suppliers,
         "q20_potential_promotion": _q20_potential_promotion,
         "q21_waiting_suppliers": _q21_waiting_suppliers,
+        "event_paths_top": _event_paths_top,
         "snapshot_diff": _snapshot_diff,
         "embed_quantize_int8": _embed_quantize_int8,
         "hybrid_search_rrf": _hybrid_search_rrf,
@@ -3892,6 +3916,20 @@ def oracle_sql() -> dict[str, str]:
         "q16_parts_suppliers": _Q16_SQL,
         "q20_potential_promotion": _Q20_SQL,
         "q21_waiting_suppliers": _Q21_SQL,
+        "event_paths_top": """
+            WITH p AS (
+                SELECT event_type AS s1,
+                       LEAD(event_type, 1) OVER w AS s2,
+                       LEAD(event_type, 2) OVER w AS s3
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            c AS (
+                SELECT s1, s2, s3, COUNT(*) AS n FROM p
+                WHERE s3 IS NOT NULL GROUP BY s1, s2, s3)
+            SELECT s1, s2, s3, n,
+                   CAST(ROW_NUMBER() OVER (
+                       ORDER BY n DESC, s1, s2, s3) AS INT) AS pos
+            FROM c ORDER BY n DESC, s1, s2, s3 LIMIT 20""",
         "snapshot_diff": f"""
             WITH oldsnap AS (
                 SELECT user_id, event_id, ts, value FROM (
