@@ -2121,6 +2121,37 @@ def _mixture_temperature(spark, sf_dir):
     return cap_tokens_per_source(docs, budgets, default_budget=0)
 
 
+def _source_drift_chisq(spark, sf_dir):
+    """Distribution-drift monitor: chi-square of each source's token
+    distribution against the corpus-wide distribution, over the 50
+    most common corpus tokens (the bounded-vocabulary discipline —
+    kilobyte frames broadcast everywhere, one token-explode shuffle).
+    High chi2 = the source's language differs from the mixture."""
+    d = load_table(spark, "documents", sf_dir)
+    toks_df = d.select("source",
+                       F.explode(T.word_tokens(F.col("text"))).alias("t"))
+    corpus = toks_df.groupBy("t").agg(F.count(F.lit(1)).alias("ct"))
+    top = corpus.orderBy(F.col("ct").desc(), "t").limit(50)
+    tot = toks_df.count()
+    obs = (toks_df.join(F.broadcast(top.select("t")), on="t")
+           .groupBy("source", "t").agg(F.count(F.lit(1)).alias("o")))
+    src_tot = toks_df.groupBy("source").agg(F.count(F.lit(1)).alias("st"))
+    cells = (obs.join(F.broadcast(top), on="t")
+             .join(F.broadcast(src_tot), on="source")
+             .withColumn("e", F.col("st") * F.col("ct") / F.lit(float(tot)))
+             .withColumn("cell",
+                         (F.col("o") - F.col("e")) * (F.col("o") - F.col("e"))
+                         / F.col("e")))
+    # fold cells in sorted token order per source: deterministic
+    # cross-engine double summation (same discipline as char_entropy)
+    return (cells.groupBy("source")
+            .agg(F.aggregate(
+                F.array_sort(F.collect_list(F.struct("t", "cell"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x.getField("cell")).alias("chi2"))
+            .select("source", F.round("chi2", 6).alias("chi2")))
+
+
 def _event_paths_top(spark, sf_dir):
     """Path mining: the 20 most common 3-step event-type sequences
     across user journeys (lead-window trigram over each user's
@@ -2809,6 +2840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_parts_suppliers": _q16_parts_suppliers,
         "q20_potential_promotion": _q20_potential_promotion,
         "q21_waiting_suppliers": _q21_waiting_suppliers,
+        "source_drift_chisq": _source_drift_chisq,
         "event_paths_top": _event_paths_top,
         "snapshot_diff": _snapshot_diff,
         "embed_quantize_int8": _embed_quantize_int8,
@@ -3916,6 +3948,29 @@ def oracle_sql() -> dict[str, str]:
         "q16_parts_suppliers": _Q16_SQL,
         "q20_potential_promotion": _Q20_SQL,
         "q21_waiting_suppliers": _Q21_SQL,
+        "source_drift_chisq": f"""
+            WITH tk AS (
+                SELECT source, unnest({toks}) AS t FROM documents),
+            corpus AS (SELECT t, COUNT(*) AS ct FROM tk GROUP BY t),
+            top AS (SELECT t, ct FROM corpus ORDER BY ct DESC, t LIMIT 50),
+            tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM tk),
+            st AS (SELECT source, COUNT(*) AS st FROM tk GROUP BY source),
+            obs AS (
+                SELECT tk.source, tk.t, COUNT(*) AS o
+                FROM tk JOIN top ON tk.t = top.t
+                GROUP BY tk.source, tk.t),
+            cells AS (
+                SELECT obs.source, obs.t,
+                       (obs.o - (st.st * top.ct / (SELECT n FROM tot)))
+                       * (obs.o - (st.st * top.ct / (SELECT n FROM tot)))
+                       / (st.st * top.ct / (SELECT n FROM tot)) AS cell
+                FROM obs
+                JOIN top ON obs.t = top.t
+                JOIN st ON obs.source = st.source)
+            SELECT source,
+                   ROUND(list_reduce(list(cell ORDER BY t),
+                                     (a, b) -> a + b), 6) AS chi2
+            FROM cells GROUP BY source""",
         "event_paths_top": """
             WITH p AS (
                 SELECT event_type AS s1,
