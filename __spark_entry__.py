@@ -2175,6 +2175,45 @@ def _event_paths_top(spark, sf_dir):
             W.orderBy(F.col("n").desc(), "s1", "s2", "s3")))
 
 
+def _embed_knn_int8(spark, sf_dir):
+    """Top-3 cosine neighbors over the INT8-QUANTIZED corpus (the
+    compressed-store search path): cosine of code vectors — the
+    per-vector scales cancel, so every sum is EXACT integer
+    arithmetic and only the final division is floating point, making
+    the approximate search fully value-oracled (unlike float ANN).
+    Recall vs exact kNN is the quantization error, not engine noise."""
+    from apache_beam_spark.functions.vectors import quantize_int8
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qv = emb.select("vec_id",
+                    quantize_int8(F.col("embedding")).getField("q").alias("q"))
+    q = qv.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qa"))
+    c = qv.select(F.col("vec_id").alias("neighbor_id"),
+                  F.col("q").alias("qb"))
+    dot = F.aggregate(
+        F.zip_with("qa", "qb",
+                   lambda a, b: (a.cast("bigint") * b.cast("bigint"))),
+        F.lit(0).cast("bigint"), lambda acc, v: acc + v)
+    nrm = lambda col: F.aggregate(  # noqa: E731
+        F.col(col), F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v.cast("bigint") * v.cast("bigint"))
+    joined = (q.crossJoin(F.broadcast(c))
+              .filter(F.col("query_id") != F.col("neighbor_id"))
+              .select("query_id", "neighbor_id",
+                      (dot.cast("double")
+                       / (F.sqrt(nrm("qa").cast("double"))
+                          * F.sqrt(nrm("qb").cast("double"))))
+                      .alias("sim")))
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return (joined.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+            .select("query_id", "neighbor_id",
+                    F.round("sim", 6).alias("sim"), "rank"))
+
+
 def _snapshot_diff(spark, sf_dir):
     """Snapshot diff -> changelog (operators/cdc.py derive_changes,
     the inverse of apply_changes — tested round-trip law): the
@@ -2842,6 +2881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_waiting_suppliers": _q21_waiting_suppliers,
         "source_drift_chisq": _source_drift_chisq,
         "event_paths_top": _event_paths_top,
+        "embed_knn_int8": _embed_knn_int8,
         "snapshot_diff": _snapshot_diff,
         "embed_quantize_int8": _embed_quantize_int8,
         "hybrid_search_rrf": _hybrid_search_rrf,
@@ -3985,6 +4025,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROW_NUMBER() OVER (
                        ORDER BY n DESC, s1, s2, s3) AS INT) AS pos
             FROM c ORDER BY n DESC, s1, s2, s3 LIMIT 20""",
+        "embed_knn_int8": """
+            WITH t AS (
+                SELECT vec_id, embedding::DOUBLE[] AS x,
+                       list_max(list_transform(embedding::DOUBLE[],
+                                               v -> abs(v))) AS am
+                FROM embeddings),
+            qz AS (
+                SELECT vec_id,
+                       CASE WHEN am > 0 THEN
+                           list_transform(x, v -> CAST(round(
+                               v / (am / 127.0)) AS INTEGER))
+                       ELSE list_transform(x, v -> 0) END AS qq
+                FROM t),
+            q AS (SELECT vec_id AS query_id, qq AS qa FROM qz
+                  WHERE vec_id < 50),
+            c AS (SELECT vec_id AS neighbor_id, qq AS qb FROM qz),
+            p AS (
+                SELECT query_id, neighbor_id,
+                       CAST(list_reduce(list_transform(
+                                range(1, len(qa) + 1),
+                                i -> CAST(qa[i] AS BIGINT) * qb[i]),
+                            (a, b) -> a + b) AS DOUBLE)
+                       / (sqrt(CAST(list_reduce(list_transform(qa,
+                              v -> CAST(v AS BIGINT) * v),
+                              (a, b) -> a + b) AS DOUBLE))
+                          * sqrt(CAST(list_reduce(list_transform(qb,
+                              v -> CAST(v AS BIGINT) * v),
+                              (a, b) -> a + b) AS DOUBLE))) AS sim
+                FROM q, c WHERE query_id <> neighbor_id)
+            SELECT query_id, neighbor_id, ROUND(sim, 6) AS sim, rank
+            FROM (SELECT *, CAST(ROW_NUMBER() OVER (
+                      PARTITION BY query_id
+                      ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+                  FROM p)
+            WHERE rank <= 3""",
         "snapshot_diff": f"""
             WITH oldsnap AS (
                 SELECT user_id, event_id, ts, value FROM (
