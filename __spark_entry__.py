@@ -2214,6 +2214,29 @@ def _embed_knn_int8(spark, sf_dir):
                     F.round("sim", 6).alias("sim"), "rank"))
 
 
+def _media_dedup(spark, sf_dir):
+    """Exact media dedup by content hash (the byte-level first pass of
+    any media pipeline): payloads hashed JVM-side (sha2-256, no
+    decode), keep-first per digest.  Duplicate payloads are PLANTED
+    (docs < 50 re-encoded under new ids) since the corpus has none;
+    only (id, digest) ever shuffles — payload bytes stay at the
+    scan."""
+    d = load_table(spark, "documents", sf_dir).select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    planted = d.unionByName(
+        d.filter(F.col("doc_id") < 50)
+        .select((F.col("doc_id") + 10000).alias("doc_id"), "payload"))
+    hashed = planted.select(
+        "doc_id", F.sha2(F.col("payload"), 256).alias("digest"))
+    from pyspark.sql.window import Window as W
+
+    keep = F.row_number().over(
+        W.partitionBy("digest").orderBy("doc_id")) == 1
+    return (hashed.withColumn("__k__", keep).filter("__k__")
+            .groupBy().agg(F.count(F.lit(1)).alias("n_kept"),
+                           F.sum(F.col("doc_id")).alias("id_sum")))
+
+
 def _snapshot_diff(spark, sf_dir):
     """Snapshot diff -> changelog (operators/cdc.py derive_changes,
     the inverse of apply_changes — tested round-trip law): the
@@ -2882,6 +2905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_drift_chisq": _source_drift_chisq,
         "event_paths_top": _event_paths_top,
         "embed_knn_int8": _embed_knn_int8,
+        "media_dedup": _media_dedup,
         "snapshot_diff": _snapshot_diff,
         "embed_quantize_int8": _embed_quantize_int8,
         "hybrid_search_rrf": _hybrid_search_rrf,
@@ -4060,6 +4084,20 @@ def oracle_sql() -> dict[str, str]:
                       ORDER BY sim DESC, neighbor_id) AS INT) AS rank
                   FROM p)
             WHERE rank <= 3""",
+        "media_dedup": """
+            WITH planted AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 10000, text FROM documents
+                WHERE doc_id < 50),
+            keepers AS (
+                SELECT doc_id FROM (
+                    SELECT doc_id, ROW_NUMBER() OVER (
+                        PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+                    FROM planted)
+                WHERE rn = 1)
+            SELECT COUNT(*) AS n_kept, SUM(doc_id) AS id_sum
+            FROM keepers""",
         "snapshot_diff": f"""
             WITH oldsnap AS (
                 SELECT user_id, event_id, ts, value FROM (
