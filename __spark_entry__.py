@@ -2237,6 +2237,58 @@ def _media_dedup(spark, sf_dir):
                            F.sum(F.col("doc_id")).alias("id_sum")))
 
 
+def _sales_cube(spark, sf_dir):
+    """OLAP cube (GROUPING SETS family): sums over every combination
+    of (l_returnflag, l_linestatus) incl. subtotals and grand total,
+    with GROUPING ids disambiguating NULL-as-all from NULL-as-value —
+    Catalyst expands the cube in ONE aggregation pass (no N scans)."""
+    li = load_table(spark, "lineitem", sf_dir) \
+        .withColumn("qdec", F.col("l_quantity").cast("decimal(18,2)"))
+    return (li.cube("l_returnflag", "l_linestatus")
+            .agg(F.sum("qdec").cast("double").alias("sum_qty"),
+                 F.count(F.lit(1)).alias("n"),
+                 F.grouping_id("l_returnflag", "l_linestatus")
+                 .alias("gid")))
+
+
+def _event_type_unpivot(spark, sf_dir):
+    """Unpivot (melt/stack): the per-day event_type pivot folded back
+    into long form — the inverse of event_type_pivot, proving the
+    wide<->long round trip lossless.  stack() is a generator
+    expression, zero extra shuffles beyond the pivot's."""
+    ev = load_table(spark, "events", sf_dir)
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = (ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+            .pivot("event_type", types)
+            .agg(F.count(F.lit(1))))
+    stack_expr = ", ".join(f"'{t}', `{t}`" for t in types)
+    return (wide.selectExpr(
+        "day", f"stack({len(types)}, {stack_expr}) AS (event_type, n)")
+        .filter(F.col("n").isNotNull()))
+
+
+def _delta_encode_series(spark, sf_dir):
+    """Delta encoding of per-user value series (the time-series
+    compression primitive): value - lag(value) per user in (ts, id)
+    order, then reconstructed by a running sum over the deltas.  The
+    oracle replays the identical encode->decode pipeline (matching
+    floating-point telescoping exactly); reconstruction equals the
+    original to ~1e-10 (float error accumulation, not data loss).
+    One keyed shuffle shared by both windows."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, "events", sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    delta = (F.col("value")
+             - F.coalesce(F.lag("value").over(w), F.lit(0.0)))
+    run = W.partitionBy("user_id").orderBy("ts", "event_id") \
+        .rowsBetween(W.unboundedPreceding, 0)
+    d = ev.select("user_id", "event_id", "ts", delta.alias("d"))
+    return d.select(
+        "user_id", "event_id",
+        F.round(F.sum("d").over(run), 6).alias("value_reconstructed"))
+
+
 def _snapshot_diff(spark, sf_dir):
     """Snapshot diff -> changelog (operators/cdc.py derive_changes,
     the inverse of apply_changes — tested round-trip law): the
@@ -2905,6 +2957,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_drift_chisq": _source_drift_chisq,
         "event_paths_top": _event_paths_top,
         "embed_knn_int8": _embed_knn_int8,
+        "sales_cube": _sales_cube,
+        "event_type_unpivot": _event_type_unpivot,
+        "delta_encode_series": _delta_encode_series,
         "media_dedup": _media_dedup,
         "snapshot_diff": _snapshot_diff,
         "embed_quantize_int8": _embed_quantize_int8,
@@ -4084,6 +4139,32 @@ def oracle_sql() -> dict[str, str]:
                       ORDER BY sim DESC, neighbor_id) AS INT) AS rank
                   FROM p)
             WHERE rank <= 3""",
+        "sales_cube": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                       AS sum_qty,
+                   COUNT(*) AS n,
+                   CAST(GROUPING(l_returnflag) * 2
+                        + GROUPING(l_linestatus) AS BIGINT) AS gid
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)""",
+        "event_type_unpivot": """
+            SELECT date_trunc('day', ts) AS day, event_type, COUNT(*) AS n
+            FROM events
+            WHERE event_type IN ('click','error','purchase','signup','view')
+            GROUP BY 1, 2""",
+        "delta_encode_series": """
+            WITH d AS (
+                SELECT user_id, event_id, ts,
+                       value - COALESCE(LAG(value) OVER w, 0.0) AS d
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT user_id, event_id,
+                   ROUND(SUM(d) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING), 6)
+                       AS value_reconstructed
+            FROM d""",
         "media_dedup": """
             WITH planted AS (
                 SELECT doc_id, text FROM documents
