@@ -142,6 +142,9 @@ def upsert_snapshot_sink(sdf: DataFrame, path: str, checkpoint: str,
         os.rename(staged, cur)
         shutil.rmtree(old, ignore_errors=True)
 
+    # append mode: the changelog is already row-per-change (and
+    # upstream stateful operators like streaming_rate_limit declare
+    # append; update mode would be rejected)
     return (sdf.writeStream.foreachBatch(merge)
             .option("checkpointLocation", checkpoint)
-            .outputMode("update").start())
+            .outputMode("append").start())

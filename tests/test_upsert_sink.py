@@ -71,3 +71,39 @@ def test_upsert_sink_restart_from_checkpoint(spark, tmp_path):
     snap = spark.read.parquet(os.path.join(out, "current"))
     assert {r["id"]: r["payload"] for r in snap.collect()} == \
         {1: "a2", 2: "b1"}
+
+
+def test_streaming_pipeline_rate_limit_into_upsert(spark, tmp_path):
+    """Composability of the streaming stack: events are throttled by
+    the stateful rate limiter, and the admitted stream feeds the
+    foreachBatch upsert sink as a changelog — final snapshot holds the
+    latest ADMITTED event per user."""
+    from apache_beam_spark.streaming.sinks import upsert_snapshot_sink
+    from apache_beam_spark.streaming.stateful import streaming_rate_limit
+    from pyspark.sql import functions as F
+
+    ts = TestStream(str(tmp_path / "pipe"))
+    ts.add_elements([
+        {"user": "a", "ts": "2024-01-01T00:00:01Z", "event_id": 1},
+        {"user": "a", "ts": "2024-01-01T00:00:02Z", "event_id": 2},
+        {"user": "a", "ts": "2024-01-01T00:00:03Z", "event_id": 3},  # dropped
+        {"user": "b", "ts": "2024-01-01T00:00:04Z", "event_id": 4}])
+
+    admitted = streaming_rate_limit(
+        ts.stream(spark, "user string, ts timestamp, event_id long"),
+        key="user", event_time="ts", id_col="event_id",
+        window_ms=60_000, max_per_window=2)
+    changes = admitted.select(
+        "user", "event_id", F.col("ts_ms").alias("seq"),
+        F.lit("U").alias("op"))
+    out = str(tmp_path / "snap_pipe")
+    q = upsert_snapshot_sink(changes, out, str(tmp_path / "ckpt_pipe"),
+                             keys=["user"], seq_col="seq")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    snap = spark.read.parquet(os.path.join(out, "current"))
+    got = {r["user"]: r["event_id"] for r in snap.collect()}
+    # a's latest ADMITTED event is 2 (3 was throttled), b's is 4
+    assert got == {"a": 2, "b": 4}
