@@ -29,11 +29,18 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     teleport floor.  Returns ``(node, rank)``; ranks rounded for
     engine-portable comparison.
     """
+    # cut the upstream lineage ONCE: the edge list often sits on an
+    # expensive derivation (e.g. a corpus tokenize+explode+distinct)
+    # that must not re-execute on every power iteration — the same
+    # lazy-localCheckpoint discipline as dedup/components.py
+    edges = edges.select(F.col(src).alias(src), F.col(dst).alias(dst)) \
+        .localCheckpoint(eager=False)
     nodes = (edges.select(F.col(src).alias("node"))
-             .union(edges.select(F.col(dst).alias("node"))).distinct())
+             .union(edges.select(F.col(dst).alias("node"))).distinct()
+             .localCheckpoint(eager=False))
     n = nodes.count()  # scalar (drives the teleport constant only)
     deg = edges.groupBy(F.col(src).alias("node")).agg(
-        F.count(F.lit(1)).alias("deg"))
+        F.count(F.lit(1)).alias("deg")).localCheckpoint(eager=False)
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     teleport = (1.0 - damping) / n
     for _ in range(iters):

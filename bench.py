@@ -83,6 +83,10 @@ HEADLINE = [
     "bm25_search",
     "cdc_upsert_snapshot",
     "mixture_temperature",
+    "textrank_words",
+    "dq_report",
+    "hybrid_search_rrf",
+    "embed_knn_int8",
 ]
 
 
