@@ -145,11 +145,12 @@ def _run_stream(sdf, output_mode: str = "append") -> float:
     return wall
 
 
-def _best_stream(mk, runs: int = 2) -> float:
+def _best_stream(mk, runs: int = 3) -> float:
     """Min wall over ``runs`` fresh executions (after the caller's
-    warm-up): single-shot streaming walls swing ±30% with host noise at
-    these 1-3 s scales, and the gate should report the engine, not the
-    noisiest scheduling beat."""
+    warm-up): single-shot streaming walls swing ±30-50% with host
+    noise at these 1-3 s scales (shared machine — external load spikes
+    observed at loadavg 7+ with nothing of ours running), and the gate
+    should report the engine, not the noisiest scheduling beat."""
     return min(_run_stream(mk()) for _ in range(runs))
 
 
