@@ -84,9 +84,6 @@ HEADLINE = [
     "cdc_upsert_snapshot",
     "mixture_temperature",
     "textrank_words",
-    "dq_report",
-    "hybrid_search_rrf",
-    "embed_knn_int8",
 ]
 
 
