@@ -166,12 +166,14 @@ def _combine_per_key_multi(spark, sf_dir):
 
 
 def _count_global(spark, sf_dir):
+    """Count.globally (reference transforms/Count.java:54): one scalar row."""
     p = Pipeline(spark)
     li = p.from_df(load_table(spark, "lineitem", sf_dir))
     return (li | Count.globally(alias="n")).df
 
 
 def _count_per_element(spark, sf_dir):
+    """Count.perElement (Count.java:75): counts per distinct value."""
     p = Pipeline(spark)
     li = p.from_df(load_table(spark, "lineitem", sf_dir))
     return (li | Count.per_element("l_returnflag", alias="n")).df
@@ -208,6 +210,7 @@ def _top_per_key(spark, sf_dir):
 
 
 def _distinct_segments(spark, sf_dir):
+    """Distinct (transforms/Distinct.java:48) over a derived segment column."""
     p = Pipeline(spark)
     c = p.from_df(load_table(spark, "customer", sf_dir))
     return c.apply(Distinct(cols=["c_mktsegment"])).df
@@ -242,6 +245,7 @@ def _latest_per_user(spark, sf_dir):
 
 
 def _distinct_count_exact(spark, sf_dir):
+    """Exact distinct-count twin of approx_distinct_users (oracled)."""
     p = Pipeline(spark)
     ev = p.from_df(load_table(spark, "events", sf_dir))
     return (ev | Combine.per_key(
@@ -525,12 +529,14 @@ def _text_stats(spark, sf_dir):
 
 
 def _quality_score(spark, sf_dir):
+    """Composite [0,1] document quality heuristic (functions/text.py quality_score — gopher-rules style), modeled identically in the oracle."""
     p = Pipeline(spark)
     d = p.from_df(load_table(spark, "documents", sf_dir))
     return d.select("doc_id", T.quality_score(F.col("text")).alias("q")).df
 
 
 def _lang_id(spark, sf_dir):
+    """Stopword-marker language ID over a closed language set (functions/text.py lang_id), modeled identically in the oracle."""
     p = Pipeline(spark)
     d = p.from_df(load_table(spark, "documents", sf_dir))
     return d.select("doc_id", T.lang_id(F.col("text")).alias("lang_pred")).df
@@ -1992,7 +1998,7 @@ _Q22_SQL = """
     ORDER BY cntrycode"""
 
 
-def _sql_passthrough(sql_tmpl):
+def _sql_passthrough(sql_tmpl, label="TPC-H query"):
     """Query factory for TPC-H passthrough SQL: register views, run the
     exact text Catalyst-side; the oracle runs the SAME text in DuckDB."""
     def fn(spark, sf_dir):
@@ -2000,6 +2006,9 @@ def _sql_passthrough(sql_tmpl):
 
         register_views(spark, sf_dir)
         return spark.sql(sql_tmpl.format(disc=_SQL_DISC_PRICE))
+    fn.__doc__ = (f"{label}: identical SQL text planned by Catalyst and "
+                  "by DuckDB (the strongest parity form — zero "
+                  "translation surface).")
     return fn
 
 

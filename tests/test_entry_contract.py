@@ -1,0 +1,40 @@
+"""Driver-contract invariants of __spark_entry__ (fast, no Spark)."""
+
+from __future__ import annotations
+
+import inspect
+
+import __spark_entry__ as e
+
+KNOWN_NO_ORACLE = {
+    # documented approximates/iteratives, each with an oracled exact twin
+    "approx_distinct_users", "approx_quantiles", "dedup_minhash",
+    "dedup_simhash", "embed_ivf_knn", "embed_kmeans", "sample_any",
+}
+
+
+def test_every_query_is_oracled_or_documented():
+    q, o = e.queries(), e.oracle_sql()
+    assert set(o) <= set(q), "orphan oracle entries"
+    assert set(q) - set(o) == KNOWN_NO_ORACLE, (
+        "new no-oracle queries must be added to the documented set "
+        f"(got {sorted(set(q) - set(o) - KNOWN_NO_ORACLE)})")
+
+
+def test_oracle_sql_is_nonempty_select():
+    for name, sql in e.oracle_sql().items():
+        s = sql.strip().upper()
+        assert s.startswith(("SELECT", "WITH")), name
+
+
+def test_every_query_documented():
+    for name, fn in e.queries().items():
+        assert inspect.getdoc(fn), f"{name} has no docstring"
+
+
+def test_bench_headline_subset_of_queries():
+    import bench
+
+    q = set(e.queries())
+    missing = [n for n in bench.HEADLINE if n not in q]
+    assert not missing, missing
