@@ -39,6 +39,8 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
              .union(edges.select(F.col(dst).alias("node"))).distinct()
              .localCheckpoint(eager=False))
     n = nodes.count()  # scalar (drives the teleport constant only)
+    if n == 0:
+        raise ValueError("pagerank: empty edge list (no nodes)")
     deg = edges.groupBy(F.col(src).alias("node")).agg(
         F.count(F.lit(1)).alias("deg")).localCheckpoint(eager=False)
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))

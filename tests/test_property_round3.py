@@ -119,3 +119,13 @@ def test_pagerank_hand_example(spark):
         r = {n: 0.15 / 3 + 0.85 * contrib[n] for n in nodes}
     assert got == {n: round(r[n], 6) for n in nodes}
     assert got["a"] == got["c"] and got["b"] > got["a"]
+
+
+def test_pagerank_empty_edges_fails_loudly(spark):
+    import pytest as _pytest
+
+    from apache_beam_spark.operators.graph import pagerank
+
+    empty = spark.createDataFrame([], "src string, dst string")
+    with _pytest.raises(ValueError, match="empty edge list"):
+        pagerank(empty)
