@@ -2223,6 +2223,20 @@ def _embed_knn_int8(spark, sf_dir):
                     F.round("sim", 6).alias("sim"), "rank"))
 
 
+def _regex_kv_pairs(spark, sf_dir):
+    """Regex.matchesKV (reference transforms/Regex.java:137): the
+    events props JSON mined as (key, value) pairs by group extraction;
+    non-matching rows dropped as the reference does."""
+    from apache_beam_spark.operators.elementwise import Regex
+
+    p = Pipeline(spark)
+    pc = p.from_df(load_table(spark, "events", sf_dir)
+                   .select("event_id", "props"))
+    out = pc | Regex.matches_kv(
+        "props", '"([a-z]+)": (\\d+)', key_alias="k", value_alias="v")
+    return out.df.select("event_id", "k", F.col("v").cast("long").alias("v"))
+
+
 def _media_dedup(spark, sf_dir):
     """Exact media dedup by content hash (the byte-level first pass of
     any media pipeline): payloads hashed JVM-side (sha2-256, no
@@ -2969,6 +2983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sales_cube": _sales_cube,
         "event_type_unpivot": _event_type_unpivot,
         "delta_encode_series": _delta_encode_series,
+        "regex_kv_pairs": _regex_kv_pairs,
         "media_dedup": _media_dedup,
         "snapshot_diff": _snapshot_diff,
         "embed_quantize_int8": _embed_quantize_int8,
@@ -4174,6 +4189,13 @@ def oracle_sql() -> dict[str, str]:
                          ROWS UNBOUNDED PRECEDING), 6)
                        AS value_reconstructed
             FROM d""",
+        "regex_kv_pairs": """
+            SELECT event_id,
+                   regexp_extract(props, '"([a-z]+)": (\\d+)', 1) AS k,
+                   CAST(regexp_extract(props, '"([a-z]+)": (\\d+)', 2)
+                        AS BIGINT) AS v
+            FROM events
+            WHERE regexp_matches(props, '"([a-z]+)": (\\d+)')""",
         "media_dedup": """
             WITH planted AS (
                 SELECT doc_id, text FROM documents

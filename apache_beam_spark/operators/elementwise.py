@@ -226,6 +226,40 @@ class Regex:
         return _R()
 
     @staticmethod
+    def matches_kv(col: str, pattern: str, key_group: int = 1,
+                   value_group: int = 2, key_alias: str = "key",
+                   value_alias: str = "value") -> PTransform:
+        """Regex.matchesKV (Regex.java:137): rows whose column matches
+        the pattern become (key_group, value_group) pairs; non-matching
+        rows are dropped (the reference emits nothing for them)."""
+        class _KV(PTransform):
+            def expand(self, pcoll: PCollection) -> PCollection:
+                k = F.regexp_extract(F.col(col), pattern, key_group)
+                v = F.regexp_extract(F.col(col), pattern, value_group)
+                df = (pcoll.df.filter(F.col(col).rlike(pattern))
+                      .withColumn(key_alias, k)
+                      .withColumn(value_alias, v))
+                return pcoll._with_df(df)
+
+        return _KV()
+
+    @staticmethod
+    def replace_first(col: str, pattern: str, replacement: str,
+                      alias: Optional[str] = None) -> PTransform:
+        """Regex.replaceFirst (Regex.java:646): only the first match is
+        replaced — Java regexp_replace replaces all, so anchor the
+        pattern to a single occurrence via a lazy prefix group."""
+        class _RF(PTransform):
+            def expand(self, pcoll: PCollection) -> PCollection:
+                out = alias or col
+                df = pcoll.df.withColumn(out, F.regexp_replace(
+                    F.col(col), f"^((?s:.*?)){pattern}",
+                    f"$1{replacement}"))
+                return pcoll._with_df(df)
+
+        return _RF()
+
+    @staticmethod
     def split(col: str, pattern: str, alias: str = "token", drop_empty: bool = True) -> PTransform:
         class _S(PTransform):
             def expand(self, pcoll: PCollection) -> PCollection:

@@ -70,3 +70,19 @@ def test_two_step_pattern(spark):
     ev = _ev(spark, [(9, 0, "view"), (9, 10, "purchase"), (9, 70, "view")])
     out = funnel_instances(ev, ["view", "purchase"], "30 minutes").collect()
     assert len(out) == 1 and (out[0].purchase_ts - out[0].view_ts).total_seconds() == 600
+
+
+def test_regex_kv_and_replace_first(spark):
+    """Regex.matchesKV (Regex.java:137) and replaceFirst (:646)."""
+    from apache_beam_spark.operators.elementwise import Regex
+    from apache_beam_spark.pipeline import Pipeline
+
+    p = Pipeline(spark)
+    pc = p.from_df(spark.createDataFrame(
+        [("a=1",), ("junk",), ("b=2",)], "line string"))
+    kv = pc | Regex.matches_kv("line", r"(\w+)=(\w+)")
+    assert sorted((r["key"], r["value"]) for r in kv.df.collect()) == \
+        [("a", "1"), ("b", "2")]        # non-matching row dropped
+    rf = pc | Regex.replace_first("line", r"\w", "X")
+    assert sorted(r["line"] for r in rf.df.collect()) == \
+        ["X=1", "X=2", "Xunk"]          # only the FIRST match replaced
