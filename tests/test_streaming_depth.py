@@ -128,3 +128,41 @@ def test_streaming_rollup_cascade_matches_batch(spark, tmp_path):
            for r in bout.collect()}
     assert got == exp == {(1, "a"): (3.0, 2, 2.0), (1, "b"): (4.0, 1, 4.0),
                           (2, "a"): (8.0, 1, 8.0)}
+
+
+def test_streaming_windowed_percentile_and_latest(spark, tmp_path):
+    """Sketch (approx percentile) and max_by (Latest.perKey) aggregates
+    run INSIDE the streaming windowed agg and match the batch run of
+    the same expressions — the reference's ApproximateQuantiles /
+    Latest as watermark-safe streaming combiners."""
+    rows = [("a", "2024-01-01T00:05:00Z", 1.0),
+            ("a", "2024-01-01T00:10:00Z", 9.0),
+            ("a", "2024-01-01T00:20:00Z", 5.0),
+            ("b", "2024-01-01T00:30:00Z", 7.0)]
+    ts = TestStream(str(tmp_path / "pct"))
+    ts.add_elements([dict(zip(("k", "ts", "v"), r)) for r in rows])
+    ts.add_elements([{"k": "z", "ts": "2024-01-01T09:00:00Z", "v": 0.0}])
+
+    aggs = [F.expr("approx_percentile(v, 0.5)").alias("p50"),
+            F.expr("max_by(v, ts)").alias("latest"),
+            F.count(F.lit(1)).alias("n")]
+
+    def agg(df):
+        return windowed_aggregate(
+            df, __import__("apache_beam_spark.windowing",
+                           fromlist=["FixedWindows"]).FixedWindows("1 hour"),
+            "ts", aggs=aggs, keys=["k"], allowed_lateness="0 seconds")
+
+    got = {r["k"]: (r["p50"], r["latest"], r["n"])
+           for r in run_to_memory(agg(ts.stream(
+               spark, "k string, ts timestamp, v double"))).collect()
+           if r["k"] != "z"}
+    batch = spark.createDataFrame(
+        [(k, dt.datetime.fromisoformat(t.replace("Z", "+00:00"))
+          .replace(tzinfo=None), v) for k, t, v in rows],
+        "k string, ts timestamp, v double")
+    exp = {r["k"]: (r["p50"], r["latest"], r["n"])
+           for r in agg(batch).collect()}
+    assert got == exp
+    assert got["a"] == (5.0, 5.0, 3)   # p50 of {1,9,5}; latest by ts
+    assert got["b"] == (7.0, 7.0, 1)
