@@ -200,7 +200,7 @@ def _streaming_benchmarks(spark) -> dict:
                 allowed_lateness="10 minutes",
             )
 
-        _parts(4)
+        _parts(2)   # ~8.5k (window,type) groups: 2 stores suffice
         _run_stream(windowed_count())     # warm-up: state store + codegen
         window_wall = _best_stream(windowed_count)
 
