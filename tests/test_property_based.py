@@ -280,3 +280,87 @@ def test_packing_invariants(spark, sizes, cap):
     for key, tot in fill.items():
         if members[key] > 1:
             assert tot <= cap
+
+
+# ---- round-3 differential properties -------------------------------------
+
+
+@st.composite
+def _changelog(draw):
+    n = draw(st.integers(min_value=0, max_value=10))
+    rows = []
+    for i in range(n):
+        rows.append((draw(st.integers(min_value=1, max_value=4)),   # id
+                     draw(st.integers(min_value=0, max_value=20)),  # seq
+                     f"p{i}",
+                     draw(st.sampled_from(["U", "U", "D"]))))
+    return rows
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(base=st.lists(st.tuples(st.integers(1, 4), st.text(
+    alphabet="ab", min_size=1, max_size=3)), max_size=4,
+    unique_by=lambda r: r[0]), changes=_changelog())
+def test_apply_changes_matches_dict_model(spark, base, changes):
+    """apply_changes ≡ a python dict fold: latest (seq, idx) change
+    per key wins; D removes, U upserts; untouched base keys survive."""
+    from apache_beam_spark.operators.cdc import apply_changes
+
+    base_df = spark.createDataFrame(
+        [(i, 0, p, -1) for i, p in base] or [(99, 0, "x", -1)],
+        "id long, seq long, payload string, tb long")
+    if not base:
+        base_df = base_df.filter("id < 0")
+    ch_rows = [(i, s, p, o, idx) for idx, (i, s, p, o) in enumerate(changes)]
+    ch_df = spark.createDataFrame(
+        ch_rows or [(99, 0, "x", "U", 0)],
+        "id long, seq long, payload string, op string, tb long")
+    if not changes:
+        ch_df = ch_df.filter("id < 0")
+
+    got = {r["id"]: r["payload"]
+           for r in apply_changes(base_df, ch_df, keys=["id"],
+                                  seq_col="seq", tiebreak="tb").collect()}
+
+    model = {i: p for i, p in base}
+    latest = {}
+    for idx, (i, s, p, o) in enumerate(changes):
+        if i not in latest or (s, idx) > latest[i][:2]:
+            latest[i] = (s, idx, p, o)
+    for i, (_, _, p, o) in latest.items():
+        if o == "D":
+            model.pop(i, None)
+        else:
+            model[i] = p
+    assert got == model
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(events=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 99)),
+                       min_size=1, max_size=20))
+def test_rate_limit_batch_matches_model(spark, events):
+    """rate_limit_batch ≡ the python token-bucket model on random
+    (key, ts) streams (ids unique, ties broken by id)."""
+    from apache_beam_spark.streaming.stateful import rate_limit_batch
+
+    MAX, WIN = 2, 10_000
+    rows = [(str(k), (pd.Timestamp("2024-01-01")
+             + pd.Timedelta(milliseconds=t * 500)).to_pydatetime(), i)
+            for i, (k, t) in enumerate(events)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, event_id long")
+    got = sorted((r["k"], r["event_id"], r["seq"])
+                 for r in rate_limit_batch(
+                     df, key="k", event_time="ts", id_col="event_id",
+                     window_ms=WIN, max_per_window=MAX).collect())
+
+    bucket, admitted = {}, []
+    for k, ts, i in sorted(rows, key=lambda r: (r[0], r[1], r[2])):
+        ms = int(ts.timestamp() * 1000)
+        w = ms // WIN * WIN
+        c = bucket.get((k, w), 0)
+        if c < MAX:
+            bucket[(k, w)] = c + 1
+            admitted.append((k, i, c + 1))
+    assert got == sorted(admitted)
