@@ -364,3 +364,64 @@ def test_rate_limit_batch_matches_model(spark, events):
             bucket[(k, w)] = c + 1
             admitted.append((k, i, c + 1))
     assert got == sorted(admitted)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(weights=st.lists(st.integers(0, 500), min_size=1, max_size=15),
+       n=st.integers(1, 8))
+def test_weighted_sample_matches_md5_model(spark, weights, n):
+    """weighted_sample ≡ the python Efraimidis-Spirakis model with the
+    identical md5-uniform arithmetic."""
+    import hashlib
+    import math
+
+    from apache_beam_spark.operators.shuffle import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(weights)], "doc_id long, n_chars long")
+    got = [r["doc_id"] for r in weighted_sample(
+        df, weight_col="n_chars", n=n).collect()]
+
+    def key(i, w):
+        h = hashlib.md5(f"ws1:{i}".encode()).hexdigest()
+        u = (int(h[:8], 16) + 1) / 4294967296.0
+        return math.log(u) / max(float(w), 1.0)
+
+    exp = sorted(range(len(weights)),
+                 key=lambda i: (-key(i, weights[i]), i))[:n]
+    assert got == exp
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(texts=st.lists(st.text(alphabet="ab ", max_size=60),
+                      min_size=1, max_size=5),
+       chunk=st.integers(2, 8), overlap=st.integers(0, 6))
+def test_sliding_chunks_matches_python_model(spark, texts, chunk, overlap):
+    """sliding_chunks ≡ a python splitter: same chunk texts, indexes
+    and word counts on arbitrary whitespace-noisy input."""
+    import math
+    import re
+
+    from apache_beam_spark.dedup.chunks import sliding_chunks
+
+    if overlap >= chunk:
+        return
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = sorted((r["doc_id"], r["chunk_idx"], r["chunk_text"], r["n_words"])
+                 for r in sliding_chunks(
+                     df, chunk_words=chunk, overlap_words=overlap).collect())
+
+    step = chunk - overlap
+    exp = []
+    for i, t in enumerate(texts):
+        toks = re.findall(r"[^\s]+", t.lower())
+        n = len(toks)
+        n_chunks = max(math.ceil((n - overlap) / step), 1)
+        for ci in range(n_chunks):
+            piece = toks[ci * step: ci * step + chunk]
+            if len(piece) >= 1:
+                exp.append((i, ci, " ".join(piece), len(piece)))
+    assert got == sorted(exp)
