@@ -425,3 +425,107 @@ def test_sliding_chunks_matches_python_model(spark, texts, chunk, overlap):
             if len(piece) >= 1:
                 exp.append((i, ci, " ".join(piece), len(piece)))
     assert got == sorted(exp)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(rows=st.lists(st.tuples(st.integers(0, 47), st.sampled_from("xy"),
+                               st.integers(-50, 50)),
+                     min_size=1, max_size=25),
+       split=st.integers(0, 24))
+def test_merge_rollups_equals_direct_rollup(spark, rows, split):
+    """Incremental refresh law on random data: rollup(all) ==
+    merge(rollup(first part), rollup(rest)) for every split point."""
+    from apache_beam_spark.operators.rollup import (
+        merge_rollups, rollup_windows)
+
+    def df(rs):
+        data = [(k, (pd.Timestamp("2024-01-01")
+                     + pd.Timedelta(hours=h)).to_pydatetime(), float(v))
+                for h, k, v in rs]
+        d = spark.createDataFrame(
+            data or [("x", pd.Timestamp("2024-01-01").to_pydatetime(), 0.0)],
+            "k string, ts timestamp, v double")
+        return d if rs else d.filter("v > 1")
+
+    aggs = {"s": "sum:v", "n": "count", "m": "max:v"}
+    split = min(split, len(rows))
+    a = rollup_windows(df(rows[:split]), "ts", ["k"], aggs,
+                       ["1 hour", "1 day"])["1 day"]
+    b = rollup_windows(df(rows[split:]), "ts", ["k"], aggs,
+                       ["1 hour", "1 day"])["1 day"]
+    merged = merge_rollups(a, b, ["k"], aggs)
+    direct = rollup_windows(df(rows), "ts", ["k"], aggs,
+                            ["1 hour", "1 day"])["1 day"]
+    canon = lambda d: sorted(  # noqa: E731
+        (r["window"].start, r["k"], r["s"], r["n"], r["m"])
+        for r in d.collect())
+    assert canon(merged) == canon(direct)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(texts=st.lists(st.text(alphabet="abc x", max_size=30),
+                      min_size=1, max_size=4))
+def test_char_entropy_matches_python(spark, texts):
+    """char_entropy ≡ the python Shannon entropy with the identical
+    sorted-char fold order."""
+    import math
+
+    from apache_beam_spark.functions.text import char_entropy
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "i long, text string")
+    got = {r["i"]: r["e"] for r in df.select(
+        "i", char_entropy(F.col("text")).alias("e")).collect()}
+    for i, t in enumerate(texts):
+        if not t:
+            assert got[i] is None
+            continue
+        n = len(t)
+        acc = 0.0
+        for ch in sorted(set(t)):
+            p = t.count(ch) / n
+            acc = acc + p * math.log2(p)
+        assert got[i] == pytest.approx(round(-acc, 6), abs=1e-9)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(texts=st.lists(st.text(alphabet="ab ", min_size=1, max_size=30),
+                      min_size=1, max_size=5))
+def test_bm25_matches_python_model(spark, texts):
+    """bm25_topk ≡ a python BM25 with the same Lucene idf, ranking and
+    tiebreaks on random corpora."""
+    import math
+    import re
+
+    from apache_beam_spark.operators.retrieval import bm25_topk
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    got = [(r["doc_id"], r["score"], r["rank"]) for r in
+           bm25_topk(df, ["a", "ab"], k=10).collect()]
+
+    toks = [re.findall(r"[ab]+", t.lower()) for t in texts]
+    N = len(texts)
+    avgdl = sum(len(t) for t in toks) / N
+    terms = ["a", "ab"]
+    dfreq = {q: sum(1 for t in toks if q in t) for q in terms}
+    scores = {}
+    for i, t in enumerate(toks):
+        s = 0.0
+        for q in terms:
+            tf = t.count(q)
+            if tf == 0:
+                continue
+            idf = math.log(1.0 + (N - dfreq[q] + 0.5) / (dfreq[q] + 0.5))
+            s += idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75
+                                               * len(t) / avgdl))
+        if s > 0 or any(q in t for q in terms):
+            scores[i] = s
+    exp = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [(d, r) for d, _, r in got] == \
+        [(d, i + 1) for i, (d, _) in enumerate(exp)]
+    for (d1, s1, _), (d2, s2) in zip(got, exp):
+        assert s1 == pytest.approx(round(s2, 6), abs=1e-6)
