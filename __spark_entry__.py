@@ -2647,6 +2647,33 @@ def _rate_limit_events(spark, sf_dir):
                             max_per_window=3)
 
 
+def _dedup_keep_best(spark, sf_dir):
+    """Exact dedup with QUALITY-aware survivor selection: duplicates
+    are planted (docs < 50 re-id'd with their text perturbed to lower
+    quality), grouped by normalized-text fingerprint, and the
+    max-(quality, -doc_id) member survives via ONE max_by aggregate —
+    keep-best instead of keep-first, the witness rule real corpus
+    dedup wants.  Only (id, fp, quality) shuffles."""
+    d = load_table(spark, "documents", sf_dir)
+    # planted twins: same fingerprint (same normalized text), lower
+    # quality via doubled punctuation
+    twins = d.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" !!! ??? !!!")).alias("text"))
+    allc = d.select("doc_id", "text").unionByName(twins)
+    fp = T.fingerprint(F.regexp_replace(F.col("text"),
+                                        " !!! \\?\\?\\? !!!$", ""))
+    scored = allc.select(
+        "doc_id", fp.alias("fp"),
+        T.quality_score(F.col("text")).alias("q"))
+    return (scored.groupBy("fp")
+            .agg(F.max_by("doc_id",
+                          F.struct(F.col("q"), -F.col("doc_id")))
+                 .alias("kept_id"),
+                 F.count(F.lit(1)).alias("n_copies"))
+            .select("kept_id", "n_copies"))
+
+
 def _dq_report(spark, sf_dir):
     """Declarative data-quality constraints (operators/quality.py):
     six rules over lineitem/orders — row-level rules share ONE scan
@@ -2999,6 +3026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_test_report": _ab_test_report,
         "readability_scores": _readability_scores,
         "rate_limit_events": _rate_limit_events,
+        "dedup_keep_best": _dedup_keep_best,
         "dq_report": _dq_report,
         "wav_roundtrip": _wav_roundtrip,
         "rag_chunks": _rag_chunks,
@@ -4489,6 +4517,37 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY epoch_ms(ts), event_id) AS INT) AS seq
                 FROM events)
             WHERE seq <= 3""",
+        "dedup_keep_best": f"""
+            WITH planted AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 10000, text || ' !!! ??? !!!'
+                FROM documents WHERE doc_id < 50),
+            scored AS (
+                SELECT doc_id,
+                       md5(regexp_replace(lower(trim(
+                           regexp_replace(text, ' !!! \\?\\?\\? !!!$', ''))),
+                           '\\s+', ' ', 'g')) AS fp,
+                       ROUND((
+                           (CASE WHEN LENGTH(text) >= 50 THEN 1.0
+                                 ELSE LENGTH(text) / 50.0 END)
+                           + (1.0 - LEAST(2 * (LENGTH(regexp_replace(text,
+                                   '[\\p{{L}}\\p{{N}}\\s]', '', 'g')) * 1.0
+                                   / NULLIF(LENGTH(text), 0)), 1.0))
+                           + LEAST(5 * (len(list_filter({toks},
+                                   t -> t IN ('the','of','and','a','to','in',
+                                   'is','it','that','was','for','on','as',
+                                   'with','at','by','an','be','this','are',
+                                   'or','not'))) * 1.0
+                                   / NULLIF(len({toks}), 0)), 1.0)
+                       ) / 3.0, 6) AS q
+                FROM planted)
+            SELECT doc_id AS kept_id, n_copies FROM (
+                SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY fp
+                           ORDER BY q DESC, doc_id) AS rn,
+                       COUNT(*) OVER (PARTITION BY fp) AS n_copies
+                FROM scored)
+            WHERE rn = 1""",
         "dq_report": """
             SELECT 'orderkey_not_null' AS rule, 'not_null' AS kind,
                    CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
