@@ -529,3 +529,55 @@ def test_bm25_matches_python_model(spark, texts):
         [(d, i + 1) for i, (d, _) in enumerate(exp)]
     for (d1, s1, _), (d2, s2) in zip(got, exp):
         assert s1 == pytest.approx(round(s2, 6), abs=1e-6)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(r1=st.lists(st.integers(0, 9), max_size=6, unique=True),
+       r2=st.lists(st.integers(0, 9), max_size=6, unique=True))
+def test_rrf_fuse_matches_model(spark, r1, r2):
+    from apache_beam_spark.operators.retrieval import rrf_fuse
+
+    def rank_df(ids):
+        rows = [(d, i + 1) for i, d in enumerate(ids)]
+        d = spark.createDataFrame(rows or [(99, 1)], "doc_id long, rank int")
+        return d if rows else d.filter("doc_id < 0")
+
+    if not r1 and not r2:
+        return
+    got = [(r["doc_id"], r["rrf_score"], r["fused_rank"]) for r in
+           rrf_fuse([rank_df(r1), rank_df(r2)], k=60, top=5).collect()]
+
+    model = {}
+    for ids in (r1, r2):
+        for i, d in enumerate(ids):
+            model[d] = model.get(d, 0.0) + 1.0 / (60 + i + 1)
+    exp = sorted(model.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert [(d, r) for d, _, r in got] == \
+        [(d, i + 1) for i, (d, _) in enumerate(exp)]
+    for (_, s, _), (_, es) in zip(got, exp):
+        assert s == pytest.approx(round(es, 6), abs=1e-9)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(texts=st.lists(st.text(alphabet="aeo tx.!?", max_size=40),
+                      min_size=1, max_size=4))
+def test_flesch_matches_python(spark, texts):
+    import re
+
+    from apache_beam_spark.functions.text import flesch_reading_ease
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "i long, text string")
+    got = {r["i"]: r["f"] for r in df.select(
+        "i", flesch_reading_ease(F.col("text")).alias("f")).collect()}
+    for i, t in enumerate(texts):
+        words = len(re.findall(r"[\w']+", t.lower()))
+        if words == 0:
+            assert got[i] is None
+            continue
+        sents = max(len(re.findall(r"[.!?]+", t)), 1)
+        syls = len(re.findall(r"[aeiouy]+", t.lower()))
+        exp = 206.835 - 1.015 * (words / sents) - 84.6 * (syls / words)
+        assert got[i] == pytest.approx(round(exp, 6), abs=1e-6)
