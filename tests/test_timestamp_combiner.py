@@ -155,3 +155,21 @@ def test_streaming_watermark_hold_output_timestamps(spark, tmp_path):
             timestamp_combiner=mode)
         bgot = {r["key"]: r[OUTPUT_TS_COL] for r in bout.collect()}
         assert bgot == expect, mode
+
+
+def test_combine_with_context_side_input(spark):
+    """CombineWithContext (reference transforms/CombineWithContext.java):
+    a combiner reading a side input — here the side value is a
+    broadcast scalar column folded into the same single-shuffle
+    aggregation (sum of deviations from the GLOBAL mean, per key)."""
+    from apache_beam_spark.operators.views import View
+
+    df = _events(spark)
+    global_mean = View.as_singleton(
+        df.agg(F.avg("value").alias("m")), "m")      # driver scalar, guarded
+    out = {r["key"]: r["dev_sum"]
+           for r in df.groupBy("key")
+           .agg(F.sum(F.col("value") - F.lit(global_mean))
+                .alias("dev_sum")).collect()}
+    assert out["a"] == pytest.approx((1.0 - 2.0) + (2.0 - 2.0))
+    assert out["b"] == pytest.approx(3.0 - 2.0)
