@@ -581,3 +581,34 @@ def test_flesch_matches_python(spark, texts):
         syls = len(re.findall(r"[aeiouy]+", t.lower()))
         exp = 206.835 - 1.015 * (words / sents) - 84.6 * (syls / words)
         assert got[i] == pytest.approx(round(exp, 6), abs=1e-6)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(old=st.lists(st.tuples(st.integers(1, 5), st.text("ab", max_size=2)),
+                    max_size=5, unique_by=lambda r: r[0]),
+       new=st.lists(st.tuples(st.integers(1, 5), st.text("ab", max_size=2)),
+                    max_size=5, unique_by=lambda r: r[0]))
+def test_derive_changes_matches_set_model(spark, old, new):
+    """derive_changes ≡ the set model: I for new-only keys, D for
+    old-only, U only where the value actually changed."""
+    from apache_beam_spark.operators.cdc import derive_changes
+
+    def df(rows):
+        d = spark.createDataFrame(rows or [(9, "x")],
+                                  "id long, payload string")
+        return d if rows else d.filter("id < 0")
+
+    got = {r["id"]: (r["op"], r["payload"]) for r in
+           derive_changes(df(old), df(new), keys=["id"]).collect()}
+    om, nm = dict(old), dict(new)
+    exp = {}
+    for i in nm:
+        if i not in om:
+            exp[i] = ("I", nm[i])
+        elif om[i] != nm[i]:
+            exp[i] = ("U", nm[i])
+    for i in om:
+        if i not in nm:
+            exp[i] = ("D", om[i])
+    assert got == exp
