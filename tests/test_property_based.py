@@ -612,3 +612,30 @@ def test_derive_changes_matches_set_model(spark, old, new):
         if i not in nm:
             exp[i] = ("D", om[i])
     assert got == exp
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(docs=st.lists(st.tuples(st.sampled_from("pqr"),
+                               st.integers(1, 40)),
+                     min_size=1, max_size=12),
+       total=st.integers(100, 5000))
+def test_temperature_budgets_matches_python(spark, docs, total):
+    """temperature_budgets ≡ the python sqrt-share model (T=2), and
+    the budgets never exceed the total."""
+    import math
+
+    from apache_beam_spark.operators.mixing import temperature_budgets
+
+    rows = [(i, "w " * n, s) for i, (s, n) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = temperature_budgets(df, total_budget=total, temperature=2.0)
+
+    counts = {}
+    for s, n in docs:
+        counts[s] = counts.get(s, 0) + n
+    scaled = {s: math.sqrt(float(t)) for s, t in counts.items()}
+    z = sum(scaled[s] for s in sorted(scaled))
+    exp = {s: int(total * v / z) for s, v in scaled.items()}
+    assert got == exp
+    assert sum(got.values()) <= total
