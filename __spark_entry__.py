@@ -1118,10 +1118,15 @@ def _source_quality_report(spark, sf_dir):
                  T.quality_score(F.col("text")).alias("q"),
                  fp.alias("fp")) \
         .withColumn("witness", F.min("doc_id").over(W.partitionBy("fp")))
+    # exact-decimal means (the repo-wide AVG convention): a plain
+    # double avg over ~5k rounded scores flips the 6th decimal with
+    # partition order — observed flaky at sf0.1
+    n = F.count(F.lit(1))
     return (w.groupBy("source")
-            .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.round(F.avg("q"), 6).alias("avg_quality"),
-                 F.round(F.avg(F.col("n_chars").cast("double")), 6)
+            .agg(n.alias("n_docs"),
+                 F.round(F.sum(F.col("q").cast("decimal(18,6)"))
+                         .cast("double") / n, 6).alias("avg_quality"),
+                 F.round(F.sum("n_chars").cast("double") / n, 6)
                  .alias("avg_chars"),
                  F.count(F.when(F.col("doc_id") != F.col("witness"), 1))
                  .alias("n_dup_docs")))
@@ -3564,8 +3569,10 @@ def oracle_sql() -> dict[str, str]:
             w AS (SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS witness
                   FROM q)
             SELECT source, COUNT(*) AS n_docs,
-                   ROUND(AVG(q), 6) AS avg_quality,
-                   ROUND(AVG(n_chars * 1.0), 6) AS avg_chars,
+                   ROUND(CAST(SUM(CAST(q AS DECIMAL(18,6))) AS DOUBLE)
+                         / COUNT(*), 6) AS avg_quality,
+                   ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6)
+                       AS avg_chars,
                    COUNT(CASE WHEN doc_id <> witness THEN 1 END) AS n_dup_docs
             FROM w GROUP BY source""",
         "weekly_retention": """
