@@ -1334,9 +1334,17 @@ def _value_zscore_outliers(spark, sf_dir):
     in-plan aggregate broadcast back (tiny side), not a driver round
     trip; one scan + one broadcast join."""
     ev = load_table(spark, "events", sf_dir)
+    # exact-decimal moments (order-independent sums) -> mu/sd derived
+    # identically in both engines; plain double AVG/STDDEV flip the
+    # 6th decimal with partition order at scale (the
+    # source_quality_report flake class)
+    vdec = F.col("value").cast("decimal(18,2)")
+    nn = F.count(F.lit(1))
+    s1 = F.sum(vdec).cast("double")
+    s2 = F.sum((vdec * vdec).cast("decimal(38,4)")).cast("double")
     stats = ev.groupBy("event_type").agg(
-        F.avg("value").alias("__mu__"),
-        F.stddev_samp("value").alias("__sd__"))
+        (s1 / nn).alias("__mu__"),
+        F.sqrt((s2 - s1 * s1 / nn) / (nn - 1)).alias("__sd__"))
     return (ev.join(F.broadcast(stats), on="event_type")
             .withColumn("z", F.round((F.col("value") - F.col("__mu__"))
                                      / F.col("__sd__"), 6))
@@ -3736,8 +3744,17 @@ def oracle_sql() -> dict[str, str]:
             FROM documents""",
         "value_zscore_outliers": """
             WITH st AS (
-                SELECT event_type, AVG(value) AS mu,
-                       STDDEV_SAMP(value) AS sd
+                SELECT event_type,
+                       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                           / COUNT(*) AS mu,
+                       sqrt((CAST(SUM(CAST(CAST(value AS DECIMAL(18,2))
+                                 * CAST(value AS DECIMAL(18,2))
+                                 AS DECIMAL(38,4))) AS DOUBLE)
+                             - CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                                    AS DOUBLE)
+                               * CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                                      AS DOUBLE) / COUNT(*))
+                            / (COUNT(*) - 1)) AS sd
                 FROM events GROUP BY event_type)
             SELECT event_id, e.event_type, value,
                    ROUND((value - mu) / sd, 6) AS z
