@@ -4278,10 +4278,17 @@ def oracle_sql() -> dict[str, str]:
                                ORDER BY ts DESC, event_id DESC) AS rn
                     FROM events)
                 WHERE rn = 1)
+            -- struct-consistent with derive_changes (cdc.py:122): the
+            -- engine carries the WHOLE new-side struct for U rows, so
+            -- a NULL inside it must stay NULL — branch on row presence
+            -- (n.user_id, the join key), never per-column COALESCE
             SELECT COALESCE(n.user_id, o.user_id) AS user_id,
-                   COALESCE(n.event_id, o.event_id) AS event_id,
-                   COALESCE(n.ts, o.ts) AS ts,
-                   COALESCE(n.value, o.value) AS value,
+                   CASE WHEN n.user_id IS NULL THEN o.event_id
+                        ELSE n.event_id END AS event_id,
+                   CASE WHEN n.user_id IS NULL THEN o.ts
+                        ELSE n.ts END AS ts,
+                   CASE WHEN n.user_id IS NULL THEN o.value
+                        ELSE n.value END AS value,
                    CASE WHEN o.user_id IS NULL THEN 'I'
                         WHEN n.user_id IS NULL THEN 'D'
                         ELSE 'U' END AS op

@@ -167,12 +167,36 @@ class ProtoSchema:
                 raise ValueError(f"unsupported wire type {wt}")
             if f is None:
                 continue  # unknown field: skip (parseFrom semantics)
+            if (f.repeated and wt == _WT_LEN and f.type not in _LEN_TYPES):
+                # packed repeated scalars — the proto3 DEFAULT encoding
+                # for repeated numerics; parseFrom accepts packed and
+                # unpacked interchangeably, so must we
+                msg[f.name].extend(self._unpack_packed(f, val))
+                continue
             val = self._coerce(f, wt, val)
             if f.repeated:
                 msg[f.name].append(val)
             else:
                 msg[f.name] = val
         return msg
+
+    def _unpack_packed(self, f: ProtoField, payload: bytes) -> list:
+        """Unpack a packed repeated scalar payload: back-to-back
+        varints, or fixed-size chunks for fixed32/64 kinds."""
+        out: list = []
+        if f.type in _FIXED:
+            fmt, exp_wt = _FIXED[f.type]
+            size = struct.calcsize(fmt)
+            if len(payload) % size:
+                raise ValueError(f"truncated packed field {f.name}")
+            for i in range(0, len(payload), size):
+                out.append(self._coerce(f, exp_wt, payload[i:i + size]))
+        else:  # varint / zigzag kinds
+            pos = 0
+            while pos < len(payload):
+                raw, pos = _read_varint(payload, pos)
+                out.append(self._coerce(f, _WT_VARINT, raw))
+        return out
 
     def _coerce(self, f: ProtoField, wt: int, val: Any) -> Any:
         # wire-type validation for EVERY kind — a field arriving with

@@ -15,6 +15,7 @@ on the key only.  Nothing collects.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 from typing import Optional, Sequence
 
@@ -104,6 +105,15 @@ def check_constraints(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
     names = [r.name for r in rules]
     if len(set(names)) != len(names):
         raise ValueError("duplicate rule names")
+    # names are interpolated into a selectExpr stack() as SQL literals
+    # AND as bare agg aliases — restrict to identifiers so a space/
+    # dash/quote can't become a parse error or injected SQL
+    bad_names = [n for n in names
+                 if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", n or "")]
+    if bad_names:
+        raise ValueError(
+            f"rule names must be identifiers ([A-Za-z_][A-Za-z0-9_]*), "
+            f"got: {bad_names}")
     spark = df.sparkSession
 
     reports: list[DataFrame] = []

@@ -134,9 +134,18 @@ def extract_timestamp_col(timestamp_attribute: Optional[str] = None,
     if timestamp_attribute is None:
         return F.col(publish_ts_col).alias("event_ts")
     v = F.col(attributes_col).getItem(timestamp_attribute)
+    # RFC-3339 parity with Instant.parse: ANY number of fractional
+    # digits (0-9) must parse, not just exactly 3.  Gate on an RFC-3339
+    # shape (date'T'time, zone REQUIRED), normalize the fraction to
+    # Spark's microsecond precision, then cast — the cast itself
+    # accepts Z and ±hh:mm offsets.
+    is_rfc3339 = v.rlike(
+        r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d{1,9})?"
+        r"(Z|[+-]\d{2}:\d{2})$")
+    frac_norm = F.regexp_replace(v, r"(\.\d{1,6})\d*", r"$1")
     parsed = F.coalesce(
         F.timestamp_millis(v.try_cast("long")),
-        F.try_to_timestamp(v, F.lit("yyyy-MM-dd'T'HH:mm:ss[.SSS]XXX")),
+        F.when(is_rfc3339, frac_norm.try_cast("timestamp")),
     )
     return F.when(parsed.isNotNull(), parsed).otherwise(
         F.raise_error(F.concat(

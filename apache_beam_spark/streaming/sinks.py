@@ -109,7 +109,12 @@ def upsert_snapshot_sink(sdf: DataFrame, path: str, checkpoint: str,
 
     Restart safety: the swap is idempotent per batch content (replaying
     a batch re-derives the same snapshot), the standard
-    foreachBatch-exactly-once argument.  Cross-batch ordering: folding
+    foreachBatch-exactly-once argument; a crash BETWEEN the two renames
+    (``current`` already moved aside, replacement not yet in place) is
+    healed on the next merge — the fully-written staged snapshot (or,
+    failing that, the moved-aside old one) is restored as ``current``
+    before the base is read, so a replayed batch never folds into an
+    empty base.  Cross-batch ordering: folding
     batch-by-batch equals a global latest-wins merge when sequence
     numbers arrive in order per key; out-of-order deletes across
     batches would need tombstone retention (a real table format's
@@ -125,7 +130,34 @@ def upsert_snapshot_sink(sdf: DataFrame, path: str, checkpoint: str,
     spark = sdf.sparkSession
     cur = os.path.join(path, "current")
 
+    def recover() -> None:
+        """Heal a crash between ``rename(cur, old)`` and
+        ``rename(staged, cur)``: ``current`` is missing but a
+        fully-written ``_staged_<id>`` (the snapshot whose write
+        completed BEFORE the renames began) or the moved-aside
+        ``_old_<id>`` still exists.  Restore the newest staged if
+        present (the replayed batch re-folds into it idempotently —
+        latest-wins on the same changes is a fixpoint), else the old
+        base.  A partial staged write is impossible here: ``current``
+        only goes missing after the staged write has succeeded."""
+        if os.path.exists(cur) or not os.path.isdir(path):
+            return
+        for prefix in ("_staged_", "_old_"):
+            cands = [d for d in os.listdir(path) if d.startswith(prefix)
+                     and d[len(prefix):].isdigit()]
+            if cands:
+                newest = max(cands, key=lambda d: int(d[len(prefix):]))
+                os.rename(os.path.join(path, newest), cur)
+                return
+
     def merge(batch_df: DataFrame, batch_id: int) -> None:
+        recover()
+        # stale scratch from a merge that died mid-write (current still
+        # intact): safe to drop, the batch is being replayed right now
+        if os.path.isdir(path):
+            for d in os.listdir(path):
+                if d.startswith(("_staged_", "_old_")):
+                    shutil.rmtree(os.path.join(path, d), ignore_errors=True)
         if os.path.exists(cur):
             base = spark.read.parquet(cur)
         else:

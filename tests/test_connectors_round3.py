@@ -102,6 +102,33 @@ def test_pubsub_timestamp_attribute_ms_and_rfc3339(spark, tmp_path):
     assert out["m2"].isoformat().startswith("2024-01-02T03:04:05.678")
 
 
+def test_pubsub_rfc3339_any_fraction_and_offset(spark, tmp_path):
+    """Instant.parse tolerance (PubsubClient.java:96): RFC-3339 with
+    0-9 fractional digits and Z or numeric offsets all parse; a
+    zone-less or garbage value still fails the query."""
+    rows = [_msg("m0", ets="2024-01-02T03:04:05Z"),                # 0 digits
+            _msg("m1", ets="2024-01-02T03:04:05.6Z"),              # 1 digit
+            _msg("m6", ets="2024-01-02T03:04:05.678901Z"),         # 6 digits
+            _msg("m9", ets="2024-01-02T03:04:05.678901234Z"),      # 9 digits
+            _msg("moff", ets="2024-01-02T03:04:05.5+05:30")]       # offset
+    df = spark.read.schema(message_schema()).json(
+        _spool_messages(tmp_path, rows))
+    out = {r["message_id"]: r["event_ts"]
+           for r in with_event_timestamps(df, "ets").collect()}
+    base = out["m0"].timestamp()
+    assert abs(out["m1"].timestamp() - (base + 0.6)) < 1e-6
+    assert abs(out["m6"].timestamp() - (base + 0.678901)) < 1e-6
+    # 9 digits: truncated to Spark's microsecond precision
+    assert abs(out["m9"].timestamp() - (base + 0.678901)) < 1e-6
+    # +05:30 means 05:30 earlier than the same wall-clock at Z
+    assert abs(out["moff"].timestamp() - (base + 0.5 - 5.5 * 3600)) < 1e-6
+    for bad in ["2024-01-02T03:04:05.678", "not-a-time"]:  # no zone / junk
+        dfb = spark.read.schema(message_schema()).json(
+            _spool_messages(tmp_path / ("b" + bad[:4]), [_msg("x", ets=bad)]))
+        with pytest.raises(Exception, match="Cannot interpret"):
+            with_event_timestamps(dfb, "ets").collect()
+
+
 def test_pubsub_timestamp_attribute_missing_fails(spark, tmp_path):
     df = spark.read.schema(message_schema()).json(
         _spool_messages(tmp_path, [_msg("m1")]))  # no ets attribute
@@ -217,6 +244,37 @@ def test_proto_known_wire_vector():
 }))
 def test_proto_round_trip_property(msg):
     assert _SCHEMA.decode(_SCHEMA.encode(msg)) == msg
+
+
+def test_proto_packed_repeated_scalars_decode():
+    """Packed is the proto3 DEFAULT for repeated numerics; parseFrom
+    accepts packed and unpacked interchangeably — so must decode."""
+    s = ProtoSchema([
+        ProtoField(1, "nums", "int32", repeated=True),
+        ProtoField(2, "deltas", "sint64", repeated=True),
+        ProtoField(3, "vals", "double", repeated=True),
+        ProtoField(4, "f32s", "fixed32", repeated=True),
+    ])
+    # canonical encoding-guide packed example: field 4 (here num 1),
+    # values [3, 270, 86942] -> 0A 06 03 8E 02 9E A7 05
+    assert s.decode(bytes([0x0A, 0x06, 0x03, 0x8E, 0x02,
+                           0x9E, 0xA7, 0x05]))["nums"] == [3, 270, 86942]
+    # packed zigzag: sint64 [-1, 1] -> payload 01 02
+    assert s.decode(bytes([0x12, 0x02, 0x01, 0x02]))["deltas"] == [-1, 1]
+    # packed fixed64 doubles
+    import struct as _struct
+    payload = _struct.pack("<2d", 1.5, -2.25)
+    assert s.decode(bytes([0x1A, 16]) + payload)["vals"] == [1.5, -2.25]
+    # packed fixed32
+    payload = _struct.pack("<2I", 7, 8)
+    assert s.decode(bytes([0x22, 8]) + payload)["f32s"] == [7, 8]
+    # truncated packed fixed payload raises the clean parse error
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="truncated packed"):
+        s.decode(bytes([0x22, 3, 0, 0, 0]))
+    # mixed packed + unpacked records concatenate (parseFrom semantics)
+    mixed = bytes([0x08, 0x05]) + bytes([0x0A, 0x03, 0x03, 0x8E, 0x02])
+    assert s.decode(mixed)["nums"] == [5, 3, 270]
 
 
 def test_proto_unknown_field_skipped():

@@ -75,3 +75,10 @@ def test_validation_errors(spark, people):
                                      Q.not_null("x", "email")])
     with pytest.raises(ValueError, match="row-level only"):
         Q.enforce_constraints(people, [Q.unique("u", "id")])
+    # names are interpolated into stack() literals AND agg aliases —
+    # non-identifier names must be rejected at validation, not become a
+    # plan-time parse error or injected SQL
+    for bad in ["has space", "has-dash", "has.dot", "q'uote",
+                "1leading", ""]:
+        with pytest.raises(ValueError, match="identifiers"):
+            Q.check_constraints(people, [Q.not_null(bad, "id")])

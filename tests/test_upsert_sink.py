@@ -73,6 +73,65 @@ def test_upsert_sink_restart_from_checkpoint(spark, tmp_path):
         {1: "a2", 2: "b1"}
 
 
+def test_upsert_sink_recovers_from_mid_swap_crash(spark, tmp_path):
+    """A crash between ``rename(current, old)`` and
+    ``rename(staged, current)`` leaves no ``current`` directory; the
+    next merge must restore the stranded snapshot instead of folding
+    the replayed batch into an empty base (which would silently drop
+    every previously-accumulated key)."""
+    import shutil
+
+    spool = str(tmp_path / "changes3")
+    ts = TestStream(spool)
+    ts.add_elements([
+        {"id": 1, "seq": 10, "payload": "a1", "op": "U"},
+        {"id": 2, "seq": 10, "payload": "b1", "op": "U"}])
+
+    from apache_beam_spark.streaming.sinks import upsert_snapshot_sink
+
+    out, ckpt = str(tmp_path / "snap3"), str(tmp_path / "ckpt3")
+    q = upsert_snapshot_sink(ts.stream(spark, SCHEMA), out, ckpt,
+                             keys=["id"], seq_col="seq")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # simulate the mid-swap crash: current was moved aside, the
+    # replacement never landed, and the checkpoint did not commit the
+    # batch (so it will be replayed on restart)
+    cur = os.path.join(out, "current")
+    os.rename(cur, os.path.join(out, "_old_7"))
+    shutil.rmtree(ckpt)  # uncommitted batch -> full replay
+
+    ts.add_elements([{"id": 3, "seq": 20, "payload": "c1", "op": "U"}])
+    q2 = upsert_snapshot_sink(ts.stream(spark, SCHEMA), out, ckpt,
+                              keys=["id"], seq_col="seq")
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    snap = spark.read.parquet(cur)
+    got = {r["id"]: r["payload"] for r in snap.collect()}
+    assert got == {1: "a1", 2: "b1", 3: "c1"}  # nothing lost
+    assert [d for d in os.listdir(out) if d != "current"] == []
+
+    # staged variant: the fully-written staged snapshot wins over old
+    os.rename(cur, os.path.join(out, "_staged_9"))
+    shutil.rmtree(ckpt)
+    ts.add_elements([{"id": 4, "seq": 30, "payload": "d1", "op": "U"}])
+    q3 = upsert_snapshot_sink(ts.stream(spark, SCHEMA), out, ckpt,
+                              keys=["id"], seq_col="seq")
+    try:
+        q3.processAllAvailable()
+    finally:
+        q3.stop()
+    got = {r["id"]: r["payload"]
+           for r in spark.read.parquet(cur).collect()}
+    assert got == {1: "a1", 2: "b1", 3: "c1", 4: "d1"}
+
+
 def test_streaming_pipeline_rate_limit_into_upsert(spark, tmp_path):
     """Composability of the streaming stack: events are throttled by
     the stateful rate limiter, and the admitted stream feeds the
