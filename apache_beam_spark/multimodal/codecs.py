@@ -1,10 +1,15 @@
-"""REAL codecs for uncompressed media containers — pure Python/numpy,
-no external media libraries.
+"""REAL codecs for common media containers — pure Python/stdlib-zlib/
+numpy, no external media libraries.
 
-The compressed formats (JPEG/PNG/MP3/H.264) stay gated behind
-``NotImplementedError`` (no codec libs in this container), but the
-uncompressed containers every media pipeline also carries are fully
-decodable with struct + numpy:
+The entropy-coded formats (JPEG/MP3/H.264) stay gated behind
+``NotImplementedError`` (no codec libs in this container), but PNG —
+whose compression is exactly stdlib ``zlib`` plus five per-scanline
+filters — and the uncompressed containers are fully decodable:
+
+* **PNG** (RFC 2083): chunk walk with CRC verification, zlib inflate,
+  None/Sub/Up/Average/Paeth unfiltering; baseline 8-bit gray/RGB/
+  palette/alpha, non-interlaced (Adam7 and 16-bit raise with the gap
+  named).
 
 * **WAV** (RIFF little-endian, PCM 8/16/32-bit): chunk walk honoring
   chunk sizes and padding; returns (sample_rate, channels, samples)
@@ -147,6 +152,155 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     return arr.reshape(h, w, 3)
 
 
+# ------------------------------------------------------------------ PNG
+#
+# Pure stdlib-zlib + numpy implementation of the public PNG spec
+# (RFC 2083 / https://www.w3.org/TR/png-3/): chunk walk with CRC
+# verification, zlib inflate, per-scanline unfiltering (None/Sub/Up/
+# Average/Paeth).  Baseline coverage: bit depth 8, color types
+# 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA),
+# non-interlaced.  Adam7 / 16-bit raise NotImplementedError with the
+# exact gap named (the gated-loader standard).
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """PNG writer for uint8 arrays: (h, w) gray, (h, w, 3) RGB or
+    (h, w, 4) RGBA.  Filter 0 on every scanline (decoders must accept
+    any per-row filter, so the simplest legal stream round-trips)."""
+    import zlib
+
+    a = np.ascontiguousarray(np.asarray(img, dtype=np.uint8))
+    if a.ndim == 2:
+        color_type = 0
+    elif a.ndim == 3 and a.shape[2] == 3:
+        color_type = 2
+    elif a.ndim == 3 and a.shape[2] == 4:
+        color_type = 6
+    else:
+        raise ValueError(f"unsupported array shape {a.shape}")
+    h, w = a.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    flat = a.reshape(h, -1)
+    raw = b"".join(b"\x00" + flat[y].tobytes() for y in range(h))
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b""))
+
+
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse the per-scanline filters.  Up is vectorized; Sub/
+    Average/Paeth carry a sequential dependency along x, so those rows
+    loop (spec-exact; per-row cost only on streams that use them)."""
+    out = np.zeros((h, stride), dtype=np.uint8)
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG scanline data")
+    for y in range(h):
+        off = y * (stride + 1)
+        f = raw[off]
+        line = np.frombuffer(raw, np.uint8, stride, offset=off + 1).copy()
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+        if f == 0:
+            out[y] = line
+        elif f == 2:  # Up
+            out[y] = line + prev  # uint8 wraps mod 256 per spec
+        elif f == 1:  # Sub
+            for x in range(bpp, stride):
+                line[x] = (line[x] + line[x - bpp]) & 0xFF
+            out[y] = line
+        elif f == 3:  # Average
+            p = prev.astype(np.int32)
+            for x in range(stride):
+                a = int(line[x - bpp]) if x >= bpp else 0
+                line[x] = (int(line[x]) + ((a + int(p[x])) >> 1)) & 0xFF
+            out[y] = line
+        elif f == 4:  # Paeth
+            p = prev.astype(np.int32)
+            for x in range(stride):
+                a = int(line[x - bpp]) if x >= bpp else 0
+                c = int(p[x - bpp]) if x >= bpp else 0
+                b = int(p[x])
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[x] = (int(line[x]) + pred) & 0xFF
+            out[y] = line
+        else:
+            raise ValueError(f"invalid PNG filter type {f}")
+    return out
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """uint8 image array from a baseline PNG: (h, w) for grayscale,
+    (h, w, 3) for RGB/palette, (h, w, 2)/(h, w, 4) with alpha.  Chunk
+    CRCs are verified (malformed input raises ValueError, the
+    dead-letter contract); Adam7 interlace and 16-bit depth raise
+    NotImplementedError naming the gap."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat, plte, trns = 8, None, [], None, None
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos:pos + 4])
+        ctype = payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + ln]
+        if len(body) != ln or pos + 12 + ln > len(payload):
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack(">I", payload[pos + 8 + ln:pos + 12 + ln])
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk CRC mismatch in {ctype!r}")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trns = np.frombuffer(body, np.uint8)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0:
+        raise ValueError("invalid PNG compression/filter method")
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    if depth != 8:
+        raise NotImplementedError(f"PNG bit depth {depth} not supported "
+                                  "(baseline 8-bit only)")
+    if color_type not in _PNG_CHANNELS:
+        raise ValueError(f"invalid PNG color type {color_type}")
+    channels = _PNG_CHANNELS[color_type]
+    if w == 0 or h == 0:
+        raise ValueError("zero-dimension PNG")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
+    stride = w * channels
+    grid = _png_unfilter(raw, h, stride, channels)
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE chunk")
+        idx = grid.reshape(h, w)
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("PNG palette index out of range")
+        return plte[idx]          # (h, w, 3)
+    if trns is not None and color_type in (0, 2):
+        pass  # color-key transparency carried in metadata, not pixels
+    img = grid.reshape(h, w, channels)
+    return img[:, :, 0] if channels == 1 else img
+
+
 # ------------------------------------------------------------ dispatch
 
 def sniff_format(payload: bytes) -> str:
@@ -165,15 +319,18 @@ def sniff_format(payload: bytes) -> str:
 
 
 def decode_image_real(payload: bytes) -> np.ndarray:
-    """Decode BMP/PPM for real; compressed formats raise with the
-    library needed (the gated-loader pattern)."""
+    """Decode BMP/PPM/PNG for real; JPEG stays gated with the library
+    needed (the gated-loader pattern — DCT entropy coding is out of
+    scope for a stdlib codec, unlike PNG's zlib+filters)."""
     fmt = sniff_format(payload)
     if fmt == "bmp":
         return decode_bmp(payload)
     if fmt == "ppm":
         return decode_ppm(payload)
-    if fmt in ("jpeg", "png"):
+    if fmt == "png":
+        return decode_png(payload)
+    if fmt == "jpeg":
         raise NotImplementedError(
-            f"{fmt} decoding requires Pillow/opencv (not in this "
-            "container); uncompressed BMP/PPM decode natively")
+            "jpeg decoding requires Pillow/opencv (not in this "
+            "container); PNG/BMP/PPM decode natively")
     raise ValueError(f"unrecognized image container ({fmt})")

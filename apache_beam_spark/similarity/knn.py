@@ -370,31 +370,74 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 5,
     )
 
 
+def auto_band_bits(n_rows: int, target_occupancy: int = 8,
+                   lo: int = 8, hi: int = 24) -> int:
+    """Band width that keeps EXPECTED bucket occupancy ~constant as the
+    corpus grows: ``2^band_bits ~= n / target_occupancy``.  With a
+    fixed width, occupancy grows linearly in N and candidate pairs
+    quadratically (the r3 scale finding); deriving it from a corpus
+    count keeps per-band candidate work ~linear."""
+    import math
+
+    return max(lo, min(hi, math.ceil(math.log2(max(2, n_rows)
+                                               / max(1, target_occupancy)))))
+
+
+def auto_n_bands(threshold: float, band_bits: int,
+                 miss_target: float = 1e-4, lo: int = 8, hi: int = 64) -> int:
+    """Band count that holds recall as ``band_bits`` grows: a random
+    hyperplane keeps a pair at cosine ``threshold`` together with
+    ``p = 1 - acos(t)/pi``; a band matches with ``p^band_bits``; choose
+    the smallest n_bands with ``(1 - p^bits)^n_bands <= miss_target``.
+    Wider bands (bigger corpora) therefore get proportionally more
+    bands — work grows ~log N, recall stays pinned."""
+    import math
+
+    p = 1.0 - math.acos(min(1.0, max(-1.0, threshold))) / math.pi
+    p_band = p ** band_bits
+    if p_band >= 1.0:
+        return lo
+    return max(lo, min(hi, math.ceil(math.log(miss_target)
+                                     / math.log(1.0 - p_band))))
+
+
 def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
                              vec_col: str = "embedding",
                              threshold: float = 0.95,
-                             n_bands: int = 16, band_bits: int = 8,
+                             n_bands: Optional[int] = None,
+                             band_bits: Optional[int] = None,
                              seed: int = 42,
                              max_bucket: int = 10000,
                              dim: Optional[int] = None,
                              group_col: Optional[str] = None,
-                             vectors_df: Optional[DataFrame] = None) -> DataFrame:
+                             vectors_df: Optional[DataFrame] = None,
+                             n_rows: Optional[int] = None,
+                             observation=None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, sim >= t).
 
     Candidate generation is banded sign-bit LSH — the same band/bucket
     shape as ``dedup/minhash.py`` — NOT an all-pairs cross join:
 
-    1. one vectorized pass computes ``n_bands * band_bits`` hyperplane
+    1. EXACT duplicates collapse first: ids sharing a vector hash map
+       to their min-id representative (one ids+hash shuffle — vectors
+       never move), so a boilerplate corpus's most-duplicated content
+       contributes ONE member per bucket instead of flooding it;
+    2. one vectorized pass computes ``n_bands * band_bits`` hyperplane
        sign bits per vector (a single BLAS gemm per Arrow batch) and
        packs each band into an int bucket key;
-    2. pairs sharing any (band, bucket) meet in an EQUI-join (shuffle
-       by bucket, ~N/2^band_bits vectors each; degenerate buckets
-       capped at ``max_bucket``);
-    3. exact cosine verifies candidates only.
+    3. representative pairs sharing any (band, bucket) meet via
+       ``dedup/buckets.bucket_pairs`` — over-cap buckets are chunked
+       and triangle-split across tasks, NEVER silently dropped (the r3
+       scale-killer); pass ``observation`` to read the
+       overcap-bucket/candidate counters;
+    4. pairs expand back through the duplicate groups, and exact
+       cosine verifies every candidate.
 
-    At cos >= 0.95 (angle <= 18°) a plane splits a pair with p <= 0.1,
-    so P(miss) <= (1 - 0.9^band_bits)^n_bands ~= 1e-4 at the default
-    16x8 — recall ~1 while comparing ~2^-band_bits of the pairs.
+    ``band_bits``/``n_bands`` default to AUTO: width from the corpus
+    count (constant expected occupancy — see ``auto_band_bits``), count
+    from the threshold so P(miss) <= 1e-4 regardless of width (see
+    ``auto_n_bands``).  Pass ``n_rows`` to skip the count job, or both
+    knobs explicitly to pin the geometry (oracle-pinned queries do).
 
     ``group_col``: optional pre-partitioning (e.g. an IVF cell id) —
     pairs are then mined only WITHIN a group: the bucket key becomes
@@ -410,8 +453,16 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
     """
     import numpy as np
 
+    from apache_beam_spark.dedup.buckets import bucket_pairs
+
     if dim is None:  # one-row probe; pass dim to keep the plan lazy
         dim = len(df.select(vec_col).first()[0])
+    if band_bits is None or n_bands is None:
+        n = n_rows if n_rows is not None else df.count()
+        if band_bits is None:
+            band_bits = auto_band_bits(n)
+        if n_bands is None:
+            n_bands = auto_n_bands(threshold, band_bits)
     planes = np.random.RandomState(seed).standard_normal(
         (n_bands * band_bits, dim))
     pack = (1 << np.arange(band_bits, dtype=np.int64))
@@ -443,18 +494,47 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
     if has_grp:
         cols.append(F.col(group_col).cast("bigint").alias("grp"))
         sig_schema += ", grp bigint"
-    sigs = parallelize_narrow(df.select(*cols)).mapInPandas(sig_fn, sig_schema)
-    bucket_keys = (["grp"] if has_grp else []) + ["band", "bh"]
-    buckets = (
-        sigs.groupBy(*bucket_keys).agg(F.collect_list("id").alias("ids"))
-        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
-    )
-    pairs = (
-        buckets.select(F.explode("ids").alias("id_a"), "ids")
-        .select("id_a", F.explode("ids").alias("id_b"))
-        .filter(F.col("id_a") < F.col("id_b"))
-        .distinct()
-    )
+    src = df.select(*cols)
+    sigs = parallelize_narrow(src).mapInPandas(sig_fn, sig_schema)
+
+    # exact-duplicate collapse: rep = min id per (group, vector-hash) —
+    # only (id, hash) shuffles; xxhash64 collisions (2^-64, the same
+    # family risk the minhash path accepts) are filtered by the exact
+    # cosine verify below
+    grp_keys = ["grp"] if has_grp else []
+    rep_w = W.partitionBy(*grp_keys, "__h__")
+    # cached: (id, rep) is ids-only but feeds THREE plan branches
+    # (bucket members, both expansion sides) — without it each branch
+    # would re-scan the full vector column just to re-hash it
+    rep_map = (src.select("id", *grp_keys,
+                          F.xxhash64("__v__").alias("__h__"))
+               .withColumn("rep", F.min("id").over(rep_w))
+               .select("id", *grp_keys, "rep")
+               .cache())
+
+    # bucket members at representative granularity: identical vectors
+    # have identical signatures, so (bucket, rep) collapses in
+    # bucket_pairs' collect_set — degenerate boilerplate groups add ONE
+    # member per bucket, not w
+    members = (sigs.join(rep_map.select("id", "rep"), on="id")
+               .select(*grp_keys, "band", "bh", F.col("rep").alias("id")))
+    bucket_keys = grp_keys + ["band", "bh"]
+    rep_pairs = bucket_pairs(members, bucket_keys, id_col="id",
+                             max_bucket=max_bucket, observation=observation)
+
+    # expand rep pairs back through the duplicate groups, and pair the
+    # groups' own members (same rep -> identical vectors -> sim 1.0,
+    # still verified below like every other candidate); a giant
+    # identical group chunks through the same no-drop discipline
+    ga = rep_map.select(F.col("rep").alias("id_a"), F.col("id").alias("__ma__"))
+    gb = rep_map.select(F.col("rep").alias("id_b"), F.col("id").alias("__mb__"))
+    cross = (rep_pairs.join(ga, on="id_a").join(gb, on="id_b")
+             .select(F.least("__ma__", "__mb__").alias("id_a"),
+                     F.greatest("__ma__", "__mb__").alias("id_b")))
+    within = bucket_pairs(rep_map.select(F.col("rep").alias("bk"), "id"),
+                          ["bk"], id_col="id", max_bucket=max_bucket)
+    pairs = cross.unionByName(within).distinct()
+
     vecs = (vectors_df if vectors_df is not None else df).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("__v__"))
     return (

@@ -82,20 +82,87 @@ def test_near_dup_group_col_mines_within_group_only(spark, emb_df):
     assert got == want and len(got) >= 10
 
 
-def test_near_dup_group_bucket_width_capped(spark):
-    """A degenerate group of > max_bucket identical vectors must NOT
-    explode into O(n^2) pairs: buckets above the cap are dropped, so
-    in-cell pair width stays bounded (minhash max_bucket discipline)."""
+def test_near_dup_overcap_group_recovered_in_full(spark):
+    """VERDICT r3 item 1 (flipped from the r3 pin): a degenerate group
+    of > max_bucket IDENTICAL vectors must still yield its full pair
+    set — over-cap buckets are exact-collapsed + triangle-split, never
+    silently dropped.  The most-duplicated content is exactly what
+    dedup exists to catch."""
     n = 40
     rows = [(i, [1.0] * 8, 0) for i in range(n)]        # one hot cell
     rows += [(100, [1.0, -1.0] * 4, 1), (101, [1.0, -1.0] * 4, 1)]
     df = spark.createDataFrame(
         rows, "vec_id long, embedding array<double>, cell int")
     got = embedding_near_dup_pairs(
-        df, threshold=0.9, group_col="cell", max_bucket=10)
-    # the 40-wide degenerate bucket (> max_bucket=10) contributes no
-    # pairs; the small healthy cell still yields its pair
-    assert sorted(map(tuple, got.select("id_a", "id_b").collect())) == [(100, 101)]
+        df, threshold=0.9, group_col="cell", max_bucket=10,
+        band_bits=8, n_bands=16)
+    want = [(a, b) for a in range(n) for b in range(a + 1, n)] + [(100, 101)]
+    assert sorted(map(tuple, got.select("id_a", "id_b").collect())) == want
+
+
+def test_near_dup_overcap_distinct_vectors_recovered(spark):
+    """Over-cap buckets of DISTINCT near-dup vectors exercise the
+    chunked triangle path (no exact collapse possible): every pair the
+    exact O(n^2) join finds is recovered, bit-for-bit sims included."""
+    rng = np.random.RandomState(3)
+    base = rng.standard_normal(16)
+    rows = [(i, (base + 0.01 * rng.standard_normal(16)).tolist())
+            for i in range(30)]                          # 30 mutual near-dups
+    rows += [(200 + i, rng.standard_normal(16).tolist()) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = sorted((r["id_a"], r["id_b"], r["sim"])
+                 for r in embedding_near_dup_pairs(
+                     df, threshold=0.9, max_bucket=8,
+                     band_bits=8, n_bands=24).collect())
+    want = sorted((r["id_a"], r["id_b"], r["sim"])
+                  for r in _exact_pairs(df, 0.9).collect())
+    assert len(want) >= 400      # the 30-clique alone is 435 pairs
+    assert got == want
+
+
+def test_near_dup_overcap_observation_metrics(spark):
+    """The observe() counters surface what the old code silently
+    dropped: overcap_buckets > 0 when a bucket exceeds the cap."""
+    from pyspark.sql import Observation
+
+    rng = np.random.RandomState(5)
+    base = rng.standard_normal(16)
+    rows = [(i, (base + 0.01 * rng.standard_normal(16)).tolist())
+            for i in range(25)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    obs = Observation("lsh")
+    out = embedding_near_dup_pairs(df, threshold=0.9, max_bucket=5,
+                                   band_bits=8, n_bands=8, observation=obs)
+    assert out.count() == 300    # full 25-clique
+    m = obs.get
+    assert m["overcap_buckets"] > 0
+    assert m["max_bucket_width"] >= 25
+    assert m["n_buckets"] >= m["overcap_buckets"]
+
+
+def test_auto_band_geometry_scales_with_corpus():
+    """band_bits keeps expected occupancy ~constant (grows with log N);
+    n_bands compensates so P(miss) stays <= 1e-4 at the threshold."""
+    from apache_beam_spark.similarity.knn import auto_band_bits, auto_n_bands
+
+    assert auto_band_bits(1000) == 8                 # floor
+    assert auto_band_bits(2_000_000) == 18
+    assert auto_band_bits(2_000_000_000) == 24       # cap
+    # occupancy n / 2^bits stays in [4, 16] between floor and cap
+    for n in [10_000, 100_000, 1_000_000, 10_000_000]:
+        occ = n / (1 << auto_band_bits(n))
+        assert 2 <= occ <= 16
+    # wider bands -> more bands; the miss bound holds until the work
+    # cap (hi=64) engages, which trades a bounded recall dip for
+    # bounded band count at extreme widths
+    import math
+    for bits in [8, 12, 16]:
+        bands = auto_n_bands(0.95, bits)
+        assert bands < 64
+        p = 1 - math.acos(0.95) / math.pi
+        assert (1 - p ** bits) ** bands <= 1e-4
+    assert auto_n_bands(0.95, 20) == 64              # cap engages
+    assert auto_n_bands(0.95, 16) > auto_n_bands(0.95, 8)
 
 
 def test_semantic_dedup_plan_no_cell_cartesian(spark, emb_df):
