@@ -2744,6 +2744,47 @@ def _wav_roundtrip(spark, sf_dir):
         "doc_id", "sample_rate", "num_samples", "peak_abs")
 
 
+def _png_roundtrip(spark, sf_dir):
+    """REAL image codec round trip (multimodal/codecs.py decode_png —
+    stdlib zlib inflate + numpy unfiltering, no media libs): per doc, a
+    deterministic RGB image is synthesized from an integer pixel
+    formula, compressed with encode_png, decoded back by the
+    decode_image stage (chunk walk, CRC verify, unfilter), and the
+    decoded (width, height, channels, pixel byte sum) are value-checked
+    against the oracle computing the same formula in SQL — the codec is
+    verified end-to-end through the distributed mapInPandas plumbing,
+    same standard as wav_roundtrip."""
+    from apache_beam_spark.multimodal.columns import decode_image
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from apache_beam_spark.multimodal.codecs import encode_png
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 4 + d % 5, 3 + d % 4
+                k = np.arange(w * h * 3, dtype=np.int64)
+                px = ((d * 7 + k * 13) % 256).astype(np.uint8)
+                rows.append({"doc_id": d,
+                             "payload": encode_png(px.reshape(h, w, 3))})
+            yield pd.DataFrame(rows)
+
+    enc = docs.mapInPandas(gen, "doc_id bigint, payload binary")
+    dec = decode_image(enc).withColumn("hx", F.hex("pixels"))
+    pixel_sum = F.expr(
+        "aggregate(sequence(0, length(hx) div 2 - 1), 0L,"
+        " (acc, i) -> acc + CAST(conv(substring(hx, 2*i + 1, 2), 16, 10)"
+        " AS BIGINT))")
+    return dec.select("doc_id", "width", "height", "channels",
+                      pixel_sum.alias("pixel_sum"))
+
+
 def _rag_chunks(spark, sf_dir):
     """Overlapping retrieval chunks (dedup/chunks.py sliding_chunks):
     30-word windows advancing by 20 (10 words shared context) — the
@@ -3042,6 +3083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": _dedup_keep_best,
         "dq_report": _dq_report,
         "wav_roundtrip": _wav_roundtrip,
+        "png_roundtrip": _png_roundtrip,
         "rag_chunks": _rag_chunks,
         "dau_mau_stickiness": _dau_mau_stickiness,
         "zorder_curve": _zorder_curve,
@@ -4622,6 +4664,16 @@ def oracle_sql() -> dict[str, str]:
                            i -> abs((doc_id * 31 + i) * 2654435761
                                     % 65536 - 32768)))
                    END AS BIGINT) AS peak_abs
+            FROM documents""",
+        "png_roundtrip": """
+            SELECT doc_id,
+                   CAST(4 + doc_id % 5 AS INT) AS width,
+                   CAST(3 + doc_id % 4 AS INT) AS height,
+                   3 AS channels,
+                   CAST(list_sum(list_transform(
+                       range(0, (4 + doc_id % 5) * (3 + doc_id % 4) * 3),
+                       k -> (doc_id * 7 + k * 13) % 256)) AS BIGINT)
+                       AS pixel_sum
             FROM documents""",
         "rag_chunks": f"""
             WITH t AS (SELECT doc_id, {toks} AS tk FROM documents),

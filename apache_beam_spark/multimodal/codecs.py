@@ -213,7 +213,7 @@ def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
             out[y] = line + prev  # uint8 wraps mod 256 per spec
         elif f == 1:  # Sub
             for x in range(bpp, stride):
-                line[x] = (line[x] + line[x - bpp]) & 0xFF
+                line[x] = (int(line[x]) + int(line[x - bpp])) & 0xFF
             out[y] = line
         elif f == 3:  # Average
             p = prev.astype(np.int32)

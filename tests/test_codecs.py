@@ -134,3 +134,150 @@ def test_decode_media_deadletter_routing(spark):
     assert set(errs) == {3, 4}
     assert errs[3][0] == "jpeg" and "NotImplementedError" in errs[3][1]
     assert "unrecognized" in errs[4][1]
+
+
+# ------------------------------------------------------------------ PNG
+
+def _forward_filter(img: np.ndarray, filters: list[int]) -> bytes:
+    """Independent forward PNG filterer (the test's differential model
+    — decode_png must invert it exactly).  Spec: filt(x) = orig(x) -
+    pred(a, b, c) mod 256."""
+    a2 = img.reshape(img.shape[0], -1).astype(np.int32)
+    h, stride = a2.shape
+    bpp = img.shape[2] if img.ndim == 3 else 1
+    out = bytearray()
+    for y, f in zip(range(h), filters):
+        row = a2[y]
+        prev = a2[y - 1] if y else np.zeros(stride, np.int32)
+        line = bytearray([f])
+        for x in range(stride):
+            a = int(row[x - bpp]) if x >= bpp else 0
+            b = int(prev[x])
+            c = int(prev[x - bpp]) if x >= bpp else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            line.append((int(row[x]) - pred) & 0xFF)
+        out += line
+    return bytes(out)
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import zlib
+    return (struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+
+def _make_png(img: np.ndarray, filters: list[int], color_type: int = 2,
+              depth: int = 8, interlace: int = 0,
+              plte: bytes | None = None) -> bytes:
+    import zlib
+    h, w = img.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace)
+    raw = _forward_filter(img, filters)
+    out = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += _png_chunk(b"PLTE", plte)
+    return out + _png_chunk(b"IDAT", zlib.compress(raw)) + _png_chunk(b"IEND", b"")
+
+
+def test_png_round_trip_gray_rgb_rgba():
+    from apache_beam_spark.multimodal.codecs import decode_png, encode_png
+
+    rng = np.random.RandomState(21)
+    for shape in [(5, 7), (6, 4, 3), (3, 3, 4)]:
+        img = rng.randint(0, 256, size=shape).astype(np.uint8)
+        assert np.array_equal(decode_png(encode_png(img)), img)
+
+
+def test_png_all_filter_types_inverted():
+    """Streams using Sub/Up/Average/Paeth (what real encoders emit)
+    decode to the original pixels — verified against an independent
+    forward filterer."""
+    from apache_beam_spark.multimodal.codecs import decode_png
+
+    rng = np.random.RandomState(22)
+    img = rng.randint(0, 256, size=(10, 6, 3)).astype(np.uint8)
+    payload = _make_png(img, filters=[0, 1, 2, 3, 4, 4, 3, 2, 1, 0])
+    assert np.array_equal(decode_png(payload), img)
+    gray = rng.randint(0, 256, size=(5, 8)).astype(np.uint8)
+    payload = _make_png(gray, filters=[1, 2, 3, 4, 1], color_type=0)
+    assert np.array_equal(decode_png(payload), gray)
+
+
+def test_png_palette_decodes_to_rgb():
+    from apache_beam_spark.multimodal.codecs import decode_png
+
+    palette = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8)
+    idx = np.array([[0, 1, 2], [2, 1, 0]], dtype=np.uint8)
+    payload = _make_png(idx, filters=[0, 0], color_type=3,
+                        plte=palette.tobytes())
+    assert np.array_equal(decode_png(payload), palette[idx])
+
+
+def test_png_malformed_inputs_raise_cleanly():
+    from apache_beam_spark.multimodal.codecs import decode_png, encode_png
+    import pytest as _pytest
+
+    img = np.zeros((2, 2, 3), np.uint8)
+    good = encode_png(img)
+    bad_crc = bytearray(good)
+    bad_crc[20] ^= 0xFF                       # flip an IHDR body byte
+    with _pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(bad_crc))
+    with _pytest.raises(ValueError, match="truncated|missing"):
+        decode_png(good[:30])
+    with _pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"garbage")
+    # corrupt IDAT zlib stream (rebuild CRC so the chunk walk passes)
+    with _pytest.raises(ValueError, match="IDAT|truncated"):
+        decode_png(_make_png(img, [0, 0])[:8]
+                   + _png_chunk(b"IHDR",
+                                struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+                   + _png_chunk(b"IDAT", b"\x00not-zlib")
+                   + _png_chunk(b"IEND", b""))
+    with _pytest.raises(NotImplementedError, match="Adam7"):
+        decode_png(_make_png(img, [0, 0], interlace=1))
+    with _pytest.raises(NotImplementedError, match="depth"):
+        decode_png(_make_png(img, [0, 0], depth=16))
+
+
+def test_png_through_decode_image_stage(spark):
+    """The Spark decode stage decodes a genuine PNG (no fake=True) —
+    true dimensions and pixels through the mapInPandas plumbing."""
+    from apache_beam_spark.multimodal.codecs import encode_png
+    from apache_beam_spark.multimodal.columns import decode_image
+
+    img = np.random.RandomState(4).randint(
+        0, 256, size=(6, 5, 3)).astype(np.uint8)
+    df = spark.createDataFrame([(1, bytearray(encode_png(img)))],
+                               "doc_id long, payload binary")
+    row = decode_image(df).first()
+    assert (row["width"], row["height"], row["channels"]) == (5, 6, 3)
+    assert bytes(row["pixels"]) == img.tobytes()
+
+
+def test_png_deadletter_on_malformed(spark):
+    """A corrupt PNG routes to the dead-letter side, a good one decodes
+    — per-element failure isolation through the same batch."""
+    from apache_beam_spark.multimodal.codecs import encode_png
+    from apache_beam_spark.multimodal.columns import decode_media_with_deadletter
+
+    img = np.zeros((2, 3, 3), np.uint8)
+    good = encode_png(img)
+    bad = bytearray(good)
+    bad[25] ^= 0xFF
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bad)], "doc_id long, payload binary")
+    ok, errors = decode_media_with_deadletter(df)
+    assert [r["doc_id"] for r in ok.collect()] == [1]
+    errs = {r["doc_id"]: r["error"] for r in errors.collect()}
+    assert 2 in errs and "CRC" in errs[2]
