@@ -5,6 +5,7 @@ from apache_beam_spark.dedup.ngram import ngram_containment_pairs, ngram_jaccard
 from apache_beam_spark.dedup.decontaminate import decontaminate
 from apache_beam_spark.dedup.components import (
     connected_components,
+    connected_components_auto,
     connected_components_two_phase,
     dup_clusters,
 )
@@ -14,5 +15,6 @@ __all__ = [
     "minhash_signature", "minhash_lsh_dedup", "minhash_lsh_pairs",
     "simhash", "simhash_dedup", "ngram_jaccard_pairs",
     "ngram_containment_pairs", "decontaminate",
-    "connected_components", "connected_components_two_phase", "dup_clusters",
+    "connected_components", "connected_components_auto",
+    "connected_components_two_phase", "dup_clusters",
 ]

@@ -248,6 +248,41 @@ def test_two_phase_cc_matches_union_find(spark, edges):
     assert got == _union_find_components(edges, nodes)
 
 
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(edges=st.lists(st.tuples(st.integers(0, 25), st.integers(0, 25)),
+                      max_size=30))
+def test_auto_cc_matches_union_find(spark, edges):
+    """The hybrid must be result-identical to union-find whichever
+    phase finishes the graph; hashmin_rounds=1 forces the contraction
+    + two-phase handoff on almost every non-trivial input."""
+    from apache_beam_spark.dedup.components import connected_components_auto
+
+    edges = [(a, b) for a, b in edges if a != b]
+    nodes = sorted({n for e in edges for n in e} | {0, 25})
+    e = spark.createDataFrame(edges or [(0, 0)], "src long, dst long") \
+        if edges else spark.createDataFrame([], "src long, dst long")
+    n = spark.createDataFrame([(x,) for x in nodes], "id long")
+    got = {r["node"]: r["comp"]
+           for r in connected_components_auto(
+               e, nodes=n, hashmin_rounds=1).collect()}
+    assert got == _union_find_components(edges, nodes)
+
+
+def test_auto_cc_high_diameter_chain(spark):
+    """A 60-node path graph (diameter 59): pure hash-min would need ~60
+    rounds; the hybrid must finish exactly — and the switch must kick
+    in after hashmin_rounds — with every node labeled 0."""
+    from apache_beam_spark.dedup.components import connected_components_auto
+
+    e = spark.createDataFrame([(i, i + 1) for i in range(59)],
+                              "src long, dst long")
+    got = connected_components_auto(e, hashmin_rounds=3)
+    rows = got.collect()
+    assert len(rows) == 60
+    assert all(r["comp"] == 0 for r in rows)
+
+
 @settings(max_examples=10, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(sizes=st.lists(st.integers(1, 30), min_size=1, max_size=25),
