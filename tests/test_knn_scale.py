@@ -200,6 +200,23 @@ def test_blas_queries_broadcast_equals_corpus_broadcast(spark, emb_df):
     assert rows_a == ref
 
 
+def test_blas_auto_stat_missing_falls_back_to_streaming(spark, emb_df,
+                                                        monkeypatch):
+    """VERDICT r3 item 7: when Catalyst's size stat is unavailable,
+    auto mode must fail SAFE to the corpus-streaming side (a blind
+    collect+broadcast is the one choice that can OOM the driver)."""
+    import apache_beam_spark.similarity.knn as knn
+
+    monkeypatch.setattr(knn, "_plan_size_bytes", lambda df: None)
+    assert knn._choose_broadcast_side(
+        emb_df, max_broadcast_bytes=1 << 60) == "queries"
+    # and the full call still returns exact results via that mode
+    q = emb_df.filter(F.col("vec_id") < 5)
+    got = sorted(map(tuple,
+                     knn.brute_force_topk_blas(q, emb_df, k=3).collect()))
+    assert got == sorted(map(tuple, brute_force_topk(q, emb_df, k=3).collect()))
+
+
 def test_blas_bad_side_rejected(spark, emb_df):
     with pytest.raises(ValueError, match="broadcast_side"):
         brute_force_topk_blas(emb_df, emb_df, broadcast_side="both")
