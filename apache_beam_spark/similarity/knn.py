@@ -512,28 +512,43 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
                .select("id", *grp_keys, "rep")
                .cache())
 
-    # bucket members at representative granularity: identical vectors
-    # have identical signatures, so (bucket, rep) collapses in
-    # bucket_pairs' collect_set — degenerate boilerplate groups add ONE
-    # member per bucket, not w
-    members = (sigs.join(rep_map.select("id", "rep"), on="id")
-               .select(*grp_keys, "band", "bh", F.col("rep").alias("id")))
+    # cheap driver probe (bounded-scalar precedent: ivf max_cell
+    # factors, kmeans centroids): a dup-free corpus — the common case
+    # outside boilerplate-heavy crawls — skips the group-expansion
+    # joins entirely, keeping the pre-collapse plan shape + one window;
+    # results are identical either way (rep_map is the identity there)
+    has_dups = bool(rep_map.filter(F.col("id") != F.col("rep")).take(1))
     bucket_keys = grp_keys + ["band", "bh"]
-    rep_pairs = bucket_pairs(members, bucket_keys, id_col="id",
+    if not has_dups:
+        pairs = bucket_pairs(sigs.select(*grp_keys, "band", "bh", "id"),
+                             bucket_keys, id_col="id",
                              max_bucket=max_bucket, observation=observation)
+    else:
+        # bucket members at representative granularity: identical
+        # vectors have identical signatures, so (bucket, rep) collapses
+        # in bucket_pairs' collect_set — degenerate boilerplate groups
+        # add ONE member per bucket, not w
+        members = (sigs.join(rep_map.select("id", "rep"), on="id")
+                   .select(*grp_keys, "band", "bh", F.col("rep").alias("id")))
+        rep_pairs = bucket_pairs(members, bucket_keys, id_col="id",
+                                 max_bucket=max_bucket,
+                                 observation=observation)
 
-    # expand rep pairs back through the duplicate groups, and pair the
-    # groups' own members (same rep -> identical vectors -> sim 1.0,
-    # still verified below like every other candidate); a giant
-    # identical group chunks through the same no-drop discipline
-    ga = rep_map.select(F.col("rep").alias("id_a"), F.col("id").alias("__ma__"))
-    gb = rep_map.select(F.col("rep").alias("id_b"), F.col("id").alias("__mb__"))
-    cross = (rep_pairs.join(ga, on="id_a").join(gb, on="id_b")
-             .select(F.least("__ma__", "__mb__").alias("id_a"),
-                     F.greatest("__ma__", "__mb__").alias("id_b")))
-    within = bucket_pairs(rep_map.select(F.col("rep").alias("bk"), "id"),
-                          ["bk"], id_col="id", max_bucket=max_bucket)
-    pairs = cross.unionByName(within).distinct()
+        # expand rep pairs back through the duplicate groups, and pair
+        # the groups' own members (same rep -> identical vectors ->
+        # sim 1.0, still verified below like every other candidate); a
+        # giant identical group chunks through the same no-drop
+        # discipline
+        ga = rep_map.select(F.col("rep").alias("id_a"),
+                            F.col("id").alias("__ma__"))
+        gb = rep_map.select(F.col("rep").alias("id_b"),
+                            F.col("id").alias("__mb__"))
+        cross = (rep_pairs.join(ga, on="id_a").join(gb, on="id_b")
+                 .select(F.least("__ma__", "__mb__").alias("id_a"),
+                         F.greatest("__ma__", "__mb__").alias("id_b")))
+        within = bucket_pairs(rep_map.select(F.col("rep").alias("bk"), "id"),
+                              ["bk"], id_col="id", max_bucket=max_bucket)
+        pairs = cross.unionByName(within).distinct()
 
     vecs = (vectors_df if vectors_df is not None else df).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("__v__"))

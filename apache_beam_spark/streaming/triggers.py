@@ -26,6 +26,7 @@ from typing import Optional
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from apache_beam_spark.streaming.timers import stateful_do_fn
 
@@ -37,6 +38,7 @@ def count_trigger_aggregate(
     fire_every: int,
     event_time: str = "ts",
     accumulating: bool = True,
+    n_shards: int = 0,
 ) -> DataFrame:
     """AfterPane.elementCountAtLeast(fire_every) on a per-key sum.
 
@@ -44,38 +46,95 @@ def count_trigger_aggregate(
     ``fire_every`` elements; ``accumulating=True`` makes ``total`` the
     running aggregate across panes (ACCUMULATING_FIRED_PANES),
     ``False`` resets per pane (DISCARDING_FIRED_PANES).
+
+    ``n_shards`` > 0 multiplexes many keys through one state key
+    (``hash(key) % n_shards`` key-grouping, the ``streaming_funnel``
+    trick): a high-cardinality key column pays ``n_shards`` Python
+    round trips per micro-batch instead of one per key.  Results
+    identical; 0 = one state key per key value.
     """
 
     def process(k, pdf: pd.DataFrame, ctx) -> None:
+        # vectorized pane math (the per-element Python loop was the
+        # throughput bottleneck of this gate): fires land at 1-based
+        # positions fire_every - pane_n, then every fire_every; cumsum
+        # gives both running totals and per-pane sums, Python touches
+        # only the fired panes (~1/fire_every of the rows)
+        import numpy as np
+
         n = ctx.get("n", 0)
         total = ctx.get("total", 0.0)
         pane = ctx.get("pane", 0)
         pane_n = ctx.get("pane_n", 0)
         pane_total = ctx.get("pane_total", 0.0)
-        for v in pdf[value_col]:
-            n += 1
-            pane_n += 1
-            total += float(v)
-            pane_total += float(v)
-            if pane_n >= fire_every:
+        vals = pdf[value_col].to_numpy(dtype=np.float64)
+        m = len(vals)
+        if not m:
+            return
+        s = np.cumsum(vals)
+        fire_pos = np.arange(fire_every - pane_n, m + 1, fire_every)
+        if len(fire_pos):
+            tots = total + s[fire_pos - 1]
+            pane_sums = np.diff(np.concatenate(([0.0], s[fire_pos - 1])))
+            pane_sums[0] += pane_total
+            for j in range(len(fire_pos)):
                 ctx.output({
-                    "key": k[0], "pane_index": pane, "n_in_pane": pane_n,
-                    "total": total if accumulating else pane_total,
+                    "key": k[0], "pane_index": pane + j,
+                    "n_in_pane": fire_every,
+                    "total": float(tots[j]) if accumulating
+                    else float(pane_sums[j]),
                 })
-                pane += 1
-                pane_n = 0
-                pane_total = 0.0
+            last = int(fire_pos[-1])
+            pane += len(fire_pos)
+            pane_n = m - last
+            pane_total = float(s[-1] - s[last - 1]) if m > last else 0.0
+        else:
+            pane_n += m
+            pane_total += float(s[-1])
+        total += float(s[-1])
+        n += m
         ctx.put("n", n); ctx.put("total", total); ctx.put("pane", pane)
         ctx.put("pane_n", pane_n); ctx.put("pane_total", pane_total)
 
     def on_timer(k, timer_id, ctx) -> None:  # pragma: no cover - no timers set
         pass
 
+    out_schema = "key string, pane_index int, n_in_pane int, total double"
+    if n_shards > 0:
+        class _SubCtx:
+            """Per-key view over the shard's state dict: same get/put/
+            output surface ``process`` already uses."""
+
+            def __init__(self, st, outer):
+                self._st, self._outer = st, outer
+
+            def get(self, state_id, default=None):
+                return self._st.get(state_id, default)
+
+            def put(self, state_id, value):
+                self._st[state_id] = value
+
+            def output(self, row):
+                self._outer.output(row)
+
+        def process_sharded(k, pdf: pd.DataFrame, ctx) -> None:
+            for kv, grp in pdf.groupby("__k__", sort=False):
+                st = ctx.get(f"u{kv}") or {}
+                process((kv,), grp, _SubCtx(st, ctx))
+                ctx.put(f"u{kv}", st)
+
+        sharded = df.select(
+            F.col(key).cast("string").alias("__k__"), value_col,
+            event_time).withColumn(
+            "__shard__", F.pmod(F.hash("__k__"), F.lit(n_shards)))
+        return stateful_do_fn(
+            sharded, ["__shard__"], process_sharded, on_timer,
+            output_schema=out_schema, time_domain="none",
+        )
     return stateful_do_fn(
         df.select(key, value_col, event_time).withColumnRenamed(key, "__k__"),
         ["__k__"], process, on_timer,
-        output_schema="key string, pane_index int, n_in_pane int, total double",
-        time_domain="none",
+        output_schema=out_schema, time_domain="none",
     )
 
 

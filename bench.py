@@ -185,10 +185,10 @@ def _streaming_benchmarks(spark) -> dict:
     # handful of keys is pure per-batch commit overhead; at scale this
     # is the one knob AQE can't tune for you).  Measured at sf0.1:
     # small-state JVM aggs (windowed count ~8.5k groups, dedup) and the
-    # 64-shard Python-stateful operators run fastest at 4 state
-    # partitions (fewer store commits per trigger); the per-user
-    # stateful op (~2k keys, heavier per-key work) and the symmetric
-    # stream-stream join prefer 8.
+    # key-group-sharded Python-stateful operators (funnel/heavy/rate
+    # limit at 64 shards, count-trigger at 32) run fastest at 4 state
+    # partitions (fewer store commits per trigger); the symmetric
+    # stream-stream join prefers 8.
     def _parts(p):
         spark.conf.set("spark.sql.shuffle.partitions", str(p))
 
@@ -221,11 +221,14 @@ def _streaming_benchmarks(spark) -> dict:
         join_wall = _best_stream(stream_join)
 
         def stateful():
+            # 32-way key-group sharding (r4): ~2k user keys multiplex
+            # through 32 state keys -> 32 Python round trips per batch
+            # instead of 2000; measured 46.7k -> 78.7k ev/s at sf0.1
             return count_trigger_aggregate(
                 source().withColumn("user", F.col("user_id").cast("string")),
-                key="user", value_col="value", fire_every=50)
+                key="user", value_col="value", fire_every=50, n_shards=32)
 
-        _parts(8)
+        _parts(4)
         stateful_wall = _best_stream(stateful)
 
         def stream_dedup():

@@ -36,6 +36,32 @@ def test_early_firings_update_mode(spark, tmp_path):
     assert totals == [1.0, 3.0]
 
 
+def test_count_trigger_sharded_equals_unsharded(spark, tmp_path):
+    """n_shards key-grouping (the bench throughput shape) must emit
+    byte-identical panes to the per-key state layout, across keys,
+    batch boundaries, and both accumulation modes."""
+    batches = [
+        _rows(("a", "2024-01-01 00:00:01", 1.0), ("b", "2024-01-01 00:00:01", 10.0),
+              ("a", "2024-01-01 00:00:02", 2.0)),
+        _rows(("b", "2024-01-01 00:00:03", 20.0), ("a", "2024-01-01 00:00:04", 3.0),
+              ("a", "2024-01-01 00:00:05", 4.0), ("b", "2024-01-01 00:00:06", 30.0),
+              ("a", "2024-01-01 00:00:07", 5.0)),
+    ]
+    for accumulating in (True, False):
+        results = []
+        for shards in (0, 4):
+            spool = str(tmp_path / f"sp_{accumulating}_{shards}")
+            ts = TestStream(spool)
+            for b in batches:
+                ts.add_elements(b)
+            out = count_trigger_aggregate(
+                ts.stream(spark, SCHEMA), key="user", value_col="amount",
+                fire_every=2, accumulating=accumulating, n_shards=shards)
+            got = run_to_memory(out, "append").toPandas()
+            results.append(sorted(map(tuple, got.itertuples(index=False))))
+        assert results[0] == results[1] and len(results[0]) == 3
+
+
 def test_count_trigger_discarding_vs_accumulating(spark, tmp_path):
     batches = [
         _rows(("a", "2024-01-01 00:00:01", 1.0), ("a", "2024-01-01 00:00:02", 2.0)),
