@@ -937,7 +937,8 @@ def _semantic_dedup(spark, sf_dir):
     pairs = embedding_near_dup_pairs(
         v, id_col="vec_id", vec_col="embedding", threshold=0.95,
         n_bands=24, band_bits=8, max_bucket=10000, dim=64,
-        group_col="cluster", vectors_df=corpus).select("id_a", "id_b")
+        group_col="cluster", vectors_df=corpus,
+        expand="star").select("id_a", "id_b")
     comp = dup_clusters(pairs, corpus.select("vec_id"))
     return comp.withColumn("is_representative",
                            F.col("vec_id") == F.col("component"))

@@ -412,7 +412,8 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
                              group_col: Optional[str] = None,
                              vectors_df: Optional[DataFrame] = None,
                              n_rows: Optional[int] = None,
-                             observation=None) -> DataFrame:
+                             observation=None,
+                             expand: str = "full") -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, sim >= t).
 
     Candidate generation is banded sign-bit LSH — the same band/bucket
@@ -450,11 +451,22 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
     cell assignment), pass the raw corpus here so the candidate-verify
     joins don't recompute that upstream join twice — the group column
     only matters for bucketing, never for verification.
+
+    ``expand``: how exact-duplicate groups surface in the output.
+    ``"full"`` (default, the pair CONTRACT) emits every member pair —
+    inherently quadratic in group width because the true answer is.
+    ``"star"`` emits one spanning (rep, member) edge per duplicate plus
+    the un-expanded rep pairs — LINEAR output with identical connected
+    components (identical vectors share every sim, so connectivity is
+    preserved); the right mode when the consumer is cluster resolution
+    (``dup_clusters``), not the pair list itself.
     """
     import numpy as np
 
     from apache_beam_spark.dedup.buckets import bucket_pairs
 
+    if expand not in ("full", "star"):
+        raise ValueError(f"expand must be 'full' or 'star', got {expand!r}")
     if dim is None:  # one-row probe; pass dim to keep the plan lazy
         dim = len(df.select(vec_col).first()[0])
     if band_bits is None or n_bands is None:
@@ -534,21 +546,30 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
                                  max_bucket=max_bucket,
                                  observation=observation)
 
-        # expand rep pairs back through the duplicate groups, and pair
-        # the groups' own members (same rep -> identical vectors ->
-        # sim 1.0, still verified below like every other candidate); a
-        # giant identical group chunks through the same no-drop
-        # discipline
-        ga = rep_map.select(F.col("rep").alias("id_a"),
-                            F.col("id").alias("__ma__"))
-        gb = rep_map.select(F.col("rep").alias("id_b"),
-                            F.col("id").alias("__mb__"))
-        cross = (rep_pairs.join(ga, on="id_a").join(gb, on="id_b")
-                 .select(F.least("__ma__", "__mb__").alias("id_a"),
-                         F.greatest("__ma__", "__mb__").alias("id_b")))
-        within = bucket_pairs(rep_map.select(F.col("rep").alias("bk"), "id"),
-                              ["bk"], id_col="id", max_bucket=max_bucket)
-        pairs = cross.unionByName(within).distinct()
+        if expand == "star":
+            # spanning edges only: (rep, member) per duplicate + the
+            # rep pairs themselves — linear output, same components
+            star = (rep_map.filter(F.col("id") != F.col("rep"))
+                    .select(F.col("rep").alias("id_a"),
+                            F.col("id").alias("id_b")))
+            pairs = rep_pairs.unionByName(star).distinct()
+        else:
+            # expand rep pairs back through the duplicate groups, and
+            # pair the groups' own members (same rep -> identical
+            # vectors -> sim 1.0, still verified below like every other
+            # candidate); a giant identical group chunks through the
+            # same no-drop discipline
+            ga = rep_map.select(F.col("rep").alias("id_a"),
+                                F.col("id").alias("__ma__"))
+            gb = rep_map.select(F.col("rep").alias("id_b"),
+                                F.col("id").alias("__mb__"))
+            cross = (rep_pairs.join(ga, on="id_a").join(gb, on="id_b")
+                     .select(F.least("__ma__", "__mb__").alias("id_a"),
+                             F.greatest("__ma__", "__mb__").alias("id_b")))
+            within = bucket_pairs(
+                rep_map.select(F.col("rep").alias("bk"), "id"),
+                ["bk"], id_col="id", max_bucket=max_bucket)
+            pairs = cross.unionByName(within).distinct()
 
     vecs = (vectors_df if vectors_df is not None else df).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("__v__"))

@@ -140,6 +140,39 @@ def test_near_dup_overcap_observation_metrics(spark):
     assert m["n_buckets"] >= m["overcap_buckets"]
 
 
+def test_near_dup_star_mode_same_components_linear_output(spark):
+    """expand='star' (the cluster-resolution mode semantic_dedup uses):
+    one spanning edge per duplicate instead of the quadratic member
+    pair set — identical connected components, w-1 instead of
+    C(w,2) within-group rows."""
+    from apache_beam_spark.dedup.components import connected_components
+
+    n = 20
+    rows = [(i, [1.0, 2.0] * 4) for i in range(n)]       # exact-dup group
+    rows += [(100, [1.0, -1.0] * 4), (101, [1.0, -1.0] * 4)]
+    rows += [(200 + i, np.random.RandomState(i).standard_normal(8).tolist())
+             for i in range(10)]                          # noise
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    full = embedding_near_dup_pairs(df, threshold=0.9, max_bucket=5,
+                                    band_bits=8, n_bands=16)
+    star = embedding_near_dup_pairs(df, threshold=0.9, max_bucket=5,
+                                    band_bits=8, n_bands=16, expand="star")
+    n_full, n_star = full.count(), star.count()
+    assert n_full == n * (n - 1) // 2 + 1                 # quadratic truth
+    assert n_star == (n - 1) + 1                          # linear spanning set
+    ids = df.select("vec_id")
+    comp_f = {(r["node"], r["comp"]) for r in connected_components(
+        full.select("id_a", "id_b"), "id_a", "id_b", nodes=ids).collect()}
+    comp_s = {(r["node"], r["comp"]) for r in connected_components(
+        star.select("id_a", "id_b"), "id_a", "id_b", nodes=ids).collect()}
+    assert comp_f == comp_s
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="expand"):
+        embedding_near_dup_pairs(df, expand="bogus")
+
+
 def test_auto_band_geometry_scales_with_corpus():
     """band_bits keeps expected occupancy ~constant (grows with log N);
     n_bands compensates so P(miss) stays <= 1e-4 at the threshold."""
