@@ -413,7 +413,8 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
                              vectors_df: Optional[DataFrame] = None,
                              n_rows: Optional[int] = None,
                              observation=None,
-                             expand: str = "full") -> DataFrame:
+                             expand: str = "full",
+                             has_dups: Optional[bool] = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, sim >= t).
 
     Candidate generation is banded sign-bit LSH — the same band/bucket
@@ -460,6 +461,11 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
     components (identical vectors share every sim, so connectivity is
     preserved); the right mode when the consumer is cluster resolution
     (``dup_clusters``), not the pair list itself.
+
+    ``has_dups``: ``None`` (default) runs a one-row driver probe to
+    detect exact duplicates; pass ``True``/``False`` to skip the probe
+    (an eager shuffle at plan-build time) when the corpus is known —
+    the lazy-builder opt-out, mirroring ``n_rows`` for the count job.
     """
     import numpy as np
 
@@ -514,22 +520,31 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
     # family risk the minhash path accepts) are filtered by the exact
     # cosine verify below
     grp_keys = ["grp"] if has_grp else []
-    rep_w = W.partitionBy(*grp_keys, "__h__")
-    # cached: (id, rep) is ids-only but feeds THREE plan branches
-    # (bucket members, both expansion sides) — without it each branch
-    # would re-scan the full vector column just to re-hash it
-    rep_map = (src.select("id", *grp_keys,
-                          F.xxhash64("__v__").alias("__h__"))
-               .withColumn("rep", F.min("id").over(rep_w))
-               .select("id", *grp_keys, "rep")
-               .cache())
+    rep_map = None
+    if has_dups is not False:
+        rep_w = W.partitionBy(*grp_keys, "__h__")
+        # cached: (id, rep) is ids-only but feeds THREE plan branches
+        # (bucket members, both expansion sides) — without it each
+        # branch would re-scan the full vector column just to re-hash
+        rep_map = (src.select("id", *grp_keys,
+                              F.xxhash64("__v__").alias("__h__"))
+                   .withColumn("rep", F.min("id").over(rep_w))
+                   .select("id", *grp_keys, "rep")
+                   .cache())
 
     # cheap driver probe (bounded-scalar precedent: ivf max_cell
     # factors, kmeans centroids): a dup-free corpus — the common case
     # outside boilerplate-heavy crawls — skips the group-expansion
     # joins entirely, keeping the pre-collapse plan shape + one window;
-    # results are identical either way (rep_map is the identity there)
-    has_dups = bool(rep_map.filter(F.col("id") != F.col("rep")).take(1))
+    # results are identical either way (rep_map is the identity there).
+    # Callers who know their corpus (dup-free OR dup-heavy) pass
+    # ``has_dups`` to keep the builder fully lazy — the probe is an
+    # eager (id, hash) shuffle + window at plan-BUILD time, the same
+    # opt-out contract as ``n_rows`` for the count job (ADVICE r4).
+    if has_dups is None:
+        has_dups = bool(rep_map.filter(F.col("id") != F.col("rep")).take(1))
+        if not has_dups:
+            rep_map.unpersist()
     bucket_keys = grp_keys + ["band", "bh"]
     if not has_dups:
         pairs = bucket_pairs(sigs.select(*grp_keys, "band", "bh", "id"),

@@ -135,14 +135,16 @@ def extract_timestamp_col(timestamp_attribute: Optional[str] = None,
         return F.col(publish_ts_col).alias("event_ts")
     v = F.col(attributes_col).getItem(timestamp_attribute)
     # RFC-3339 parity with Instant.parse: ANY number of fractional
-    # digits (0-9) must parse, not just exactly 3.  Gate on an RFC-3339
-    # shape (date'T'time, zone REQUIRED), normalize the fraction to
-    # Spark's microsecond precision, then cast — the cast itself
-    # accepts Z and ±hh:mm offsets.
+    # digits (0-9) must parse, not just exactly 3, and the 'T'/'Z'
+    # designators are CASE-INSENSITIVE (ISO_INSTANT parses either
+    # case).  Gate on an RFC-3339 shape (date'T'time, zone REQUIRED),
+    # upper-case the designators, normalize the fraction to Spark's
+    # microsecond precision, then cast — the cast itself accepts Z and
+    # ±hh:mm offsets.
     is_rfc3339 = v.rlike(
-        r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d{1,9})?"
-        r"(Z|[+-]\d{2}:\d{2})$")
-    frac_norm = F.regexp_replace(v, r"(\.\d{1,6})\d*", r"$1")
+        r"^\d{4}-\d{2}-\d{2}[Tt]\d{2}:\d{2}:\d{2}(\.\d{1,9})?"
+        r"([Zz]|[+-]\d{2}:\d{2})$")
+    frac_norm = F.regexp_replace(F.upper(v), r"(\.\d{1,6})\d*", r"$1")
     parsed = F.coalesce(
         F.timestamp_millis(v.try_cast("long")),
         F.when(is_rfc3339, frac_norm.try_cast("timestamp")),

@@ -138,16 +138,24 @@ def upsert_snapshot_sink(sdf: DataFrame, path: str, checkpoint: str,
         ``_old_<id>`` still exists.  Restore the newest staged if
         present (the replayed batch re-folds into it idempotently —
         latest-wins on the same changes is a fixpoint), else the old
-        base.  A partial staged write is impossible here: ``current``
-        only goes missing after the staged write has succeeded."""
+        base.  A staged dir is only trusted if it carries Spark's
+        ``_SUCCESS`` job-commit marker: a crash DURING the very first
+        batch's staged write (no ``current`` exists yet) leaves a
+        partial ``_staged_<id>`` with no marker — promoting it would
+        wedge every replay on corrupt parquet, so it is deleted and
+        the merge rebuilds from the empty base instead."""
         if os.path.exists(cur) or not os.path.isdir(path):
             return
         for prefix in ("_staged_", "_old_"):
             cands = [d for d in os.listdir(path) if d.startswith(prefix)
                      and d[len(prefix):].isdigit()]
-            if cands:
-                newest = max(cands, key=lambda d: int(d[len(prefix):]))
-                os.rename(os.path.join(path, newest), cur)
+            for name in sorted(cands, key=lambda d: -int(d[len(prefix):])):
+                full = os.path.join(path, name)
+                if prefix == "_staged_" and not os.path.exists(
+                        os.path.join(full, "_SUCCESS")):
+                    shutil.rmtree(full, ignore_errors=True)
+                    continue
+                os.rename(full, cur)
                 return
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:

@@ -110,7 +110,8 @@ def test_pubsub_rfc3339_any_fraction_and_offset(spark, tmp_path):
             _msg("m1", ets="2024-01-02T03:04:05.6Z"),              # 1 digit
             _msg("m6", ets="2024-01-02T03:04:05.678901Z"),         # 6 digits
             _msg("m9", ets="2024-01-02T03:04:05.678901234Z"),      # 9 digits
-            _msg("moff", ets="2024-01-02T03:04:05.5+05:30")]       # offset
+            _msg("moff", ets="2024-01-02T03:04:05.5+05:30"),       # offset
+            _msg("mlc", ets="2024-01-02t03:04:05.6z")]     # lowercase t/z
     df = spark.read.schema(message_schema()).json(
         _spool_messages(tmp_path, rows))
     out = {r["message_id"]: r["event_ts"]
@@ -122,6 +123,8 @@ def test_pubsub_rfc3339_any_fraction_and_offset(spark, tmp_path):
     assert abs(out["m9"].timestamp() - (base + 0.678901)) < 1e-6
     # +05:30 means 05:30 earlier than the same wall-clock at Z
     assert abs(out["moff"].timestamp() - (base + 0.5 - 5.5 * 3600)) < 1e-6
+    # ISO_INSTANT parses the T/Z designators case-insensitively
+    assert abs(out["mlc"].timestamp() - (base + 0.6)) < 1e-6
     for bad in ["2024-01-02T03:04:05.678", "not-a-time"]:  # no zone / junk
         dfb = spark.read.schema(message_schema()).json(
             _spool_messages(tmp_path / ("b" + bad[:4]), [_msg("x", ets=bad)]))

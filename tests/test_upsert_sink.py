@@ -132,6 +132,55 @@ def test_upsert_sink_recovers_from_mid_swap_crash(spark, tmp_path):
     assert got == {1: "a1", 2: "b1", 3: "c1", 4: "d1"}
 
 
+def test_upsert_sink_first_batch_partial_staged_not_promoted(spark, tmp_path):
+    """A crash DURING the very first batch's staged write leaves a
+    partial ``_staged_<id>`` (no ``_SUCCESS`` marker) and no
+    ``current`` at all.  recover() must NOT promote the partial dir —
+    that would wedge every replay on corrupt parquet — but delete it
+    and let the replayed batch rebuild from the empty base
+    (ADVICE r4: the pre-fix code renamed the partial dir blindly)."""
+    spool = str(tmp_path / "changes4")
+    ts = TestStream(spool)
+    ts.add_elements([
+        {"id": 1, "seq": 10, "payload": "a1", "op": "U"},
+        {"id": 2, "seq": 10, "payload": "b1", "op": "U"}])
+
+    from apache_beam_spark.streaming.sinks import upsert_snapshot_sink
+
+    out, ckpt = str(tmp_path / "snap4"), str(tmp_path / "ckpt4")
+    # simulate the half-written staged dir Spark leaves mid-job: a
+    # _temporary scratch subdir, no _SUCCESS, no committed part files
+    partial = os.path.join(out, "_staged_0")
+    os.makedirs(os.path.join(partial, "_temporary", "0"))
+
+    q = upsert_snapshot_sink(ts.stream(spark, SCHEMA), out, ckpt,
+                             keys=["id"], seq_col="seq")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    cur = os.path.join(out, "current")
+    got = {r["id"]: r["payload"] for r in spark.read.parquet(cur).collect()}
+    assert got == {1: "a1", 2: "b1"}
+    assert [d for d in os.listdir(out) if d != "current"] == []
+
+    # a fully-committed staged dir (has _SUCCESS) IS still promoted
+    # even when no current exists (the crash-between-renames case)
+    import shutil
+    os.rename(cur, os.path.join(out, "_staged_9"))
+    shutil.rmtree(ckpt)
+    ts.add_elements([{"id": 3, "seq": 20, "payload": "c1", "op": "U"}])
+    q2 = upsert_snapshot_sink(ts.stream(spark, SCHEMA), out, ckpt,
+                              keys=["id"], seq_col="seq")
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    got = {r["id"]: r["payload"] for r in spark.read.parquet(cur).collect()}
+    assert got == {1: "a1", 2: "b1", 3: "c1"}
+
+
 def test_streaming_pipeline_rate_limit_into_upsert(spark, tmp_path):
     """Composability of the streaming stack: events are throttled by
     the stateful rate limiter, and the admitted stream feeds the
