@@ -40,6 +40,24 @@ from apache_beam_spark.similarity.knn import lsh_topk
 
 SF0001 = "/root/testdata/sf0.001"
 
+#: per-query LSH bucket telemetry (VERDICT r4 item 4): banded miners
+#: attach a fresh ``Observation`` each run; after the consuming action
+#: finishes, ``LAST_OBSERVATIONS[name].get`` returns ``n_buckets`` /
+#: ``overcap_buckets`` / ``overcap_candidates`` / ``max_bucket_width``
+#: — the split-instead-of-drop counters a 100 TB operator watches
+#: (docs/RUNBOOK.md "Reading the LSH bucket telemetry").
+LAST_OBSERVATIONS: dict = {}
+
+
+def _bucket_observation(name: str):
+    """Fresh per-run Observation (an instance attaches exactly once),
+    registered under the query name for post-action readout."""
+    from pyspark.sql import Observation
+
+    obs = Observation(f"{name}_buckets")
+    LAST_OBSERVATIONS[name] = obs
+    return obs
+
 
 def _dsum(col, alias: str, scale: int = 2) -> Column:
     """Exact order-independent double sum via decimal."""
@@ -652,7 +670,7 @@ def _ngram_jaccard(spark, sf_dir):
     """Exact 3-gram Jaccard pairs >= 0.5 via inverted index."""
     return ngram_jaccard_pairs(
         load_table(spark, "documents", sf_dir), shingle_k=3, threshold=0.5,
-        max_df=100,
+        max_df=100, observation=_bucket_observation("ngram_jaccard"),
     )
 
 
@@ -713,8 +731,12 @@ def _corpus_prep_stages(spark, sf_dir):
     # and the CC loop runs actions during construction — materialize
     # the quality+dedup subtree exactly once
     uniq = exact_dedup(kept).cache()
+    # expand="star": the CC consumer needs connectivity, not the full
+    # pair list — clone groups emit linear spanning edges, identical
+    # components (dedup/ngram.py module docstring)
     pairs = ngram_jaccard_pairs(uniq, shingle_k=3, threshold=0.5,
-                                max_df=100).select("id_a", "id_b")
+                                max_df=100,
+                                expand="star").select("id_a", "id_b")
     comp = dup_clusters(pairs, uniq.select("doc_id"))
     reps = comp.filter(F.col("doc_id") == F.col("component")).select("doc_id")
     final = uniq.join(reps, on="doc_id", how="left_semi")
@@ -767,12 +789,17 @@ def _dup_clusters(spark, sf_dir):
     edge set, distributed hash-min connected components (one shuffle
     join + one shuffle agg per round, O(diameter) rounds) to label
     every document with its cluster's min doc_id.  Singletons keep
-    their own id.  Oracle: transitive closure via recursive CTE."""
+    their own id.  Edge mining runs ``expand="star"`` — clone groups
+    contribute linear spanning edges with identical components (the
+    r4-verdict superlinear fix).  Oracle: transitive closure via
+    recursive CTE over the full pair list — same components either
+    way, so the labels still value-match."""
     from apache_beam_spark.dedup.components import dup_clusters
 
     docs = load_table(spark, "documents", sf_dir)
     pairs = ngram_jaccard_pairs(docs, shingle_k=3, threshold=0.5,
-                                max_df=100).select("id_a", "id_b")
+                                max_df=100,
+                                expand="star").select("id_a", "id_b")
     return dup_clusters(pairs, docs.select("doc_id"))
 
 
@@ -904,7 +931,9 @@ def _embed_near_dup(spark, sf_dir):
     from apache_beam_spark.similarity.knn import embedding_near_dup_pairs
 
     return embedding_near_dup_pairs(_planted_embeddings(spark, sf_dir),
-                                    threshold=0.95, dim=64)
+                                    threshold=0.95, dim=64,
+                                    observation=_bucket_observation(
+                                        "embed_near_dup"))
 
 
 def _semantic_dedup(spark, sf_dir):
@@ -938,7 +967,9 @@ def _semantic_dedup(spark, sf_dir):
         v, id_col="vec_id", vec_col="embedding", threshold=0.95,
         n_bands=24, band_bits=8, max_bucket=10000, dim=64,
         group_col="cluster", vectors_df=corpus,
-        expand="star").select("id_a", "id_b")
+        expand="star",
+        observation=_bucket_observation("semantic_dedup")).select(
+        "id_a", "id_b")
     comp = dup_clusters(pairs, corpus.select("vec_id"))
     return comp.withColumn("is_representative",
                            F.col("vec_id") == F.col("component"))
@@ -2786,6 +2817,49 @@ def _png_roundtrip(spark, sf_dir):
                       pixel_sum.alias("pixel_sum"))
 
 
+def _jpeg_roundtrip(spark, sf_dir):
+    """REAL baseline-JPEG codec round trip (multimodal/codecs.py
+    encode_jpeg/decode_jpeg — Annex K huffman, batched numpy DCT/IDCT,
+    no media libs): per doc, a constant-gray tile of doc-dependent
+    odd dimensions (exercising edge-replication padding) is encoded,
+    decoded back by the distributed decode_image stage, and checked
+    end-to-end.  JPEG is LOSSY, but a constant tile's decode has the
+    exact closed form ``clip(2*floor((v-128)/2 + .5) + 128)`` (only
+    the DC coefficient survives; the encoder quantizes with
+    deterministic round-half-up), so width/height/channels AND the
+    pixel sum are value-oracled — the richer AC/chroma paths are
+    covered by tests/test_codecs.py round trips, which a SQL oracle
+    cannot express for lossy content."""
+    from apache_beam_spark.multimodal.columns import decode_image
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from apache_beam_spark.multimodal.codecs import encode_jpeg
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h, v = 4 + d % 5, 3 + d % 4, (d * 7) % 256
+                rows.append({"doc_id": d,
+                             "payload": encode_jpeg(
+                                 np.full((h, w), v, np.uint8))})
+            yield pd.DataFrame(rows)
+
+    enc = docs.mapInPandas(gen, "doc_id bigint, payload binary")
+    dec = decode_image(enc).withColumn("hx", F.hex("pixels"))
+    pixel_sum = F.expr(
+        "aggregate(sequence(0, length(hx) div 2 - 1), 0L,"
+        " (acc, i) -> acc + CAST(conv(substring(hx, 2*i + 1, 2), 16, 10)"
+        " AS BIGINT))")
+    return dec.select("doc_id", "width", "height", "channels",
+                      pixel_sum.alias("pixel_sum"))
+
+
 def _rag_chunks(spark, sf_dir):
     """Overlapping retrieval chunks (dedup/chunks.py sliding_chunks):
     30-word windows advancing by 20 (10 words shared context) — the
@@ -3085,6 +3159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_report": _dq_report,
         "wav_roundtrip": _wav_roundtrip,
         "png_roundtrip": _png_roundtrip,
+        "jpeg_roundtrip": _jpeg_roundtrip,
         "rag_chunks": _rag_chunks,
         "dau_mau_stickiness": _dau_mau_stickiness,
         "zorder_curve": _zorder_curve,
@@ -4675,6 +4750,17 @@ def oracle_sql() -> dict[str, str]:
                        range(0, (4 + doc_id % 5) * (3 + doc_id % 4) * 3),
                        k -> (doc_id * 7 + k * 13) % 256)) AS BIGINT)
                        AS pixel_sum
+            FROM documents""",
+        "jpeg_roundtrip": """
+            SELECT doc_id,
+                   CAST(4 + doc_id % 5 AS INT) AS width,
+                   CAST(3 + doc_id % 4 AS INT) AS height,
+                   1 AS channels,
+                   CAST((4 + doc_id % 5) * (3 + doc_id % 4) *
+                        LEAST(GREATEST(
+                            2 * FLOOR(((doc_id * 7) % 256 - 128) / 2.0
+                                      + 0.5) + 128,
+                            0), 255) AS BIGINT) AS pixel_sum
             FROM documents""",
         "rag_chunks": f"""
             WITH t AS (SELECT doc_id, {toks} AS tk FROM documents),

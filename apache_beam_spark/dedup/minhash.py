@@ -117,7 +117,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
                       num_hashes: int = 64, num_bands: int = 16, shingle_k: int = 3,
                       threshold: float = 0.5, seed: int = 42,
                       max_bucket: int = 1000,
-                      observation=None) -> DataFrame:
+                      observation=None, has_dups=None) -> DataFrame:
     """Candidate near-dup pairs with estimated jaccard (signature
     agreement rate), verified against ``threshold``.
 
@@ -129,36 +129,52 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     1.0, the exact pairs dedup exists for) always surfaces.  Pass an
     ``Observation`` for overcap counters.
 
+    ``has_dups``: ``None`` probes the cached signatures for identical
+    pairs (one cheap job — the signatures are needed anyway); a
+    dup-free corpus then skips the rep-expansion joins entirely,
+    keeping the pre-collapse plan shape (the ``knn.py`` discipline).
+    Pass ``True``/``False`` to skip the probe and pin the plan.
+
     Returns (id_a, id_b, est_jaccard) with id_a < id_b.
     """
     from apache_beam_spark.dedup.buckets import bucket_pairs
+    from apache_beam_spark.plans.caching import cache_scoped
 
     r = num_hashes // num_bands
-    sigs = _parallelize_narrow(df.select(F.col(id_col), F.col(text_col))).select(
+    sigs = cache_scoped(_parallelize_narrow(
+        df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("id"),
         minhash_signature(F.col(text_col), num_hashes, shingle_k, seed).alias("sig"),
-    ).cache()
+    ))
     # identical-signature collapse: ids-only shuffle off the cached sigs
     from pyspark.sql.window import Window as W
 
     rep_map = (sigs.select("id", F.xxhash64("sig").alias("__h__"))
                .withColumn("rep", F.min("id").over(W.partitionBy("__h__")))
                .select("id", "rep"))
+    if has_dups is None:
+        has_dups = bool(rep_map.filter(F.col("id") != F.col("rep")).take(1))
     bands = sigs.select(
         "id", F.explode(_band_rows("sig", num_bands, r)).alias("b")
     ).select("id", "b.band", "b.bh")
-    members = (bands.join(rep_map, on="id")
-               .select("band", "bh", F.col("rep").alias("id")))
-    rep_pairs = bucket_pairs(members, ["band", "bh"], id_col="id",
+    if not has_dups:
+        # dup-free fast path: rep_map is the identity — mine at id
+        # granularity, no expansion joins
+        pairs = bucket_pairs(bands, ["band", "bh"], id_col="id",
                              max_bucket=max_bucket, observation=observation)
-    ga = rep_map.select(F.col("rep").alias("id_a"), F.col("id").alias("__ma__"))
-    gb = rep_map.select(F.col("rep").alias("id_b"), F.col("id").alias("__mb__"))
-    cross = (rep_pairs.join(ga, on="id_a").join(gb, on="id_b")
-             .select(F.least("__ma__", "__mb__").alias("id_a"),
-                     F.greatest("__ma__", "__mb__").alias("id_b")))
-    within = bucket_pairs(rep_map.select(F.col("rep").alias("bk"), "id"),
-                          ["bk"], id_col="id", max_bucket=max_bucket)
-    pairs = cross.unionByName(within).distinct()
+    else:
+        members = (bands.join(rep_map, on="id")
+                   .select("band", "bh", F.col("rep").alias("id")))
+        rep_pairs = bucket_pairs(members, ["band", "bh"], id_col="id",
+                                 max_bucket=max_bucket, observation=observation)
+        ga = rep_map.select(F.col("rep").alias("id_a"), F.col("id").alias("__ma__"))
+        gb = rep_map.select(F.col("rep").alias("id_b"), F.col("id").alias("__mb__"))
+        cross = (rep_pairs.join(ga, on="id_a").join(gb, on="id_b")
+                 .select(F.least("__ma__", "__mb__").alias("id_a"),
+                         F.greatest("__ma__", "__mb__").alias("id_b")))
+        within = bucket_pairs(rep_map.select(F.col("rep").alias("bk"), "id"),
+                              ["bk"], id_col="id", max_bucket=max_bucket)
+        pairs = cross.unionByName(within).distinct()
     est = F.aggregate(
         F.zip_with("__sa__", "__sb__", lambda x, y: (x == y).cast("int")),
         F.lit(0), lambda acc, v: acc + v,

@@ -14,26 +14,45 @@ ordering makes those postings the shortest ones.  At 100 TB the
 shuffles carry (shingle, id) prefix pairs and the verify joins full
 shingle arrays only for candidate pairs.
 
+Clone-group discipline (VERDICT r4 item 1, the ``minhash.py``/
+``knn.py`` rep-collapse pattern): documents with IDENTICAL
+(max_df-pruned) shingle sets collapse to their min-id representative
+BEFORE candidate generation, so a w-wide group of boilerplate clones
+contributes ONE posting per prefix shingle instead of w — the prefix
+self-join and the verify both run at representative granularity.
+Grouping is by the actual sorted shingle array (not a hash), so the
+collapse is exact: members share every Jaccard value their rep has,
+and within-group pairs are exactly 1.0.  ``expand="full"`` (the pair
+CONTRACT) re-expands groups into every member pair — inherently
+quadratic because the true answer is; ``expand="star"`` emits one
+spanning (rep, member) edge per clone instead — linear output with
+identical connected components, the right mode when the consumer is
+cluster resolution (``dup_clusters``), not the pair list itself.
+
 Scale controls: ``max_df`` removes ultra-frequent boilerplate shingles
 from the universe entirely (consistently — they count in neither the
-intersection nor the union).
+intersection nor the union); ``max_bucket`` bounds per-task width when
+a clone group is re-expanded (``dedup/buckets.bucket_pairs`` — split,
+never dropped).
 """
 
 from __future__ import annotations
-
-import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from apache_beam_spark.functions.text import shingles
+from apache_beam_spark.plans.caching import cache_scoped
 
 
-def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                        shingle_k: int = 3, threshold: float = 0.3,
-                        max_df: int = 10000) -> DataFrame:
-    """Exact n-gram Jaccard >= threshold pairs: (id_a, id_b, jaccard)."""
+def _pruned_shingle_sets(df: DataFrame, text_col: str, id_col: str,
+                         shingle_k: int, max_df: int):
+    """Shared front half of both miners: (ranked postings, per-doc
+    sorted pruned shingle sets).  ``ranked`` carries one row per
+    (doc, surviving shingle) with the doc-local rarest-first rank
+    ``rn`` and the doc's pruned set size ``n``; both frames are
+    ``cache_scoped`` — they feed candidate generation AND verify."""
     from apache_beam_spark.dedup.minhash import _parallelize_narrow
 
     toks = _parallelize_narrow(df.select(F.col(id_col), F.col(text_col))).select(
@@ -46,17 +65,55 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
 
     # rarest-first canonical order within each doc; prefix length
     # n - ceil(t*n) + 1 guarantees no J>=t pair is missed
-    ranked = (
+    ranked = cache_scoped(
         inv.join(gdf, on="g")  # also drops max_df-pruned shingles
         .withColumn("rn", F.row_number().over(
             W.partitionBy("id").orderBy(F.col("df"), F.col("g"))))
         .withColumn("n", F.max("rn").over(W.partitionBy("id")))
-        .cache()  # consumed by both candidate generation and verify
     )
-    prefix = ranked.filter(
-        F.col("rn") <= F.col("n") - F.ceil(F.col("n") * F.lit(threshold)) + 1
-    ).select("id", "g")
+    pruned = cache_scoped(
+        ranked.groupBy("id").agg(
+            F.sort_array(F.collect_list("g")).alias("sh"),
+            F.first("n").alias("n"))
+    )
+    return ranked, pruned
 
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                        shingle_k: int = 3, threshold: float = 0.3,
+                        max_df: int = 10000, expand: str = "full",
+                        max_bucket: int = 10000,
+                        observation=None) -> DataFrame:
+    """Exact n-gram Jaccard >= threshold pairs: (id_a, id_b, jaccard).
+
+    ``expand``: ``"full"`` (default) emits every member pair of every
+    clone group; ``"star"`` emits one (rep, member, 1.0) spanning edge
+    per clone — linear output, identical connected components (see
+    module docstring).  Pass an ``Observation`` for the clone-group
+    re-expansion's overcap counters (full mode only).
+    """
+    from apache_beam_spark.dedup.buckets import bucket_pairs
+
+    if expand not in ("full", "star"):
+        raise ValueError(f"expand must be 'full' or 'star', got {expand!r}")
+
+    ranked, pruned = _pruned_shingle_sets(df, text_col, id_col,
+                                          shingle_k, max_df)
+
+    # exact clone collapse: rep = min id per identical sorted pruned
+    # set (the array itself, not a hash — no collision risk, and the
+    # arrays already shuffle for the verify joins below)
+    rep_map = pruned.select(
+        "id", F.min("id").over(W.partitionBy("sh")).alias("rep"))
+    reps = rep_map.filter(F.col("id") == F.col("rep")).select("id")
+
+    prefix = (
+        ranked.filter(
+            F.col("rn") <= F.col("n") - F.ceil(F.col("n") * F.lit(threshold)) + 1)
+        .select("id", "g")
+        # rep granularity: one posting per clone group, not w
+        .join(reps, on="id", how="left_semi")
+    )
     cand = (
         prefix.alias("x").join(prefix.alias("y"), on="g")
         .filter(F.col("x.id") < F.col("y.id"))
@@ -64,10 +121,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
         .distinct()
     )
 
-    # exact verify on the (max_df-pruned) shingle sets of candidates only
-    pruned = ranked.groupBy("id").agg(F.collect_list("g").alias("sh"),
-                                      F.first("n").alias("n"))
-    out = (
+    # exact verify on the (max_df-pruned) shingle sets — REP pairs only
+    rep_out = (
         cand
         .join(pruned.select(F.col("id").alias("id_a"), F.col("sh").alias("sha"),
                             F.col("n").alias("na")), on="id_a")
@@ -76,9 +131,34 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
         .withColumn("inter", F.size(F.array_intersect("sha", "shb")))
         .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .select("id_a", "id_b", "jaccard")
     )
-    return out
+
+    if expand == "star":
+        # spanning edges only: identical sets -> J = exactly 1.0, no
+        # verify needed; linear output, same components as full
+        star = (rep_map.filter(F.col("id") != F.col("rep"))
+                .select(F.col("rep").alias("id_a"), F.col("id").alias("id_b"),
+                        F.lit(1.0).alias("jaccard")))
+        out = rep_out.unionByName(star)
+    else:
+        # re-expand rep pairs through their clone groups (disjoint
+        # groups -> no duplicates, members inherit the rep's exact
+        # jaccard), plus every within-group pair at J = 1.0 (identical
+        # sets) via the no-drop chunked discipline
+        ga = rep_map.select(F.col("rep").alias("id_a"), F.col("id").alias("__ma__"))
+        gb = rep_map.select(F.col("rep").alias("id_b"), F.col("id").alias("__mb__"))
+        cross = (rep_out.join(ga, on="id_a").join(gb, on="id_b")
+                 .select(F.least("__ma__", "__mb__").alias("id_a"),
+                         F.greatest("__ma__", "__mb__").alias("id_b"),
+                         "jaccard"))
+        within = bucket_pairs(
+            rep_map.select(F.col("rep").alias("bk"), "id"),
+            ["bk"], id_col="id", max_bucket=max_bucket,
+            observation=observation,
+        ).withColumn("jaccard", F.lit(1.0))
+        out = cross.unionByName(within)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 def ngram_containment_pairs(df: DataFrame, text_col: str = "text",
@@ -94,39 +174,31 @@ def ngram_containment_pairs(df: DataFrame, text_col: str = "text",
     |a∩b| >= t|a|, one of a's first ``|a| - ceil(t|a|) + 1`` canonical
     shingles is in b), so candidates join a's prefix postings against
     b's full postings — ``max_df`` caps the hot-posting blowup the
-    full side would otherwise drive.  Output: (id_a, id_b,
+    full side would otherwise drive.  Both sides run at clone-group
+    representative granularity (identical pruned sets share every
+    containment value), then re-expand: a w-wide clone group costs one
+    posting per shingle instead of w.  Output: (id_a, id_b,
     containment) with a contained in b; both directions emitted when
-    both hold.
+    both hold (within a clone group, both always hold at 1.0).
     """
-    from apache_beam_spark.dedup.minhash import _parallelize_narrow
+    ranked, pruned = _pruned_shingle_sets(df, text_col, id_col,
+                                          shingle_k, max_df)
+    rep_map = pruned.select(
+        "id", F.min("id").over(W.partitionBy("sh")).alias("rep"))
+    reps = rep_map.filter(F.col("id") == F.col("rep")).select("id")
 
-    toks = _parallelize_narrow(df.select(F.col(id_col), F.col(text_col))).select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(shingles(F.col(text_col), shingle_k)).alias("sh"),
-    )
-    inv = toks.select("id", F.explode("sh").alias("g"))
-    gdf = inv.groupBy("g").agg(F.count(F.lit(1)).alias("df")) \
-        .filter(F.col("df") <= F.lit(max_df))
-    ranked = (
-        inv.join(gdf, on="g")
-        .withColumn("rn", F.row_number().over(
-            W.partitionBy("id").orderBy(F.col("df"), F.col("g"))))
-        .withColumn("n", F.max("rn").over(W.partitionBy("id")))
-        .cache()
-    )
-    prefix_a = ranked.filter(
+    rep_postings = ranked.join(reps, on="id", how="left_semi")
+    prefix_a = rep_postings.filter(
         F.col("rn") <= F.col("n") - F.ceil(F.col("n") * F.lit(threshold)) + 1
     ).select("id", "g")
 
     cand = (
-        prefix_a.alias("x").join(ranked.select("id", "g").alias("y"), on="g")
+        prefix_a.alias("x").join(rep_postings.select("id", "g").alias("y"), on="g")
         .filter(F.col("x.id") != F.col("y.id"))
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
     )
-    pruned = ranked.groupBy("id").agg(F.collect_list("g").alias("sh"),
-                                      F.first("n").alias("n"))
-    return (
+    rep_out = (
         cand
         .join(pruned.select(F.col("id").alias("id_a"), F.col("sh").alias("sha"),
                             F.col("n").alias("na")), on="id_a")
@@ -135,5 +207,22 @@ def ngram_containment_pairs(df: DataFrame, text_col: str = "text",
         .withColumn("inter", F.size(F.array_intersect("sha", "shb")))
         .withColumn("containment", F.col("inter") / F.col("na"))
         .filter(F.col("containment") >= threshold)
-        .select("id_a", "id_b", F.round("containment", 6).alias("containment"))
+        .select("id_a", "id_b", "containment")
     )
+    # re-expand (directed, so no least/greatest): members inherit the
+    # rep pair's containment; within a clone group every ORDERED pair
+    # holds at exactly 1.0
+    ga = rep_map.select(F.col("rep").alias("id_a"), F.col("id").alias("__ma__"))
+    gb = rep_map.select(F.col("rep").alias("id_b"), F.col("id").alias("__mb__"))
+    cross = (rep_out.join(ga, on="id_a").join(gb, on="id_b")
+             .select(F.col("__ma__").alias("id_a"),
+                     F.col("__mb__").alias("id_b"), "containment"))
+    from apache_beam_spark.dedup.buckets import bucket_pairs
+
+    half = bucket_pairs(rep_map.select(F.col("rep").alias("bk"), "id"),
+                        ["bk"], id_col="id")
+    within = (half.unionByName(half.select(F.col("id_b").alias("id_a"),
+                                           F.col("id_a").alias("id_b")))
+              .withColumn("containment", F.lit(1.0)))
+    return (cross.unionByName(within)
+            .select("id_a", "id_b", F.round("containment", 6).alias("containment")))

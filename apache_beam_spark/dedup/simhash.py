@@ -90,7 +90,7 @@ def simhash_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 
 def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                  max_hamming: int = 3) -> DataFrame:
+                  max_hamming: int = 3, has_dups=None) -> DataFrame:
     """Drop docs whose simhash is within ``max_hamming`` of a smaller-id
     doc (bucket-min over (d+1) chunk buckets + exact hamming verify).
 
@@ -101,15 +101,30 @@ def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     the equivalence is exact: a non-rep member is hamming-0 from its
     smaller rep (always dropped), and a rep needs dropping iff some
     SMALLER rep is within range (any smaller member's group rep is
-    smaller still, with the same hash)."""
+    smaller still, with the same hash).
+
+    ``has_dups``: ``None`` probes the cached hash table for identical
+    hashes (one cheap job); a collision-free corpus then skips the
+    collapse window and non-rep branch (the ``knn.py`` discipline).
+    Pass ``True``/``False`` to pin the plan."""
+    from apache_beam_spark.plans.caching import cache_scoped
+
     n_chunks = max_hamming + 1
     # cache: (id, 64-bit hash) is ~16B/doc; reps + members read it twice
-    sh = simhash_table(df, text_col, id_col).cache()
-    rep_w = W.partitionBy("sh")
-    m = sh.withColumn("rep", F.min("id").over(rep_w))
-    non_rep = m.filter(F.col("id") != F.col("rep")) \
-        .select(F.col("id").alias(id_col))
-    reps = m.filter(F.col("id") == F.col("rep")).select("id", "sh")
+    sh = cache_scoped(simhash_table(df, text_col, id_col))
+    if has_dups is None:
+        has_dups = bool(
+            sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__c__"))
+            .filter(F.col("__c__") > 1).take(1))
+    if not has_dups:
+        non_rep = None
+        reps = sh
+    else:
+        rep_w = W.partitionBy("sh")
+        m = sh.withColumn("rep", F.min("id").over(rep_w))
+        non_rep = m.filter(F.col("id") != F.col("rep")) \
+            .select(F.col("id").alias(id_col))
+        reps = m.filter(F.col("id") == F.col("rep")).select("id", "sh")
     chunk_cols = _chunks(F.col("sh"), n_chunks)
     tagged = reps.select(
         "id", "sh",
@@ -125,8 +140,9 @@ def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         .filter((F.col("id_b") > F.col("id_a")) & (hamming64(F.col("sh_a"), F.col("sh_b")) <= max_hamming))
         .select(F.col("id_b").alias(id_col)).distinct()
     )
-    return df.join(dup_reps.unionByName(non_rep).distinct(),
-                   on=id_col, how="left_anti")
+    drops = dup_reps if non_rep is None else \
+        dup_reps.unionByName(non_rep).distinct()
+    return df.join(drops, on=id_col, how="left_anti")
 
 
 def simhash_dedup_md5(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",

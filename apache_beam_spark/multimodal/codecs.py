@@ -1,15 +1,21 @@
 """REAL codecs for common media containers — pure Python/stdlib-zlib/
 numpy, no external media libraries.
 
-The entropy-coded formats (JPEG/MP3/H.264) stay gated behind
-``NotImplementedError`` (no codec libs in this container), but PNG —
-whose compression is exactly stdlib ``zlib`` plus five per-scanline
-filters — and the uncompressed containers are fully decodable:
+MP3/H.264 stay gated behind ``NotImplementedError`` (real audio/video
+entropy codecs are out of scope), but the two dominant image formats
+of a web crawl — PNG and baseline JPEG — plus the uncompressed
+containers are fully decodable:
 
 * **PNG** (RFC 2083): chunk walk with CRC verification, zlib inflate,
   None/Sub/Up/Average/Paeth unfiltering; baseline 8-bit gray/RGB/
   palette/alpha, non-interlaced (Adam7 and 16-bit raise with the gap
   named).
+* **JPEG** (ITU-T T.81 baseline sequential): marker walk, Annex K /
+  arbitrary DQT+DHT tables, huffman entropy decode with restart
+  intervals, dequantize + batched numpy IDCT, 1-2x chroma sampling
+  with replication upsample, YCbCr->RGB.  Progressive (SOF2),
+  arithmetic and lossless frames raise NotImplementedError naming the
+  exact gap.
 
 * **WAV** (RIFF little-endian, PCM 8/16/32-bit): chunk walk honoring
   chunk sizes and padding; returns (sample_rate, channels, samples)
@@ -319,9 +325,9 @@ def sniff_format(payload: bytes) -> str:
 
 
 def decode_image_real(payload: bytes) -> np.ndarray:
-    """Decode BMP/PPM/PNG for real; JPEG stays gated with the library
-    needed (the gated-loader pattern — DCT entropy coding is out of
-    scope for a stdlib codec, unlike PNG's zlib+filters)."""
+    """Decode BMP/PPM/PNG/baseline-JPEG for real — no media libraries.
+    Progressive/arithmetic JPEG raises NotImplementedError from
+    ``decode_jpeg`` naming the gap."""
     fmt = sniff_format(payload)
     if fmt == "bmp":
         return decode_bmp(payload)
@@ -330,7 +336,494 @@ def decode_image_real(payload: bytes) -> np.ndarray:
     if fmt == "png":
         return decode_png(payload)
     if fmt == "jpeg":
-        raise NotImplementedError(
-            "jpeg decoding requires Pillow/opencv (not in this "
-            "container); PNG/BMP/PPM decode natively")
+        return decode_jpeg(payload)
     raise ValueError(f"unrecognized image container ({fmt})")
+
+
+# ----------------------------------------------------------------- JPEG
+#
+# Baseline sequential JFIF (ITU-T T.81 / ISO 10918-1, public spec):
+# huffman entropy coding with the Annex K tables, zigzag, dequantize,
+# batched numpy IDCT, chroma upsampling, YCbCr->RGB.  Same "real
+# codec" standard as the PNG path: the encoder exists so round trips
+# are testable in-sandbox (no JPEG files ship in the container);
+# progressive (SOF2), arithmetic (SOF9+), lossless and hierarchical
+# frames raise NotImplementedError naming the gap; malformed streams
+# raise ValueError (the dead-letter contract).
+
+_ZIGZAG = []
+for _s in range(15):
+    _rs = range(max(0, _s - 7), min(_s, 7) + 1)
+    for _r in (reversed(_rs) if _s % 2 == 0 else _rs):
+        _ZIGZAG.append((_r, _s - _r))
+_ZZ_ROW = np.array([r for r, c in _ZIGZAG])
+_ZZ_COL = np.array([c for r, c in _ZIGZAG])
+
+#: Annex K quantization tables (luminance, chrominance)
+_QT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99], dtype=np.int32).reshape(8, 8)
+_QT_CHROMA = np.array(
+    [17, 18, 24, 47, 99, 99, 99, 99,
+     18, 21, 26, 66, 99, 99, 99, 99,
+     24, 26, 56, 99, 99, 99, 99, 99,
+     47, 66, 99, 99, 99, 99, 99, 99] + [99] * 32,
+    dtype=np.int32).reshape(8, 8)
+
+#: Annex K huffman specs: (BITS[1..16], HUFFVAL)
+_HUFF_DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+                 list(range(12)))
+_HUFF_DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+                   list(range(12)))
+_HUFF_AC_LUMA = ([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D], [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+_HUFF_AC_CHROMA = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77], [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+
+
+def _dct_matrix() -> np.ndarray:
+    x = np.arange(8)
+    c = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2.0
+    c[0] /= np.sqrt(2.0)
+    return c
+
+
+_DCT_C = _dct_matrix()
+
+
+def _huff_canonical(bits, vals):
+    """(symbol -> (code, length)) canonical huffman assignment."""
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_decode_table(bits, vals):
+    """((length, code) -> symbol) for the decoder."""
+    enc = _huff_canonical(bits, vals)
+    return {(ln, code): sym for sym, (code, ln) in enc.items()}
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:           # byte stuffing
+                self.out.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        return bytes(self.out)
+
+
+def _encode_block(zz: np.ndarray, dc_pred: int, dc_tbl, ac_tbl,
+                  w: _BitWriter) -> int:
+    """Huffman-encode one zigzagged quantized block; returns new DC."""
+    diff = int(zz[0]) - dc_pred
+    size = int(diff).bit_length() if diff else 0
+    code, ln = dc_tbl[size]
+    w.write(code, ln)
+    if size:
+        w.write(diff if diff > 0 else diff + (1 << size) - 1, size)
+    run = 0
+    last = 63
+    while last > 0 and zz[last] == 0:
+        last -= 1
+    for k in range(1, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, ln = ac_tbl[0xF0]      # ZRL
+            w.write(code, ln)
+            run -= 16
+        size = abs(v).bit_length()
+        code, ln = ac_tbl[(run << 4) | size]
+        w.write(code, ln)
+        w.write(v if v > 0 else v + (1 << size) - 1, size)
+        run = 0
+    if last < 63:
+        code, ln = ac_tbl[0x00]          # EOB
+        w.write(code, ln)
+    return int(zz[0])
+
+
+def encode_jpeg(img: np.ndarray) -> bytes:
+    """Baseline JFIF writer: (h, w) gray or (h, w, 3) RGB uint8,
+    Annex K tables, 4:4:4 (no subsampling), quality fixed at the
+    spec's example tables.  Deterministic: quantization rounds
+    half-up (``floor(x + 0.5)``), so the decode of a CONSTANT gray
+    tile has the closed form ``clip(2*floor((v-128)/2 + .5) + 128)``
+    — the oracle hook for ``jpeg_roundtrip``."""
+    a = np.asarray(img, dtype=np.uint8)
+    gray = a.ndim == 2
+    if not gray and (a.ndim != 3 or a.shape[2] != 3):
+        raise ValueError(f"unsupported array shape {a.shape}")
+    h, w = a.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("zero-dimension image")
+
+    if gray:
+        planes = [a.astype(np.float64) - 128.0]
+        qts = [_QT_LUMA]
+        comp_q = [0]
+    else:
+        rgb = a.astype(np.float64)
+        y = (0.299 * rgb[..., 0] + 0.587 * rgb[..., 1]
+             + 0.114 * rgb[..., 2])
+        cb = 128.0 - 0.168735892 * rgb[..., 0] \
+            - 0.331264108 * rgb[..., 1] + 0.5 * rgb[..., 2]
+        cr = 128.0 + 0.5 * rgb[..., 0] - 0.418687589 * rgb[..., 1] \
+            - 0.081312411 * rgb[..., 2]
+        planes = [y - 128.0, cb - 128.0, cr - 128.0]
+        qts = [_QT_LUMA, _QT_CHROMA, _QT_CHROMA]
+        comp_q = [0, 1, 1]
+
+    bh, bw = (h + 7) // 8, (w + 7) // 8
+    dc_tbls = [_huff_canonical(*_HUFF_DC_LUMA),
+               _huff_canonical(*_HUFF_DC_CHROMA)]
+    ac_tbls = [_huff_canonical(*_HUFF_AC_LUMA),
+               _huff_canonical(*_HUFF_AC_CHROMA)]
+
+    # pad with edge replication, batch-DCT every 8x8 block per plane
+    zz_planes = []
+    for p, qt in zip(planes, qts):
+        pad = np.pad(p, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
+        blocks = pad.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+        coef = np.einsum("ux,nmxy,vy->nmuv", _DCT_C, blocks, _DCT_C)
+        # 6-dp pre-round: mathematically-integer coefficients (e.g. the
+        # DC of a constant block) must not fall on the wrong side of
+        # floor(x + .5) from float cosine error — keeps the constant-
+        # tile closed form exact for the oracle
+        q = np.floor(np.round(coef, 6) / qt + 0.5).astype(np.int32)
+        zz_planes.append(q[:, :, _ZZ_ROW, _ZZ_COL])   # (bh, bw, 64)
+
+    wtr = _BitWriter()
+    dc_pred = [0] * len(planes)
+    for by in range(bh):                 # 4:4:4 => MCU == one block/comp
+        for bx in range(bw):
+            for ci in range(len(planes)):
+                t = comp_q[ci] and 1
+                dc_pred[ci] = _encode_block(
+                    zz_planes[ci][by, bx], dc_pred[ci],
+                    dc_tbls[t], ac_tbls[t], wtr)
+    scan = wtr.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    def dht(cls: int, tid: int, spec) -> bytes:
+        bits, vals = spec
+        return bytes([cls << 4 | tid] + bits + vals)
+
+    ncomp = len(planes)
+    sof_comps = b"".join(
+        bytes([i + 1, 0x11, comp_q[i]]) for i in range(ncomp))
+    sos_comps = b"".join(
+        bytes([i + 1, (comp_q[i] and 1) * 0x11]) for i in range(ncomp))
+    out = (b"\xff\xd8"                                   # SOI
+           + seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+           + seg(0xFFDB, bytes([0]) + bytes(
+               _QT_LUMA[_ZZ_ROW, _ZZ_COL].astype(np.uint8))))
+    if ncomp == 3:
+        out += seg(0xFFDB, bytes([1]) + bytes(
+            _QT_CHROMA[_ZZ_ROW, _ZZ_COL].astype(np.uint8)))
+    out += seg(0xFFC0, struct.pack(">BHHB", 8, h, w, ncomp) + sof_comps)
+    out += seg(0xFFC4, dht(0, 0, _HUFF_DC_LUMA))
+    out += seg(0xFFC4, dht(1, 0, _HUFF_AC_LUMA))
+    if ncomp == 3:
+        out += seg(0xFFC4, dht(0, 1, _HUFF_DC_CHROMA))
+        out += seg(0xFFC4, dht(1, 1, _HUFF_AC_CHROMA))
+    out += seg(0xFFDA, bytes([ncomp]) + sos_comps + b"\x00\x3f\x00")
+    return out + scan + b"\xff\xd9"                      # EOI
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG entropy stream")
+            self.acc = self.data[self.pos]
+            self.pos += 1
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _huff_read(r: _BitReader, table) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | r.read_bit()
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    """T.81 EXTEND: map the raw ``size``-bit value to its signed
+    coefficient."""
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """uint8 array from a baseline sequential JFIF stream: (h, w) for
+    one component, (h, w, 3) RGB otherwise.  Supports multiple DQT/DHT
+    segments, 8-bit quant tables, restart intervals, and any 1-2x
+    sampling factors (4:4:4 / 4:2:2 / 4:2:0 — chroma is replicated on
+    upsample).  Progressive/arithmetic/lossless frames raise
+    NotImplementedError naming the gap; malformed input raises
+    ValueError (dead-letter contract).
+
+    Reference anchor: payloads ride Beam pipelines as opaque bytes
+    (sdks/java/core/.../coders/ByteArrayCoder.java); the decode itself
+    implements the public T.81 spec."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple, dict] = {}
+    frame = None
+    restart = 0
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        (ln,) = struct.unpack(">H", payload[pos + 2:pos + 4])
+        body = payload[pos + 4:pos + 2 + ln]
+        if len(body) != ln - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:                      # DQT
+            b = 0
+            while b < len(body):
+                pq, tq = body[b] >> 4, body[b] & 0xF
+                if pq == 0:
+                    tbl = np.frombuffer(
+                        body[b + 1:b + 65], np.uint8).astype(np.int32)
+                    b += 65
+                else:
+                    tbl = np.frombuffer(
+                        body[b + 1:b + 129], ">u2").astype(np.int32)
+                    b += 129
+                full = np.zeros((8, 8), np.int32)
+                full[_ZZ_ROW, _ZZ_COL] = tbl
+                qt[tq] = full
+        elif marker == 0xC4:                    # DHT
+            b = 0
+            while b < len(body):
+                tc, th = body[b] >> 4, body[b] & 0xF
+                bits = list(body[b + 1:b + 17])
+                n = sum(bits)
+                vals = list(body[b + 17:b + 17 + n])
+                huff[(tc, th)] = _huff_decode_table(bits, vals)
+                b += 17 + n
+        elif marker in (0xC0, 0xC1):            # SOF0/1 baseline
+            prec, fh, fw, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit JPEG")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = body[6 + 3 * i:9 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF,
+                              "tq": tq})
+            frame = (fh, fw, comps)
+        elif marker == 0xC2:
+            raise NotImplementedError("progressive JPEG (SOF2)")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"non-baseline JPEG frame (SOF marker 0xFF{marker:02X})")
+        elif marker == 0xDD:                    # DRI
+            (restart,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:                    # SOS -> entropy data
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = body[0]
+            sel = {}
+            for i in range(ns):
+                cs, tt = body[1 + 2 * i:3 + 2 * i]
+                sel[cs] = (tt >> 4, tt & 0xF)
+            scan_start = pos + 2 + ln
+            return _decode_scan(payload, scan_start, frame, sel, qt,
+                                huff, restart)
+        pos += 2 + ln
+    raise ValueError("JPEG stream has no scan data")
+
+
+def _decode_scan(payload, pos, frame, sel, qt, huff, restart):
+    fh, fw, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if not all(1 <= c["h"] <= 2 and 1 <= c["v"] <= 2 for c in comps):
+        raise NotImplementedError("sampling factors beyond 2x")
+    mcus_x = (fw + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (fh + 8 * vmax - 1) // (8 * vmax)
+
+    # split entropy data on RST/terminating markers, destuff 0xFF00
+    segments, cur = [], bytearray()
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0xFF:
+            nxt = payload[pos + 1] if pos + 1 < len(payload) else 0xD9
+            if nxt == 0x00:
+                cur.append(0xFF)
+                pos += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:             # RSTn
+                segments.append(bytes(cur))
+                cur = bytearray()
+                pos += 2
+                continue
+            break                               # EOI or next segment
+        cur.append(b)
+        pos += 1
+    segments.append(bytes(cur))
+
+    per_comp = []
+    for c in comps:
+        cw = (fw * c["h"] + hmax - 1) // hmax
+        ch = (fh * c["v"] + vmax - 1) // vmax
+        bw = (mcus_x * 8 * c["h"]) // 8
+        bh = (mcus_y * 8 * c["v"]) // 8
+        per_comp.append({"coef": np.zeros((bh, bw, 8, 8), np.float64),
+                         "w": cw, "h": ch})
+
+    mcu_index = 0
+    seg_i = 0
+    reader = _BitReader(segments[0])
+    dc_pred = [0] * len(comps)
+    n_mcus = mcus_x * mcus_y
+    while mcu_index < n_mcus:
+        if restart and mcu_index and mcu_index % restart == 0:
+            seg_i += 1
+            if seg_i >= len(segments):
+                raise ValueError("missing JPEG restart segment")
+            reader = _BitReader(segments[seg_i])
+            dc_pred = [0] * len(comps)
+        my, mx = divmod(mcu_index, mcus_x)
+        for ci, c in enumerate(comps):
+            if c["id"] not in sel:
+                raise ValueError("scan references unknown component")
+            td, ta = sel[c["id"]]
+            dtab, atab = huff.get((0, td)), huff.get((1, ta))
+            q = qt.get(c["tq"])
+            if dtab is None or atab is None or q is None:
+                raise ValueError("JPEG scan references missing table")
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    zz = np.zeros(64, np.int32)
+                    size = _huff_read(reader, dtab)
+                    if size:
+                        dc_pred[ci] += _extend(reader.read_bits(size),
+                                               size)
+                    zz[0] = dc_pred[ci]
+                    k = 1
+                    while k < 64:
+                        rs = _huff_read(reader, atab)
+                        if rs == 0x00:          # EOB
+                            break
+                        if rs == 0xF0:          # ZRL
+                            k += 16
+                            continue
+                        k += rs >> 4
+                        sz = rs & 0xF
+                        if k > 63:
+                            raise ValueError("JPEG AC index overflow")
+                        zz[k] = _extend(reader.read_bits(sz), sz)
+                        k += 1
+                    blk = np.zeros((8, 8), np.int32)
+                    blk[_ZZ_ROW, _ZZ_COL] = zz
+                    pc = per_comp[ci]
+                    pc["coef"][my * c["v"] + by, mx * c["h"] + bx] = \
+                        blk * q
+        mcu_index += 1
+
+    planes = []
+    for ci, c in enumerate(comps):
+        pc = per_comp[ci]
+        sp = np.einsum("xu,nmuv,yv->nmxy", _DCT_C.T.copy(),
+                       pc["coef"], _DCT_C.T.copy())
+        bh, bw = sp.shape[:2]
+        img = sp.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8) + 128.0
+        img = img[:pc["h"], :pc["w"]]
+        img = np.repeat(np.repeat(img, vmax // c["v"], axis=0),
+                        hmax // c["h"], axis=1)
+        planes.append(img[:fh, :fw])
+
+    if len(planes) == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    if len(planes) != 3:
+        raise NotImplementedError(f"{len(planes)}-component JPEG")
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136286 * cb - 0.714136286 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)),
+                   0, 255).astype(np.uint8)

@@ -48,25 +48,26 @@ def attach_media_metadata(df: DataFrame, payload_col: str = "payload",
 def _decode_image_impl(payload: bytes, fake: bool) -> tuple[int, int, int, bytes]:
     """(width, height, channels, pixel_bytes).
 
-    PNG (stdlib zlib + numpy unfiltering), BMP 24bpp and PPM P6 decode
-    FOR REAL via ``codecs.py`` — no media libs.  JPEG stays gated; the
-    deterministic fake derives everything from the payload so plumbing
-    tests have stable oracles."""
+    PNG (stdlib zlib + numpy unfiltering), baseline JPEG (huffman +
+    batched IDCT), BMP 24bpp and PPM P6 decode FOR REAL via
+    ``codecs.py`` — no media libs.  The deterministic fake derives
+    everything from the payload so plumbing tests for UNDECODABLE
+    containers have stable oracles."""
     from apache_beam_spark.multimodal.codecs import (
         decode_image_real, sniff_format)
 
-    if sniff_format(payload) in ("bmp", "ppm", "png"):
+    if sniff_format(payload) in ("bmp", "ppm", "png", "jpeg"):
         rgb = decode_image_real(payload)
-        if rgb.ndim == 2:  # grayscale PNG: channels=1
+        if rgb.ndim == 2:  # grayscale PNG/JPEG: channels=1
             h_, w_, c_ = rgb.shape[0], rgb.shape[1], 1
         else:
             h_, w_, c_ = rgb.shape
         return w_, h_, c_, rgb.tobytes()
     if not fake:
         raise NotImplementedError(
-            "jpeg decoding requires PIL/opencv (not in this container); "
-            "PNG/BMP/PPM decode natively, or pass fake=True for "
-            "the deterministic test decoder")
+            "unrecognized image container; PNG/JPEG-baseline/BMP/PPM "
+            "decode natively, or pass fake=True for the deterministic "
+            "test decoder")
     h = hashlib.sha256(payload).digest()
     width = 8 + h[0] % 8
     height = 8 + h[1] % 8

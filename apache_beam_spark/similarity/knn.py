@@ -526,11 +526,13 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
         # cached: (id, rep) is ids-only but feeds THREE plan branches
         # (bucket members, both expansion sides) — without it each
         # branch would re-scan the full vector column just to re-hash
-        rep_map = (src.select("id", *grp_keys,
-                              F.xxhash64("__v__").alias("__h__"))
-                   .withColumn("rep", F.min("id").over(rep_w))
-                   .select("id", *grp_keys, "rep")
-                   .cache())
+        from apache_beam_spark.plans.caching import cache_scoped
+
+        rep_map = cache_scoped(
+            src.select("id", *grp_keys,
+                       F.xxhash64("__v__").alias("__h__"))
+            .withColumn("rep", F.min("id").over(rep_w))
+            .select("id", *grp_keys, "rep"))
 
     # cheap driver probe (bounded-scalar precedent: ivf max_cell
     # factors, kmeans centroids): a dup-free corpus — the common case

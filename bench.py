@@ -105,12 +105,18 @@ def main() -> None:
     # warm the JVM + file listing with a trivial action
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()
 
+    from apache_beam_spark.plans.caching import scoped_caches
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
         t0 = time.time()
-        df = fn(spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
+        # scoped_caches: operator-internal caches (LSH signature
+        # blocks etc.) are unpersisted when the query's action
+        # finishes — storage memory stays flat across the suite
+        with scoped_caches():
+            df = fn(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 

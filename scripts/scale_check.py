@@ -48,6 +48,8 @@ QUERIES = [
     # round-2c heavyweights (VERDICT r2 item 9)
     "semantic_dedup", "feature_store_events", "quality_percentile",
     "chunk_dedup", "mixture_cap_tokens",
+    # round-5 breadth (VERDICT r4 item 8): the open perf questions
+    "funnel_instances", "mixture_temperature", "ngram_containment",
 ]
 
 
@@ -84,16 +86,63 @@ def build_replica(spark, k: int, dst: str) -> None:
         big.repartition(32).write.mode("overwrite").parquet(out_path)
 
 
+def _selected() -> list[str]:
+    """Optional comma-separated SCALE_QUERIES env filter — iterate on
+    one query without paying for the whole suite."""
+    sel = os.environ.get("SCALE_QUERIES")
+    if not sel:
+        return QUERIES
+    names = [s.strip() for s in sel.split(",") if s.strip()]
+    unknown = [n for n in names if n not in QUERIES]
+    if unknown:
+        raise SystemExit(f"unknown SCALE_QUERIES entries: {unknown}")
+    return names
+
+
 def time_suite(spark, queries, sf_dir: str) -> dict[str, float]:
+    from apache_beam_spark.plans.caching import scoped_caches
+
     out = {}
-    for name in QUERIES:
+    for name in _selected():
         t0 = time.time()
-        queries[name](spark, sf_dir).write.format("noop") \
-            .mode("overwrite").save()
+        with scoped_caches():
+            queries[name](spark, sf_dir).write.format("noop") \
+                .mode("overwrite").save()
         out[name] = round(time.time() - t0, 3)
         print(f"# {sf_dir.rsplit('/', 1)[-1]} {name}: {out[name]:.2f}s",
               file=sys.stderr)
     return out
+
+
+#: star-vs-full expansion comparisons (VERDICT r4 item 8): same miner,
+#: both output modes, so the spanning-edge discipline's effect is
+#: tracked by the same artifact that caught the r3 LSH finding.
+def _extras() -> dict:
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from apache_beam_spark.dedup.ngram import ngram_jaccard_pairs
+    from apache_beam_spark.similarity.knn import embedding_near_dup_pairs
+    from apache_beam_spark.sources.tables import load_table
+
+    def ngram_star(spark, sf_dir):
+        return ngram_jaccard_pairs(
+            load_table(spark, "documents", sf_dir), shingle_k=3,
+            threshold=0.5, max_df=100, expand="star")
+
+    def embed_full(spark, sf_dir):
+        return embedding_near_dup_pairs(
+            entrymod._planted_embeddings(spark, sf_dir),
+            threshold=0.95, dim=64, expand="full")
+
+    def embed_star(spark, sf_dir):
+        return embedding_near_dup_pairs(
+            entrymod._planted_embeddings(spark, sf_dir),
+            threshold=0.95, dim=64, expand="star")
+
+    return {"ngram_jaccard_star": ngram_star,
+            "embed_near_dup_full": embed_full,
+            "embed_near_dup_star": embed_star}
 
 
 def main() -> None:
@@ -107,14 +156,15 @@ def main() -> None:
 
     spark = get_spark("scale-check")
     build_replica(spark, k, dst)
-    queries = entrymod.queries()
+    queries = {**entrymod.queries(), **_extras()}
+    QUERIES.extend(n for n in _extras() if n not in QUERIES)
 
     base = time_suite(spark, queries, SRC)
     scaled = time_suite(spark, queries, dst)
     report = {
         name: {"t_sf01": base[name], "t_scaled": scaled[name],
                "time_ratio": round(scaled[name] / base[name], 2)}
-        for name in QUERIES
+        for name in _selected()
     }
     print(json.dumps({"k": k, "data_ratio": k, "queries": report}))
 

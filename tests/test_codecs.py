@@ -82,7 +82,7 @@ def test_sniff_format():
     assert sniff_format(encode_bmp(np.zeros((1, 1, 3), np.uint8))) == "bmp"
     assert sniff_format(b"P6\n1 1\n255\n\x00\x00\x00") == "ppm"
     assert sniff_format(b"\xff\xd8\xff\xe0") == "jpeg"
-    with pytest.raises(NotImplementedError, match="Pillow"):
+    with pytest.raises(ValueError):    # jpeg is real now: corrupt stream
         decode_image_real(b"\xff\xd8\xff\xe0rest")
 
 
@@ -118,22 +118,32 @@ def test_decode_media_deadletter_routing(spark):
     from apache_beam_spark.multimodal.codecs import encode_bmp, encode_wav
     from apache_beam_spark.multimodal.columns import decode_media_with_deadletter
 
+    from apache_beam_spark.multimodal.codecs import encode_jpeg
+
     img = np.zeros((2, 3, 3), dtype=np.uint8)
     wav = encode_wav(np.array([1, 2], dtype=np.int16), 8000)
+    # a real baseline JPEG with its SOF0 marker flipped to SOF2:
+    # decodes as PROGRESSIVE -> gated NotImplementedError dead letter
+    prog = encode_jpeg(np.full((8, 8), 7, np.uint8)).replace(
+        b"\xff\xc0", b"\xff\xc2", 1)
     rows = [(1, bytearray(encode_bmp(img))),
             (2, bytearray(wav)),
-            (3, bytearray(b"\xff\xd8\xffjpeg-ish")),   # gated codec
-            (4, bytearray(b"garbage"))]                 # unknown container
+            (3, bytearray(b"\xff\xd8\xffjpeg-ish")),   # corrupt stream
+            (4, bytearray(b"garbage")),                 # unknown container
+            (5, bytearray(prog)),                       # gated frame type
+            (6, bytearray(encode_jpeg(np.full((3, 5), 9, np.uint8))))]
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
     ok, errors = decode_media_with_deadletter(df)
     got = {r["doc_id"]: (r["format"], r["width"], r["sample_rate"])
            for r in ok.collect()}
     assert got[1] == ("bmp", 3, None)
     assert got[2] == ("wav", None, 8000)
+    assert got[6] == ("jpeg", 5, None)                  # baseline decodes
     errs = {r["doc_id"]: (r["format"], r["error"]) for r in errors.collect()}
-    assert set(errs) == {3, 4}
-    assert errs[3][0] == "jpeg" and "NotImplementedError" in errs[3][1]
+    assert set(errs) == {3, 4, 5}
+    assert errs[3][0] == "jpeg" and "ValueError" in errs[3][1]
     assert "unrecognized" in errs[4][1]
+    assert "NotImplementedError" in errs[5][1] and "progressive" in errs[5][1]
 
 
 # ------------------------------------------------------------------ PNG
@@ -281,3 +291,81 @@ def test_png_deadletter_on_malformed(spark):
     assert [r["doc_id"] for r in ok.collect()] == [1]
     errs = {r["doc_id"]: r["error"] for r in errors.collect()}
     assert 2 in errs and "CRC" in errs[2]
+
+
+# ----------------------------------------------------------------- JPEG
+
+def test_jpeg_constant_gray_closed_form():
+    """Constant tiles decode to the exact DC closed form
+    clip(2*floor((v-128)/2+0.5)+128) — the determinism the
+    jpeg_roundtrip oracle depends on, for every input value and
+    non-multiple-of-8 dimensions (edge-replication padding)."""
+    from apache_beam_spark.multimodal.codecs import decode_jpeg, encode_jpeg
+
+    for v in [0, 1, 2, 77, 127, 128, 129, 200, 254, 255]:
+        img = np.full((13, 21), v, np.uint8)
+        dec = decode_jpeg(encode_jpeg(img))
+        assert dec.shape == (13, 21)
+        want = int(np.clip(2 * np.floor((v - 128) / 2 + 0.5) + 128, 0, 255))
+        assert (dec == want).all(), (v, want)
+
+
+def test_jpeg_round_trip_quality():
+    """Lossy but close: smooth gray and RGB content round-trips within
+    normal baseline-JPEG error; shapes/crop exact for odd dims."""
+    from apache_beam_spark.multimodal.codecs import decode_jpeg, encode_jpeg
+
+    x = np.linspace(0, 255, 64)
+    gray = np.clip(np.add.outer(x, x) / 2, 0, 255).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(gray))
+    assert dec.shape == gray.shape
+    assert np.abs(dec.astype(int) - gray.astype(int)).mean() < 4
+
+    rng = np.random.RandomState(0)
+    base = rng.randint(0, 255, (3, 3, 3)).astype(np.float64)
+    rgb = np.clip(np.kron(base, np.ones((16, 16, 1)))[:40, :44],
+                  0, 255).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(rgb))
+    assert dec.shape == rgb.shape
+    assert np.abs(dec.astype(int) - rgb.astype(int)).mean() < 6
+
+    # white noise exercises every AC huffman path without crashing
+    noise = rng.randint(0, 256, (24, 31, 3)).astype(np.uint8)
+    assert decode_jpeg(encode_jpeg(noise)).shape == noise.shape
+
+
+def test_jpeg_malformed_inputs_raise_cleanly():
+    from apache_beam_spark.multimodal.codecs import decode_jpeg, encode_jpeg
+
+    good = encode_jpeg(np.full((8, 8), 50, np.uint8))
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x00\x01" + good[2:])
+    with pytest.raises(ValueError):
+        decode_jpeg(good[:40])                      # truncated segment
+    with pytest.raises(ValueError):
+        decode_jpeg(good[:-20])                     # truncated entropy data
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(good.replace(b"\xff\xc0", b"\xff\xc2", 1))
+    with pytest.raises(NotImplementedError, match="12-bit"):
+        # SOF0 precision byte 8 -> 12 (first byte of the SOF body)
+        i = good.index(b"\xff\xc0")
+        decode_jpeg(good[:i + 4] + b"\x0c" + good[i + 5:])
+
+
+def test_jpeg_through_decode_image_stage(spark):
+    """Real JPEG decodes through the distributed mapInPandas stage —
+    gray comes back channels=1, RGB channels=3, dims exact."""
+    from apache_beam_spark.multimodal.codecs import encode_jpeg
+    from apache_beam_spark.multimodal.columns import decode_image
+
+    g = np.full((6, 5), 90, np.uint8)
+    c = np.zeros((8, 9, 3), np.uint8)
+    c[:, :, 1] = 200
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_jpeg(g))), (2, bytearray(encode_jpeg(c)))],
+        "doc_id long, payload binary")
+    rows = {r["doc_id"]: r for r in decode_image(df).collect()}
+    assert (rows[1]["width"], rows[1]["height"], rows[1]["channels"]) == (5, 6, 1)
+    assert (rows[2]["width"], rows[2]["height"], rows[2]["channels"]) == (9, 8, 3)
+    # constant gray pixels follow the closed form
+    assert set(bytes(rows[1]["pixels"])) == {90}

@@ -1,0 +1,131 @@
+"""Clone-group discipline of the n-gram miner (VERDICT r4 item 1):
+rep-collapse correctness, full-vs-star component equivalence, and the
+scoped-cache lifecycle."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _docs(spark):
+    # 3 clone groups (identical texts), one near-dup pair, one loner
+    rows = []
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    for i in range(6):                       # clone group A: ids 0-5
+        rows.append((i, base))
+    for i in range(6, 10):                   # clone group B: ids 6-9
+        rows.append((i, "pack my box with five dozen liquor jugs today"))
+    rows.append((10, base + " tonight"))     # near-dup of group A
+    rows.append((11, "completely unrelated text about spark shuffles"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _brute_jaccard(rows, k=3, threshold=0.3):
+    """Python reference: word-k-shingle Jaccard over distinct shingles
+    (max_df large enough to prune nothing)."""
+    def sh(t):
+        w = t.split()
+        return set(tuple(w[i:i + k]) for i in range(len(w) - k + 1))
+
+    sets = {i: sh(t) for i, t in rows}
+    out = {}
+    ids = sorted(sets)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = ids[i], ids[j]
+            if not sets[a] or not sets[b]:
+                continue
+            jac = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+            if jac >= threshold:
+                out[(a, b)] = round(jac, 6)
+    return out
+
+
+def _components(pairs, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in nodes}
+
+
+def test_full_mode_matches_python_reference(spark):
+    from apache_beam_spark.dedup.ngram import ngram_jaccard_pairs
+
+    df = _docs(spark)
+    rows = [(r["doc_id"], r["text"]) for r in df.collect()]
+    want = _brute_jaccard(rows)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in ngram_jaccard_pairs(df, threshold=0.3).collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert math.isclose(got[k], want[k], abs_tol=1e-6)
+
+
+def test_star_mode_same_components_linear_clone_output(spark):
+    from apache_beam_spark.dedup.ngram import ngram_jaccard_pairs
+
+    df = _docs(spark)
+    nodes = [r["doc_id"] for r in df.select("doc_id").collect()]
+    full = [(r["id_a"], r["id_b"])
+            for r in ngram_jaccard_pairs(df, threshold=0.3).collect()]
+    star = [(r["id_a"], r["id_b"])
+            for r in ngram_jaccard_pairs(df, threshold=0.3,
+                                         expand="star").collect()]
+    assert _components(full, nodes) == _components(star, nodes)
+    # clone group A (6 members) alone would be 15 full pairs; star emits
+    # 5 spanning edges for it — linear in group width
+    assert len(star) < len(full)
+    # star edges are (rep=min id, member) at exactly 1.0
+    star_vals = {(r["id_a"], r["id_b"]): r["jaccard"]
+                 for r in ngram_jaccard_pairs(df, threshold=0.3,
+                                              expand="star").collect()}
+    assert star_vals[(0, 3)] == 1.0
+    assert star_vals[(6, 9)] == 1.0
+
+
+def test_bad_expand_mode_raises(spark):
+    from apache_beam_spark.dedup.ngram import ngram_jaccard_pairs
+
+    with pytest.raises(ValueError, match="expand"):
+        ngram_jaccard_pairs(_docs(spark), expand="triangle")
+
+
+def test_scoped_caches_released_after_action(spark):
+    """Relative to whatever other fixtures have pinned in the shared
+    session: the scope adds persistent RDDs while active and returns
+    the count to baseline on exit."""
+    from apache_beam_spark.dedup.ngram import ngram_jaccard_pairs
+    from apache_beam_spark.plans.caching import release_caches, scoped_caches
+
+    release_caches()  # drain anything earlier tests left registered
+    sc = spark.sparkContext
+    base = sc._jsc.getPersistentRDDs().size()
+    with scoped_caches():
+        ngram_jaccard_pairs(_docs(spark), threshold=0.3).collect()
+        assert sc._jsc.getPersistentRDDs().size() > base  # cache in use
+    assert sc._jsc.getPersistentRDDs().size() == base  # released on exit
+
+
+def test_release_caches_drains_global_registry(spark):
+    from apache_beam_spark.dedup.ngram import ngram_jaccard_pairs
+    from apache_beam_spark.plans.caching import release_caches
+
+    release_caches()
+    sc = spark.sparkContext
+    base = sc._jsc.getPersistentRDDs().size()
+    ngram_jaccard_pairs(_docs(spark), threshold=0.3).collect()
+    assert sc._jsc.getPersistentRDDs().size() > base
+    release_caches()
+    assert sc._jsc.getPersistentRDDs().size() == base
