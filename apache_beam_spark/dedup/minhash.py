@@ -117,7 +117,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
                       num_hashes: int = 64, num_bands: int = 16, shingle_k: int = 3,
                       threshold: float = 0.5, seed: int = 42,
                       max_bucket: int = 1000,
-                      observation=None, has_dups=None) -> DataFrame:
+                      observation=None, has_dups=None,
+                      max_clone_width: int = 32) -> DataFrame:
     """Candidate near-dup pairs with estimated jaccard (signature
     agreement rate), verified against ``threshold``.
 
@@ -129,11 +130,13 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     1.0, the exact pairs dedup exists for) always surfaces.  Pass an
     ``Observation`` for overcap counters.
 
-    ``has_dups``: ``None`` probes the cached signatures for identical
-    pairs (one cheap job — the signatures are needed anyway); a
-    dup-free corpus then skips the rep-expansion joins entirely,
-    keeping the pre-collapse plan shape (the ``knn.py`` discipline).
-    Pass ``True``/``False`` to skip the probe and pin the plan.
+    ``has_dups``: ``None`` probes the cached signatures for the widest
+    identical-signature group (one narrow agg over signature hashes —
+    the signatures are needed anyway); the collapse engages only when
+    a group exceeds ``max_clone_width`` — narrow dup groups cost less
+    inside the buckets than the expansion joins save (the collapse
+    exists for boilerplate FLOODS).  Pass ``True``/``False`` to skip
+    the probe and pin the plan.  Output identical either way.
 
     Returns (id_a, id_b, est_jaccard) with id_a < id_b.
     """
@@ -146,23 +149,27 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
         F.col(id_col).alias("id"),
         minhash_signature(F.col(text_col), num_hashes, shingle_k, seed).alias("sig"),
     ))
-    # identical-signature collapse: ids-only shuffle off the cached sigs
     from pyspark.sql.window import Window as W
 
-    rep_map = (sigs.select("id", F.xxhash64("sig").alias("__h__"))
-               .withColumn("rep", F.min("id").over(W.partitionBy("__h__")))
-               .select("id", "rep"))
     if has_dups is None:
-        has_dups = bool(rep_map.filter(F.col("id") != F.col("rep")).take(1))
+        w = (sigs.select(F.xxhash64("sig").alias("__h__"))
+             .groupBy("__h__").agg(F.count(F.lit(1)).alias("__c__"))
+             .agg(F.max("__c__")).first())
+        has_dups = int(w[0] or 1) > max_clone_width
     bands = sigs.select(
         "id", F.explode(_band_rows("sig", num_bands, r)).alias("b")
     ).select("id", "b.band", "b.bh")
     if not has_dups:
-        # dup-free fast path: rep_map is the identity — mine at id
-        # granularity, no expansion joins
+        # bounded-width path: narrow dup groups ride the buckets
+        # directly — no rep window, no expansion joins
         pairs = bucket_pairs(bands, ["band", "bh"], id_col="id",
                              max_bucket=max_bucket, observation=observation)
     else:
+        # identical-signature collapse: ids-only shuffle off the
+        # cached sigs
+        rep_map = (sigs.select("id", F.xxhash64("sig").alias("__h__"))
+                   .withColumn("rep", F.min("id").over(W.partitionBy("__h__")))
+                   .select("id", "rep"))
         members = (bands.join(rep_map, on="id")
                    .select("band", "bh", F.col("rep").alias("id")))
         rep_pairs = bucket_pairs(members, ["band", "bh"], id_col="id",

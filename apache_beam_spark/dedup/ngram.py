@@ -46,13 +46,12 @@ from apache_beam_spark.functions.text import shingles
 from apache_beam_spark.plans.caching import cache_scoped
 
 
-def _pruned_shingle_sets(df: DataFrame, text_col: str, id_col: str,
-                         shingle_k: int, max_df: int):
-    """Shared front half of both miners: (ranked postings, per-doc
-    sorted pruned shingle sets).  ``ranked`` carries one row per
-    (doc, surviving shingle) with the doc-local rarest-first rank
-    ``rn`` and the doc's pruned set size ``n``; both frames are
-    ``cache_scoped`` — they feed candidate generation AND verify."""
+def _ranked_postings(df: DataFrame, text_col: str, id_col: str,
+                     shingle_k: int, max_df: int):
+    """Shared front half of both miners: one row per (doc, surviving
+    shingle) with the doc-local rarest-first rank ``rn`` and the doc's
+    pruned set size ``n``; ``cache_scoped`` — it feeds the probe,
+    candidate generation AND verify."""
     from apache_beam_spark.dedup.minhash import _parallelize_narrow
 
     toks = _parallelize_narrow(df.select(F.col(id_col), F.col(text_col))).select(
@@ -65,74 +64,131 @@ def _pruned_shingle_sets(df: DataFrame, text_col: str, id_col: str,
 
     # rarest-first canonical order within each doc; prefix length
     # n - ceil(t*n) + 1 guarantees no J>=t pair is missed
-    ranked = cache_scoped(
+    return cache_scoped(
         inv.join(gdf, on="g")  # also drops max_df-pruned shingles
         .withColumn("rn", F.row_number().over(
             W.partitionBy("id").orderBy(F.col("df"), F.col("g"))))
         .withColumn("n", F.max("rn").over(W.partitionBy("id")))
     )
-    pruned = cache_scoped(
-        ranked.groupBy("id").agg(
-            F.sort_array(F.collect_list("g")).alias("sh"),
-            F.first("n").alias("n"))
-    )
-    return ranked, pruned
+
+
+def _pruned_sets(ranked, sort: bool = False):
+    """Per-doc pruned shingle arrays for the verify joins (and, sorted,
+    for the rep-collapse window — sorting is only needed there)."""
+    arr = F.collect_list("g")
+    return ranked.groupBy("id").agg(
+        (F.sort_array(arr) if sort else arr).alias("sh"),
+        F.first("n").alias("n"))
+
+
+def _max_clone_width(ranked) -> int:
+    """Cheap clone-flood probe: widest group of identical pruned sets,
+    UPPER-bounded by grouping docs on the order-independent signature
+    ``(n, bit_xor(xxhash64(shingle)))`` (a collision only merges
+    groups, never under-counts, so the heuristic errs toward
+    collapsing) — two narrow aggs over bigints straight off the cached
+    postings: no array build, no array shuffle.  The probe job
+    materializes the ``ranked`` cache the main query reuses, so its
+    marginal cost is the aggs alone."""
+    row = (ranked.groupBy("id")
+           .agg(F.first("n").alias("__n__"),
+                F.expr("bit_xor(xxhash64(g))").alias("__x__"))
+           .groupBy("__n__", "__x__").agg(F.count(F.lit(1)).alias("__w__"))
+           .agg(F.max("__w__")).first())
+    return int(row[0] or 1)
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                         shingle_k: int = 3, threshold: float = 0.3,
                         max_df: int = 10000, expand: str = "full",
                         max_bucket: int = 10000,
-                        observation=None) -> DataFrame:
+                        observation=None, collapse: str = "auto",
+                        max_clone_width: int = 32) -> DataFrame:
     """Exact n-gram Jaccard >= threshold pairs: (id_a, id_b, jaccard).
 
     ``expand``: ``"full"`` (default) emits every member pair of every
-    clone group; ``"star"`` emits one (rep, member, 1.0) spanning edge
-    per clone — linear output, identical connected components (see
-    module docstring).  Pass an ``Observation`` for the clone-group
+    clone group; ``"star"`` emits spanning edges per clone group —
+    linear clone output, identical connected components (see module
+    docstring).  Pass an ``Observation`` for the clone-group
     re-expansion's overcap counters (full mode only).
+
+    ``collapse``: ``"auto"`` (default) runs the clone-flood probe at
+    plan-build time and engages rep-collapse only when some clone
+    group is wider than ``max_clone_width`` — bounded-width clone
+    groups cost at most ``max_clone_width`` duplicate postings per
+    shingle in the direct plan, cheaper than the collapse machinery's
+    extra stages; a boilerplate flood (the 100 TB hazard the collapse
+    exists for) trips the threshold and pays them.  ``"always"`` /
+    ``"never"`` pin the plan (lazy build, no probe job).  All three
+    settings produce identical FULL-mode output; star mode without
+    collapse degrades to the full pair list (a superset with the same
+    components — still a valid spanning set for CC consumers).
     """
     from apache_beam_spark.dedup.buckets import bucket_pairs
 
     if expand not in ("full", "star"):
         raise ValueError(f"expand must be 'full' or 'star', got {expand!r}")
+    if collapse not in ("auto", "always", "never"):
+        raise ValueError(
+            f"collapse must be 'auto'|'always'|'never', got {collapse!r}")
 
-    ranked, pruned = _pruned_shingle_sets(df, text_col, id_col,
-                                          shingle_k, max_df)
+    ranked = _ranked_postings(df, text_col, id_col, shingle_k, max_df)
+    if collapse == "auto":
+        collapse = ("always" if _max_clone_width(ranked) > max_clone_width
+                    else "never")
+    # direct plan recomputes the per-doc arrays from the cached
+    # postings per verify side (cheap agg); the collapse path builds
+    # them once, SORTED (the window key must be canonical), and caches
+    pruned = (cache_scoped(_pruned_sets(ranked, sort=True))
+              if collapse == "always" else _pruned_sets(ranked))
+
+    prefix_all = ranked.filter(
+        F.col("rn") <= F.col("n") - F.ceil(F.col("n") * F.lit(threshold)) + 1
+    ).select("id", "g")
+
+    def verify(cand):
+        """Exact jaccard on the (max_df-pruned) shingle sets."""
+        return (
+            cand
+            .join(pruned.select(F.col("id").alias("id_a"), F.col("sh").alias("sha"),
+                                F.col("n").alias("na")), on="id_a")
+            .join(pruned.select(F.col("id").alias("id_b"), F.col("sh").alias("shb"),
+                                F.col("n").alias("nb")), on="id_b")
+            .withColumn("inter", F.size(F.array_intersect("sha", "shb")))
+            .withColumn("jaccard",
+                        F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+
+    if collapse == "never":
+        # direct plan: no rep window / semi-join / expansion stages
+        cand = (
+            prefix_all.alias("x").join(prefix_all.alias("y"), on="g")
+            .filter(F.col("x.id") < F.col("y.id"))
+            .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+            .distinct()
+        )
+        out = verify(cand)
+        return out.select("id_a", "id_b",
+                          F.round("jaccard", 6).alias("jaccard"))
 
     # exact clone collapse: rep = min id per identical sorted pruned
     # set (the array itself, not a hash — no collision risk, and the
-    # arrays already shuffle for the verify joins below)
+    # arrays already shuffle for the verify joins)
     rep_map = pruned.select(
         "id", F.min("id").over(W.partitionBy("sh")).alias("rep"))
     reps = rep_map.filter(F.col("id") == F.col("rep")).select("id")
 
-    prefix = (
-        ranked.filter(
-            F.col("rn") <= F.col("n") - F.ceil(F.col("n") * F.lit(threshold)) + 1)
-        .select("id", "g")
-        # rep granularity: one posting per clone group, not w
-        .join(reps, on="id", how="left_semi")
-    )
+    # rep granularity: one posting per clone group, not w
+    prefix = prefix_all.join(reps, on="id", how="left_semi")
     cand = (
         prefix.alias("x").join(prefix.alias("y"), on="g")
         .filter(F.col("x.id") < F.col("y.id"))
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
     )
-
-    # exact verify on the (max_df-pruned) shingle sets — REP pairs only
-    rep_out = (
-        cand
-        .join(pruned.select(F.col("id").alias("id_a"), F.col("sh").alias("sha"),
-                            F.col("n").alias("na")), on="id_a")
-        .join(pruned.select(F.col("id").alias("id_b"), F.col("sh").alias("shb"),
-                            F.col("n").alias("nb")), on="id_b")
-        .withColumn("inter", F.size(F.array_intersect("sha", "shb")))
-        .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    rep_out = verify(cand)
 
     if expand == "star":
         # spanning edges only: identical sets -> J = exactly 1.0, no
@@ -164,7 +220,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
 def ngram_containment_pairs(df: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id", shingle_k: int = 3,
                             threshold: float = 0.8,
-                            max_df: int = 10000) -> DataFrame:
+                            max_df: int = 10000, collapse: str = "auto",
+                            max_clone_width: int = 32) -> DataFrame:
     """Asymmetric containment C(a in b) = |a∩b| / |a| >= threshold:
     detects documents SUBSUMED by larger ones (quote inclusion,
     boilerplate wrapping), which symmetric Jaccard misses whenever the
@@ -174,41 +231,57 @@ def ngram_containment_pairs(df: DataFrame, text_col: str = "text",
     |a∩b| >= t|a|, one of a's first ``|a| - ceil(t|a|) + 1`` canonical
     shingles is in b), so candidates join a's prefix postings against
     b's full postings — ``max_df`` caps the hot-posting blowup the
-    full side would otherwise drive.  Both sides run at clone-group
+    full side would otherwise drive.  ``collapse`` (same contract as
+    ``ngram_jaccard_pairs``): when the clone-flood probe finds a group
+    wider than ``max_clone_width``, both sides run at clone-group
     representative granularity (identical pruned sets share every
-    containment value), then re-expand: a w-wide clone group costs one
-    posting per shingle instead of w.  Output: (id_a, id_b,
-    containment) with a contained in b; both directions emitted when
-    both hold (within a clone group, both always hold at 1.0).
+    containment value) and re-expand; otherwise the direct plan runs —
+    identical output either way.  Output: (id_a, id_b, containment)
+    with a contained in b; both directions emitted when both hold
+    (within a clone group, both always hold at 1.0).
     """
-    ranked, pruned = _pruned_shingle_sets(df, text_col, id_col,
-                                          shingle_k, max_df)
+    if collapse not in ("auto", "always", "never"):
+        raise ValueError(
+            f"collapse must be 'auto'|'always'|'never', got {collapse!r}")
+    ranked = _ranked_postings(df, text_col, id_col, shingle_k, max_df)
+    if collapse == "auto":
+        collapse = ("always" if _max_clone_width(ranked) > max_clone_width
+                    else "never")
+    pruned = (cache_scoped(_pruned_sets(ranked, sort=True))
+              if collapse == "always" else _pruned_sets(ranked))
+
+    def mine(postings):
+        """Candidate generation + exact verify over one granularity."""
+        prefix_a = postings.filter(
+            F.col("rn") <= F.col("n") - F.ceil(F.col("n") * F.lit(threshold)) + 1
+        ).select("id", "g")
+        cand = (
+            prefix_a.alias("x").join(postings.select("id", "g").alias("y"), on="g")
+            .filter(F.col("x.id") != F.col("y.id"))
+            .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+            .distinct()
+        )
+        return (
+            cand
+            .join(pruned.select(F.col("id").alias("id_a"), F.col("sh").alias("sha"),
+                                F.col("n").alias("na")), on="id_a")
+            .join(pruned.select(F.col("id").alias("id_b"), F.col("sh").alias("shb")),
+                  on="id_b")
+            .withColumn("inter", F.size(F.array_intersect("sha", "shb")))
+            .withColumn("containment", F.col("inter") / F.col("na"))
+            .filter(F.col("containment") >= threshold)
+            .select("id_a", "id_b", "containment")
+        )
+
+    if collapse == "never":
+        return mine(ranked).select(
+            "id_a", "id_b", F.round("containment", 6).alias("containment"))
+
     rep_map = pruned.select(
         "id", F.min("id").over(W.partitionBy("sh")).alias("rep"))
     reps = rep_map.filter(F.col("id") == F.col("rep")).select("id")
+    rep_out = mine(ranked.join(reps, on="id", how="left_semi"))
 
-    rep_postings = ranked.join(reps, on="id", how="left_semi")
-    prefix_a = rep_postings.filter(
-        F.col("rn") <= F.col("n") - F.ceil(F.col("n") * F.lit(threshold)) + 1
-    ).select("id", "g")
-
-    cand = (
-        prefix_a.alias("x").join(rep_postings.select("id", "g").alias("y"), on="g")
-        .filter(F.col("x.id") != F.col("y.id"))
-        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
-        .distinct()
-    )
-    rep_out = (
-        cand
-        .join(pruned.select(F.col("id").alias("id_a"), F.col("sh").alias("sha"),
-                            F.col("n").alias("na")), on="id_a")
-        .join(pruned.select(F.col("id").alias("id_b"), F.col("sh").alias("shb")),
-              on="id_b")
-        .withColumn("inter", F.size(F.array_intersect("sha", "shb")))
-        .withColumn("containment", F.col("inter") / F.col("na"))
-        .filter(F.col("containment") >= threshold)
-        .select("id_a", "id_b", "containment")
-    )
     # re-expand (directed, so no least/greatest): members inherit the
     # rep pair's containment; within a clone group every ORDERED pair
     # holds at exactly 1.0

@@ -90,7 +90,8 @@ def simhash_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 
 def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                  max_hamming: int = 3, has_dups=None) -> DataFrame:
+                  max_hamming: int = 3, has_dups=None,
+                  max_clone_width: int = 32) -> DataFrame:
     """Drop docs whose simhash is within ``max_hamming`` of a smaller-id
     doc (bucket-min over (d+1) chunk buckets + exact hamming verify).
 
@@ -103,19 +104,22 @@ def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     SMALLER rep is within range (any smaller member's group rep is
     smaller still, with the same hash).
 
-    ``has_dups``: ``None`` probes the cached hash table for identical
-    hashes (one cheap job); a collision-free corpus then skips the
-    collapse window and non-rep branch (the ``knn.py`` discipline).
-    Pass ``True``/``False`` to pin the plan."""
+    ``has_dups``: ``None`` probes the cached hash table for the widest
+    identical-hash group (one narrow agg — the hashes are needed
+    anyway); the collapse engages only when a group exceeds
+    ``max_clone_width``, because narrow dup groups cost less in the
+    direct self-join than the collapse window saves (the collapse
+    exists for boilerplate FLOODS, where w is in the thousands).  Pass
+    ``True``/``False`` to pin the plan.  Output identical either way."""
     from apache_beam_spark.plans.caching import cache_scoped
 
     n_chunks = max_hamming + 1
     # cache: (id, 64-bit hash) is ~16B/doc; reps + members read it twice
     sh = cache_scoped(simhash_table(df, text_col, id_col))
     if has_dups is None:
-        has_dups = bool(
-            sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__c__"))
-            .filter(F.col("__c__") > 1).take(1))
+        w = (sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__c__"))
+             .agg(F.max("__c__")).first())
+        has_dups = int(w[0] or 1) > max_clone_width
     if not has_dups:
         non_rep = None
         reps = sh

@@ -81,8 +81,8 @@ def test_star_mode_same_components_linear_clone_output(spark):
     full = [(r["id_a"], r["id_b"])
             for r in ngram_jaccard_pairs(df, threshold=0.3).collect()]
     star = [(r["id_a"], r["id_b"])
-            for r in ngram_jaccard_pairs(df, threshold=0.3,
-                                         expand="star").collect()]
+            for r in ngram_jaccard_pairs(df, threshold=0.3, expand="star",
+                                         collapse="always").collect()]
     assert _components(full, nodes) == _components(star, nodes)
     # clone group A (6 members) alone would be 15 full pairs; star emits
     # 5 spanning edges for it — linear in group width
@@ -90,9 +90,47 @@ def test_star_mode_same_components_linear_clone_output(spark):
     # star edges are (rep=min id, member) at exactly 1.0
     star_vals = {(r["id_a"], r["id_b"]): r["jaccard"]
                  for r in ngram_jaccard_pairs(df, threshold=0.3,
-                                              expand="star").collect()}
+                                              expand="star",
+                                              collapse="always").collect()}
     assert star_vals[(0, 3)] == 1.0
     assert star_vals[(6, 9)] == 1.0
+
+
+def test_collapse_auto_trips_on_wide_clone_groups(spark):
+    """auto == never below the width threshold (identical full output,
+    no rep stages), == always above it (the boilerplate-flood path);
+    max_clone_width=2 forces the trip on the 6-wide group here."""
+    from apache_beam_spark.dedup.ngram import ngram_jaccard_pairs
+
+    df = _docs(spark)
+
+    def pairs(**kw):
+        return {(r["id_a"], r["id_b"]): r["jaccard"]
+                for r in ngram_jaccard_pairs(df, threshold=0.3,
+                                             **kw).collect()}
+
+    auto, never, always = (pairs(collapse=c)
+                           for c in ("auto", "never", "always"))
+    assert auto == never == always          # full contract is mode-free
+    tripped = pairs(collapse="auto", max_clone_width=2)
+    assert tripped == always
+    # star under auto with narrow clones degrades to the full list —
+    # still a valid (superset) spanning set
+    star_auto = pairs(collapse="auto", expand="star")
+    assert star_auto == always
+
+
+def test_containment_collapse_modes_equal(spark):
+    from apache_beam_spark.dedup.ngram import ngram_containment_pairs
+
+    df = _docs(spark)
+    outs = []
+    for c in ("auto", "never", "always"):
+        outs.append({(r["id_a"], r["id_b"]): r["containment"]
+                     for r in ngram_containment_pairs(
+                         df, threshold=0.8, collapse=c).collect()})
+    assert outs[0] == outs[1] == outs[2]
+    assert outs[0][(0, 3)] == 1.0 and outs[0][(3, 0)] == 1.0  # both dirs
 
 
 def test_bad_expand_mode_raises(spark):
