@@ -118,7 +118,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
                       threshold: float = 0.5, seed: int = 42,
                       max_bucket: int = 1000,
                       observation=None, has_dups=None,
-                      max_clone_width: int = 32) -> DataFrame:
+                      max_clone_width: int = 32,
+                      clone_fraction: float = 0.05) -> DataFrame:
     """Candidate near-dup pairs with estimated jaccard (signature
     agreement rate), verified against ``threshold``.
 
@@ -130,13 +131,14 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     1.0, the exact pairs dedup exists for) always surfaces.  Pass an
     ``Observation`` for overcap counters.
 
-    ``has_dups``: ``None`` probes the cached signatures for the widest
-    identical-signature group (one narrow agg over signature hashes —
-    the signatures are needed anyway); the collapse engages only when
-    a group exceeds ``max_clone_width`` — narrow dup groups cost less
-    inside the buckets than the expansion joins save (the collapse
-    exists for boilerplate FLOODS).  Pass ``True``/``False`` to skip
-    the probe and pin the plan.  Output identical either way.
+    ``has_dups``: ``None`` probes the cached signatures (one narrow
+    agg over signature hashes — the signatures are needed anyway);
+    the collapse engages when an identical-signature group exceeds
+    ``max_clone_width`` OR duplicates exceed ``clone_fraction`` of
+    the corpus — sparse narrow dup groups cost less inside the
+    buckets than the expansion joins save; either flood shape pays
+    them.  Pass ``True``/``False`` to skip the probe and pin the
+    plan.  Output identical either way.
 
     Returns (id_a, id_b, est_jaccard) with id_a < id_b.
     """
@@ -154,8 +156,12 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     if has_dups is None:
         w = (sigs.select(F.xxhash64("sig").alias("__h__"))
              .groupBy("__h__").agg(F.count(F.lit(1)).alias("__c__"))
-             .agg(F.max("__c__")).first())
-        has_dups = int(w[0] or 1) > max_clone_width
+             .agg(F.max("__c__").alias("wmax"),
+                  F.sum(F.col("__c__") - 1).alias("dups"),
+                  F.sum("__c__").alias("docs")).first())
+        has_dups = bool(w and w["docs"]) and (
+            int(w["wmax"]) > max_clone_width
+            or float(w["dups"]) / float(w["docs"]) > clone_fraction)
     bands = sigs.select(
         "id", F.explode(_band_rows("sig", num_bands, r)).alias("b")
     ).select("id", "b.band", "b.bh")

@@ -81,8 +81,9 @@ def _pruned_sets(ranked, sort: bool = False):
         F.first("n").alias("n"))
 
 
-def _max_clone_width(ranked) -> int:
-    """Cheap clone-flood probe: widest group of identical pruned sets,
+def _clone_stats(ranked) -> tuple[int, float]:
+    """Cheap clone-flood probe: (widest group of identical pruned
+    sets, fraction of docs that are non-representative clones), both
     UPPER-bounded by grouping docs on the order-independent signature
     ``(n, bit_xor(xxhash64(shingle)))`` (a collision only merges
     groups, never under-counts, so the heuristic errs toward
@@ -94,8 +95,22 @@ def _max_clone_width(ranked) -> int:
            .agg(F.first("n").alias("__n__"),
                 F.expr("bit_xor(xxhash64(g))").alias("__x__"))
            .groupBy("__n__", "__x__").agg(F.count(F.lit(1)).alias("__w__"))
-           .agg(F.max("__w__")).first())
-    return int(row[0] or 1)
+           .agg(F.max("__w__").alias("wmax"),
+                F.sum(F.col("__w__") - 1).alias("clones"),
+                F.sum("__w__").alias("docs")).first())
+    if not row or not row["docs"]:
+        return 1, 0.0
+    return int(row["wmax"]), float(row["clones"]) / float(row["docs"])
+
+
+def _should_collapse(ranked, max_clone_width: int,
+                     clone_fraction: float) -> bool:
+    """Trip on either flood shape: one degenerate group (width) or
+    pervasive narrow duplication (fraction) — a corpus of 10x exact
+    copies has width 10 but pays ~w^2 candidate work on EVERY doc,
+    which the collapse cuts ~8x (measured, SCALING.md round 5)."""
+    wmax, frac = _clone_stats(ranked)
+    return wmax > max_clone_width or frac > clone_fraction
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -103,7 +118,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
                         max_df: int = 10000, expand: str = "full",
                         max_bucket: int = 10000,
                         observation=None, collapse: str = "auto",
-                        max_clone_width: int = 32) -> DataFrame:
+                        max_clone_width: int = 32,
+                        clone_fraction: float = 0.05) -> DataFrame:
     """Exact n-gram Jaccard >= threshold pairs: (id_a, id_b, jaccard).
 
     ``expand``: ``"full"`` (default) emits every member pair of every
@@ -114,11 +130,12 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
 
     ``collapse``: ``"auto"`` (default) runs the clone-flood probe at
     plan-build time and engages rep-collapse only when some clone
-    group is wider than ``max_clone_width`` — bounded-width clone
-    groups cost at most ``max_clone_width`` duplicate postings per
-    shingle in the direct plan, cheaper than the collapse machinery's
-    extra stages; a boilerplate flood (the 100 TB hazard the collapse
-    exists for) trips the threshold and pays them.  ``"always"`` /
+    group is wider than ``max_clone_width`` OR clones exceed
+    ``clone_fraction`` of the corpus — sparse narrow clone groups
+    cost less in the direct plan than the collapse machinery's extra
+    stages; either flood shape (one degenerate group, or pervasive
+    duplication — the 100 TB hazards the collapse exists for) trips
+    the probe and pays them.  ``"always"`` /
     ``"never"`` pin the plan (lazy build, no probe job).  All three
     settings produce identical FULL-mode output; star mode without
     collapse degrades to the full pair list (a superset with the same
@@ -134,7 +151,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
 
     ranked = _ranked_postings(df, text_col, id_col, shingle_k, max_df)
     if collapse == "auto":
-        collapse = ("always" if _max_clone_width(ranked) > max_clone_width
+        collapse = ("always" if _should_collapse(ranked, max_clone_width,
+                                                 clone_fraction)
                     else "never")
     # direct plan recomputes the per-doc arrays from the cached
     # postings per verify side (cheap agg); the collapse path builds
@@ -221,7 +239,8 @@ def ngram_containment_pairs(df: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id", shingle_k: int = 3,
                             threshold: float = 0.8,
                             max_df: int = 10000, collapse: str = "auto",
-                            max_clone_width: int = 32) -> DataFrame:
+                            max_clone_width: int = 32,
+                            clone_fraction: float = 0.05) -> DataFrame:
     """Asymmetric containment C(a in b) = |a∩b| / |a| >= threshold:
     detects documents SUBSUMED by larger ones (quote inclusion,
     boilerplate wrapping), which symmetric Jaccard misses whenever the
@@ -245,7 +264,8 @@ def ngram_containment_pairs(df: DataFrame, text_col: str = "text",
             f"collapse must be 'auto'|'always'|'never', got {collapse!r}")
     ranked = _ranked_postings(df, text_col, id_col, shingle_k, max_df)
     if collapse == "auto":
-        collapse = ("always" if _max_clone_width(ranked) > max_clone_width
+        collapse = ("always" if _should_collapse(ranked, max_clone_width,
+                                                 clone_fraction)
                     else "never")
     pruned = (cache_scoped(_pruned_sets(ranked, sort=True))
               if collapse == "always" else _pruned_sets(ranked))

@@ -91,7 +91,8 @@ def simhash_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   max_hamming: int = 3, has_dups=None,
-                  max_clone_width: int = 32) -> DataFrame:
+                  max_clone_width: int = 32,
+                  clone_fraction: float = 0.05) -> DataFrame:
     """Drop docs whose simhash is within ``max_hamming`` of a smaller-id
     doc (bucket-min over (d+1) chunk buckets + exact hamming verify).
 
@@ -104,13 +105,13 @@ def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     SMALLER rep is within range (any smaller member's group rep is
     smaller still, with the same hash).
 
-    ``has_dups``: ``None`` probes the cached hash table for the widest
-    identical-hash group (one narrow agg — the hashes are needed
-    anyway); the collapse engages only when a group exceeds
-    ``max_clone_width``, because narrow dup groups cost less in the
-    direct self-join than the collapse window saves (the collapse
-    exists for boilerplate FLOODS, where w is in the thousands).  Pass
-    ``True``/``False`` to pin the plan.  Output identical either way."""
+    ``has_dups``: ``None`` probes the cached hash table (one narrow
+    agg — the hashes are needed anyway); the collapse engages when an
+    identical-hash group exceeds ``max_clone_width`` OR duplicates
+    exceed ``clone_fraction`` of the corpus — sparse narrow dup
+    groups cost less in the direct self-join than the collapse window
+    saves; either flood shape pays it.  Pass ``True``/``False`` to
+    pin the plan.  Output identical either way."""
     from apache_beam_spark.plans.caching import cache_scoped
 
     n_chunks = max_hamming + 1
@@ -118,8 +119,12 @@ def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     sh = cache_scoped(simhash_table(df, text_col, id_col))
     if has_dups is None:
         w = (sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__c__"))
-             .agg(F.max("__c__")).first())
-        has_dups = int(w[0] or 1) > max_clone_width
+             .agg(F.max("__c__").alias("wmax"),
+                  F.sum(F.col("__c__") - 1).alias("dups"),
+                  F.sum("__c__").alias("docs")).first())
+        has_dups = bool(w and w["docs"]) and (
+            int(w["wmax"]) > max_clone_width
+            or float(w["dups"]) / float(w["docs"]) > clone_fraction)
     if not has_dups:
         non_rep = None
         reps = sh

@@ -97,9 +97,10 @@ def test_star_mode_same_components_linear_clone_output(spark):
 
 
 def test_collapse_auto_trips_on_wide_clone_groups(spark):
-    """auto == never below the width threshold (identical full output,
-    no rep stages), == always above it (the boilerplate-flood path);
-    max_clone_width=2 forces the trip on the 6-wide group here."""
+    """auto == never below both thresholds (identical full output, no
+    rep stages), == always past either; max_clone_width=2 forces the
+    width trip on the 6-wide group here (the fraction trigger is
+    pinned high to isolate the width one)."""
     from apache_beam_spark.dedup.ngram import ngram_jaccard_pairs
 
     df = _docs(spark)
@@ -109,14 +110,14 @@ def test_collapse_auto_trips_on_wide_clone_groups(spark):
                 for r in ngram_jaccard_pairs(df, threshold=0.3,
                                              **kw).collect()}
 
-    auto, never, always = (pairs(collapse=c)
+    auto, never, always = (pairs(collapse=c, clone_fraction=0.9)
                            for c in ("auto", "never", "always"))
     assert auto == never == always          # full contract is mode-free
-    tripped = pairs(collapse="auto", max_clone_width=2)
+    tripped = pairs(collapse="auto", max_clone_width=2, clone_fraction=0.9)
     assert tripped == always
-    # star under auto with narrow clones degrades to the full list —
-    # still a valid (superset) spanning set
-    star_auto = pairs(collapse="auto", expand="star")
+    # star under untripped auto degrades to the full list — still a
+    # valid (superset) spanning set
+    star_auto = pairs(collapse="auto", expand="star", clone_fraction=0.9)
     assert star_auto == always
 
 
@@ -167,3 +168,31 @@ def test_release_caches_drains_global_registry(spark):
     assert sc._jsc.getPersistentRDDs().size() > base
     release_caches()
     assert sc._jsc.getPersistentRDDs().size() == base
+
+
+def test_collapse_auto_trips_on_pervasive_clones(spark):
+    """A corpus that is mostly exact copies (width BELOW the width
+    threshold) must still trip auto via the clone-fraction trigger —
+    the 10x-copies flood shape (SCALING.md round 5)."""
+    from pyspark.sql import functions as F
+
+    from apache_beam_spark.dedup.ngram import (
+        _clone_stats, _ranked_postings, ngram_jaccard_pairs)
+
+    base = _docs(spark).filter(F.col("doc_id").isin(10, 11))  # 2 distinct
+    flood = base
+    for i in range(1, 5):                     # 5 exact copies of each
+        flood = flood.unionByName(
+            base.withColumn("doc_id", F.col("doc_id") + 100 * i))
+    ranked = _ranked_postings(flood, "text", "doc_id", 3, 10000)
+    wmax, frac = _clone_stats(ranked)
+    assert wmax == 5 and frac > 0.5
+    # width 5 <= 32, but fraction 0.8 > 0.05 -> collapse engages:
+    # star output is the linear spanning set, not the full clique list
+    star = ngram_jaccard_pairs(flood, threshold=0.3, expand="star").collect()
+    full = ngram_jaccard_pairs(flood, threshold=0.3,
+                               collapse="never").collect()
+    nodes = [r["doc_id"] for r in flood.select("doc_id").collect()]
+    assert _components([(r["id_a"], r["id_b"]) for r in star], nodes) == \
+        _components([(r["id_a"], r["id_b"]) for r in full], nodes)
+    assert len(star) < len(full)
