@@ -501,17 +501,24 @@ def _encode_block(zz: np.ndarray, dc_pred: int, dc_tbl, ac_tbl,
     return int(zz[0])
 
 
-def encode_jpeg(img: np.ndarray) -> bytes:
+def encode_jpeg(img: np.ndarray, subsampling: str = "444",
+                restart_interval: int = 0) -> bytes:
     """Baseline JFIF writer: (h, w) gray or (h, w, 3) RGB uint8,
-    Annex K tables, 4:4:4 (no subsampling), quality fixed at the
-    spec's example tables.  Deterministic: quantization rounds
-    half-up (``floor(x + 0.5)``), so the decode of a CONSTANT gray
-    tile has the closed form ``clip(2*floor((v-128)/2 + .5) + 128)``
-    — the oracle hook for ``jpeg_roundtrip``."""
+    Annex K tables, ``subsampling`` "444" (one block per component
+    per MCU) or "420" (2x2 luma blocks + 2x2-averaged chroma — the
+    dominant layout of real crawl JPEGs), optional ``restart_interval``
+    (DRI segment + RSTn markers every N MCUs with DC-predictor
+    resets).  Deterministic: quantization rounds half-up
+    (``floor(x + 0.5)``), so the decode of a CONSTANT gray tile has
+    the closed form ``clip(2*floor((v-128)/2 + .5) + 128)`` — the
+    oracle hook for ``jpeg_roundtrip``."""
     a = np.asarray(img, dtype=np.uint8)
     gray = a.ndim == 2
     if not gray and (a.ndim != 3 or a.shape[2] != 3):
         raise ValueError(f"unsupported array shape {a.shape}")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"subsampling must be '444' or '420', "
+                         f"got {subsampling!r}")
     h, w = a.shape[:2]
     if h == 0 or w == 0:
         raise ValueError("zero-dimension image")
@@ -520,6 +527,7 @@ def encode_jpeg(img: np.ndarray) -> bytes:
         planes = [a.astype(np.float64) - 128.0]
         qts = [_QT_LUMA]
         comp_q = [0]
+        samp = [(1, 1)]
     else:
         rgb = a.astype(np.float64)
         y = (0.299 * rgb[..., 0] + 0.587 * rgb[..., 1]
@@ -531,17 +539,32 @@ def encode_jpeg(img: np.ndarray) -> bytes:
         planes = [y - 128.0, cb - 128.0, cr - 128.0]
         qts = [_QT_LUMA, _QT_CHROMA, _QT_CHROMA]
         comp_q = [0, 1, 1]
+        samp = ([(2, 2), (1, 1), (1, 1)] if subsampling == "420"
+                else [(1, 1)] * 3)
 
-    bh, bw = (h + 7) // 8, (w + 7) // 8
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
     dc_tbls = [_huff_canonical(*_HUFF_DC_LUMA),
                _huff_canonical(*_HUFF_DC_CHROMA)]
     ac_tbls = [_huff_canonical(*_HUFF_AC_LUMA),
                _huff_canonical(*_HUFF_AC_CHROMA)]
 
-    # pad with edge replication, batch-DCT every 8x8 block per plane
+    # per component: subsample, pad with edge replication to the MCU
+    # grid, batch-DCT every 8x8 block
     zz_planes = []
-    for p, qt in zip(planes, qts):
-        pad = np.pad(p, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
+    for p, qt, (hi, vi) in zip(planes, qts, samp):
+        if (hi, vi) != (hmax, vmax):
+            # 2x2 mean downsample (pad full-res to even dims first)
+            fy, fx = vmax // vi, hmax // hi
+            pe = np.pad(p, ((0, (-p.shape[0]) % fy), (0, (-p.shape[1]) % fx)),
+                        mode="edge")
+            p = pe.reshape(pe.shape[0] // fy, fy,
+                           pe.shape[1] // fx, fx).mean(axis=(1, 3))
+        bh, bw = mcus_y * vi, mcus_x * hi
+        pad = np.pad(p, ((0, bh * 8 - p.shape[0]),
+                         (0, bw * 8 - p.shape[1])), mode="edge")
         blocks = pad.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
         coef = np.einsum("ux,nmxy,vy->nmuv", _DCT_C, blocks, _DCT_C)
         # 6-dp pre-round: mathematically-integer coefficients (e.g. the
@@ -551,16 +574,29 @@ def encode_jpeg(img: np.ndarray) -> bytes:
         q = np.floor(np.round(coef, 6) / qt + 0.5).astype(np.int32)
         zz_planes.append(q[:, :, _ZZ_ROW, _ZZ_COL])   # (bh, bw, 64)
 
+    scan_parts = []
     wtr = _BitWriter()
     dc_pred = [0] * len(planes)
-    for by in range(bh):                 # 4:4:4 => MCU == one block/comp
-        for bx in range(bw):
-            for ci in range(len(planes)):
+    mcu_index = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if (restart_interval and mcu_index
+                    and mcu_index % restart_interval == 0):
+                scan_parts.append(wtr.flush())
+                scan_parts.append(bytes(
+                    [0xFF, 0xD0 + (mcu_index // restart_interval - 1) % 8]))
+                wtr = _BitWriter()
+                dc_pred = [0] * len(planes)
+            for ci, (hi, vi) in enumerate(samp):
                 t = comp_q[ci] and 1
-                dc_pred[ci] = _encode_block(
-                    zz_planes[ci][by, bx], dc_pred[ci],
-                    dc_tbls[t], ac_tbls[t], wtr)
-    scan = wtr.flush()
+                for by in range(vi):
+                    for bx in range(hi):
+                        dc_pred[ci] = _encode_block(
+                            zz_planes[ci][my * vi + by, mx * hi + bx],
+                            dc_pred[ci], dc_tbls[t], ac_tbls[t], wtr)
+            mcu_index += 1
+    scan_parts.append(wtr.flush())
+    scan = b"".join(scan_parts)
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">HH", marker, len(body) + 2) + body
@@ -571,7 +607,8 @@ def encode_jpeg(img: np.ndarray) -> bytes:
 
     ncomp = len(planes)
     sof_comps = b"".join(
-        bytes([i + 1, 0x11, comp_q[i]]) for i in range(ncomp))
+        bytes([i + 1, samp[i][0] << 4 | samp[i][1], comp_q[i]])
+        for i in range(ncomp))
     sos_comps = b"".join(
         bytes([i + 1, (comp_q[i] and 1) * 0x11]) for i in range(ncomp))
     out = (b"\xff\xd8"                                   # SOI
@@ -587,6 +624,8 @@ def encode_jpeg(img: np.ndarray) -> bytes:
     if ncomp == 3:
         out += seg(0xFFC4, dht(0, 1, _HUFF_DC_CHROMA))
         out += seg(0xFFC4, dht(1, 1, _HUFF_AC_CHROMA))
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
     out += seg(0xFFDA, bytes([ncomp]) + sos_comps + b"\x00\x3f\x00")
     return out + scan + b"\xff\xd9"                      # EOI
 

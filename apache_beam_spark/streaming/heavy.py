@@ -22,6 +22,7 @@ at watermark+1 so idle windows still close.
 from __future__ import annotations
 
 import json
+import pickle
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -64,7 +65,7 @@ def streaming_heavy_hitters(df: DataFrame, item_col: str,
            .withWatermark("__wmts__", f"{max(lateness_ms, 0)} milliseconds"))
 
     out_schema = "window_start bigint, item string, approx_count bigint"
-    state_schema = "js string"
+    state_schema = "js binary"  # pickle beats JSON for the counter dicts
 
     def _absorb(counters, pdf):
         for item, c in pdf["item"].value_counts().items():
@@ -87,7 +88,7 @@ def streaming_heavy_hitters(df: DataFrame, item_col: str,
 
     def fn(key, pdfs, state):
         w_start = key[0]
-        counters = json.loads(state.get[0]) if state.exists else {}
+        counters = pickle.loads(bytes(state.get[0])) if state.exists else {}
         wm_us = state.getCurrentWatermarkMs() * 1000
         if not state.hasTimedOut:
             for pdf in pdfs:
@@ -101,11 +102,11 @@ def streaming_heavy_hitters(df: DataFrame, item_col: str,
             if out is not None:
                 yield out
         else:
-            state.update((json.dumps(counters),))
+            state.update((pickle.dumps(counters),))
             state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
 
     def fn_sharded(key, pdfs, state):
-        wins = json.loads(state.get[0]) if state.exists else {}
+        wins = pickle.loads(bytes(state.get[0])) if state.exists else {}
         wm_us = state.getCurrentWatermarkMs() * 1000
         if not state.hasTimedOut:
             for pdf in pdfs:
@@ -120,7 +121,7 @@ def streaming_heavy_hitters(df: DataFrame, item_col: str,
             if out is not None:
                 outs.append(out)
         if wins:
-            state.update((json.dumps(wins),))
+            state.update((pickle.dumps(wins),))
             state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
         elif state.exists:
             state.remove()

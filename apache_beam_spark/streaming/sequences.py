@@ -29,6 +29,7 @@ joins keep.
 from __future__ import annotations
 
 import json
+import pickle
 from collections.abc import Sequence
 
 import pandas as pd
@@ -94,7 +95,8 @@ def streaming_funnel(df: DataFrame, steps: Sequence[str], within_ms: int,
 
     out_cols = ", ".join(f"{s}_ts bigint" for s in steps)
     out_schema = f"{key_col} bigint, {out_cols}"
-    state_schema = "js string"
+    state_schema = "js binary"  # pickle: 2-5x faster than JSON
+    # for the nested per-user lists this state carries per batch
 
     def _advance(buf, parts, wm, done, out_keys, user):
         """Seal events behind the watermark and push them through the
@@ -129,7 +131,7 @@ def streaming_funnel(df: DataFrame, steps: Sequence[str], within_ms: int,
                 for i, s in enumerate(steps)}})
 
     def fn(key, pdfs, state):
-        s = (json.loads(state.get[0])
+        s = (pickle.loads(bytes(state.get[0]))
              if state.exists else {"buf": [], "parts": []})
         buf, parts = s["buf"], s["parts"]
         wm_ms = state.getCurrentWatermarkMs()
@@ -147,7 +149,7 @@ def streaming_funnel(df: DataFrame, steps: Sequence[str], within_ms: int,
         buf, parts = _advance(buf, parts, wm, done, out_keys, key[0])
 
         if buf or parts:
-            state.update((json.dumps({"buf": buf, "parts": parts}),))
+            state.update((pickle.dumps({"buf": buf, "parts": parts}),))
             # wake this key as soon as the watermark moves again, even
             # if it never receives another event
             state.setTimeoutTimestamp(wm_ms + 1)
@@ -157,7 +159,7 @@ def streaming_funnel(df: DataFrame, steps: Sequence[str], within_ms: int,
             yield _emit(done, out_keys)
 
     def fn_sharded(key, pdfs, state):
-        users = json.loads(state.get[0]) if state.exists else {}
+        users = pickle.loads(bytes(state.get[0])) if state.exists else {}
         wm_ms = state.getCurrentWatermarkMs()
         wm = wm_ms * 1000
         if not state.hasTimedOut:
@@ -186,7 +188,7 @@ def streaming_funnel(df: DataFrame, steps: Sequence[str], within_ms: int,
             del users[u]
 
         if users:
-            state.update((json.dumps(users),))
+            state.update((pickle.dumps(users),))
             state.setTimeoutTimestamp(wm_ms + 1)
         elif state.exists:
             state.remove()

@@ -369,3 +369,35 @@ def test_jpeg_through_decode_image_stage(spark):
     assert (rows[2]["width"], rows[2]["height"], rows[2]["channels"]) == (9, 8, 3)
     # constant gray pixels follow the closed form
     assert set(bytes(rows[1]["pixels"])) == {90}
+
+
+def test_jpeg_420_subsampling_and_restart_intervals():
+    """The decoder's 2x sampling-factor and RSTn paths, driven by the
+    encoder's 4:2:0 + DRI options — the layout of real crawl JPEGs."""
+    from apache_beam_spark.multimodal.codecs import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(0)
+    base = rng.randint(0, 255, (3, 3, 3)).astype(np.float64)
+    img = np.clip(np.kron(base, np.ones((16, 16, 1)))[:40, :44],
+                  0, 255).astype(np.uint8)
+    for ss in ("444", "420"):
+        for ri in (0, 2, 3):
+            dec = decode_jpeg(encode_jpeg(img, subsampling=ss,
+                                          restart_interval=ri))
+            assert dec.shape == img.shape
+            assert np.abs(dec.astype(int) - img.astype(int)).mean() < 4
+
+    # restart markers reset the DC predictors: constant closed form
+    # must survive an interval of 1 (an RSTn between every MCU)
+    g = np.full((37, 29), 77, np.uint8)
+    dec = decode_jpeg(encode_jpeg(g, restart_interval=1))
+    assert (dec == int(2 * np.floor((77 - 128) / 2 + 0.5) + 128)).all()
+
+    # odd (non-multiple-of-16) dims crop exactly in 4:2:0
+    odd = np.clip(np.kron(rng.randint(0, 255, (2, 2, 3)).astype(float),
+                          np.ones((13, 11, 1)))[:23, :19],
+                  0, 255).astype(np.uint8)
+    assert decode_jpeg(encode_jpeg(odd, subsampling="420")).shape == odd.shape
+
+    with pytest.raises(ValueError, match="subsampling"):
+        encode_jpeg(img, subsampling="422")
