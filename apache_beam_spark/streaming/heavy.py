@@ -22,7 +22,6 @@ at watermark+1 so idle windows still close.
 from __future__ import annotations
 
 import json
-import pickle
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -65,7 +64,7 @@ def streaming_heavy_hitters(df: DataFrame, item_col: str,
            .withWatermark("__wmts__", f"{max(lateness_ms, 0)} milliseconds"))
 
     out_schema = "window_start bigint, item string, approx_count bigint"
-    state_schema = "js binary"  # pickle beats JSON for the counter dicts
+    state_schema = "js string"
 
     def _absorb(counters, pdf):
         for item, c in pdf["item"].value_counts().items():
@@ -88,7 +87,7 @@ def streaming_heavy_hitters(df: DataFrame, item_col: str,
 
     def fn(key, pdfs, state):
         w_start = key[0]
-        counters = pickle.loads(bytes(state.get[0])) if state.exists else {}
+        counters = json.loads(state.get[0]) if state.exists else {}
         wm_us = state.getCurrentWatermarkMs() * 1000
         if not state.hasTimedOut:
             for pdf in pdfs:
@@ -102,11 +101,11 @@ def streaming_heavy_hitters(df: DataFrame, item_col: str,
             if out is not None:
                 yield out
         else:
-            state.update((pickle.dumps(counters),))
+            state.update((json.dumps(counters),))
             state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
 
     def fn_sharded(key, pdfs, state):
-        wins = pickle.loads(bytes(state.get[0])) if state.exists else {}
+        wins = json.loads(state.get[0]) if state.exists else {}
         wm_us = state.getCurrentWatermarkMs() * 1000
         if not state.hasTimedOut:
             for pdf in pdfs:
@@ -121,7 +120,7 @@ def streaming_heavy_hitters(df: DataFrame, item_col: str,
             if out is not None:
                 outs.append(out)
         if wins:
-            state.update((pickle.dumps(wins),))
+            state.update((json.dumps(wins),))
             state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
         elif state.exists:
             state.remove()

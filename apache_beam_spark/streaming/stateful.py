@@ -154,7 +154,7 @@ def streaming_rate_limit(df: DataFrame, key: str, event_time: str,
     #distinct-keys to n_shards; per-key buckets stay independent
     inside the shard blob, results identical (parity-tested).
     """
-    import pickle
+    import json
 
     from pyspark.sql import functions as F
 
@@ -162,7 +162,7 @@ def streaming_rate_limit(df: DataFrame, key: str, event_time: str,
 
     out_schema = (f"{key} string, {id_col} long, ts_ms long, "
                   "win_start_ms long, seq int")
-    state_schema = "js binary"  # pickle beats JSON for the bucket dicts
+    state_schema = "js string"
     sharded = n_shards > 0
 
     def fn(k, pdfs: Iterable[pd.DataFrame], state: GroupState):
@@ -170,7 +170,7 @@ def streaming_rate_limit(df: DataFrame, key: str, event_time: str,
             state.remove()
             return
         # {user_key: {win_start: count}} (single-key mode uses one entry)
-        blob = pickle.loads(bytes(state.get[0])) if state.exists else {}
+        blob = json.loads(state.get[0]) if state.exists else {}
         out = {key: [], id_col: [], "ts_ms": [], "win_start_ms": [],
                "seq": []}
         for pdf in pdfs:
@@ -195,7 +195,7 @@ def streaming_rate_limit(df: DataFrame, key: str, event_time: str,
                     if (kept := {w: c for w, c in b.items()
                                  if int(w) + window_ms > wm - window_ms})}
         if blob:
-            state.update((pickle.dumps(blob),))
+            state.update((json.dumps(blob),))
         elif state.exists:
             state.remove()
         if out[key]:

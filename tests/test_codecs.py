@@ -401,3 +401,36 @@ def test_jpeg_420_subsampling_and_restart_intervals():
 
     with pytest.raises(ValueError, match="subsampling"):
         encode_jpeg(img, subsampling="422")
+
+
+def test_jpeg_property_roundtrip_random_images():
+    """Hypothesis-style sweep without Spark: random dims / channels /
+    subsampling / restart intervals all decode to the exact input
+    shape with pixel values in range; piecewise-constant content stays
+    within normal baseline-JPEG error."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from apache_beam_spark.multimodal.codecs import decode_jpeg, encode_jpeg
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.integers(1, 40), st.integers(1, 40), st.booleans(),
+           st.sampled_from(["444", "420"]), st.integers(0, 3),
+           st.integers(0, 2**32 - 1))
+    def check(h, w, gray, ss, ri, seed):
+        rng = np.random.RandomState(seed)
+        # piecewise-constant (16x16 tiles) so quantization error stays
+        # small and assertable; shapes deliberately off-grid
+        tile = rng.randint(0, 256, (3, 3) if gray else (3, 3, 3))
+        img = np.kron(tile, np.ones((16, 16) if gray
+                                    else (16, 16, 1)))[:h, :w]
+        img = np.clip(img, 0, 255).astype(np.uint8)
+        dec = decode_jpeg(encode_jpeg(img, subsampling=ss,
+                                      restart_interval=ri))
+        assert dec.shape == img.shape
+        assert dec.dtype == np.uint8
+        # interior error bound: away from tile boundaries the content
+        # is constant; overall mean stays modest even with 4:2:0
+        assert np.abs(dec.astype(int) - img.astype(int)).mean() < 16
+
+    check()
