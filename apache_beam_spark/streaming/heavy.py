@@ -104,15 +104,34 @@ def streaming_heavy_hitters(df: DataFrame, item_col: str,
             state.update((json.dumps(counters),))
             state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
 
+    def _trim(counters):
+        if len(counters) > capacity:
+            cut = sorted(counters.values())[-(capacity + 1)]
+            counters = {i: n - cut for i, n in counters.items() if n > cut}
+        return counters
+
     def fn_sharded(key, pdfs, state):
         wins = json.loads(state.get[0]) if state.exists else {}
         wm_us = state.getCurrentWatermarkMs() * 1000
         if not state.hasTimedOut:
             for pdf in pdfs:
                 pdf = pdf[pdf["t"] >= wm_us]
-                for w_start, grp in pdf.groupby("w"):
+                if not len(pdf):
+                    continue
+                # ONE vectorized count over the whole batch instead of
+                # a value_counts call per window group — the absorb
+                # loop then walks a ~(windows x items)-sized series
+                counts = pdf.groupby(["w", "item"], sort=False).size()
+                touched = set()
+                for (w_start, item), c in counts.items():
                     k = str(int(w_start))
-                    wins[k] = _absorb(wins.get(k, {}), grp)
+                    counters = wins.get(k)
+                    if counters is None:
+                        counters = wins[k] = {}
+                    counters[item] = counters.get(item, 0) + int(c)
+                    touched.add(k)
+                for k in touched:       # MG trim once per touched window
+                    wins[k] = _trim(wins[k])
         outs = []
         for k in [k for k in wins
                   if wm_us >= int(k) + window_us]:  # closed windows
