@@ -60,6 +60,23 @@ def bucket_stats_aggs(max_bucket: int) -> list:
     ]
 
 
+def zero_bucket_stats() -> list:
+    """Zeroed analogues of ``bucket_stats_aggs`` for plans that carry
+    no bucket-expansion stage (a miner's direct or star path): the
+    ``LAST_OBSERVATIONS[name].get`` readout (RUNBOOK "Reading the LSH
+    bucket telemetry") then reports all-zero counters instead of
+    raising NO_OBSERVE_BEFORE_GET when the clone probe keeps the
+    collapse machinery off a healthy corpus (ADVICE r5 item 1)."""
+
+    def zero(alias, typ="long"):
+        lit = F.lit(0).cast(typ)
+        return F.coalesce(F.max(lit), lit).alias(alias)
+
+    return [zero("n_buckets"), zero("overcap_buckets"),
+            zero("overcap_candidates", "double"),
+            zero("max_bucket_width", "int")]
+
+
 def bucket_pairs(members: DataFrame, bucket_keys: Sequence[str],
                  id_col: str = "id", max_bucket: int = 10000,
                  observation: Optional["Observation"] = None) -> DataFrame:

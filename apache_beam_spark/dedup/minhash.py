@@ -131,14 +131,15 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     1.0, the exact pairs dedup exists for) always surfaces.  Pass an
     ``Observation`` for overcap counters.
 
-    ``has_dups``: ``None`` probes the cached signatures (one narrow
-    agg over signature hashes — the signatures are needed anyway);
-    the collapse engages when an identical-signature group exceeds
-    ``max_clone_width`` OR duplicates exceed ``clone_fraction`` of
-    the corpus — sparse narrow dup groups cost less inside the
-    buckets than the expansion joins save; either flood shape pays
-    them.  Pass ``True``/``False`` to skip the probe and pin the
-    plan.  Output identical either way.
+    ``has_dups``: ``None`` consults the MEMOIZED corpus-level clone
+    probe (``dedup/probe.py`` — token-stream-identical docs have
+    identical signatures, and the one probe job is shared across the
+    whole miner family per process); the collapse engages when a
+    clone group exceeds ``max_clone_width`` OR clones exceed
+    ``clone_fraction`` of the corpus — sparse narrow dup groups cost
+    less inside the buckets than the expansion joins save; either
+    flood shape pays them.  Pass ``True``/``False`` to skip the probe
+    and pin the plan.  Output identical either way.
 
     Returns (id_a, id_b, est_jaccard) with id_a < id_b.
     """
@@ -154,14 +155,10 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     from pyspark.sql.window import Window as W
 
     if has_dups is None:
-        w = (sigs.select(F.xxhash64("sig").alias("__h__"))
-             .groupBy("__h__").agg(F.count(F.lit(1)).alias("__c__"))
-             .agg(F.max("__c__").alias("wmax"),
-                  F.sum(F.col("__c__") - 1).alias("dups"),
-                  F.sum("__c__").alias("docs")).first())
-        has_dups = bool(w and w["docs"]) and (
-            int(w["wmax"]) > max_clone_width
-            or float(w["dups"]) / float(w["docs"]) > clone_fraction)
+        from apache_beam_spark.dedup.probe import should_collapse
+
+        has_dups = should_collapse(df, text_col, max_clone_width,
+                                   clone_fraction)
     bands = sigs.select(
         "id", F.explode(_band_rows("sig", num_bands, r)).alias("b")
     ).select("id", "b.band", "b.bh")

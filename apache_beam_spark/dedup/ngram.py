@@ -50,8 +50,8 @@ def _ranked_postings(df: DataFrame, text_col: str, id_col: str,
                      shingle_k: int, max_df: int):
     """Shared front half of both miners: one row per (doc, surviving
     shingle) with the doc-local rarest-first rank ``rn`` and the doc's
-    pruned set size ``n``; ``cache_scoped`` — it feeds the probe,
-    candidate generation AND verify."""
+    pruned set size ``n``; ``cache_scoped`` — it feeds candidate
+    generation AND verify."""
     from apache_beam_spark.dedup.minhash import _parallelize_narrow
 
     toks = _parallelize_narrow(df.select(F.col(id_col), F.col(text_col))).select(
@@ -81,38 +81,6 @@ def _pruned_sets(ranked, sort: bool = False):
         F.first("n").alias("n"))
 
 
-def _clone_stats(ranked) -> tuple[int, float]:
-    """Cheap clone-flood probe: (widest group of identical pruned
-    sets, fraction of docs that are non-representative clones), both
-    UPPER-bounded by grouping docs on the order-independent signature
-    ``(n, bit_xor(xxhash64(shingle)))`` (a collision only merges
-    groups, never under-counts, so the heuristic errs toward
-    collapsing) — two narrow aggs over bigints straight off the cached
-    postings: no array build, no array shuffle.  The probe job
-    materializes the ``ranked`` cache the main query reuses, so its
-    marginal cost is the aggs alone."""
-    row = (ranked.groupBy("id")
-           .agg(F.first("n").alias("__n__"),
-                F.expr("bit_xor(xxhash64(g))").alias("__x__"))
-           .groupBy("__n__", "__x__").agg(F.count(F.lit(1)).alias("__w__"))
-           .agg(F.max("__w__").alias("wmax"),
-                F.sum(F.col("__w__") - 1).alias("clones"),
-                F.sum("__w__").alias("docs")).first())
-    if not row or not row["docs"]:
-        return 1, 0.0
-    return int(row["wmax"]), float(row["clones"]) / float(row["docs"])
-
-
-def _should_collapse(ranked, max_clone_width: int,
-                     clone_fraction: float) -> bool:
-    """Trip on either flood shape: one degenerate group (width) or
-    pervasive narrow duplication (fraction) — a corpus of 10x exact
-    copies has width 10 but pays ~w^2 candidate work on EVERY doc,
-    which the collapse cuts ~8x (measured, SCALING.md round 5)."""
-    wmax, frac = _clone_stats(ranked)
-    return wmax > max_clone_width or frac > clone_fraction
-
-
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                         shingle_k: int = 3, threshold: float = 0.3,
                         max_df: int = 10000, expand: str = "full",
@@ -128,20 +96,23 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     docstring).  Pass an ``Observation`` for the clone-group
     re-expansion's overcap counters (full mode only).
 
-    ``collapse``: ``"auto"`` (default) runs the clone-flood probe at
-    plan-build time and engages rep-collapse only when some clone
-    group is wider than ``max_clone_width`` OR clones exceed
-    ``clone_fraction`` of the corpus — sparse narrow clone groups
-    cost less in the direct plan than the collapse machinery's extra
-    stages; either flood shape (one degenerate group, or pervasive
-    duplication — the 100 TB hazards the collapse exists for) trips
-    the probe and pays them.  ``"always"`` /
-    ``"never"`` pin the plan (lazy build, no probe job).  All three
-    settings produce identical FULL-mode output; star mode without
-    collapse degrades to the full pair list (a superset with the same
-    components — still a valid spanning set for CC consumers).
+    ``collapse``: ``"auto"`` (default) consults the MEMOIZED
+    corpus-level clone probe (``dedup/probe.py`` — one token-stream
+    hash agg per corpus per process, shared across the whole miner
+    family) and engages rep-collapse only when some clone group is
+    wider than ``max_clone_width`` OR clones exceed ``clone_fraction``
+    of the corpus — sparse narrow clone groups cost less in the direct
+    plan than the collapse machinery's extra stages; either flood
+    shape (one degenerate group, or pervasive duplication — the 100 TB
+    hazards the collapse exists for) trips the probe and pays them.
+    ``"always"`` / ``"never"`` pin the plan (lazy build, no probe
+    job).  All three settings produce identical FULL-mode output;
+    star mode without collapse degrades to the full pair list (a
+    superset with the same components — still a valid spanning set
+    for CC consumers).
     """
     from apache_beam_spark.dedup.buckets import bucket_pairs
+    from apache_beam_spark.dedup.probe import should_collapse
 
     if expand not in ("full", "star"):
         raise ValueError(f"expand must be 'full' or 'star', got {expand!r}")
@@ -149,11 +120,11 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
         raise ValueError(
             f"collapse must be 'auto'|'always'|'never', got {collapse!r}")
 
-    ranked = _ranked_postings(df, text_col, id_col, shingle_k, max_df)
     if collapse == "auto":
-        collapse = ("always" if _should_collapse(ranked, max_clone_width,
-                                                 clone_fraction)
+        collapse = ("always" if should_collapse(df, text_col, max_clone_width,
+                                                clone_fraction)
                     else "never")
+    ranked = _ranked_postings(df, text_col, id_col, shingle_k, max_df)
     # direct plan recomputes the per-doc arrays from the cached
     # postings per verify side (cheap agg); the collapse path builds
     # them once, SORTED (the window key must be canonical), and caches
@@ -187,6 +158,12 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
             .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
             .distinct()
         )
+        if observation is not None:
+            # no bucket-expansion stage in this plan: attach the zeroed
+            # counters so the telemetry readout stays total (ADVICE r5)
+            from apache_beam_spark.dedup.buckets import zero_bucket_stats
+
+            cand = cand.observe(observation, *zero_bucket_stats())
         out = verify(cand)
         return out.select("id_a", "id_b",
                           F.round("jaccard", 6).alias("jaccard"))
@@ -206,6 +183,11 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
     )
+    if observation is not None and expand == "star":
+        # star never re-expands through bucket_pairs — zeroed counters
+        from apache_beam_spark.dedup.buckets import zero_bucket_stats
+
+        cand = cand.observe(observation, *zero_bucket_stats())
     rep_out = verify(cand)
 
     if expand == "star":
@@ -259,14 +241,16 @@ def ngram_containment_pairs(df: DataFrame, text_col: str = "text",
     with a contained in b; both directions emitted when both hold
     (within a clone group, both always hold at 1.0).
     """
+    from apache_beam_spark.dedup.probe import should_collapse
+
     if collapse not in ("auto", "always", "never"):
         raise ValueError(
             f"collapse must be 'auto'|'always'|'never', got {collapse!r}")
-    ranked = _ranked_postings(df, text_col, id_col, shingle_k, max_df)
     if collapse == "auto":
-        collapse = ("always" if _should_collapse(ranked, max_clone_width,
-                                                 clone_fraction)
+        collapse = ("always" if should_collapse(df, text_col, max_clone_width,
+                                                clone_fraction)
                     else "never")
+    ranked = _ranked_postings(df, text_col, id_col, shingle_k, max_df)
     pruned = (cache_scoped(_pruned_sets(ranked, sort=True))
               if collapse == "always" else _pruned_sets(ranked))
 

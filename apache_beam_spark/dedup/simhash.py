@@ -105,26 +105,25 @@ def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     SMALLER rep is within range (any smaller member's group rep is
     smaller still, with the same hash).
 
-    ``has_dups``: ``None`` probes the cached hash table (one narrow
-    agg — the hashes are needed anyway); the collapse engages when an
-    identical-hash group exceeds ``max_clone_width`` OR duplicates
-    exceed ``clone_fraction`` of the corpus — sparse narrow dup
-    groups cost less in the direct self-join than the collapse window
-    saves; either flood shape pays it.  Pass ``True``/``False`` to
-    pin the plan.  Output identical either way."""
+    ``has_dups``: ``None`` consults the MEMOIZED corpus-level clone
+    probe (``dedup/probe.py`` — token-stream-identical docs have
+    identical simhashes, and the one probe job is shared across the
+    whole miner family per process); the collapse engages when a
+    clone group exceeds ``max_clone_width`` OR clones exceed
+    ``clone_fraction`` of the corpus — sparse narrow dup groups cost
+    less in the direct self-join than the collapse window saves;
+    either flood shape pays it.  Pass ``True``/``False`` to pin the
+    plan.  Output identical either way."""
     from apache_beam_spark.plans.caching import cache_scoped
 
     n_chunks = max_hamming + 1
+    if has_dups is None:
+        from apache_beam_spark.dedup.probe import should_collapse
+
+        has_dups = should_collapse(df, text_col, max_clone_width,
+                                   clone_fraction)
     # cache: (id, 64-bit hash) is ~16B/doc; reps + members read it twice
     sh = cache_scoped(simhash_table(df, text_col, id_col))
-    if has_dups is None:
-        w = (sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__c__"))
-             .agg(F.max("__c__").alias("wmax"),
-                  F.sum(F.col("__c__") - 1).alias("dups"),
-                  F.sum("__c__").alias("docs")).first())
-        has_dups = bool(w and w["docs"]) and (
-            int(w["wmax"]) > max_clone_width
-            or float(w["dups"]) / float(w["docs"]) > clone_fraction)
     if not has_dups:
         non_rep = None
         reps = sh

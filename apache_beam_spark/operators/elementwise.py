@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from apache_beam_spark.pipeline import PCollection, PTransform
+from apache_beam_spark.plans.caching import cache_scoped
 
 
 class Map(PTransform):
@@ -116,14 +117,17 @@ class ParDo(PTransform):
 
         df = pcoll.df.mapInPandas(_run, schema=self.schema)
         if self.tags:
-            df = df.cache()
+            # scoped lifecycle (plans/caching.py): a long-lived driver
+            # releases tag fan-out caches at its scope boundary instead
+            # of pinning them for the session's lifetime
+            df = cache_scoped(df)
         return pcoll._with_df(df)
 
 
 def multi_output(pcoll: PCollection, tags: list[str], tag_col: str = "tag") -> dict[str, PCollection]:
     """Split a tagged PCollection into per-tag outputs (reference
     ``PCollectionTuple``/``TupleTag`` — ``values/PCollectionTuple.java``)."""
-    cached = pcoll._with_df(pcoll.df.cache())
+    cached = pcoll._with_df(cache_scoped(pcoll.df))
     return {t: cached._with_df(cached.df.filter(F.col(tag_col) == t).drop(tag_col)) for t in tags}
 
 
@@ -303,7 +307,7 @@ def with_dead_letters(df, fn, output_schema: str, error_schema: str = "error str
                     oks.append(False)
             yield _pd.DataFrame({"__ok__": oks, "payload": payloads})
 
-    tagged = df.mapInPandas(mapper, tagged_schema).cache()
+    tagged = cache_scoped(df.mapInPandas(mapper, tagged_schema))
     ok = tagged.filter("__ok__").select(
         _F.from_json("payload", output_schema).alias("r")).select("r.*")
     errors = tagged.filter("NOT __ok__").select(
@@ -339,7 +343,7 @@ class Partition:
     @staticmethod
     def by(pcoll: PCollection, n: int, index_expr: Union[Column, str]) -> list[PCollection]:
         col = F.expr(index_expr) if isinstance(index_expr, str) else index_expr
-        cached = pcoll.df.withColumn("__part__", col % n).cache()
+        cached = cache_scoped(pcoll.df.withColumn("__part__", col % n))
         return [
             pcoll._with_df(cached.filter(F.col("__part__") == i).drop("__part__"))
             for i in range(n)

@@ -15,11 +15,18 @@ it caches AND registers the frame so callers can release it.
 Two release paths:
 
 * ``with scoped_caches():`` — everything cache_scoped inside the block
-  (build + action) is unpersisted on exit.  ``bench.py`` wraps each
-  query run this way; a long-lived driver should too.
-* ``release_caches(spark)`` — drains the global registry (frames
-  registered outside any scope).  Idempotent; safe to call between
-  pipelines.
+  (build + action) is unpersisted on exit.  Scope stacks are
+  THREAD-LOCAL: concurrent driver threads each track only their own
+  registrations, so one thread's scope exit never unpersists frames
+  another thread's queries still rely on.  Pick the scope boundary to
+  match legitimate reuse: ``bench.py`` wraps the WHOLE suite in one
+  scope (Spark's CacheManager shares identical cached subplans across
+  separately-built DataFrames — the ngram family reuses one postings
+  cache), while ``scripts/scale_check.py`` scopes per query for
+  isolated measurements.
+* ``release_caches()`` — drains the global registry (frames registered
+  outside any scope, from any thread).  Idempotent; safe to call
+  between pipelines.
 
 Unpersisting is non-blocking and safe even if an action is still
 running (Spark recomputes evicted blocks from lineage), so correctness
@@ -35,17 +42,32 @@ from typing import Iterator, List
 from pyspark.sql import DataFrame
 
 _LOCK = threading.Lock()
-_SCOPES: List[List[DataFrame]] = []   # innermost scope last
+_LOCAL = threading.local()            # per-thread scope stack
 _GLOBAL: List[DataFrame] = []
 
 
+def _scopes() -> List[List[DataFrame]]:
+    """This thread's scope stack, innermost last — thread-local so
+    concurrent driver threads can't release each other's caches
+    (ADVICE r5: a shared stack let one thread's scope exit unpersist
+    frames another thread's running queries depended on)."""
+    stack = getattr(_LOCAL, "scopes", None)
+    if stack is None:
+        stack = _LOCAL.scopes = []
+    return stack
+
+
 def cache_scoped(df: DataFrame) -> DataFrame:
-    """``df.cache()`` + register for release: into the innermost active
-    ``scoped_caches()`` scope, else the global registry drained by
-    ``release_caches()``."""
+    """``df.cache()`` + register for release: into the calling thread's
+    innermost active ``scoped_caches()`` scope, else the global
+    registry drained by ``release_caches()``."""
     df = df.cache()
-    with _LOCK:
-        (_SCOPES[-1] if _SCOPES else _GLOBAL).append(df)
+    stack = _scopes()
+    if stack:
+        stack[-1].append(df)
+    else:
+        with _LOCK:
+            _GLOBAL.append(df)
     return df
 
 
@@ -60,17 +82,16 @@ def _unpersist_all(frames: List[DataFrame]) -> None:
 
 @contextmanager
 def scoped_caches() -> Iterator[None]:
-    """Release every ``cache_scoped`` frame created inside the block on
-    exit — run the consuming ACTION inside the block too, or the cache
-    will be gone before it helps."""
+    """Release every ``cache_scoped`` frame created inside the block BY
+    THIS THREAD on exit — run the consuming ACTION inside the block
+    too, or the cache will be gone before it helps."""
     scope: List[DataFrame] = []
-    with _LOCK:
-        _SCOPES.append(scope)
+    stack = _scopes()
+    stack.append(scope)
     try:
         yield
     finally:
-        with _LOCK:
-            _SCOPES.remove(scope)
+        stack.remove(scope)
         _unpersist_all(scope)
 
 

@@ -544,7 +544,15 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
     # eager (id, hash) shuffle + window at plan-BUILD time, the same
     # opt-out contract as ``n_rows`` for the count job (ADVICE r4).
     if has_dups is None:
-        has_dups = bool(rep_map.filter(F.col("id") != F.col("rep")).take(1))
+        # memoized per corpus plan (dedup/probe.py discipline): repeat
+        # invocations over the same vectors — the bench family, a
+        # driver composing several ANN pipelines — skip the eager
+        # (id, hash) shuffle + window probe job entirely
+        from apache_beam_spark.dedup.probe import memoize_plan_stat
+
+        has_dups = memoize_plan_stat(
+            src, "__vec_dups__",
+            lambda: bool(rep_map.filter(F.col("id") != F.col("rep")).take(1)))
         if not has_dups:
             rep_map.unpersist()
     bucket_keys = grp_keys + ["band", "bh"]

@@ -24,3 +24,29 @@ def test_dead_letters_all_ok(spark):
     df = spark.createDataFrame([(1,), (2,)], ["v"])
     ok, errors = with_dead_letters(df, lambda r: {"v": r["v"]}, "v long")
     assert ok.count() == 2 and errors.count() == 0
+
+
+def test_fanout_caches_release_with_scope(spark):
+    """The multi-output / Partition / dead-letter fan-out caches follow
+    the scoped lifecycle (VERDICT r5 item 4): nothing stays persistent
+    after the enclosing ``scoped_caches()`` exits."""
+    from apache_beam_spark.operators.elementwise import Partition, multi_output
+    from apache_beam_spark.pipeline import Pipeline
+    from apache_beam_spark.plans.caching import release_caches, scoped_caches
+
+    release_caches()
+    sc = spark.sparkContext
+    base = sc._jsc.getPersistentRDDs().size()
+    with scoped_caches():
+        df = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "a")], ["v", "tag"])
+        ok, errors = with_dead_letters(
+            df.drop("tag"), lambda r: {"v": r["v"]}, "v long")
+        assert ok.count() == 3 and errors.count() == 0
+        pl = Pipeline(spark)
+        outs = multi_output(pl.from_df(df), ["a", "b"])
+        assert outs["a"].df.count() == 2 and outs["b"].df.count() == 1
+        parts = Partition.by(pl.from_df(df.drop("tag")), 2, "v")
+        assert sorted(p.df.count() for p in parts) == [1, 2]
+        assert sc._jsc.getPersistentRDDs().size() > base  # caches live
+    assert sc._jsc.getPersistentRDDs().size() == base  # all released

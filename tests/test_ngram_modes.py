@@ -170,22 +170,50 @@ def test_release_caches_drains_global_registry(spark):
     assert sc._jsc.getPersistentRDDs().size() == base
 
 
+def test_scoped_caches_are_thread_local(spark):
+    """A scope open in one thread must not capture — or release on
+    exit — caches registered by another thread (ADVICE r5): the other
+    thread runs outside any scope of its own, so its frame belongs to
+    the GLOBAL registry even while the main thread's scope is active."""
+    import threading
+
+    from apache_beam_spark.plans.caching import (
+        cache_scoped, release_caches, scoped_caches)
+
+    release_caches()
+    sc = spark.sparkContext
+    base = sc._jsc.getPersistentRDDs().size()
+    df = spark.range(100).selectExpr("id", "id * 2 as v")
+
+    def other_thread():
+        cache_scoped(df).count()
+
+    with scoped_caches():
+        t = threading.Thread(target=other_thread)
+        t.start()
+        t.join()
+    # the main thread's scope exit must NOT have unpersisted the other
+    # thread's globally-registered cache
+    assert sc._jsc.getPersistentRDDs().size() > base
+    release_caches()
+    assert sc._jsc.getPersistentRDDs().size() == base
+
+
 def test_collapse_auto_trips_on_pervasive_clones(spark):
     """A corpus that is mostly exact copies (width BELOW the width
     threshold) must still trip auto via the clone-fraction trigger —
     the 10x-copies flood shape (SCALING.md round 5)."""
     from pyspark.sql import functions as F
 
-    from apache_beam_spark.dedup.ngram import (
-        _clone_stats, _ranked_postings, ngram_jaccard_pairs)
+    from apache_beam_spark.dedup.ngram import ngram_jaccard_pairs
+    from apache_beam_spark.dedup.probe import corpus_clone_stats
 
     base = _docs(spark).filter(F.col("doc_id").isin(10, 11))  # 2 distinct
     flood = base
     for i in range(1, 5):                     # 5 exact copies of each
         flood = flood.unionByName(
             base.withColumn("doc_id", F.col("doc_id") + 100 * i))
-    ranked = _ranked_postings(flood, "text", "doc_id", 3, 10000)
-    wmax, frac = _clone_stats(ranked)
+    wmax, frac = corpus_clone_stats(flood, "text")
     assert wmax == 5 and frac > 0.5
     # width 5 <= 32, but fraction 0.8 > 0.05 -> collapse engages:
     # star output is the linear spanning set, not the full clique list
