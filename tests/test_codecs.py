@@ -434,3 +434,28 @@ def test_jpeg_property_roundtrip_random_images():
         assert np.abs(dec.astype(int) - img.astype(int)).mean() < 16
 
     check()
+
+
+def test_jpeg_fill_bytes_before_markers_tolerated():
+    """T.81 B.1.1.2: 0xFF fill bytes may precede any marker — both in
+    the header marker walk and inside the entropy stream before RSTn /
+    EOI.  Spec-compliant crawl JPEGs with fill padding must decode,
+    not dead-letter (ADVICE r5)."""
+    from apache_beam_spark.multimodal.codecs import decode_jpeg, encode_jpeg
+
+    img = np.arange(19 * 23 * 3, dtype=np.uint8).reshape(19, 23, 3)
+    blob = encode_jpeg(img, subsampling="420", restart_interval=2)
+    want = decode_jpeg(blob)
+
+    # fill bytes before a header marker (DQT) and before EOI
+    i = blob.find(b"\xff\xdb")
+    padded = blob[:i] + b"\xff\xff\xff" + blob[i:]
+    assert padded.endswith(b"\xff\xd9")
+    padded = padded[:-2] + b"\xff\xff" + b"\xff\xd9"
+    assert np.array_equal(decode_jpeg(padded), want)
+
+    # fill byte before the first restart marker inside entropy data
+    j = blob.find(b"\xff\xd0")
+    assert j > 0, "restart marker expected in the scan"
+    padded2 = blob[:j] + b"\xff" + blob[j:]
+    assert np.array_equal(decode_jpeg(padded2), want)
