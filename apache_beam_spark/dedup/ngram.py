@@ -133,7 +133,24 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
 
     prefix_all = ranked.filter(
         F.col("rn") <= F.col("n") - F.ceil(F.col("n") * F.lit(threshold)) + 1
-    ).select("id", "g")
+    ).select("id", "g", "rn", "n")
+
+    def positional_filter(x, y):
+        """PPJoin positional filter (Xiao et al., WWW 2008): a pair
+        meeting at prefix positions (rn_x, rn_y) can share at most
+        ``1 + min(n_x - rn_x, n_y - rn_y)`` shingles, while J >= t
+        needs ``ceil(t*(n_x+n_y)/(1+t))`` — prune the candidate before
+        the verify joins ever see it.  The required-overlap bound is
+        LOWERED by 1e-6 before ceil so float error can only admit an
+        extra candidate (killed by the exact verify), never drop a
+        true pair.  A true pair always survives: at its FIRST common
+        canonical shingle every later shared shingle still lies ahead
+        on both sides, so that meeting's bound admits the true
+        overlap — and one admitting meeting is all a pair needs."""
+        ub = 1 + F.least(x("n") - x("rn"), y("n") - y("rn"))
+        need = F.ceil(F.lit(threshold / (1.0 + threshold))
+                      * (x("n") + y("n")) - F.lit(1e-6))
+        return ub >= need
 
     def verify(cand):
         """Exact jaccard on the (max_df-pruned) shingle sets."""
@@ -155,6 +172,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
         cand = (
             prefix_all.alias("x").join(prefix_all.alias("y"), on="g")
             .filter(F.col("x.id") < F.col("y.id"))
+            .filter(positional_filter(lambda c: F.col(f"x.{c}"),
+                                      lambda c: F.col(f"y.{c}")))
             .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
             .distinct()
         )
@@ -180,6 +199,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     cand = (
         prefix.alias("x").join(prefix.alias("y"), on="g")
         .filter(F.col("x.id") < F.col("y.id"))
+        .filter(positional_filter(lambda c: F.col(f"x.{c}"),
+                                  lambda c: F.col(f"y.{c}")))
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
     )
@@ -255,13 +276,23 @@ def ngram_containment_pairs(df: DataFrame, text_col: str = "text",
               if collapse == "always" else _pruned_sets(ranked))
 
     def mine(postings):
-        """Candidate generation + exact verify over one granularity."""
+        """Candidate generation + exact verify over one granularity.
+        The candidate join carries the PPJoin positional filter (see
+        ``ngram_jaccard_pairs``), asymmetric form: containment >= t
+        needs overlap >= ceil(t*n_a), while a pair meeting at ranks
+        (rn_a, rn_b) — both over the SAME global rarest-first order —
+        can still share at most ``1 + min(n_a - rn_a, n_b - rn_b)``."""
         prefix_a = postings.filter(
             F.col("rn") <= F.col("n") - F.ceil(F.col("n") * F.lit(threshold)) + 1
-        ).select("id", "g")
+        ).select("id", "g", "rn", "n")
+        ub = 1 + F.least(F.col("x.n") - F.col("x.rn"),
+                         F.col("y.n") - F.col("y.rn"))
+        need = F.ceil(F.lit(threshold) * F.col("x.n") - F.lit(1e-6))
         cand = (
-            prefix_a.alias("x").join(postings.select("id", "g").alias("y"), on="g")
+            prefix_a.alias("x")
+            .join(postings.select("id", "g", "rn", "n").alias("y"), on="g")
             .filter(F.col("x.id") != F.col("y.id"))
+            .filter(ub >= need)
             .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
             .distinct()
         )
