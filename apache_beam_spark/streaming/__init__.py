@@ -25,6 +25,7 @@ from apache_beam_spark.streaming.stateful import (
     group_into_batches_stream,
     stateful_per_key,
     streaming_distinct,
+    streaming_minhash_dedup,
 )
 from apache_beam_spark.streaming.sinks import (
     foreach_batch,
@@ -57,6 +58,7 @@ __all__ = [
     "TestStream", "file_stream", "rate_stream",
     "windowed_aggregate", "run_to_memory",
     "stateful_per_key", "group_into_batches_stream", "streaming_distinct",
+    "streaming_minhash_dedup",
     "streaming_funnel", "streaming_heavy_hitters",
     "foreach_batch", "idempotent_foreach_batch", "write_parquet_stream",
     "stateful_do_fn", "StatefulContext",

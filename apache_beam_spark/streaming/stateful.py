@@ -217,3 +217,65 @@ def streaming_rate_limit(df: DataFrame, key: str, event_time: str,
         return stateful_per_key(prepped, ["__shard__"], fn, out_schema,
                                 state_schema)
     return stateful_per_key(prepped, [key], fn, out_schema, state_schema)
+
+
+def streaming_minhash_dedup(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id", event_time: str = "ts",
+                            within: str = "10 minutes",
+                            num_hashes: int = 64, num_bands: int = 16,
+                            shingle_k: int = 3, seed: int = 42) -> DataFrame:
+    """Streaming near-duplicate dedup — the unbounded twin of
+    ``dedup/minhash.minhash_lsh_dedup`` (reference: Distinct on an
+    unbounded PCollection generalized to NEAR-duplicates, which the
+    reference has no operator for).
+
+    Keep rule: a document survives iff it is the FIRST ARRIVAL in
+    every LSH band bucket it occupies within the watermark horizon —
+    the batch twin's bucket-min rule with arrival order in place of id
+    order (a near-dup of an already-seen doc collides in >= 1 bucket
+    and is dropped).  In-batch ties are broken arbitrarily by the
+    bucket state operator; exactly one row per bucket survives either
+    way, so this sits in the same one-round-CC approximation class as
+    the batch rule.
+
+    Plan shape (all JVM, no Python state): stateless signature + band
+    explode (the batch miner's Column HOFs) -> state #1:
+    ``dropDuplicatesWithinWatermark`` on (band, bh) — one stored row
+    per bucket, evicted once the watermark passes ``within`` (bounded
+    state at 100 TB: the horizon, not the corpus, sizes it) ->
+    state #2: per-(window, doc) count == ``num_bands`` (append mode,
+    emits when the doc's window closes under the watermark).  Chained
+    stateful operators require Spark >= 3.5 watermark propagation.
+
+    Returns (id_col, event_time, win_start): the kept documents.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampType
+
+    from apache_beam_spark.dedup.minhash import _band_rows, minhash_signature
+    from apache_beam_spark.windowing import ensure_event_time
+
+    r = num_hashes // num_bands
+    src = ensure_event_time(df, event_time)
+    if not isinstance(src.schema[event_time].dataType, TimestampType):
+        # integer event times are epoch MICROSECONDS (the TestStream /
+        # streaming_funnel convention in this repo)
+        src = src.withColumn(
+            event_time, F.timestamp_micros(F.col(event_time).cast("long")))
+    src = src.withWatermark(event_time, within)
+    sigs = src.select(
+        F.col(id_col), F.col(event_time),
+        minhash_signature(F.col(text_col), num_hashes, shingle_k,
+                          seed).alias("__sig__"))
+    bands = (sigs.select(id_col, event_time,
+                         F.explode(_band_rows("__sig__", num_bands,
+                                              r)).alias("b"))
+             .select(id_col, event_time, "b.band", "b.bh"))
+    owned = bands.dropDuplicatesWithinWatermark(["band", "bh"])
+    return (owned
+            .groupBy(F.window(F.col(event_time), within), F.col(id_col))
+            .agg(F.count(F.lit(1)).alias("__n__"),
+                 F.min(event_time).alias(event_time))
+            .filter(F.col("__n__") == num_bands)
+            .select(id_col, event_time,
+                    F.col("window.start").alias("win_start")))

@@ -134,7 +134,7 @@ def main() -> None:
             # happen inside the suite's cache scope, so the min is the
             # steady-state wall of the exact plan the suite runs.
             wall = run_once(name)
-            n = 3 if wall <= 1.2 else (2 if wall <= 2.5 else 1)
+            n = 3 if wall <= 1.2 else (2 if wall <= 4.5 else 1)
             for _ in range(n - 1):
                 wall = min(wall, run_once(name))
             timings[name] = wall
