@@ -147,6 +147,17 @@ def _wordcount(spark, sf_dir):
     return (words | Count.per_element("word", alias="n")).df
 
 
+def _bpe_pair_counts(spark, sf_dir):
+    """BPE tokenizer-training iteration zero (operators/bpe.py): word-
+    frequency-weighted adjacent character-pair counts over the corpus —
+    the counting step every merge round repeats, value-oracled; the
+    iterative merge loop itself is pinned to a sequential reference in
+    tests/test_bpe.py."""
+    from apache_beam_spark.operators.bpe import bpe_pair_counts
+
+    return bpe_pair_counts(load_table(spark, "documents", sf_dir))
+
+
 def _group_by_key(spark, sf_dir):
     """GroupByKey -> per-key bag; emit bag size (GroupByKey.java:139)."""
     p = Pipeline(spark)
@@ -3008,6 +3019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "elementwise_project": _elementwise_project,
         "filter_orders": _filter_orders,
         "wordcount": _wordcount,
+        "bpe_pair_counts": _bpe_pair_counts,
         "group_by_key": _group_by_key,
         "combine_grouped_values": _combine_grouped_values,
         "combine_per_key_multi": _combine_per_key_multi,
@@ -3221,6 +3233,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE word <> '' GROUP BY word""",
         "group_by_key": """
             SELECT user_id, COUNT(value) AS n FROM events GROUP BY user_id""",
+        "bpe_pair_counts": f"""
+            WITH w AS (SELECT unnest({toks}) AS word FROM documents),
+            v AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),
+            s AS (SELECT cnt, regexp_extract_all(word, '.') AS syms FROM v),
+            p AS (SELECT syms[g] AS a, syms[g + 1] AS b, cnt
+                  FROM s, UNNEST(range(1, len(syms))) AS t(g))
+            SELECT a, b, CAST(sum(cnt) AS BIGINT) AS pair_count
+            FROM p GROUP BY a, b""",
         "combine_grouped_values": """
             SELECT user_id, COUNT(value) AS n,
                    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
