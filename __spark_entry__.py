@@ -158,6 +158,26 @@ def _bpe_pair_counts(spark, sf_dir):
     return bpe_pair_counts(load_table(spark, "documents", sf_dir))
 
 
+#: the pinned tokenizer for the oracled BPE-encode query (the fixed-
+#: artifact pattern of `embed_kmeans_fixed`): learned once offline,
+#: applied deterministically — merge ORDER matters and is part of the
+#: contract
+_BPE_MERGES = [("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
+               ("e", "r"), ("o", "n"), ("r", "e"), ("a", "t")]
+
+
+def _bpe_token_counts(spark, sf_dir):
+    """BPE tokenizer APPLICATION under the pinned merge list
+    (operators/bpe.py::bpe_encode_token_counts): per-document token
+    count via the delimiter-replace chain — one codegen replace per
+    merge, greedy left-to-right by construction, value-oracled with
+    the same chain in DuckDB."""
+    from apache_beam_spark.operators.bpe import bpe_encode_token_counts
+
+    return bpe_encode_token_counts(
+        load_table(spark, "documents", sf_dir), _BPE_MERGES)
+
+
 def _group_by_key(spark, sf_dir):
     """GroupByKey -> per-key bag; emit bag size (GroupByKey.java:139)."""
     p = Pipeline(spark)
@@ -3020,6 +3040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_orders": _filter_orders,
         "wordcount": _wordcount,
         "bpe_pair_counts": _bpe_pair_counts,
+        "bpe_token_counts": _bpe_token_counts,
         "group_by_key": _group_by_key,
         "combine_grouped_values": _combine_grouped_values,
         "combine_per_key_multi": _combine_per_key_multi,
@@ -3233,6 +3254,17 @@ def oracle_sql() -> dict[str, str]:
             WHERE word <> '' GROUP BY word""",
         "group_by_key": """
             SELECT user_id, COUNT(value) AS n FROM events GROUP BY user_id""",
+        "bpe_token_counts": f"""
+            WITH e0 AS (SELECT doc_id, array_to_string(list_transform({toks}, w -> chr(31) || rtrim(regexp_replace(w, '(.)', '\\1' || chr(31) || chr(31), 'g'), chr(31)) || chr(31)), chr(30)) AS s, len({toks}) AS nw FROM documents),
+            e1 AS (SELECT doc_id, nw, replace(s, chr(31)||'t'||chr(31)||chr(31)||'h'||chr(31), chr(31)||'th'||chr(31)) AS s FROM e0),
+            e2 AS (SELECT doc_id, nw, replace(s, chr(31)||'th'||chr(31)||chr(31)||'e'||chr(31), chr(31)||'the'||chr(31)) AS s FROM e1),
+            e3 AS (SELECT doc_id, nw, replace(s, chr(31)||'i'||chr(31)||chr(31)||'n'||chr(31), chr(31)||'in'||chr(31)) AS s FROM e2),
+            e4 AS (SELECT doc_id, nw, replace(s, chr(31)||'a'||chr(31)||chr(31)||'n'||chr(31), chr(31)||'an'||chr(31)) AS s FROM e3),
+            e5 AS (SELECT doc_id, nw, replace(s, chr(31)||'e'||chr(31)||chr(31)||'r'||chr(31), chr(31)||'er'||chr(31)) AS s FROM e4),
+            e6 AS (SELECT doc_id, nw, replace(s, chr(31)||'o'||chr(31)||chr(31)||'n'||chr(31), chr(31)||'on'||chr(31)) AS s FROM e5),
+            e7 AS (SELECT doc_id, nw, replace(s, chr(31)||'r'||chr(31)||chr(31)||'e'||chr(31), chr(31)||'re'||chr(31)) AS s FROM e6),
+            e8 AS (SELECT doc_id, nw, replace(s, chr(31)||'a'||chr(31)||chr(31)||'t'||chr(31), chr(31)||'at'||chr(31)) AS s FROM e7)
+            SELECT doc_id, CAST(nw + (length(s) - length(replace(s, chr(31)||chr(31), ''))) / 2 AS BIGINT) AS n_tokens FROM e8""",
         "bpe_pair_counts": f"""
             WITH w AS (SELECT unnest({toks}) AS word FROM documents),
             v AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),

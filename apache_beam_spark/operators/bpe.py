@@ -107,6 +107,55 @@ def _apply_merge(syms: Column, a: str, b: str) -> Column:
     return F.aggregate(syms, init, step, finish)
 
 
+#: delimiter bytes for the replace-chain encoder: symbol boundary and
+#: word boundary — neither can appear inside a word token
+#: (``word_tokens`` admits only letters/digits/_/')
+_SEP = "\x1f"
+_WSEP = "\x1e"
+
+
+def bpe_encode_token_counts(df: DataFrame, merges: list,
+                            text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """Per-document token count under a FIXED, already-learned merge
+    list — the tokenizer-APPLICATION side of BPE (the
+    ``kmeans_assign``-with-fixed-centroids pattern: pinning the learned
+    artifact makes the whole path value-oracle-checkable).
+
+    Encoding never touches Python: each word's characters are joined
+    with double \\x1f delimiters inside single-\\x1f anchors, and each
+    merge (a, b) -> ab is ONE codegen ``replace`` of
+    ``\\x1f a \\x1f\\x1f b \\x1f`` with ``\\x1f ab \\x1f`` — string
+    replace is left-to-right non-overlapping, which IS the greedy BPE
+    rule, and the shared anchor byte between adjacent pairs makes
+    back-to-back occurrences merge correctly (``aaa`` -> ``aa, a``).
+    Word boundaries use \\x1e so merges never cross words.  Token
+    count = words + remaining double-delimiter boundaries / 2.
+
+    Returns (id_col, n_tokens)."""
+    import functools
+
+    toks = word_tokens(F.col(text_col))
+
+    def enc_word(w):
+        inner = F.regexp_replace(w, "(.)", "$1" + _SEP + _SEP)
+        return F.concat(F.lit(_SEP),
+                        F.substring(inner, 1, F.length(inner) - 2),
+                        F.lit(_SEP))
+
+    s = F.array_join(F.transform(toks, enc_word), _WSEP)
+    s = functools.reduce(
+        lambda acc, m: F.replace(
+            acc, F.lit(_SEP + m[0] + _SEP + _SEP + m[1] + _SEP),
+            F.lit(_SEP + m[0] + m[1] + _SEP)),
+        merges, s)
+    boundaries = (F.length(s)
+                  - F.length(F.replace(s, F.lit(_SEP + _SEP), F.lit("")))) / 2
+    return df.select(
+        F.col(id_col),
+        (F.size(toks) + boundaries).cast("long").alias("n_tokens"))
+
+
 def bpe_train(df: DataFrame, text_col: str = "text",
               n_merges: int = 10) -> DataFrame:
     """Learn ``n_merges`` BPE merges over the corpus; returns

@@ -98,3 +98,45 @@ def test_overlapping_merge_is_left_to_right(spark):
            bpe_train(df, n_merges=2).orderBy("rank").collect()]
     want = [(m[1], m[2]) for m in _ref_bpe(["aaaa aaaa aaaa"], 2)]
     assert got == want and got == [("a", "a"), ("aa", "aa")]
+
+
+def _ref_encode_counts(texts, merges):
+    def apply(syms, a, b):
+        out, prev = [], None
+        for s in syms:
+            if prev == a and s == b:
+                out.append(a + b)
+                prev = None
+            else:
+                if prev is not None:
+                    out.append(prev)
+                prev = s
+        if prev is not None:
+            out.append(prev)
+        return out
+
+    counts = []
+    for t in texts:
+        n = 0
+        for w in re.findall(r"[\w']+", t.lower()):
+            syms = list(w)
+            for a, b in merges:
+                syms = apply(syms, a, b)
+            n += len(syms)
+        counts.append(n)
+    return counts
+
+
+def test_encode_token_counts_match_reference(spark):
+    from apache_beam_spark.operators.bpe import bpe_encode_token_counts
+
+    merges = [("t", "h"), ("th", "e"), ("e", "r"), ("a", "a"),
+              ("aa", "a"), ("l", "o"), ("lo", "w")]
+    texts = TEXTS + ["aaaa aaaaaa the their other", ""]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    got = {r["doc_id"]: r["n_tokens"]
+           for r in bpe_encode_token_counts(df, merges).collect()}
+    want = _ref_encode_counts(texts, merges)
+    assert got == {i: n for i, n in enumerate(want)}
+    assert got[len(texts) - 1] == 0  # empty doc -> zero tokens
