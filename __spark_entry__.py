@@ -147,6 +147,18 @@ def _wordcount(spark, sf_dir):
     return (words | Count.per_element("word", alias="n")).df
 
 
+def _dup_span_scrub(spark, sf_dir):
+    """Exact duplicate-substring scrubbing (dedup/spans.py): every
+    non-first occurrence of any >= 8-token repeated span is removed
+    from its document — the Lee et al. (ACL 2022) deduplicating-
+    training-data operation at word granularity, md5-keyed so DuckDB
+    reproduces the exact keeper choice and surviving text."""
+    from apache_beam_spark.dedup.spans import dup_span_scrub
+
+    return dup_span_scrub(load_table(spark, "documents", sf_dir),
+                          min_len=8)
+
+
 def _bpe_pair_counts(spark, sf_dir):
     """BPE tokenizer-training iteration zero (operators/bpe.py): word-
     frequency-weighted adjacent character-pair counts over the corpus —
@@ -3040,6 +3052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_orders": _filter_orders,
         "wordcount": _wordcount,
         "bpe_pair_counts": _bpe_pair_counts,
+        "dup_span_scrub": _dup_span_scrub,
         "bpe_token_counts": _bpe_token_counts,
         "group_by_key": _group_by_key,
         "combine_grouped_values": _combine_grouped_values,
@@ -3254,6 +3267,34 @@ def oracle_sql() -> dict[str, str]:
             WHERE word <> '' GROUP BY word""",
         "group_by_key": """
             SELECT user_id, COUNT(value) AS n FROM events GROUP BY user_id""",
+        "dup_span_scrub": f"""
+            WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+            g AS (SELECT doc_id, i AS p,
+                         md5(array_to_string(toks[i + 1:i + 8], ' ')) AS gh
+                  FROM t, UNNEST(range(0, len(toks) - 8 + 1)) AS r(i)),
+            d AS (SELECT gh, min(doc_id * 10000000 + p) AS keeper
+                  FROM g GROUP BY gh HAVING count(*) > 1),
+            f AS (SELECT DISTINCT g.doc_id, g.p FROM g JOIN d USING (gh)
+                  WHERE g.doc_id * 10000000 + g.p <> d.keeper),
+            pos AS (SELECT doc_id, i AS p, toks[i + 1] AS word
+                    FROM t, UNNEST(range(0, len(toks))) AS r(i)),
+            m AS (SELECT pos.doc_id, pos.p, pos.word,
+                         max(CASE WHEN f.p IS NOT NULL THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY pos.doc_id ORDER BY pos.p
+                                 ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+                           AS rm
+                  FROM pos LEFT JOIN f
+                    ON pos.doc_id = f.doc_id AND pos.p = f.p),
+            a AS (SELECT doc_id,
+                         coalesce(string_agg(word, ' ' ORDER BY p)
+                                  FILTER (WHERE rm = 0), '') AS clean_text,
+                         count(*) AS n_tokens, sum(rm) AS n_removed
+                  FROM m GROUP BY doc_id)
+            SELECT doc.doc_id,
+                   coalesce(a.clean_text, '') AS clean_text,
+                   CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(a.n_removed, 0) AS BIGINT) AS n_removed
+            FROM documents doc LEFT JOIN a USING (doc_id)""",
         "bpe_token_counts": f"""
             WITH e0 AS (SELECT doc_id, array_to_string(list_transform({toks}, w -> chr(31) || rtrim(regexp_replace(w, '(.)', '\\1' || chr(31) || chr(31), 'g'), chr(31)) || chr(31)), chr(30)) AS s, len({toks}) AS nw FROM documents),
             e1 AS (SELECT doc_id, nw, replace(s, chr(31)||'t'||chr(31)||chr(31)||'h'||chr(31), chr(31)||'th'||chr(31)) AS s FROM e0),
