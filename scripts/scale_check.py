@@ -50,6 +50,8 @@ QUERIES = [
     "chunk_dedup", "mixture_cap_tokens",
     # round-5 breadth (VERDICT r4 item 8): the open perf questions
     "funnel_instances", "mixture_temperature", "ngram_containment",
+    # round-6 additions: substring scrubbing + BPE application
+    "dup_span_scrub", "bpe_token_counts",
 ]
 
 
