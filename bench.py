@@ -84,6 +84,9 @@ HEADLINE = [
     "cdc_upsert_snapshot",
     "mixture_temperature",
     "textrank_words",
+    # round-6 operators
+    "dup_span_scrub",
+    "bpe_token_counts",
 ]
 
 
@@ -172,15 +175,6 @@ def _run_stream(sdf, output_mode: str = "append") -> float:
     return wall
 
 
-def _best_stream(mk, runs: int = 3) -> float:
-    """Min wall over ``runs`` fresh executions (after the caller's
-    warm-up): single-shot streaming walls swing ±30-50% with host
-    noise at these 1-3 s scales (shared machine — external load spikes
-    observed at loadavg 7+ with nothing of ours running), and the gate
-    should report the engine, not the noisiest scheduling beat."""
-    return min(_run_stream(mk()) for _ in range(runs))
-
-
 def _streaming_benchmarks(spark) -> dict:
     """Streaming throughput numbers (BASELINE.md target >= 50k ev/s on
     the windowed count): the events table replayed as a file-source
@@ -236,10 +230,6 @@ def _streaming_benchmarks(spark) -> dict:
                 allowed_lateness="10 minutes",
             )
 
-        _parts(2)   # ~8.5k (window,type) groups: 2 stores suffice
-        _run_stream(windowed_count())     # warm-up: state store + codegen
-        window_wall = _best_stream(windowed_count)
-
         def stream_join(mft: int = 8):
             # one larger micro-batch (mft 8 = the whole spool): the
             # drift-controlled config sweep (scripts/stream_join_sweep.py,
@@ -262,14 +252,6 @@ def _streaming_benchmarks(spark) -> dict:
                 & (e["ets"] <= p["pts"] + F.expr("interval 30 minutes")),
                 "inner")
 
-        _parts(8)
-        # warm-up (state-store provider + join codegen), same as the
-        # windowed count gets: the first fresh join query pays ~2x
-        # (measured 6.1 s vs 3.2 s warm) and the gate should report the
-        # engine, not one-time JVM initialization
-        _run_stream(stream_join())
-        join_wall = _best_stream(stream_join, runs=5)
-
         def stateful():
             # 32-way key-group sharding (r4): ~2k user keys multiplex
             # through 32 state keys -> 32 Python round trips per batch
@@ -278,17 +260,11 @@ def _streaming_benchmarks(spark) -> dict:
                 source().withColumn("user", F.col("user_id").cast("string")),
                 key="user", value_col="value", fire_every=50, n_shards=32)
 
-        _parts(4)
-        stateful_wall = _best_stream(stateful)
-
         def stream_dedup():
             from apache_beam_spark.streaming import streaming_distinct
 
             return streaming_distinct(source(), ["event_id"], "ts",
                                       within="10 minutes")
-
-        _parts(4)
-        dedup_wall = _best_stream(stream_dedup)
 
         def stream_funnel():
             from apache_beam_spark.streaming import streaming_funnel
@@ -298,21 +274,12 @@ def _streaming_benchmarks(spark) -> dict:
                                     within_ms=24 * 60 * 60_000,
                                     n_shards=32)
 
-        _parts(4)
-        # the two gates closest to the 50k line get extra shots at a
-        # quiet scheduling beat (host-load swings are 30-50%; the
-        # batch-suite headline value is unaffected by streaming runs)
-        funnel_wall = _best_stream(stream_funnel, runs=5)
-
         def stream_heavy():
             from apache_beam_spark.streaming import streaming_heavy_hitters
 
             return streaming_heavy_hitters(
                 source(), "event_type", window_ms=60 * 60_000,
                 capacity=16, min_count=10, n_shards=16)
-
-        _parts(4)
-        heavy_wall = _best_stream(stream_heavy, runs=5)
 
         def stream_rate_limit():
             from apache_beam_spark.streaming.stateful import (
@@ -323,17 +290,44 @@ def _streaming_benchmarks(spark) -> dict:
                 id_col="event_id", window_ms=60 * 60_000,
                 max_per_window=3, n_shards=64)
 
-        rate_wall = _best_stream(stream_rate_limit)
+        # INTERLEAVED rounds (r6): the gates' best-of-N samples used to
+        # run back-to-back per gate, so a 10-second host-load beat
+        # could swallow every sample of whichever gate ran inside it
+        # (identical code measured funnel 49k and 67k ev/s an hour
+        # apart).  Round-robin spreads each gate's samples across the
+        # whole streaming section (~2 min), so one slow beat costs
+        # every gate one sample instead of one gate all of them.
+        # Round 0 is the uncounted warm-up (state-store provider +
+        # codegen: a first fresh query pays ~2x).
+        gates = [
+            ("window", windowed_count, 2),
+            ("join", stream_join, 8),
+            ("stateful", stateful, 4),
+            ("dedup", stream_dedup, 4),
+            ("funnel", stream_funnel, 4),
+            ("heavy", stream_heavy, 4),
+            ("rate", stream_rate_limit, 4),
+        ]
+        walls: dict[str, float] = {}
+        for rnd in range(5):
+            for name, mk, parts in gates:
+                _parts(parts)
+                w = _run_stream(mk())
+                if rnd == 0:
+                    continue
+                walls[name] = min(walls.get(name, w), w)
+            print(f"# stream round {rnd}: loadavg "
+                  f"{os.getloadavg()[0]:.1f}", file=sys.stderr)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", "32")
     return {
-        "streaming_events_per_sec": int(n / window_wall),
-        "stream_join_events_per_sec": int(2 * n / join_wall),
-        "stateful_events_per_sec": int(n / stateful_wall),
-        "stream_dedup_events_per_sec": int(n / dedup_wall),
-        "stream_funnel_events_per_sec": int(n / funnel_wall),
-        "stream_heavy_hitters_events_per_sec": int(n / heavy_wall),
-        "stream_rate_limit_events_per_sec": int(n / rate_wall),
+        "streaming_events_per_sec": int(n / walls["window"]),
+        "stream_join_events_per_sec": int(2 * n / walls["join"]),
+        "stateful_events_per_sec": int(n / walls["stateful"]),
+        "stream_dedup_events_per_sec": int(n / walls["dedup"]),
+        "stream_funnel_events_per_sec": int(n / walls["funnel"]),
+        "stream_heavy_hitters_events_per_sec": int(n / walls["heavy"]),
+        "stream_rate_limit_events_per_sec": int(n / walls["rate"]),
     }
 
 
