@@ -817,6 +817,35 @@ def _embed_kmeans(spark, sf_dir):
     return kmeans(emb, k=10, n_iter=5)
 
 
+def _embed_pca_gram(spark, sf_dir):
+    """Population covariance matrix of the embedding table in long
+    form (i, j, cov) — the one-pass moment aggregation behind
+    distributed PCA (similarity/pca.py::covariance_long).  The scan
+    computes per-partition X^T X grams as Arrow-batched BLAS calls and
+    ships ONE d^2 partial per partition to the driver (no shuffle,
+    O(partitions * d^2) independent of rows); the d x d result is a
+    model artifact.  Value-oracled: DuckDB reproduces every entry from
+    an unnest self-join."""
+    from apache_beam_spark.similarity.pca import covariance_long
+
+    return covariance_long(load_table(spark, "embeddings", sf_dir))
+
+
+def _embed_pca_project(spark, sf_dir):
+    """Distributed PCA fit + projection (similarity/pca.py): top-8
+    components from the driver-side eigh of the one-pass covariance
+    (signs canonicalized), then a second gemm pass projects every
+    row — long form (vec_id, comp, value), n*k rows.  Eigenvectors
+    are not SQL-expressible, so rows-only here; the model and the
+    projection are pinned against a numpy reference in
+    tests/test_pca.py, and the covariance feeding eigh is the
+    value-oracled `embed_pca_gram`."""
+    from apache_beam_spark.similarity.pca import pca
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return pca(emb, k=8, long_form=True)
+
+
 def _ngram_containment(spark, sf_dir):
     """Asymmetric n-gram containment >= 0.8 — subsumed-document
     detection (dedup/ngram.py::ngram_containment_pairs)."""
@@ -3114,6 +3143,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": _semantic_dedup,
         "embed_kmeans": _embed_kmeans,
         "embed_kmeans_fixed": _embed_kmeans_fixed,
+        "embed_pca_gram": _embed_pca_gram,
+        "embed_pca_project": _embed_pca_project,
         "pack_sequences": _pack_sequences,
         "llm_corpus_prep": _llm_corpus_prep,
         "corpus_prep_stats": _corpus_prep_stats,
@@ -4222,6 +4253,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, shard, CAST(bin AS INT) AS bin,
                    CAST(n_chars AS BIGINT) AS n_chars
             FROM pack""",
+        # population covariance, entry by entry: unnest the vectors
+        # with 1-based subscripts, self-join on the row id, and apply
+        # cov(i,j) = E[x_i x_j] - E[x_i] E[x_j]
+        "embed_pca_gram": """
+            WITH ex AS (
+                SELECT vec_id,
+                       generate_subscripts(embedding, 1) AS i,
+                       UNNEST(embedding)::DOUBLE AS x
+                FROM embeddings),
+            n AS (SELECT COUNT(*)::DOUBLE AS c FROM embeddings),
+            s AS (SELECT a.i AS i, b.i AS j, SUM(a.x * b.x) AS sxy
+                  FROM ex a JOIN ex b USING (vec_id)
+                  GROUP BY a.i, b.i),
+            m AS (SELECT i, SUM(x) AS sx FROM ex GROUP BY i)
+            SELECT CAST(s.i AS INT) AS i, CAST(s.j AS INT) AS j,
+                   s.sxy / n.c - (ma.sx / n.c) * (mb.sx / n.c) AS cov
+            FROM s CROSS JOIN n
+            JOIN m ma ON ma.i = s.i
+            JOIN m mb ON mb.i = s.j""",
         # fixed-quantizer assignment: euclidean argmin, ties to the
         # lowest cluster id — list_distance reproduces the gemm path
         "embed_kmeans_fixed": """

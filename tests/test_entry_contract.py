@@ -9,7 +9,8 @@ import __spark_entry__ as e
 KNOWN_NO_ORACLE = {
     # documented approximates/iteratives, each with an oracled exact twin
     "approx_distinct_users", "approx_quantiles", "dedup_minhash",
-    "dedup_simhash", "embed_ivf_knn", "embed_kmeans", "sample_any",
+    "dedup_simhash", "embed_ivf_knn", "embed_kmeans",
+    "embed_pca_project", "sample_any",
 }
 
 
