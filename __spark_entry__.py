@@ -817,6 +817,40 @@ def _embed_kmeans(spark, sf_dir):
     return kmeans(emb, k=10, n_iter=5)
 
 
+def _embed_pq_fixed(spark, sf_dir):
+    """Product-quantization ANN with a FIXED codebook — subspace s's
+    centroids are the s-th subvectors of embeddings vec_id 0..15
+    (m=8 subspaces x ksub=16 codes over d=64).  Encode (per-subspace
+    argmin, ties to lowest code) and ADC search (exact query-side
+    lookup tables, sum of m table hits, rank ties to lowest neighbor)
+    are then deterministic, so the WHOLE compressed-domain pipeline is
+    value-oracled in SQL — same strategy as `embed_ivf_fixed` /
+    `embed_kmeans_fixed`.  The trained-codebook path stays rows-only
+    in `embed_pq_knn`."""
+    from apache_beam_spark.similarity.pq import pq_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    first = [r["embedding"] for r in
+             emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()]
+    books = [[list(map(float, v[s * 8:(s + 1) * 8])) for v in first]
+             for s in range(8)]
+    q = emb.filter(F.col("vec_id") < 100)
+    return pq_topk(q, emb, books, k=3)
+
+
+def _embed_pq_knn(spark, sf_dir):
+    """PQ ANN with sampled-kmeans codebooks (similarity/pq.py) —
+    rows-only (codebooks depend on a driver-side training sample);
+    encode/ADC mechanics are value-oracled in `embed_pq_fixed` and
+    numpy-pinned in tests/test_pq.py."""
+    from apache_beam_spark.similarity.pq import pq_train, pq_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    books = pq_train(emb, dim=64, m=8, ksub=16)
+    q = emb.filter(F.col("vec_id") < 100)
+    return pq_topk(q, emb, books, k=3)
+
+
 def _embed_pca_gram(spark, sf_dir):
     """Population covariance matrix of the embedding table in long
     form (i, j, cov) — the one-pass moment aggregation behind
@@ -3145,6 +3179,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_kmeans_fixed": _embed_kmeans_fixed,
         "embed_pca_gram": _embed_pca_gram,
         "embed_pca_project": _embed_pca_project,
+        "embed_pq_fixed": _embed_pq_fixed,
+        "embed_pq_knn": _embed_pq_knn,
         "pack_sequences": _pack_sequences,
         "llm_corpus_prep": _llm_corpus_prep,
         "corpus_prep_stats": _corpus_prep_stats,
@@ -4253,6 +4289,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, shard, CAST(bin AS INT) AS bin,
                    CAST(n_chars AS BIGINT) AS n_chars
             FROM pack""",
+        # PQ with the fixed codebook (subvectors of vec_id 0..15):
+        # encode = per-subspace argmin (ties lowest code), ADC = sum
+        # over subspaces of exact query-subvector -> centroid sq dist
+        "embed_pq_fixed": """
+            WITH sub AS (
+                SELECT vec_id, s,
+                       embedding[s*8+1 : s*8+8]::DOUBLE[] AS svec
+                FROM embeddings
+                CROSS JOIN (SELECT UNNEST(range(8))::INT AS s)
+            ),
+            cb AS (
+                SELECT s, vec_id::INT AS j, svec AS cvec
+                FROM sub WHERE vec_id < 16
+            ),
+            enc AS (
+                SELECT vec_id, s, j FROM (
+                    SELECT sub.vec_id, sub.s, cb.j,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY sub.vec_id, sub.s
+                               ORDER BY list_distance(sub.svec, cb.cvec),
+                                        cb.j) AS rn
+                    FROM sub JOIN cb USING (s)) t
+                WHERE rn = 1
+            ),
+            adc AS (
+                SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                       SUM(POW(list_distance(q.svec, cb.cvec), 2)) AS adc
+                FROM sub q
+                JOIN enc e ON e.s = q.s
+                JOIN cb ON cb.s = e.s AND cb.j = e.j
+                WHERE q.vec_id < 100 AND e.vec_id <> q.vec_id
+                GROUP BY q.vec_id, e.vec_id
+            )
+            SELECT query_id, neighbor_id, rank, adc FROM (
+                SELECT query_id, neighbor_id, adc,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY adc, neighbor_id) AS rank
+                FROM adc) t
+            WHERE rank <= 3""",
         # population covariance, entry by entry: unnest the vectors
         # with 1-based subscripts, self-join on the row id, and apply
         # cov(i,j) = E[x_i x_j] - E[x_i] E[x_j]
