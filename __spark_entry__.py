@@ -1673,6 +1673,37 @@ def _dedup_incremental(spark, sf_dir):
             .filter("__keep__").select("doc_id"))
 
 
+def _dedup_incremental_bloom(spark, sf_dir):
+    """The same incremental-ingest dedup as `dedup_incremental` (same
+    planted batch, same witness rule) routed through the Bloom-pruned
+    anti join (dedup/bloom.py): a bitmap over the history fingerprints
+    is built once as a (word_idx, word) frame, the batch is probed via
+    k broadcast joins + one bitwise filter (definitely-absent rows
+    never shuffle), and only Bloom-positive rows enter the exact
+    anti-join verify.  Result is oracle-identical to the plain anti
+    join — the filter prunes, never decides."""
+    from apache_beam_spark.dedup.bloom import bloom_anti_join
+
+    d = load_table(spark, "documents", sf_dir)
+    fp = T.fingerprint(F.col("text")).alias("fp")
+    base = d.select("doc_id", fp)
+    new = (base.filter(F.col("doc_id") >= 250)
+           .unionByName(base.filter(F.col("doc_id") < 50)
+                        .select((F.col("doc_id") + 10000).alias("doc_id"),
+                                "fp"))
+           .unionByName(base.filter(F.col("doc_id") == 300)
+                        .select((F.col("doc_id") + 10000).alias("doc_id"),
+                                "fp")))
+    old = base.filter(F.col("doc_id") < 250).select("fp")
+    survivors = bloom_anti_join(new, old, "fp", fpp=0.01, expected=250)
+    from pyspark.sql.window import Window as W
+
+    first_in_batch = F.row_number().over(
+        W.partitionBy("fp").orderBy("doc_id")) == 1
+    return (survivors.withColumn("__keep__", first_in_batch)
+            .filter("__keep__").select("doc_id"))
+
+
 def _quantiles_per_key(spark, sf_dir):
     """Exact per-key quantiles (ApproximateQuantiles.perKey exact twin,
     reference transforms/ApproximateQuantiles.java:116): p50/p95 of
@@ -3201,6 +3232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trending_topk": _trending_topk,
         "value_histogram": _value_histogram,
         "dedup_incremental": _dedup_incremental,
+        "dedup_incremental_bloom": _dedup_incremental_bloom,
         "quantiles_per_key": _quantiles_per_key,
         "rolling_features": _rolling_features,
         "inverted_index": _inverted_index,
@@ -4131,6 +4163,24 @@ def oracle_sql() -> dict[str, str]:
                        AS postings
             FROM wt GROUP BY w""",
         "dedup_incremental": f"""
+            WITH f AS (SELECT doc_id, md5({norm_text}) AS fp
+                       FROM documents),
+            newb AS (
+                SELECT doc_id, fp FROM f WHERE doc_id >= 250
+                UNION ALL
+                SELECT doc_id + 10000, fp FROM f WHERE doc_id < 50
+                UNION ALL
+                SELECT doc_id + 10000, fp FROM f WHERE doc_id = 300)
+            SELECT doc_id FROM (
+                SELECT doc_id, fp,
+                       ROW_NUMBER() OVER (PARTITION BY fp
+                                          ORDER BY doc_id) AS rn
+                FROM newb
+                WHERE fp NOT IN (SELECT fp FROM f WHERE doc_id < 250)) t
+            WHERE rn = 1""",
+        # the Bloom-pruned path must produce EXACTLY the plain anti
+        # join (the filter prunes, never decides) — same oracle
+        "dedup_incremental_bloom": f"""
             WITH f AS (SELECT doc_id, md5({norm_text}) AS fp
                        FROM documents),
             newb AS (
