@@ -147,6 +147,24 @@ def _wordcount(spark, sf_dir):
     return (words | Count.per_element("word", alias="n")).df
 
 
+def _cms_word_counts(spark, sf_dir):
+    """Count-min sketch word frequencies (operators/sketches.py):
+    the fixed-memory mergeable counting sketch — build is one
+    map-side-combined groupBy bounded at depth*width rows regardless
+    of vocabulary, estimate is a broadcast join + min.  width=32 is
+    deliberately small so buckets COLLIDE and the min-over-rows
+    over-estimate is exercised for real; hashes are md5-derived
+    (portable-hash idiom), so sketch and estimates — collisions
+    included — are fully value-oracled in DuckDB."""
+    from apache_beam_spark.operators.sketches import cms_counts
+
+    d = load_table(spark, "documents", sf_dir)
+    words = (d.select(F.explode(F.split(F.lower("text"), "[^a-z0-9]+"))
+                      .alias("word"))
+             .filter(F.col("word") != ""))
+    return cms_counts(words, "word", depth=4, width=32)
+
+
 def _dup_span_scrub(spark, sf_dir):
     """Exact duplicate-substring scrubbing (dedup/spans.py): every
     non-first occurrence of any >= 8-token repeated span is removed
@@ -3146,6 +3164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_orders": _filter_orders,
         "wordcount": _wordcount,
         "bpe_pair_counts": _bpe_pair_counts,
+        "cms_word_counts": _cms_word_counts,
         "dup_span_scrub": _dup_span_scrub,
         "bpe_token_counts": _bpe_token_counts,
         "group_by_key": _group_by_key,
@@ -3364,6 +3383,33 @@ def oracle_sql() -> dict[str, str]:
                 SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS word
                 FROM documents) t
             WHERE word <> '' GROUP BY word""",
+        # count-min sketch, collisions included: same md5-salted
+        # bucket hash, same depth x width grid, min over rows
+        "cms_word_counts": """
+            WITH wf AS (
+                SELECT word FROM (
+                    SELECT unnest(string_split_regex(lower(text),
+                                  '[^a-z0-9]+')) AS word
+                    FROM documents) t
+                WHERE word <> ''),
+            rr AS (SELECT UNNEST(range(4)) AS r),
+            probes AS (
+                SELECT word, r,
+                       CAST(('0x' || substring(md5(word || '|' ||
+                            CAST(r AS VARCHAR)), 1, 8)) AS BIGINT)
+                       % 32 AS b
+                FROM wf CROSS JOIN rr),
+            sketch AS (
+                SELECT r, b, COUNT(*) AS cnt FROM probes GROUP BY r, b),
+            qp AS (
+                SELECT word, r,
+                       CAST(('0x' || substring(md5(word || '|' ||
+                            CAST(r AS VARCHAR)), 1, 8)) AS BIGINT)
+                       % 32 AS b
+                FROM (SELECT DISTINCT word FROM wf) q CROSS JOIN rr)
+            SELECT qp.word AS word, MIN(COALESCE(sketch.cnt, 0)) AS est
+            FROM qp LEFT JOIN sketch USING (r, b)
+            GROUP BY qp.word""",
         "group_by_key": """
             SELECT user_id, COUNT(value) AS n FROM events GROUP BY user_id""",
         "dup_span_scrub": f"""
