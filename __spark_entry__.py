@@ -147,6 +147,48 @@ def _wordcount(spark, sf_dir):
     return (words | Count.per_element("word", alias="n")).df
 
 
+#: pinned scoring weights for `quality_lr_fixed` (FEATURE_NAMES order:
+#: bias, log_len, vowel_ratio, space_ratio, digit_ratio, the_rate) —
+#: the learned-once-offline artifact pattern (`embed_kmeans_fixed`)
+_LR_WEIGHTS = [-6.0, 1.0, 2.0, 1.5, -4.0, 0.2]
+
+
+def _quality_lr_fixed(spark, sf_dir):
+    """Linear quality-classifier scoring with a PINNED model
+    (operators/classifier.py::lr_score): the dot product + sigmoid is
+    one codegen Column expression over deterministic text-statistic
+    features, so the whole scoring pass — features, score, thresholded
+    prediction — is value-oracled in DuckDB.  The trained path stays
+    rows-only in `quality_lr_train`."""
+    from apache_beam_spark.operators.classifier import lr_score
+
+    d = load_table(spark, "documents", sf_dir)
+    return lr_score(d, _LR_WEIGHTS).select(
+        "doc_id", F.round("score", 6).alias("score"), "pred")
+
+
+def _quality_lr_train(spark, sf_dir):
+    """Distributed full-batch logistic regression
+    (operators/classifier.py::lr_train): per-partition gemm gradient
+    partials, driver weight step, standardization folded back into
+    raw-feature weights.  Trained against a planted noisy target
+    (n_chars + md5-derived +-200 noise > 300 — learnable to ~0.8
+    accuracy, so the demo is non-vacuous).  Iterative + float-order
+    dependent: rows-only; the loop is pinned against an identical
+    numpy reference in tests/test_classifier.py."""
+    from apache_beam_spark.operators.classifier import (
+        FEATURE_NAMES, lr_train)
+
+    d = load_table(spark, "documents", sf_dir)
+    noise = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                                1, 4), 16, 10).cast("long") % 401) - 200
+    lab = d.withColumn("y", ((F.col("n_chars") + noise) > 300).cast("int"))
+    w = lr_train(lab, "y", iters=40, lr=0.5)
+    return spark.createDataFrame(
+        [(n, float(v)) for n, v in zip(FEATURE_NAMES, w)],
+        "feature string, weight double")
+
+
 def _cms_word_counts(spark, sf_dir):
     """Count-min sketch word frequencies (operators/sketches.py):
     the fixed-memory mergeable counting sketch — build is one
@@ -3165,6 +3207,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wordcount": _wordcount,
         "bpe_pair_counts": _bpe_pair_counts,
         "cms_word_counts": _cms_word_counts,
+        "quality_lr_fixed": _quality_lr_fixed,
+        "quality_lr_train": _quality_lr_train,
         "dup_span_scrub": _dup_span_scrub,
         "bpe_token_counts": _bpe_token_counts,
         "group_by_key": _group_by_key,
@@ -3383,6 +3427,37 @@ def oracle_sql() -> dict[str, str]:
                 SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS word
                 FROM documents) t
             WHERE word <> '' GROUP BY word""",
+        # pinned linear classifier: identical feature expressions
+        # (regex char-class ratios, replace-count ' the ' rate, log
+        # length), dot product with the literal weights, sigmoid
+        "quality_lr_fixed": """
+            WITH f AS (
+                SELECT doc_id,
+                       ln(length(text) + 1.0) AS log_len,
+                       length(regexp_replace(lower(text), '[^aeiou]',
+                              '', 'g'))
+                           / greatest(length(text), 1) AS vowel_ratio,
+                       length(regexp_replace(lower(text), '[^ ]',
+                              '', 'g'))
+                           / greatest(length(text), 1) AS space_ratio,
+                       length(regexp_replace(lower(text), '[^0-9]',
+                              '', 'g'))
+                           / greatest(length(text), 1) AS digit_ratio,
+                       ((length(text)
+                         - length(replace(lower(text), ' the ', '')))
+                        / 5 * 100.0)
+                           / greatest(length(text), 1) AS the_rate
+                FROM documents),
+            z AS (
+                SELECT doc_id,
+                       -6.0 + 1.0 * log_len + 2.0 * vowel_ratio
+                       + 1.5 * space_ratio - 4.0 * digit_ratio
+                       + 0.2 * the_rate AS z
+                FROM f)
+            SELECT doc_id,
+                   ROUND(1.0 / (1.0 + exp(-z)), 6) AS score,
+                   CAST(1.0 / (1.0 + exp(-z)) >= 0.5 AS INT) AS pred
+            FROM z""",
         # count-min sketch, collisions included: same md5-salted
         # bucket hash, same depth x width grid, min over rows
         "cms_word_counts": """

@@ -1,0 +1,159 @@
+"""Trainable linear quality classifier (logistic regression).
+
+Production corpus filtering trains small linear models over cheap
+text statistics (CCNet-style quality / language filters) rather than
+hand-tuning thresholds.  This is that component: deterministic
+pure-Column features, distributed full-batch gradient-descent
+training, and a codegen scoring pass.
+
+Design for 100 TB:
+- FEATURES are built-in-function Columns (regex char-class ratios,
+  replace-count stopword rates, log length) — whole-stage codegen,
+  no Python, identical expressions reproducible in SQL (which is what
+  makes the pinned-weight scoring query value-oracled).
+- TRAINING: each iteration is ONE narrow pass — every partition
+  contributes a (gradient, loss, n) partial via an Arrow-batched
+  gemm (`mapInPandas`), the driver sums ``num_partitions`` tiny
+  partials and steps the weight vector (d+1 doubles).  No shuffle;
+  the feature frame is cached through the scoped lifecycle for the
+  duration of the loop.  Full-batch GD costs one pass per iteration
+  — honest but pass-hungry at 100 TB; the standard fixes (mini-batch
+  on a sampled subset, or L-BFGS on driver-aggregated sufficient
+  statistics) keep the same partial-aggregation shape.
+- SCORING is a dot product + sigmoid as a single Column expression:
+  the model ships as literals, nothing is collected, the pass is
+  pure codegen.
+- DETERMINISM: zero init, fixed iteration count and learning rate;
+  results are stable up to float-sum ordering (pinned against an
+  identical numpy loop in tests/test_classifier.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: feature names in model order; index 0 is the bias term
+FEATURE_NAMES = ["bias", "log_len", "vowel_ratio", "space_ratio",
+                 "digit_ratio", "the_rate"]
+
+
+def _ratio(col: Column, char_class: str, n: Column) -> Column:
+    kept = F.length(F.regexp_replace(F.lower(col), char_class, ""))
+    return kept / F.greatest(n, F.lit(1)).cast("double")
+
+
+def text_features(text_col: str = "text") -> list[Column]:
+    """The FEATURE_NAMES columns, in order — all codegen."""
+    t = F.col(text_col)
+    n = F.length(t)
+    the = (n - F.length(F.replace(F.lower(t), F.lit(" the "), F.lit("")))) / 5
+    return [
+        F.lit(1.0),
+        F.log(n.cast("double") + 1.0),
+        _ratio(t, "[^aeiou]", n),
+        _ratio(t, "[^ ]", n),
+        _ratio(t, "[^0-9]", n),
+        (the * 100.0) / F.greatest(n, F.lit(1)).cast("double"),
+    ]
+
+
+def featurize(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append f0..f{d-1} feature columns."""
+    cols = text_features(text_col)
+    return df.select("*", *[c.alias(f"f{i}") for i, c in enumerate(cols)])
+
+
+def lr_train(df: DataFrame, label_col: str, text_col: str = "text",
+             iters: int = 30, lr: float = 1.0) -> list[float]:
+    """Full-batch logistic regression; returns the weight list
+    (FEATURE_NAMES order), directly usable by ``lr_score`` on RAW
+    features.  One narrow pass per iteration, plus one moments
+    pre-pass: gradient descent runs on STANDARDIZED features
+    ((x-mu)/sd — plain GD barely moves on raw scales), and the
+    scaling is folded back into the returned weights."""
+    import numpy as np
+
+    from apache_beam_spark.plans.caching import cache_scoped, scoped_caches
+    from apache_beam_spark.plans.partitioning import parallelize_narrow
+
+    d = len(FEATURE_NAMES)
+    feat = featurize(df, text_col).select(
+        F.array(*[F.col(f"f{i}") for i in range(d)]).alias("x"),
+        F.col(label_col).cast("double").alias("y"))
+    w = np.zeros(d)
+
+    def grad_pass(frame, weights):
+        def fn(batches):
+            import numpy as np
+            import pandas as pd
+
+            g = np.zeros(d)
+            loss = 0.0
+            n = 0
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                x = np.array(list(pdf["x"]), dtype=np.float64)
+                y = pdf["y"].to_numpy(dtype=np.float64)
+                z = x @ weights
+                p = 1.0 / (1.0 + np.exp(-z))
+                g += x.T @ (p - y)
+                eps = 1e-12
+                loss += -np.sum(y * np.log(p + eps)
+                                + (1 - y) * np.log(1 - p + eps))
+                n += len(y)
+            if n:
+                yield pd.DataFrame({"g": [g.tolist()], "loss": [loss],
+                                    "n": [n]})
+
+        return frame.mapInPandas(
+            fn, schema="g array<double>, loss double, n bigint").collect()
+
+    # the feature cache lives exactly as long as the training loop
+    with scoped_caches():
+        feat = cache_scoped(parallelize_narrow(feat))
+        # moments pre-pass: mean/sd per feature (partial agg, one row)
+        mom = feat.select(
+            F.count(F.lit(1)).alias("n"),
+            *[F.sum(F.element_at("x", i + 1)).alias(f"s{i}")
+              for i in range(d)],
+            *[F.sum(F.element_at("x", i + 1)
+                    * F.element_at("x", i + 1)).alias(f"q{i}")
+              for i in range(d)]).collect()[0]
+        n_all = mom["n"]
+        mu = np.array([mom[f"s{i}"] / n_all for i in range(d)])
+        q = np.array([mom[f"q{i}"] / n_all for i in range(d)])
+        sd = np.sqrt(np.maximum(q - mu * mu, 0.0))
+        sd[sd < 1e-12] = 1.0          # constant features (incl. bias)
+        mu[0], sd[0] = 0.0, 1.0       # keep the bias term as-is
+
+        feat_std = cache_scoped(feat.select(
+            F.array(*[(F.element_at("x", i + 1) - F.lit(float(mu[i])))
+                      / F.lit(float(sd[i])) for i in range(d)]).alias("x"),
+            "y"))
+        for _ in range(iters):
+            parts = grad_pass(feat_std, w)
+            n = sum(r["n"] for r in parts)
+            g = np.sum([np.asarray(r["g"]) for r in parts], axis=0)
+            w = w - lr * g / n
+    # fold standardization back: w_raw[j] = w[j]/sd[j];
+    # bias -= sum_j w[j]*mu[j]/sd[j]
+    raw = w / sd
+    raw[0] = w[0] - float(np.sum(w[1:] * mu[1:] / sd[1:]))
+    return [float(v) for v in raw]
+
+
+def lr_score(df: DataFrame, weights: list[float], text_col: str = "text",
+             score_col: str = "score",
+             threshold: float = 0.5) -> DataFrame:
+    """Append sigmoid score + thresholded prediction — one codegen
+    expression, the model inlined as literals."""
+    cols = text_features(text_col)
+    z = F.lit(float(weights[0])) * cols[0]
+    for wv, c in zip(weights[1:], cols[1:]):
+        z = z + F.lit(float(wv)) * c
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return df.select(
+        "*", score.alias(score_col),
+        (score >= threshold).cast("int").alias("pred"))
