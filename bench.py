@@ -87,6 +87,11 @@ HEADLINE = [
     # round-6 operators
     "dup_span_scrub",
     "bpe_token_counts",
+    "embed_pca_gram",
+    "embed_pq_fixed",
+    "dedup_incremental_bloom",
+    "cms_word_counts",
+    "quality_lr_fixed",
 ]
 
 

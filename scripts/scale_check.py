@@ -52,6 +52,10 @@ QUERIES = [
     "funnel_instances", "mixture_temperature", "ngram_containment",
     # round-6 additions: substring scrubbing + BPE application
     "dup_span_scrub", "bpe_token_counts",
+    # round-6 late additions: PCA moments, PQ ANN, Bloom-pruned
+    # ingest dedup, CMS, LR classifier train+score
+    "embed_pca_gram", "embed_pq_fixed", "dedup_incremental_bloom",
+    "cms_word_counts", "quality_lr_fixed", "quality_lr_train",
 ]
 
 
