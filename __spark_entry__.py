@@ -207,6 +207,39 @@ def _cms_word_counts(spark, sf_dir):
     return cms_counts(words, "word", depth=4, width=32)
 
 
+def _hll_distinct_users(spark, sf_dir):
+    """HyperLogLog distinct users per event type (operators/
+    sketches.py): the classic Flajolet register table with md5-derived
+    60-bit hashes — build is one map-side-combined groupBy bounded at
+    m=256 registers per key regardless of user cardinality, merge is
+    elementwise max (idempotent).  The harmonic sum is carried as a
+    common-denominator bigint so the float estimate is bit-identical
+    across engines: unlike ApproximateUnique's HLL++ (rows-only
+    `approx_distinct_users`), this approximate is fully value-oracled
+    in DuckDB, register collisions and the linear-counting correction
+    included.  Reference: ApproximateUnique.java:85."""
+    from apache_beam_spark.operators.sketches import hll_distinct
+
+    ev = load_table(spark, "events", sf_dir)
+    return hll_distinct(ev, "user_id", p=8, key_cols=["event_type"])
+
+
+def _kmv_user_overlap(spark, sf_dir):
+    """KMV (k-minimum-values) sketch set algebra (operators/
+    sketches.py): pairwise user-set Jaccard + intersection estimates
+    between event types — the set-expression capability HLL registers
+    cannot express (Beyer et al., SIGMOD 2007).  k=32 < the per-type
+    user cardinality so the ESTIMATOR path (not the exact-below-k
+    path) is exercised; md5-derived 60-bit hashes keep the k minima —
+    and hence the estimates — bit-identical in DuckDB.  Reference
+    job: ApproximateUnique.java:85's sketch family, extended to
+    multiset operations."""
+    from apache_beam_spark.operators.sketches import kmv_overlap
+
+    ev = load_table(spark, "events", sf_dir)
+    return kmv_overlap(ev, "user_id", "event_type", k=32)
+
+
 def _dup_span_scrub(spark, sf_dir):
     """Exact duplicate-substring scrubbing (dedup/spans.py): every
     non-first occurrence of any >= 8-token repeated span is removed
@@ -3207,6 +3240,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wordcount": _wordcount,
         "bpe_pair_counts": _bpe_pair_counts,
         "cms_word_counts": _cms_word_counts,
+        "hll_distinct_users": _hll_distinct_users,
+        "kmv_user_overlap": _kmv_user_overlap,
         "quality_lr_fixed": _quality_lr_fixed,
         "quality_lr_train": _quality_lr_train,
         "dup_span_scrub": _dup_span_scrub,
@@ -3485,6 +3520,92 @@ def oracle_sql() -> dict[str, str]:
             SELECT qp.word AS word, MIN(COALESCE(sketch.cnt, 0)) AS est
             FROM qp LEFT JOIN sketch USING (r, b)
             GROUP BY qp.word""",
+        # HyperLogLog, register collisions included: same md5-derived
+        # 60-bit hash (top 4 hex digits -> bucket, low 13 -> rank
+        # window), same bigint common-denominator harmonic sum, same
+        # linear-counting correction — the float estimate is
+        # bit-identical, not approximately equal.
+        "hll_distinct_users": f"""
+            WITH h AS (
+                SELECT event_type,
+                       CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+                            1, 4)) AS BIGINT) % 256 AS bucket,
+                       CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+                            5, 13)) AS BIGINT) AS w
+                FROM events),
+            regs AS (
+                SELECT event_type, bucket,
+                       MAX(CASE WHEN w = 0 THEN 53
+                                ELSE 53 - length(bin(w)) END) AS rho
+                FROM h GROUP BY event_type, bucket),
+            agg AS (
+                SELECT event_type, COUNT(*) AS n_registers,
+                       SUM(CAST(pow(2, greatest(52 - rho, 0)) AS BIGINT))
+                         AS s
+                FROM regs GROUP BY event_type),
+            e AS (
+                SELECT event_type, n_registers,
+                       256 - n_registers AS zeros,
+                       {0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0
+                        * float(1 << 52)!r} /
+                       CAST(s + (256 - n_registers) * {1 << 52}
+                            AS DOUBLE) AS raw
+                FROM agg)
+            SELECT event_type, n_registers,
+                   ROUND(CASE WHEN raw <= 640.0 AND zeros > 0
+                              THEN 256.0 * ln(256.0 / zeros)
+                              ELSE raw END, 4) AS est_distinct
+            FROM e""",
+        # KMV set-algebra sketch: same md5-derived 60-bit hash, same
+        # bottom-k minima, same union-threshold Jaccard — estimates
+        # are bit-identical, register-for-register.
+        "kmv_user_overlap": f"""
+            WITH hh AS (
+                SELECT DISTINCT event_type AS g,
+                       CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+                            1, 15)) AS BIGINT) AS h
+                FROM events),
+            s AS (
+                SELECT g, h FROM (
+                    SELECT g, h, row_number() OVER
+                           (PARTITION BY g ORDER BY h) AS rn
+                    FROM hh) t
+                WHERE rn <= 32),
+            pairs AS (
+                SELECT a.g AS set_a, b.g AS set_b
+                FROM (SELECT DISTINCT g FROM s) a
+                JOIN (SELECT DISTINCT g FROM s) b ON a.g < b.g),
+            u AS (
+                SELECT DISTINCT set_a, set_b, h
+                FROM pairs JOIN s ON s.g = set_a OR s.g = set_b),
+            uk AS (
+                SELECT set_a, set_b, h FROM (
+                    SELECT set_a, set_b, h, row_number() OVER
+                           (PARTITION BY set_a, set_b ORDER BY h) AS rn
+                    FROM u) t
+                WHERE rn <= 32),
+            ustat AS (
+                SELECT set_a, set_b, COUNT(*) AS un, MAX(h) AS tau
+                FROM uk GROUP BY set_a, set_b),
+            bb AS (
+                SELECT a.g AS set_a, b.g AS set_b, a.h AS h
+                FROM s a JOIN s b ON a.h = b.h AND a.g < b.g),
+            common AS (
+                SELECT bb.set_a, bb.set_b, COUNT(*) AS cn
+                FROM bb JOIN ustat USING (set_a, set_b)
+                WHERE bb.h <= ustat.tau
+                GROUP BY bb.set_a, bb.set_b),
+            j AS (
+                SELECT set_a, set_b,
+                       CAST(COALESCE(cn, 0) AS DOUBLE)
+                         / CAST(LEAST(un, 32) AS DOUBLE) AS jac,
+                       CASE WHEN un < 32 THEN CAST(un AS DOUBLE)
+                            ELSE {31.0 * float(1 << 60)!r}
+                                 / CAST(tau AS DOUBLE) END AS uest
+                FROM ustat LEFT JOIN common USING (set_a, set_b))
+            SELECT set_a, set_b, ROUND(jac, 4) AS est_jaccard,
+                   ROUND(jac * uest, 4) AS est_common
+            FROM j""",
         "group_by_key": """
             SELECT user_id, COUNT(value) AS n FROM events GROUP BY user_id""",
         "dup_span_scrub": f"""

@@ -91,6 +91,8 @@ HEADLINE = [
     "embed_pq_fixed",
     "dedup_incremental_bloom",
     "cms_word_counts",
+    "hll_distinct_users",
+    "kmv_user_overlap",
     "quality_lr_fixed",
 ]
 

@@ -55,7 +55,8 @@ QUERIES = [
     # round-6 late additions: PCA moments, PQ ANN, Bloom-pruned
     # ingest dedup, CMS, LR classifier train+score
     "embed_pca_gram", "embed_pq_fixed", "dedup_incremental_bloom",
-    "cms_word_counts", "quality_lr_fixed", "quality_lr_train",
+    "cms_word_counts", "hll_distinct_users", "kmv_user_overlap",
+    "quality_lr_fixed", "quality_lr_train",
 ]
 
 

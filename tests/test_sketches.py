@@ -59,3 +59,118 @@ def test_weighted_counts(spark):
     est = {r["k"]: r["est"] for r in cms_estimate(
         sk, df.select("k").distinct(), "k", DEPTH, WIDTH).collect()}
     assert est["a"] >= 5 and est["b"] >= 7
+
+
+# --- HyperLogLog (operators/sketches.py) ------------------------------
+
+from apache_beam_spark.operators.sketches import (  # noqa: E402
+    hll_distinct, hll_estimate, hll_merge, hll_sketch)
+
+P = 8  # m = 256 registers
+
+
+def test_hll_accuracy_and_multiplicity_invariance(spark):
+    # 2000 distinct ids, each duplicated 3x: the estimate must track
+    # DISTINCT cardinality (multiplicity-invariant) within the m=256
+    # error envelope (1.04/sqrt(256) ~ 6.5%; assert 4 sigma).
+    base = spark.range(2000).select(F.col("id").alias("v"))
+    dup = base.union(base).union(base)
+    est = hll_distinct(dup, "v", p=P).collect()[0]["est_distinct"]
+    est_once = hll_distinct(base, "v", p=P).collect()[0]["est_distinct"]
+    assert est == est_once
+    assert abs(est - 2000) / 2000 < 0.26
+
+
+def test_hll_linear_counting_small_cardinality(spark):
+    # 50 distinct into 256 registers: linear-counting branch, which is
+    # very accurate at this load factor.
+    df = spark.range(50).select(F.col("id").alias("v"))
+    row = hll_distinct(df, "v", p=P).collect()[0]
+    assert row["n_registers"] <= 50
+    assert abs(row["est_distinct"] - 50) / 50 < 0.10
+
+
+def test_hll_merge_equals_whole_and_idempotent(spark):
+    df = spark.range(3000).select(F.col("id").alias("v"))
+    a = df.filter("v % 2 = 0")
+    b = df.filter("v % 2 = 1")
+    c = df.filter("v >= 1000")  # overlaps b+a: tests idempotence too
+    merged = hll_merge(hll_sketch(a, "v", p=P), hll_sketch(b, "v", p=P),
+                       hll_sketch(c, "v", p=P))
+    whole = hll_sketch(df, "v", p=P)
+    ms = {r["bucket"]: r["rho"] for r in merged.collect()}
+    ws = {r["bucket"]: r["rho"] for r in whole.collect()}
+    assert ms == ws
+    twice = hll_merge(whole, whole)
+    assert {r["bucket"]: r["rho"] for r in twice.collect()} == ws
+
+
+def test_hll_bounded_and_per_key(spark):
+    df = spark.range(5000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.col("id").alias("v"))
+    sk = hll_sketch(df, "v", p=P, key_cols=["g"])
+    assert sk.count() <= 3 * (1 << P)
+    out = {r["g"]: r["est_distinct"]
+           for r in hll_estimate(sk, p=P).collect()}
+    assert set(out) == {"0", "1", "2"}
+    # ~1667 distinct per key; 4-sigma envelope at m=256
+    assert all(abs(v - 5000 / 3) / (5000 / 3) < 0.26
+               for v in out.values())
+
+
+# --- KMV set-algebra sketch (operators/sketches.py) -------------------
+
+from apache_beam_spark.operators.sketches import (  # noqa: E402
+    kmv_estimate, kmv_overlap, kmv_sketch)
+
+
+def test_kmv_exact_below_k(spark):
+    df = spark.range(40).select(F.col("id").alias("v"))
+    assert kmv_sketch(df, "v", k=64).count() == 40
+    est = kmv_estimate(kmv_sketch(df, "v", k=64), k=64) \
+        .collect()[0]["est_distinct"]
+    assert est == 40.0
+
+
+def test_kmv_estimator_accuracy(spark):
+    # 2000 distinct at k=256: sigma ~ 1/sqrt(k-1) ~ 6.3%; assert 4 sigma
+    df = spark.range(2000).select(F.col("id").alias("v"))
+    est = kmv_estimate(kmv_sketch(df, "v", k=256), k=256) \
+        .collect()[0]["est_distinct"]
+    assert abs(est - 2000) / 2000 < 0.26
+
+
+def test_kmv_sketch_bounded_and_multiplicity_invariant(spark):
+    base = spark.range(5000).select(
+        (F.col("id") % 2).cast("string").alias("g"),
+        F.col("id").alias("v"))
+    dup = base.union(base)
+    s1 = {(r["g"], r["h"]) for r in
+          kmv_sketch(base, "v", k=32, key_cols=["g"]).collect()}
+    s2 = {(r["g"], r["h"]) for r in
+          kmv_sketch(dup, "v", k=32, key_cols=["g"]).collect()}
+    assert s1 == s2
+    assert len(s1) == 2 * 32
+
+
+def test_kmv_overlap_known_jaccard(spark):
+    # A = 0..999, B = 500..1499: J = 1/3, |A cap B| = 500
+    a = spark.range(0, 1000).select(F.lit("A").alias("g"),
+                                    F.col("id").alias("v"))
+    b = spark.range(500, 1500).select(F.lit("B").alias("g"),
+                                      F.col("id").alias("v"))
+    row = kmv_overlap(a.union(b), "v", "g", k=128).collect()[0]
+    assert (row["set_a"], row["set_b"]) == ("A", "B")
+    assert abs(row["est_jaccard"] - 1 / 3) < 0.17
+    assert abs(row["est_common"] - 500) / 500 < 0.45
+
+
+def test_kmv_overlap_exact_when_small(spark):
+    a = spark.range(0, 20).select(F.lit("A").alias("g"),
+                                  F.col("id").alias("v"))
+    b = spark.range(10, 30).select(F.lit("B").alias("g"),
+                                   F.col("id").alias("v"))
+    row = kmv_overlap(a.union(b), "v", "g", k=64).collect()[0]
+    assert row["est_common"] == 10.0
+    assert row["est_jaccard"] == round(10 / 30, 4)
