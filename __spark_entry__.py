@@ -240,6 +240,24 @@ def _kmv_user_overlap(spark, sf_dir):
     return kmv_overlap(ev, "user_id", "event_type", k=32)
 
 
+def _hist_quantiles_prices(spark, sf_dir):
+    """Histogram quantile sketch (operators/sketches.py): per-returnflag
+    price percentiles from an equi-width bin table — the mergeable
+    one-pass alternative to ApproximateQuantiles.java:97's GK combiner.
+    Bin geometry is pinned to exact binary values (lo=0, hi=2^19,
+    bins=256 => width 2048, an exact double), the cumulative walk stays
+    on bigints, and the single final division is IEEE-deterministic, so
+    unlike the engine-specific GK sketch (rows-only `approx_quantiles`)
+    every estimated value is bit-identical in DuckDB — the same
+    upgrade HLL gave `approx_distinct_users`."""
+    from apache_beam_spark.operators.sketches import hist_quantiles_of
+
+    li = load_table(spark, "lineitem", sf_dir)
+    return hist_quantiles_of(
+        li, "l_extendedprice", [0.25, 0.5, 0.75, 0.9, 0.99],
+        lo=0.0, hi=float(1 << 19), bins=256, key_cols=["l_returnflag"])
+
+
 def _dup_span_scrub(spark, sf_dir):
     """Exact duplicate-substring scrubbing (dedup/spans.py): every
     non-first occurrence of any >= 8-token repeated span is removed
@@ -3242,6 +3260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_word_counts": _cms_word_counts,
         "hll_distinct_users": _hll_distinct_users,
         "kmv_user_overlap": _kmv_user_overlap,
+        "hist_quantiles_prices": _hist_quantiles_prices,
         "quality_lr_fixed": _quality_lr_fixed,
         "quality_lr_train": _quality_lr_train,
         "dup_span_scrub": _dup_span_scrub,
@@ -3606,6 +3625,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT set_a, set_b, ROUND(jac, 4) AS est_jaccard,
                    ROUND(jac * uest, 4) AS est_common
             FROM j""",
+        # Histogram quantile sketch: identical bin geometry (width 2048
+        # is an exact double), bigint cumulative walk, one final float
+        # division — estimates are bit-identical, not approximate-equal.
+        "hist_quantiles_prices": """
+            WITH binned AS (
+                SELECT l_returnflag,
+                       GREATEST(CAST(0 AS BIGINT), LEAST(CAST(255 AS BIGINT),
+                           CAST(FLOOR(CAST(l_extendedprice AS DOUBLE)
+                                      / 2048.0) AS BIGINT))) AS bin
+                FROM lineitem),
+            sk AS (
+                SELECT l_returnflag, bin, COUNT(*) AS cnt
+                FROM binned GROUP BY l_returnflag, bin),
+            cum AS (
+                SELECT l_returnflag, bin, cnt,
+                       SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS c,
+                       SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+                FROM sk),
+            qs AS (
+                SELECT CAST(q AS DOUBLE) AS q
+                FROM (VALUES (0.25), (0.5), (0.75), (0.9), (0.99)) t(q)),
+            hit AS (
+                SELECT cum.l_returnflag, qs.q, cum.bin, cum.cnt, cum.c,
+                       GREATEST(CAST(1 AS BIGINT),
+                                CAST(CEIL(qs.q * cum.n) AS BIGINT)) AS r
+                FROM cum CROSS JOIN qs)
+            SELECT l_returnflag, q,
+                   ROUND(CAST(bin AS DOUBLE) * 2048.0
+                         + 2048.0 * CAST(r - (c - cnt) AS DOUBLE)
+                           / CAST(cnt AS DOUBLE), 4) AS est_value
+            FROM hit
+            WHERE c >= r AND c - cnt < r""",
         "group_by_key": """
             SELECT user_id, COUNT(value) AS n FROM events GROUP BY user_id""",
         "dup_span_scrub": f"""

@@ -94,6 +94,8 @@ HEADLINE = [
     "hll_distinct_users",
     "kmv_user_overlap",
     "quality_lr_fixed",
+    # round-7 operators
+    "hist_quantiles_prices",
 ]
 
 

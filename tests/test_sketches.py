@@ -174,3 +174,63 @@ def test_kmv_overlap_exact_when_small(spark):
     row = kmv_overlap(a.union(b), "v", "g", k=64).collect()[0]
     assert row["est_common"] == 10.0
     assert row["est_jaccard"] == round(10 / 30, 4)
+
+
+# --- histogram quantile sketch (operators/sketches.py) -----------------
+
+from apache_beam_spark.operators.sketches import (  # noqa: E402
+    hist_merge, hist_quantiles, hist_quantiles_of, hist_sketch)
+
+LO, HI, BINS = 0.0, 1024.0, 16  # width 64, exact double
+
+
+def test_hist_sketch_bounded_and_clamped(spark):
+    # values outside [lo, hi) clamp into the edge bins, never drop
+    df = spark.createDataFrame(
+        [(-50.0,), (0.0,), (63.9,), (64.0,), (5000.0,), (1023.9,)],
+        "v double")
+    sk = hist_sketch(df, "v", LO, HI, BINS)
+    rows = {r["bin"]: r["cnt"] for r in sk.collect()}
+    assert sum(rows.values()) == 6          # nothing dropped
+    assert rows[0] == 3                     # -50, 0, 63.9 all in bin 0
+    assert rows[1] == 1                     # 64.0
+    assert rows[BINS - 1] == 2              # 5000 clamps, 1023.9 lands
+    assert sk.count() <= BINS
+
+
+def test_hist_merge_equals_whole(spark):
+    df = spark.range(500).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") * 2).cast("double").alias("v"))
+    a = df.filter("id % 2 = 0")
+    b = df.filter("id % 2 = 1")
+    merged = hist_merge(hist_sketch(a, "v", LO, HI, BINS, ["g"]),
+                        hist_sketch(b, "v", LO, HI, BINS, ["g"]))
+    whole = hist_sketch(df, "v", LO, HI, BINS, ["g"])
+    ms = {(r["g"], r["bin"]): r["cnt"] for r in merged.collect()}
+    ws = {(r["g"], r["bin"]): r["cnt"] for r in whole.collect()}
+    assert ms == ws
+
+
+def test_hist_quantiles_interpolation_pinned(spark):
+    # 64 values 0..63, all in bin 0 (width 64): q=0.5 -> r=32,
+    # est = 0 + 64 * 32/64 = 32.0 exactly; q=0.25 -> 16.0
+    df = spark.range(64).select(F.col("id").cast("double").alias("v"))
+    out = {r["q"]: r["est_value"] for r in hist_quantiles_of(
+        df, "v", [0.25, 0.5, 1.0], LO, HI, BINS).collect()}
+    assert out[0.25] == 16.0
+    assert out[0.5] == 32.0
+    assert out[1.0] == 64.0                 # r=64, top of bin 0
+
+
+def test_hist_quantiles_spans_bins_per_key(spark):
+    # uniform 0..1023 per key: median ~512, p0.25 ~256 (within a bin)
+    df = spark.range(2048).select(
+        (F.col("id") % 2).cast("string").alias("g"),
+        (F.col("id") / 2).cast("double").alias("v"))
+    out = {(r["g"], r["q"]): r["est_value"] for r in hist_quantiles(
+        hist_sketch(df, "v", LO, HI, BINS, ["g"]),
+        [0.25, 0.5], LO, HI, BINS).collect()}
+    for g in ("0", "1"):
+        assert abs(out[(g, 0.25)] - 256.0) <= 64.0
+        assert abs(out[(g, 0.5)] - 512.0) <= 64.0
