@@ -667,15 +667,27 @@ def _huff_lut(bits, vals) -> tuple:
     return sym, ln
 
 
+#: lookahead tables at or below this many bit positions materialize as a
+#: plain python list (scalar list indexing is ~3x faster than numpy in
+#: the per-symbol loop); ABOVE it the numpy array is kept and indexed
+#: via ``.item`` — a python-int list costs ~36 B per BIT of segment
+#: (~290x the segment size in transient memory), so a multi-MB scan
+#: segment must never take the list path.  1<<20 bits = 128 KB of
+#: segment = ~36 MB transient list, the worst case the fast path allows.
+_VAL16_LIST_MAX_BITS = 1 << 20
+
+
 def _segment_val16(seg: bytes) -> tuple:
-    """(sliding 16-bit lookahead per bit position, bit count) for one
-    entropy-coded (destuffed) segment: ``val16[p]`` is the next 16
-    bits starting at bit ``p``, zero-padded past the end — computed in
-    16 vectorized shift-adds, so the per-symbol decode loop does no
-    bit twiddling at all.  The pad is sized so a malformed stream that
-    runs past the end keeps reading zeros for at least one whole
-    block's worth of symbols before the per-block overrun check fires
-    (64 symbols x at most 32 bits each)."""
+    """(getter, bit count) for one entropy-coded (destuffed) segment:
+    ``get(p)`` is the next 16 bits starting at bit ``p`` as a python
+    int, zero-padded past the end — computed in 16 vectorized
+    shift-adds, so the per-symbol decode loop does no bit twiddling at
+    all.  Small segments bind ``list.__getitem__`` (fastest scalar
+    read); large ones bind ``ndarray.item`` so transient memory stays
+    ~4 B/bit instead of ~36 (ADVICE r6).  The pad is sized so a
+    malformed stream that runs past the end keeps reading zeros for at
+    least one whole block's worth of symbols before the per-block
+    overrun check fires (64 symbols x at most 32 bits each)."""
     b = np.unpackbits(np.frombuffer(seg, np.uint8))
     nbits = b.size
     pad = 64 * 32 + 16
@@ -683,7 +695,9 @@ def _segment_val16(seg: bytes) -> tuple:
     v = np.zeros(nbits + pad - 16, np.uint32)
     for i in range(16):
         v += ext[i:i + v.size] << (15 - i)
-    return v.tolist(), nbits
+    if v.size <= _VAL16_LIST_MAX_BITS:
+        return v.tolist().__getitem__, nbits
+    return v.item, nbits
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
@@ -864,14 +878,14 @@ def _decode_scan(payload, pos, frame, sel, qt, huff, restart):
             dc = dc_pred[ci]
             for by in range(c["v"]):
                 for bx in range(c["h"]):
-                    idx = val16[bpos]
+                    idx = val16(bpos)
                     ln = dlen[idx]
                     if not ln:
                         raise ValueError("invalid JPEG huffman code")
                     size = dsym[idx]
                     bpos += ln
                     if size:
-                        v = val16[bpos] >> (16 - size)
+                        v = val16(bpos) >> (16 - size)
                         bpos += size
                         dc += v if v >= (1 << (size - 1)) \
                             else v - (1 << size) + 1
@@ -879,7 +893,7 @@ def _decode_scan(payload, pos, frame, sel, qt, huff, restart):
                     zz[0] = dc
                     k = 1
                     while k < 64:
-                        idx = val16[bpos]
+                        idx = val16(bpos)
                         ln = alen[idx]
                         if not ln:
                             raise ValueError("invalid JPEG huffman code")
@@ -895,7 +909,7 @@ def _decode_scan(payload, pos, frame, sel, qt, huff, restart):
                         if k > 63:
                             raise ValueError("JPEG AC index overflow")
                         if sz:
-                            v = val16[bpos] >> (16 - sz)
+                            v = val16(bpos) >> (16 - sz)
                             bpos += sz
                             zz[k] = v if v >= (1 << (sz - 1)) \
                                 else v - (1 << sz) + 1
