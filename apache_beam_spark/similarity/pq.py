@@ -139,13 +139,18 @@ def pq_topk(queries: DataFrame, corpus: DataFrame, codebooks, k: int = 5,
             if self_exclude:
                 dist[qids[:, None] == ids[None, :]] = np.inf
             kk = min(k, codes.shape[0])
-            top = np.argpartition(dist, kk - 1, axis=1)[:, :kk]
-            rows = dist[np.arange(len(qids))[:, None], top]
-            keep = np.isfinite(rows)
+            # tie-aware candidate cut (ADVICE r6): keep EVERY row whose
+            # distance ties the kk-th, not argpartition's arbitrary
+            # boundary pick — an equal-distance lower-id candidate must
+            # survive the batch so the global id-tiebreak window (the
+            # determinism contract) ever sees it.
+            thresh = np.partition(dist, kk - 1, axis=1)[:, kk - 1:kk]
+            keep = np.isfinite(dist) & (dist <= thresh)
+            qi, ci = np.nonzero(keep)
             yield pd.DataFrame({
-                "query_id": np.repeat(qids, kk)[keep.ravel()],
-                "neighbor_id": ids[top].ravel()[keep.ravel()],
-                "adc": rows.ravel()[keep.ravel()],
+                "query_id": qids[qi],
+                "neighbor_id": ids[ci],
+                "adc": dist[qi, ci],
             })
 
     cand = enc.mapInPandas(

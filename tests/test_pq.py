@@ -102,3 +102,26 @@ def test_trained_recall_sanity(emb):
         if ids[np.argmin(d)] in by_q[qi]:
             hits += 1
     assert hits >= nq // 3
+
+
+def test_boundary_ties_take_lowest_ids(spark):
+    """Exact ADC ties on the k-th boundary must resolve to the LOWEST
+    neighbor ids (the determinism contract): 10 identical vectors all
+    tie at distance 0, so top-3 is ids 1,2,3 regardless of batch or
+    partition order (ADVICE r6: argpartition used to cut ties
+    arbitrarily before the id-tiebreak window ran)."""
+    from apache_beam_spark.similarity.pq import pq_topk
+
+    v = [float(i % 7) for i in range(D)]
+    # descending insertion order so a naive "first seen wins" fails too
+    df = spark.createDataFrame(
+        [(i, v) for i in range(10, 0, -1)],
+        "vec_id bigint, embedding array<double>").repartition(4)
+    books = [[v[s * DSUB:(s + 1) * DSUB]] + [
+        [x + 50.0 for x in v[s * DSUB:(s + 1) * DSUB]]] for s in range(M)]
+    q = spark.createDataFrame([(0, v)],
+                              "vec_id bigint, embedding array<double>")
+    out = pq_topk(q, df, books, k=3, self_exclude=False).collect()
+    got = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert got == [1, 2, 3]
+    assert all(r["adc"] == 0.0 for r in out)
