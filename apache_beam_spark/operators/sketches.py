@@ -229,6 +229,20 @@ def kmv_sketch(df: DataFrame, item_col: str, k: int = 64,
     keys = list(key_cols or [])
     hashed = (df.select(*keys, _kmv_hash(F.col(item_col)).alias("h"))
               .distinct())
+    if not keys:
+        # per-partition bottom-k pre-prune (ADVICE r6): a partition-less
+        # row_number window funnels EVERY distinct hash through one
+        # task — data-sized for the unkeyed case.  Stage 1 takes the
+        # bottom-k inside each scan partition (parallel; bottom-k of
+        # per-group bottom-ks == global bottom-k because every row is
+        # in exactly one group), so stage 2's global window orders at
+        # most partitions * k rows — sketch-sized.  The keyed path is
+        # already bounded per key by its own partitionBy.
+        pw = Window.partitionBy("__pid__").orderBy("h")
+        hashed = (hashed.withColumn("__pid__", F.spark_partition_id())
+                  .withColumn("__rn__", F.row_number().over(pw))
+                  .filter(F.col("__rn__") <= k)
+                  .drop("__pid__", "__rn__"))
     w = Window.partitionBy(*[F.col(c) for c in keys]).orderBy("h")
     return (hashed.withColumn("__rn__", F.row_number().over(w))
             .filter(F.col("__rn__") <= k).drop("__rn__"))

@@ -234,3 +234,17 @@ def test_hist_quantiles_spans_bins_per_key(spark):
     for g in ("0", "1"):
         assert abs(out[(g, 0.25)] - 256.0) <= 64.0
         assert abs(out[(g, 0.5)] - 512.0) <= 64.0
+
+
+def test_kmv_unkeyed_preprune_matches_keyed_constant(spark):
+    # the two-stage unkeyed path (per-partition bottom-k pre-prune)
+    # must produce the exact global bottom-k: compare against the
+    # keyed path with a constant key, whose single window is the
+    # straightforward definition
+    df = spark.range(5000).select(F.col("id").alias("v")).repartition(8)
+    unkeyed = sorted(r["h"] for r in kmv_sketch(df, "v", k=64).collect())
+    keyed = sorted(r["h"] for r in kmv_sketch(
+        df.withColumn("g", F.lit("x")), "v", k=64,
+        key_cols=["g"]).collect())
+    assert unkeyed == keyed
+    assert len(unkeyed) == 64
