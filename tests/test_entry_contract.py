@@ -40,3 +40,29 @@ def test_bench_headline_subset_of_queries():
     q = set(e.queries())
     missing = [n for n in bench.HEADLINE if n not in q]
     assert not missing, missing
+
+
+def test_doc_scoreboard_matches_code():
+    # VERDICT r6 #3: the public counts in SURVEY.md / SCALING.md drifted
+    # from the code three times.  They are now a generated block; this
+    # asserts the generated numbers (and the no-oracle list) still match
+    # the entry module, so any query addition that skips
+    # scripts/gen_query_catalog.py fails CI.
+    import re
+
+    q, o = e.queries(), e.oracle_sql()
+    no_oracle = sorted(set(q) - set(o))
+    for doc in ("SURVEY.md", "SCALING.md"):
+        text = open(f"/root/repo/{doc}").read()
+        m = re.search(r"<!-- query-catalog:begin -->(.*?)"
+                      r"<!-- query-catalog:end -->", text, re.S)
+        assert m, f"{doc} lost its query-catalog markers"
+        block = m.group(1)
+        nums = re.search(r"\*\*(\d+) `queries\(\)` entries, (\d+) with",
+                         block)
+        assert nums, f"{doc} scoreboard block malformed"
+        assert int(nums.group(1)) == len(q), f"{doc} stale query count"
+        assert int(nums.group(2)) == len(o), f"{doc} stale oracle count"
+        listed = re.findall(r"`(\w+)`", block.split("twin:")[1]
+                            .split("Test surface")[0])
+        assert listed == no_oracle, f"{doc} stale no-oracle list"
