@@ -168,14 +168,16 @@ def _quality_lr_fixed(spark, sf_dir):
 
 
 def _quality_lr_train(spark, sf_dir):
-    """Distributed full-batch logistic regression
-    (operators/classifier.py::lr_train): per-partition gemm gradient
-    partials, driver weight step, standardization folded back into
-    raw-feature weights.  Trained against a planted noisy target
-    (n_chars + md5-derived +-200 noise > 300 — learnable to ~0.8
-    accuracy, so the demo is non-vacuous).  Iterative + float-order
-    dependent: rows-only; the loop is pinned against an identical
-    numpy reference in tests/test_classifier.py."""
+    """Distributed logistic regression in its BOUNDED-PASS Newton/IRLS
+    mode (operators/classifier.py::lr_train): per-partition gemm
+    partials now carry gradient + d x d Hessian, the driver solves the
+    6 x 6 system, and quadratic convergence lands in ~5-8 corpus
+    passes (vs 30-40 for fixed-step GD — the mode a 100 TB corpus
+    actually runs).  Trained against a planted noisy target (n_chars +
+    md5-derived +-200 noise > 300 — learnable to ~0.8 accuracy, so the
+    demo is non-vacuous).  Iterative + float-order dependent:
+    rows-only; both solver loops are pinned against identical numpy
+    references in tests/test_classifier.py."""
     from apache_beam_spark.operators.classifier import (
         FEATURE_NAMES, lr_train)
 
@@ -183,7 +185,7 @@ def _quality_lr_train(spark, sf_dir):
     noise = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
                                 1, 4), 16, 10).cast("long") % 401) - 200
     lab = d.withColumn("y", ((F.col("n_chars") + noise) > 300).cast("int"))
-    w = lr_train(lab, "y", iters=40, lr=0.5)
+    w = lr_train(lab, "y", iters=10, solver="newton")
     return spark.createDataFrame(
         [(n, float(v)) for n, v in zip(FEATURE_NAMES, w)],
         "feature string, weight double")

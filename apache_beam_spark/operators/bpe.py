@@ -9,10 +9,12 @@ process, but the algorithm distributes naturally:
   one shuffle agg compresses terabytes of text into the frame every
   later step runs on (the standard word-level BPE formulation: merges
   never cross word boundaries);
-* each iteration is one partial-agg pair count over the vocabulary
-  plus a driver-side top-1 (a bounded scalar, the same precedent as
-  k-means centroids / CC convergence counters) and a pure-Column fold
-  that applies the merge — no Python UDFs anywhere.
+* each ROUND is one partial-agg pair count over the vocabulary plus a
+  bounded driver-side top-K pull (the same precedent as k-means
+  centroids / CC convergence counters) and one pure-Column
+  replace-chain that applies a provably sequential-equivalent BATCH of
+  merges — no Python UDFs anywhere, and 30k-merge production
+  vocabularies cost ~30k/merge_batch rounds, not 30k.
 
 ``bpe_pair_counts`` (the first iteration's counting step) is fully
 SQL-expressible and value-oracled against DuckDB; the iterative
@@ -80,38 +82,25 @@ def bpe_pair_counts(df: DataFrame, text_col: str = "text",
     return out
 
 
-def _apply_merge(syms: Column, a: str, b: str) -> Column:
-    """Greedy left-to-right application of one merge (a, b) -> a+b to a
-    symbol array, as a pure-Column fold: the accumulator carries the
-    rebuilt prefix and one pending symbol; a pending ``a`` followed by
-    ``b`` emits the merged symbol and clears the pending slot, so
-    overlapping occurrences (e.g. ``aaa`` under (a, a)) merge
-    left-to-right non-overlapping — exactly the reference BPE rule."""
-    init = F.struct(
-        F.array().cast("array<string>").alias("out"),
-        F.lit(None).cast("string").alias("prev"))
-
-    def step(acc, s):
-        hit = acc["prev"].eqNullSafe(F.lit(a)) & (s == F.lit(b))
-        flushed = F.when(acc["prev"].isNull(), acc["out"]) \
-            .otherwise(F.concat(acc["out"], F.array(acc["prev"])))
-        return F.struct(
-            F.when(hit, F.concat(acc["out"], F.array(F.lit(a + b))))
-            .otherwise(flushed).alias("out"),
-            F.when(hit, F.lit(None).cast("string")).otherwise(s).alias("prev"))
-
-    def finish(acc):
-        return F.when(acc["prev"].isNull(), acc["out"]) \
-            .otherwise(F.concat(acc["out"], F.array(acc["prev"])))
-
-    return F.aggregate(syms, init, step, finish)
-
-
 #: delimiter bytes for the replace-chain encoder: symbol boundary and
 #: word boundary — neither can appear inside a word token
 #: (``word_tokens`` admits only letters/digits/_/')
 _SEP = "\x1f"
 _WSEP = "\x1e"
+
+
+def _apply_merge_chain(s: Column, merges) -> Column:
+    """Apply merges to a delimiter-anchored symbol string: each merge
+    (a, b) -> ab is ONE codegen ``replace`` of ``\\x1f a \\x1f\\x1f b
+    \\x1f`` with ``\\x1f ab \\x1f``.  String replace is left-to-right
+    non-overlapping, which IS the greedy BPE rule, and the shared
+    anchor byte between adjacent pairs makes back-to-back occurrences
+    merge correctly (``aaa`` -> ``aa, a``).  Shared by the encoder and
+    the trainer's batched apply — one code path, one semantics."""
+    for a, b in merges:
+        s = F.replace(s, F.lit(_SEP + a + _SEP + _SEP + b + _SEP),
+                      F.lit(_SEP + a + b + _SEP))
+    return s
 
 
 def bpe_encode_token_counts(df: DataFrame, merges: list,
@@ -133,8 +122,6 @@ def bpe_encode_token_counts(df: DataFrame, merges: list,
     count = words + remaining double-delimiter boundaries / 2.
 
     Returns (id_col, n_tokens)."""
-    import functools
-
     toks = word_tokens(F.col(text_col))
 
     def enc_word(w):
@@ -143,12 +130,8 @@ def bpe_encode_token_counts(df: DataFrame, merges: list,
                         F.substring(inner, 1, F.length(inner) - 2),
                         F.lit(_SEP))
 
-    s = F.array_join(F.transform(toks, enc_word), _WSEP)
-    s = functools.reduce(
-        lambda acc, m: F.replace(
-            acc, F.lit(_SEP + m[0] + _SEP + _SEP + m[1] + _SEP),
-            F.lit(_SEP + m[0] + m[1] + _SEP)),
-        merges, s)
+    s = _apply_merge_chain(F.array_join(F.transform(toks, enc_word), _WSEP),
+                           merges)
     boundaries = (F.length(s)
                   - F.length(F.replace(s, F.lit(_SEP + _SEP), F.lit("")))) / 2
     return df.select(
@@ -156,35 +139,120 @@ def bpe_encode_token_counts(df: DataFrame, merges: list,
         (F.size(toks) + boundaries).cast("long").alias("n_tokens"))
 
 
+def _apply_merges(syms: Column, merges) -> Column:
+    """Apply a merge list to a symbol ARRAY by round-tripping through
+    the delimiter-anchored string form: anchor, replace-chain, split
+    back.  Greedy left-to-right per merge — identical semantics to the
+    encoder (it IS the encoder's fold)."""
+    s = F.concat(F.lit(_SEP), F.array_join(syms, _SEP + _SEP), F.lit(_SEP))
+    s = _apply_merge_chain(s, merges)
+    return F.split(F.substring(s, 2, F.length(s) - 2), _SEP + _SEP)
+
+
+def _select_batch(rows, max_batch: int, complete: bool):
+    """Maximal prefix of the (count desc, a, b)-sorted candidate pairs
+    that provably yields the SAME merges as applying them one
+    sequential round at a time.  ``rows`` are (a, b, pair_count)
+    records; ``complete`` says whether they are ALL pairs (if not,
+    unseen pairs may tie the window's tail count).
+
+    Why this is exact (tests/test_bpe.py pins it property-style):
+
+    * Admitted merges are pairwise symbol-DISJOINT, counting each
+      merge's output symbol a+b: applying any subset cannot create,
+      destroy, or re-count occurrences of another admitted pair, so
+      batch application == sequential application and every admitted
+      candidate's count is unchanged when its sequential turn comes.
+    * A merge (x, y) only DECREASES counts of existing pairs (those
+      sharing x or y lose occurrences; decreased pairs sit after the
+      candidate in the sort under the same name, so they can never
+      steal its tie-break), and every pair it SPAWNS — (p, xy) or
+      (xy, q) — is bounded by the old count of a DIFFERENT pair
+      sharing x or y, which (pairwise disjointness) is unadmitted and
+      so sits later in the sort with count <= the candidate's.
+      Requiring STRICT dominance (no equal-count pair shares a symbol
+      with the admitted set) means nothing spawned can tie the
+      candidate.
+    * The one exception is a SELF-pair (x, x): its spawned pairs
+      (xx, x) / (xx, xx) are bounded by its OWN count — but a run of
+      L x's (L-1 pair occurrences) collapses to ceil(L/2) tokens with
+      at most ceil(L/2)-1 <= (L-1)/2 spawned adjacencies, so the
+      spawn count is <= floor(c/2); candidates must strictly dominate
+      that cap.
+    So the sequential argmax under the (count desc, a, b) tie-break
+    picks exactly each admitted candidate at its turn."""
+    picked = []
+    blocked: set = set()
+    spawn_cap = -1  # max possible count of a pair spawned by a self-merge
+    tail = int(rows[-1]["pair_count"]) if rows else 0
+    for i, r in enumerate(rows):
+        if len(picked) >= max_batch:
+            break
+        a, b, cnt = r["a"], r["b"], int(r["pair_count"])
+        if picked:
+            if a in blocked or b in blocked or (a + b) in blocked:
+                break
+            # unseen pairs beyond the pulled window could tie cnt
+            if not complete and cnt == tail:
+                break
+            if cnt <= spawn_cap:
+                break
+            hazard = False
+            for p in rows[i + 1:]:
+                if int(p["pair_count"]) != cnt:
+                    break
+                if p["a"] in blocked or p["b"] in blocked:
+                    hazard = True
+                    break
+            if hazard:
+                break
+        picked.append((a, b, cnt))
+        blocked |= {a, b, a + b}
+        if a == b:
+            spawn_cap = max(spawn_cap, cnt // 2)
+    return picked
+
+
 def bpe_train(df: DataFrame, text_col: str = "text",
-              n_merges: int = 10) -> DataFrame:
+              n_merges: int = 10, merge_batch: int = 16) -> DataFrame:
     """Learn ``n_merges`` BPE merges over the corpus; returns
     (rank, a, b, merged, pair_count) in merge order.
 
-    Each iteration: one pair-count shuffle over the (checkpointed)
-    vocabulary + one driver top-1 (deterministic tie-break: highest
-    count, then lexicographic (a, b)) + one Column-fold rewrite.  The
-    vocabulary is ``localCheckpoint``ed every iteration so plan depth
-    stays flat across merges (the iterative-op discipline of
-    ``operators/graph.py``).  Stops early when no adjacent pair
+    Each ROUND: one pair-count shuffle over the (checkpointed)
+    vocabulary + one bounded driver top-K pull + a provably
+    sequential-equivalent batch of up to ``merge_batch`` merges
+    (``_select_batch``) applied in ONE replace-chain rewrite.  Batching
+    is what makes production vocabularies reachable: per-round cost is
+    governed by the vocabulary, not the corpus, and a conflict-free
+    stretch of the frequency table admits ``merge_batch`` merges for
+    one round's price (30k merges stop meaning 30k corpus-metadata
+    shuffles).  ``merge_batch=1`` degenerates to the classic
+    one-merge-per-round loop.  The vocabulary is ``localCheckpoint``ed
+    every round so plan depth stays flat (the iterative-op discipline
+    of ``operators/graph.py``).  Stops early when no adjacent pair
     remains.  Iterative + driver-scalar per round, so this is a
     rows-only surface (no SQL oracle); exactness vs the sequential
-    reference algorithm is pinned by tests/test_bpe.py."""
+    reference algorithm — for ANY ``merge_batch`` — is pinned by
+    tests/test_bpe.py."""
     spark = df.sparkSession
     vocab = word_vocab(df, text_col).select(
         "cnt", _symbols(F.col("word")).alias("syms")).localCheckpoint()
     merges = []
-    for rank in range(n_merges):
+    pull = max(64, 8 * merge_batch)
+    while len(merges) < n_merges:
         top = (_pair_counts(vocab)
                .orderBy(F.col("pair_count").desc(), "a", "b")
-               .limit(1).collect())
+               .limit(pull).collect())
         if not top:
             break
-        r = top[0]
-        merges.append((rank, r["a"], r["b"], r["a"] + r["b"],
-                       int(r["pair_count"])))
+        picked = _select_batch(top, min(merge_batch, n_merges - len(merges)),
+                               complete=len(top) < pull)
+        for a, b, cnt in picked:
+            merges.append((len(merges), a, b, a + b, cnt))
         vocab = vocab.select(
-            "cnt", _apply_merge(F.col("syms"), r["a"], r["b"]).alias("syms")
+            "cnt",
+            _apply_merges(F.col("syms"),
+                          [(a, b) for a, b, _ in picked]).alias("syms")
         ).localCheckpoint()
     return spark.createDataFrame(
         merges, "rank int, a string, b string, merged string, pair_count long")

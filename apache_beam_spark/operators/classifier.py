@@ -16,10 +16,11 @@ Design for 100 TB:
   gemm (`mapInPandas`), the driver sums ``num_partitions`` tiny
   partials and steps the weight vector (d+1 doubles).  No shuffle;
   the feature frame is cached through the scoped lifecycle for the
-  duration of the loop.  Full-batch GD costs one pass per iteration
-  — honest but pass-hungry at 100 TB; the standard fixes (mini-batch
-  on a sampled subset, or L-BFGS on driver-aggregated sufficient
-  statistics) keep the same partial-aggregation shape.
+  duration of the loop.  Two solvers: fixed-step GD (one pass per
+  iteration — pass-hungry, kept as the numpy-pinned reference loop)
+  and the BOUNDED-PASS Newton/IRLS mode, whose per-pass partial also
+  carries the d x d Hessian (36 doubles) and converges quadratically
+  in ~5-8 passes — the mode a 100 TB corpus actually runs.
 - SCORING is a dot product + sigmoid as a single Column expression:
   the model ships as literals, nothing is collected, the pass is
   pure codegen.
@@ -65,23 +66,39 @@ def featurize(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def lr_train(df: DataFrame, label_col: str, text_col: str = "text",
-             iters: int = 30, lr: float = 1.0) -> list[float]:
+             iters: int = 30, lr: float = 1.0,
+             solver: str = "gd") -> list[float]:
     """Full-batch logistic regression; returns the weight list
     (FEATURE_NAMES order), directly usable by ``lr_score`` on RAW
     features.  One narrow pass per iteration, plus one moments
-    pre-pass: gradient descent runs on STANDARDIZED features
+    pre-pass: optimization runs on STANDARDIZED features
     ((x-mu)/sd — plain GD barely moves on raw scales), and the
-    scaling is folded back into the returned weights."""
+    scaling is folded back into the returned weights.
+
+    ``solver="gd"`` is the fixed-step gradient loop (exactly ``iters``
+    passes, numpy-pinned in tests).  ``solver="newton"`` is the
+    BOUNDED-PASS mode for 100 TB corpora: classical Newton/IRLS — each
+    pass additionally aggregates the d x d Hessian partial
+    X'.diag(p(1-p)).X (d=6, so the partial is 36 doubles — the same
+    O(P*d^2)-to-driver shape as the PCA gram pass), the driver solves
+    the d x d system, and quadratic convergence reaches machine-level
+    gradients in ~5-8 passes where GD needs 30+; ``iters`` becomes a
+    cap and the loop stops early when the step norm dies.  Both
+    solvers are deterministic given the data (zero init, no
+    randomness; float-sum ordering is the only platform wiggle)."""
     import numpy as np
 
     from apache_beam_spark.plans.caching import cache_scoped, scoped_caches
     from apache_beam_spark.plans.partitioning import parallelize_narrow
 
+    if solver not in ("gd", "newton"):
+        raise ValueError(f"unknown solver {solver!r}: want 'gd' or 'newton'")
     d = len(FEATURE_NAMES)
     feat = featurize(df, text_col).select(
         F.array(*[F.col(f"f{i}") for i in range(d)]).alias("x"),
         F.col(label_col).cast("double").alias("y"))
     w = np.zeros(d)
+    hessian = solver == "newton"
 
     def grad_pass(frame, weights):
         def fn(batches):
@@ -89,6 +106,7 @@ def lr_train(df: DataFrame, label_col: str, text_col: str = "text",
             import pandas as pd
 
             g = np.zeros(d)
+            h = np.zeros((d, d))
             loss = 0.0
             n = 0
             for pdf in batches:
@@ -99,16 +117,20 @@ def lr_train(df: DataFrame, label_col: str, text_col: str = "text",
                 z = x @ weights
                 p = 1.0 / (1.0 + np.exp(-z))
                 g += x.T @ (p - y)
+                if hessian:
+                    h += (x * (p * (1.0 - p))[:, None]).T @ x
                 eps = 1e-12
                 loss += -np.sum(y * np.log(p + eps)
                                 + (1 - y) * np.log(1 - p + eps))
                 n += len(y)
             if n:
-                yield pd.DataFrame({"g": [g.tolist()], "loss": [loss],
-                                    "n": [n]})
+                yield pd.DataFrame({"g": [g.tolist()],
+                                    "h": [h.ravel().tolist()],
+                                    "loss": [loss], "n": [n]})
 
         return frame.mapInPandas(
-            fn, schema="g array<double>, loss double, n bigint").collect()
+            fn, schema="g array<double>, h array<double>, "
+                       "loss double, n bigint").collect()
 
     # the feature cache lives exactly as long as the training loop
     with scoped_caches():
@@ -136,7 +158,16 @@ def lr_train(df: DataFrame, label_col: str, text_col: str = "text",
             parts = grad_pass(feat_std, w)
             n = sum(r["n"] for r in parts)
             g = np.sum([np.asarray(r["g"]) for r in parts], axis=0)
-            w = w - lr * g / n
+            if hessian:
+                h = np.sum([np.asarray(r["h"]).reshape(d, d)
+                            for r in parts], axis=0)
+                # tiny ridge keeps the solve stable if p saturates
+                step = np.linalg.solve(h + 1e-8 * n * np.eye(d), g)
+                w = w - step
+                if float(np.max(np.abs(step))) < 1e-10:
+                    break
+            else:
+                w = w - lr * g / n
     # fold standardization back: w_raw[j] = w[j]/sd[j];
     # bias -= sum_j w[j]*mu[j]/sd[j]
     raw = w / sd

@@ -49,6 +49,57 @@ def test_train_matches_numpy(labeled):
     np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-9)
 
 
+def _numpy_newton(x, y, iters):
+    """The exact loop lr_train(solver='newton') runs: standardize,
+    zero-init Newton/IRLS with tiny ridge + step-norm early stop,
+    fold scaling back.  Returns (weights, passes_used)."""
+    mu, sd = x.mean(0), x.std(0)
+    sd = np.where(sd < 1e-12, 1.0, sd)
+    mu[0], sd[0] = 0.0, 1.0
+    xs = (x - mu) / sd
+    w = np.zeros(D)
+    n = len(y)
+    passes = 0
+    for _ in range(iters):
+        p = 1.0 / (1.0 + np.exp(-(xs @ w)))
+        g = xs.T @ (p - y)
+        h = (xs * (p * (1.0 - p))[:, None]).T @ xs
+        step = np.linalg.solve(h + 1e-8 * n * np.eye(D), g)
+        w = w - step
+        passes += 1
+        if float(np.max(np.abs(step))) < 1e-10:
+            break
+    raw = w / sd
+    raw[0] = w[0] - float(np.sum(w[1:] * mu[1:] / sd[1:]))
+    return raw, passes
+
+
+def _loss(x, y, w):
+    p = 1.0 / (1.0 + np.exp(-(x @ w)))
+    eps = 1e-12
+    return float(-np.mean(y * np.log(p + eps)
+                          + (1 - y) * np.log(1 - p + eps)))
+
+
+def test_newton_matches_numpy_and_bounds_passes(labeled):
+    rows = featurize(labeled).select(
+        *[f"f{i}" for i in range(D)], "y").collect()
+    x = np.array([[r[f"f{i}"] for i in range(D)] for r in rows])
+    y = np.array([r["y"] for r in rows], dtype=np.float64)
+    got = np.array(lr_train(labeled, "y", iters=10, solver="newton"))
+    ref, passes = _numpy_newton(x, y, iters=10)
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-8)
+    # bounded-pass claim: Newton at <=10 passes beats 30-pass GD's loss
+    assert passes <= 10
+    gd = np.array(lr_train(labeled, "y", iters=30, lr=0.5))
+    assert _loss(x, y, got) <= _loss(x, y, gd)
+
+
+def test_newton_rejects_unknown_solver(labeled):
+    with pytest.raises(ValueError, match="solver"):
+        lr_train(labeled, "y", solver="adam")
+
+
 def test_learns_planted_signal(labeled):
     w = lr_train(labeled, "y", iters=40, lr=0.5)
     acc = lr_score(labeled, w).select(
