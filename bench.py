@@ -209,9 +209,9 @@ def _streaming_benchmarks(spark) -> dict:
     # several files -> several micro-batches with maxFilesPerTrigger
     events.repartition(8).write.mode("overwrite").parquet(spool)
 
-    def source():
+    def source(mft: int = 4):
         return (spark.readStream.schema(events.schema)
-                .option("maxFilesPerTrigger", 4).parquet(spool))
+                .option("maxFilesPerTrigger", mft).parquet(spool))
 
     # streaming state partitions sized PER QUERY to its key cardinality
     # and operator shape, not the batch default (32 state stores for a
@@ -275,10 +275,19 @@ def _streaming_benchmarks(spark) -> dict:
             return streaming_distinct(source(), ["event_id"], "ts",
                                       within="10 minutes")
 
+        # funnel/heavy/rate run mft=8 (one data micro-batch, like the
+        # join): the r7 drift-controlled sweep
+        # (scripts/stream_gate_sweep.py, interleaved min-of-4) read
+        # funnel 42.0k -> 66.1k, rate 62.0k -> 113.1k, heavy 59.1k ->
+        # 60-62k going mft 4 -> 8 — at this corpus size one state
+        # commit beats two, same as the join finding.  The funnel
+        # itself also got cheaper in r7: non-step events (40% of the
+        # stream) are pruned at the scan, step types ship as a codegen
+        # bitmask, and ingest is vectorized (streaming/sequences.py).
         def stream_funnel():
             from apache_beam_spark.streaming import streaming_funnel
 
-            return streaming_funnel(source(),
+            return streaming_funnel(source(8),
                                     ["view", "click", "purchase"],
                                     within_ms=24 * 60 * 60_000,
                                     n_shards=32)
@@ -287,7 +296,7 @@ def _streaming_benchmarks(spark) -> dict:
             from apache_beam_spark.streaming import streaming_heavy_hitters
 
             return streaming_heavy_hitters(
-                source(), "event_type", window_ms=60 * 60_000,
+                source(8), "event_type", window_ms=60 * 60_000,
                 capacity=16, min_count=10, n_shards=16)
 
         def stream_rate_limit():
@@ -295,7 +304,7 @@ def _streaming_benchmarks(spark) -> dict:
                 streaming_rate_limit)
 
             return streaming_rate_limit(
-                source(), key="user_id", event_time="ts",
+                source(8), key="user_id", event_time="ts",
                 id_col="event_id", window_ms=60 * 60_000,
                 max_per_window=3, n_shards=64)
 

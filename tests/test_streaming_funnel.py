@@ -52,9 +52,12 @@ def test_stream_matches_batch_on_ordered_replay(spark):
     # streamed in three micro-batches with a day of allowed lateness
     # (the global watermark chases the fastest key; slower keys' events
     # must stay inside the bound), plus watermark-advancing tails
+    # watermark-advancing tails must be STEP-typed: non-step events
+    # are pruned at the scan and never reach the watermark node (a
+    # lone view for an unrelated user emits nothing)
     got = _stream_rows(spark, [rows[:4], rows[4:8], rows[8:],
-                               [_ev(98, 9, 3000, "error")],
-                               [_ev(99, 9, 3001, "error")]],
+                               [_ev(98, 9, 3000, "view")],
+                               [_ev(99, 9, 3001, "view")]],
                        lateness_ms=24 * 60 * 60_000)
     assert got == batch and len(got) == 3
 
@@ -65,8 +68,8 @@ def test_late_event_within_lateness_still_matches(spark):
     batches = [
         [_ev(1, 7, 0, "view"), _ev(3, 7, 12, "purchase")],
         [_ev(2, 7, 5, "click")],
-        [_ev(8, 8, 600, "error")],  # advances the global watermark
-        [_ev(9, 8, 601, "error")],  # extra batch so the timeout fires
+        [_ev(8, 8, 600, "view")],   # advances the global watermark
+        [_ev(9, 8, 601, "view")],   # extra batch so the timeout fires
     ]
     got = _stream_rows(spark, batches, lateness_ms=60 * 60_000)
     assert got == {(7, BASE, BASE + 5 * M, BASE + 12 * M)}
@@ -75,9 +78,9 @@ def test_late_event_within_lateness_still_matches(spark):
 def test_late_event_beyond_lateness_drops_chain(spark):
     batches = [
         [_ev(1, 7, 0, "view"), _ev(3, 7, 12, "purchase")],
-        [_ev(8, 8, 600, "error")],  # watermark far ahead (lateness 0)
+        [_ev(8, 8, 600, "view")],   # watermark far ahead (lateness 0)
         [_ev(2, 7, 5, "click")],    # too late: behind the watermark
-        [_ev(9, 8, 601, "error")],
+        [_ev(9, 8, 601, "view")],
     ]
     got = _stream_rows(spark, batches, lateness_ms=0)
     assert got == set()
@@ -113,8 +116,8 @@ def test_funnel_state_survives_restart(spark, tmp_path):
     write([_ev(1, 4, 0, "view")])
     run_once()
     write([_ev(2, 4, 5, "click"), _ev(3, 4, 12, "purchase")])
-    write([_ev(8, 9, 3000, "error")])
-    write([_ev(9, 9, 3001, "error")])
+    write([_ev(8, 9, 3000, "view")])
+    write([_ev(9, 9, 3001, "view")])
     run_once()
 
     got = {(r.user_id, r.view_ts, r.click_ts, r.purchase_ts)
