@@ -806,6 +806,73 @@ def _dedup_minhash_md5(spark, sf_dir):
         num_hashes=64, num_bands=16, shingle_k=3)
 
 
+def _stream_minhash_dedup(spark, sf_dir):
+    """Streaming MinHash near-dup dedup run END-TO-END inside the query
+    (streaming/stateful.py::streaming_minhash_dedup, md5 variant): a
+    three-wave replay — originals, then one-word-perturbed near-dups
+    (id+10000), then exact copies (id+20000) — through the chained
+    stateful plan (stateless md5 signature + band Column HOFs ->
+    dropDuplicatesWithinWatermark(band,bh) -> per-(window,doc)
+    owned-all-buckets count), plus two watermark-advancing tails that
+    close the waves' window.  The keep rule (a doc survives iff it is
+    FIRST ARRIVAL in every band bucket it occupies) is fully modeled in
+    DuckDB because the md5 signature is cross-engine deterministic and
+    arrival order == wave order (id div 10000).  Determinism inside a
+    wave needs bucket-disjoint batches (first arrival within one
+    micro-batch is partition-order luck), and the corpus PLANTS
+    near-dups — so the base set deterministically EXCLUDES any doc
+    under 40 that shares a band bucket with another (computed
+    identically here and in the oracle from the same md5 bands;
+    perturbed/copy waves inherit the exclusion, and the residual
+    disjointness of all three waves is asserted per-SF in
+    tests/test_streaming_minhash.py).  Exact copies lose every bucket;
+    near-dups lose the buckets they still share — both the Spark
+    stream and the oracle compute which, with no probabilistic
+    assumptions."""
+    import tempfile
+
+    from apache_beam_spark.dedup.minhash import (_band_rows_md5,
+                                                 minhash_signature_md5)
+    from apache_beam_spark.streaming.sources import (TestStream,
+                                                     read_bounded)
+    from apache_beam_spark.streaming.stateful import streaming_minhash_dedup
+
+    d40 = (load_table(spark, "documents", sf_dir)
+           .filter(F.col("doc_id") < 40).select("doc_id", "text"))
+    b0 = (d40.select("doc_id",
+                     minhash_signature_md5(F.col("text"), 64, 3).alias("s"))
+          .select("doc_id", F.explode(_band_rows_md5("s", 16, 4)).alias("b"))
+          .select("doc_id", "b.band", "b.bh"))
+    coll = (b0.alias("x").join(
+        b0.alias("y"),
+        (F.col("x.band") == F.col("y.band"))
+        & (F.col("x.bh") == F.col("y.bh"))
+        & (F.col("x.doc_id") != F.col("y.doc_id")))
+        .select(F.col("x.doc_id").alias("doc_id")).distinct())
+    base = [(int(r["doc_id"]), r["text"]) for r in
+            d40.join(coll, "doc_id", "left_anti")
+            .select("doc_id", "text").orderBy("doc_id").collect()]
+    m = 60_000_000  # one minute in µs (TestStream ts convention)
+    t0 = 24 * 60 * m
+    ts = TestStream(tempfile.mkdtemp(prefix="entry_sminhash_"))
+    ts.add_elements([{"doc_id": i, "ts": t0, "text": t}
+                     for i, t in base])
+    ts.add_elements([{"doc_id": i + 10000, "ts": t0 + m,
+                      "text": t + " zzz"} for i, t in base])
+    ts.add_elements([{"doc_id": i + 20000, "ts": t0 + 2 * m, "text": t}
+                     for i, t in base])
+    ts.add_elements([{"doc_id": 90000, "ts": t0 + 60 * m,
+                      "text": "watermark tail alpha"}])
+    ts.add_elements([{"doc_id": 90001, "ts": t0 + 120 * m,
+                      "text": "watermark tail omega"}])
+    sdf = streaming_minhash_dedup(
+        ts.stream(spark, "doc_id bigint, ts bigint, text string"),
+        within="10 minutes", num_hashes=64, num_bands=16, shingle_k=3,
+        hash_fn="md5")
+    return (read_bounded(sdf).filter(F.col("doc_id") < 90000)
+            .select("doc_id"))
+
+
 def _dedup_simhash(spark, sf_dir):
     """SimHash near-dedup — rows-only (engine-specific hashes)."""
     return simhash_dedup(load_table(spark, "documents", sf_dir), max_hamming=3) \
@@ -949,6 +1016,32 @@ def _embed_pq_fixed(spark, sf_dir):
              for s in range(8)]
     q = emb.filter(F.col("vec_id") < 100)
     return pq_topk(q, emb, books, k=3)
+
+
+def _embed_ivfpq_fixed(spark, sf_dir):
+    """IVF-PQ ANN with a FIXED coarse quantizer + codebooks
+    (similarity/pq.py::ivfpq_topk): coarse cells are embeddings
+    vec_id 0..7, PQ codebooks the s-th subvectors of vec_id 0..15;
+    corpus codes quantize the RESIDUAL v - centroid[cell], each query
+    probes its 2 nearest cells and ADC-scans only those cells' codes
+    against residual lookup tables — the composed
+    `embed_ivf_fixed` x `embed_pq_fixed` tier (Jegou et al. TPAMI'11)
+    that at 100 TB reads ~n_probe/n_cells of the code rows instead of
+    all of them.  Every stage (cell argmin, residual encode, probe
+    set, ADC, rank) is deterministic with ties to the lowest id, so
+    the whole pipeline is value-oracled in SQL.  The trained path
+    (sampled k-means on both tiers) stays recall-floor-tested in
+    tests/test_pq.py."""
+    from apache_beam_spark.similarity.pq import ivfpq_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    first = [r["embedding"] for r in
+             emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()]
+    cents = [list(map(float, v)) for v in first[:8]]
+    books = [[list(map(float, v[s * 8:(s + 1) * 8])) for v in first]
+             for s in range(8)]
+    q = emb.filter(F.col("vec_id") < 100)
+    return ivfpq_topk(q, emb, cents, books, k=3, n_probe=2)
 
 
 def _embed_pq_knn(spark, sf_dir):
@@ -3312,6 +3405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _dedup_exact,
         "dedup_minhash": _dedup_minhash,
         "dedup_minhash_md5": _dedup_minhash_md5,
+        "stream_minhash_dedup": _stream_minhash_dedup,
         "dedup_simhash": _dedup_simhash,
         "dedup_simhash_md5": _dedup_simhash_md5,
         "ngram_jaccard": _ngram_jaccard,
@@ -3330,6 +3424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_pca_gram": _embed_pca_gram,
         "embed_pca_project": _embed_pca_project,
         "embed_pq_fixed": _embed_pq_fixed,
+        "embed_ivfpq_fixed": _embed_ivfpq_fixed,
         "embed_pq_knn": _embed_pq_knn,
         "pack_sequences": _pack_sequences,
         "llm_corpus_prep": _llm_corpus_prep,
@@ -3885,6 +3980,56 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE doc_id IN (
                 SELECT MIN(doc_id) FROM documents GROUP BY md5({norm_text}))""",
+        "stream_minhash_dedup": f"""
+            WITH t0 AS (
+                SELECT doc_id, {toks} AS toks FROM documents
+                WHERE doc_id < 40
+            ), sh0 AS (
+                SELECT DISTINCT doc_id AS id,
+                       unnest(list_distinct({shingle_expr})) AS s
+                FROM t0
+            ), hx0 AS (
+                SELECT id, i, MIN(substr(md5(s || ':' || i), 1, 16)) AS h
+                FROM sh0, (SELECT unnest(range(0, 64)) AS i)
+                GROUP BY id, i
+            ), bands0 AS (
+                SELECT id, i // 4 AS band,
+                       md5(string_agg(h, '' ORDER BY i)) AS bh
+                FROM hx0 GROUP BY id, i // 4
+            ), coll AS (
+                SELECT DISTINCT x.id FROM bands0 x JOIN bands0 y
+                  ON x.band = y.band AND x.bh = y.bh AND x.id <> y.id
+            ), base AS (
+                SELECT doc_id, text FROM documents
+                WHERE doc_id < 40 AND doc_id NOT IN (SELECT id FROM coll)
+            ), input AS (
+                SELECT doc_id, text FROM base
+                UNION ALL
+                SELECT doc_id + 10000, text || ' zzz' FROM base
+                UNION ALL
+                SELECT doc_id + 20000, text FROM base
+            ), t AS (
+                SELECT doc_id, {toks} AS toks FROM input
+            ), sh AS (
+                SELECT DISTINCT doc_id AS id,
+                       unnest(list_distinct({shingle_expr})) AS s
+                FROM t
+            ), hx AS (
+                SELECT id, i, MIN(substr(md5(s || ':' || i), 1, 16)) AS h
+                FROM sh, (SELECT unnest(range(0, 64)) AS i)
+                GROUP BY id, i
+            ), bands AS (
+                SELECT id, i // 4 AS band,
+                       md5(string_agg(h, '' ORDER BY i)) AS bh
+                FROM hx GROUP BY id, i // 4
+            ), dropped AS (
+                SELECT DISTINCT b.id
+                FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.bh = b.bh
+                 AND a.id // 10000 < b.id // 10000
+            )
+            SELECT i.doc_id FROM input i
+            WHERE i.doc_id NOT IN (SELECT id FROM dropped)""",
         "dedup_minhash_md5": f"""
             WITH t AS (
                 SELECT doc_id, {toks} AS toks FROM documents
@@ -4639,6 +4784,74 @@ def oracle_sql() -> dict[str, str]:
         # PQ with the fixed codebook (subvectors of vec_id 0..15):
         # encode = per-subspace argmin (ties lowest code), ADC = sum
         # over subspaces of exact query-subvector -> centroid sq dist
+        "embed_ivfpq_fixed": """
+            WITH cent AS (
+                SELECT vec_id::INT AS cid, embedding::DOUBLE[] AS cv
+                FROM embeddings WHERE vec_id < 8
+            ), cb AS (
+                SELECT s, vec_id::INT AS j,
+                       embedding[s*8+1 : s*8+8]::DOUBLE[] AS cvec
+                FROM embeddings
+                CROSS JOIN (SELECT UNNEST(range(8))::INT AS s)
+                WHERE vec_id < 16
+            ), assign AS (
+                SELECT vec_id, cid, cv FROM (
+                    SELECT e.vec_id, c.cid, c.cv,
+                           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                               ORDER BY list_distance(
+                                   e.embedding::DOUBLE[], c.cv),
+                                   c.cid) AS rn
+                    FROM embeddings e CROSS JOIN cent c) t
+                WHERE rn = 1
+            ), res AS (
+                SELECT a.vec_id, a.cid,
+                       list_transform(range(1, 65),
+                           i -> e.embedding[i]::DOUBLE - a.cv[i]) AS r
+                FROM assign a JOIN embeddings e USING (vec_id)
+            ), rsub AS (
+                SELECT vec_id, cid, s, r[s*8+1 : s*8+8] AS rvec
+                FROM res CROSS JOIN (SELECT UNNEST(range(8))::INT AS s)
+            ), enc AS (
+                SELECT vec_id, cid, s, j FROM (
+                    SELECT rsub.vec_id, rsub.cid, rsub.s, cb.j,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY rsub.vec_id, rsub.s
+                               ORDER BY list_distance(rsub.rvec, cb.cvec),
+                                        cb.j) AS rn
+                    FROM rsub JOIN cb USING (s)) t
+                WHERE rn = 1
+            ), qprobe AS (
+                SELECT vec_id AS qid, cid, cv FROM (
+                    SELECT e.vec_id, c.cid, c.cv,
+                           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                               ORDER BY list_distance(
+                                   e.embedding::DOUBLE[], c.cv),
+                                   c.cid) AS rn
+                    FROM embeddings e CROSS JOIN cent c
+                    WHERE e.vec_id < 100) t
+                WHERE rn <= 2
+            ), qrsub AS (
+                SELECT qp.qid, qp.cid, sq.s,
+                       list_transform(range(sq.s*8+1, sq.s*8+9),
+                           i -> e.embedding[i]::DOUBLE - qp.cv[i]) AS rvec
+                FROM qprobe qp
+                JOIN embeddings e ON e.vec_id = qp.qid
+                CROSS JOIN (SELECT UNNEST(range(8))::INT AS s) sq
+            ), adc AS (
+                SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+                       SUM(POW(list_distance(q.rvec, cb.cvec), 2)) AS adc
+                FROM qrsub q
+                JOIN enc e ON e.cid = q.cid AND e.s = q.s
+                JOIN cb ON cb.s = e.s AND cb.j = e.j
+                WHERE e.vec_id <> q.qid
+                GROUP BY q.qid, e.vec_id
+            )
+            SELECT query_id, neighbor_id, rank, adc FROM (
+                SELECT query_id, neighbor_id, adc,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY adc, neighbor_id) AS rank
+                FROM adc) t
+            WHERE rank <= 3""",
         "embed_pq_fixed": """
             WITH sub AS (
                 SELECT vec_id, s,

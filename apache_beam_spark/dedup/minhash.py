@@ -61,6 +61,51 @@ def minhash_signature(text: Column, num_hashes: int = 64, shingle_k: int = 3,
     )
 
 
+def minhash_signature_md5(text: Column, num_hashes: int = 64,
+                          shingle_k: int = 3) -> Column:
+    """array<string> md5 MinHash signature — the STATELESS Column twin
+    of ``minhash_dedup_md5``'s explode/groupBy formulation:
+    ``sig[i] = min over distinct shingles of
+    substr(md5(shingle || ':' || i), 1, 16)`` with lexicographic min,
+    bit-identical to the DuckDB oracle expression (pinned in
+    tests/test_streaming_minhash.py).  Being a pure per-row HOF is what
+    lets the md5 family run inside STREAMING plans, where a per-doc
+    groupBy would be another stateful operator.  Same single-pass fold
+    shape as ``minhash_signature``; ~num_hashes x the hashing work of
+    the xxhash64 fast path — verification tier, not the hot path."""
+    sh = F.array_distinct(shingles(text, shingle_k))
+    # any md5 hex prefix sorts below this sentinel
+    init = F.array_repeat(F.lit("~"), num_hashes)
+    return F.aggregate(
+        sh,
+        init,
+        lambda acc, s: F.zip_with(
+            acc,
+            F.array(*[F.substring(F.md5(F.encode(
+                F.concat_ws(":", s, F.lit(str(i))), "UTF-8")), 1, 16)
+                for i in range(num_hashes)]),
+            lambda x, y: F.least(x, y),
+        ),
+    )
+
+
+def _band_rows_md5(sig_col: str, num_bands: int,
+                   rows_per_band: int) -> Column:
+    """array<struct<band:int, bh:string>> over an md5 signature —
+    ``bh = md5(concat of the band's mins in i order)``, matching both
+    ``minhash_dedup_md5``'s band key and the DuckDB
+    ``md5(string_agg(h, '' ORDER BY i))``."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_bands - 1)),
+        lambda band: F.struct(
+            band.cast("int").alias("band"),
+            F.md5(F.encode(F.array_join(
+                F.slice(F.col(sig_col), band * rows_per_band + 1,
+                        rows_per_band), ""), "UTF-8")).alias("bh"),
+        ),
+    )
+
+
 def _band_rows(sig_col: str, num_bands: int, rows_per_band: int) -> Column:
     """array<struct<band:int, bh:bigint>> — one hash per band."""
     return F.transform(

@@ -223,7 +223,8 @@ def streaming_minhash_dedup(df: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id", event_time: str = "ts",
                             within: str = "10 minutes",
                             num_hashes: int = 64, num_bands: int = 16,
-                            shingle_k: int = 3, seed: int = 42) -> DataFrame:
+                            shingle_k: int = 3, seed: int = 42,
+                            hash_fn: str = "xx") -> DataFrame:
     """Streaming near-duplicate dedup — the unbounded twin of
     ``dedup/minhash.minhash_lsh_dedup`` (reference: Distinct on an
     unbounded PCollection generalized to NEAR-duplicates, which the
@@ -247,14 +248,26 @@ def streaming_minhash_dedup(df: DataFrame, text_col: str = "text",
     emits when the doc's window closes under the watermark).  Chained
     stateful operators require Spark >= 3.5 watermark propagation.
 
+    ``hash_fn``: ``"xx"`` (default) is the xxhash64 fast path;
+    ``"md5"`` swaps in the cross-engine-deterministic md5 signature
+    (``dedup/minhash.minhash_signature_md5`` — the stateless Column
+    twin of ``minhash_dedup_md5``), which makes the streamed kept-set
+    reproducible in any SQL engine with md5(): that is what lets the
+    ``stream_minhash_dedup`` entry query carry a full DuckDB value
+    oracle.  ~num_hashes x the hashing work — verification tier.
+
     Returns (id_col, event_time, win_start): the kept documents.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.types import TimestampType
 
-    from apache_beam_spark.dedup.minhash import _band_rows, minhash_signature
+    from apache_beam_spark.dedup.minhash import (
+        _band_rows, _band_rows_md5, minhash_signature,
+        minhash_signature_md5)
     from apache_beam_spark.windowing import ensure_event_time
 
+    if hash_fn not in ("xx", "md5"):
+        raise ValueError(f"unknown hash_fn {hash_fn!r}: want 'xx' or 'md5'")
     r = num_hashes // num_bands
     src = ensure_event_time(df, event_time)
     if not isinstance(src.schema[event_time].dataType, TimestampType):
@@ -263,13 +276,16 @@ def streaming_minhash_dedup(df: DataFrame, text_col: str = "text",
         src = src.withColumn(
             event_time, F.timestamp_micros(F.col(event_time).cast("long")))
     src = src.withWatermark(event_time, within)
+    sig = (minhash_signature(F.col(text_col), num_hashes, shingle_k, seed)
+           if hash_fn == "xx"
+           else minhash_signature_md5(F.col(text_col), num_hashes,
+                                      shingle_k))
+    band_rows = _band_rows if hash_fn == "xx" else _band_rows_md5
     sigs = src.select(
-        F.col(id_col), F.col(event_time),
-        minhash_signature(F.col(text_col), num_hashes, shingle_k,
-                          seed).alias("__sig__"))
+        F.col(id_col), F.col(event_time), sig.alias("__sig__"))
     bands = (sigs.select(id_col, event_time,
-                         F.explode(_band_rows("__sig__", num_bands,
-                                              r)).alias("b"))
+                         F.explode(band_rows("__sig__", num_bands,
+                                             r)).alias("b"))
              .select(id_col, event_time, "b.band", "b.bh"))
     owned = bands.dropDuplicatesWithinWatermark(["band", "bh"])
     return (owned

@@ -213,6 +213,21 @@ def _streaming_benchmarks(spark) -> dict:
         return (spark.readStream.schema(events.schema)
                 .option("maxFilesPerTrigger", mft).parquet(spool))
 
+    # document stream for the near-dup dedup gate (docs/s, not ev/s):
+    # synthetic event times off doc_id, one data micro-batch
+    docs = (load_table(spark, "documents", SF_DIR)
+            .select("doc_id", "text",
+                    (F.lit(86_400_000_000)
+                     + F.col("doc_id") * 1_000_000).alias("ts")))
+    n_docs = docs.count()
+    docs_spool = tempfile.mkdtemp(prefix="bench_stream_docs_")
+    docs.repartition(4).write.mode("overwrite").parquet(docs_spool)
+    docs_schema = docs.schema
+
+    def docs_source(mft: int = 4):
+        return (spark.readStream.schema(docs_schema)
+                .option("maxFilesPerTrigger", mft).parquet(docs_spool))
+
     # streaming state partitions sized PER QUERY to its key cardinality
     # and operator shape, not the batch default (32 state stores for a
     # handful of keys is pure per-batch commit overhead; at scale this
@@ -308,6 +323,13 @@ def _streaming_benchmarks(spark) -> dict:
                 id_col="event_id", window_ms=60 * 60_000,
                 max_per_window=3, n_shards=64)
 
+        def stream_minhash():
+            from apache_beam_spark.streaming.stateful import (
+                streaming_minhash_dedup)
+
+            return streaming_minhash_dedup(docs_source(4),
+                                           within="10 minutes")
+
         # INTERLEAVED rounds (r6): the gates' best-of-N samples used to
         # run back-to-back per gate, so a 10-second host-load beat
         # could swallow every sample of whichever gate ran inside it
@@ -325,6 +347,7 @@ def _streaming_benchmarks(spark) -> dict:
             ("funnel", stream_funnel, 4),
             ("heavy", stream_heavy, 4),
             ("rate", stream_rate_limit, 4),
+            ("minhash", stream_minhash, 4),
         ]
         walls: dict[str, float] = {}
         for rnd in range(5):
@@ -346,6 +369,7 @@ def _streaming_benchmarks(spark) -> dict:
         "stream_funnel_events_per_sec": int(n / walls["funnel"]),
         "stream_heavy_hitters_events_per_sec": int(n / walls["heavy"]),
         "stream_rate_limit_events_per_sec": int(n / walls["rate"]),
+        "stream_minhash_docs_per_sec": int(n_docs / walls["minhash"]),
     }
 
 

@@ -125,3 +125,103 @@ def test_boundary_ties_take_lowest_ids(spark):
     got = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
     assert got == [1, 2, 3]
     assert all(r["adc"] == 0.0 for r in out)
+
+
+@pytest.fixture(scope="module")
+def fixed_cents(emb):
+    _, ids, x = emb
+    return [list(map(float, v)) for v in x[np.argsort(ids)[:8]]]
+
+
+def _ref_ivfpq(x, ids, cents, books, nq, k=3, n_probe=2):
+    """Driver-side mirror of ivfpq_encode + ivfpq_topk."""
+    cent = np.asarray(cents)
+    cb = np.asarray(books)
+    d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+    cell = d2.argmin(1)
+    res = x - cent[cell]
+    codes = np.empty((len(x), M), dtype=np.int64)
+    for s in range(M):
+        rs = res[:, s * DSUB:(s + 1) * DSUB]
+        codes[:, s] = ((rs[:, None, :] - cb[s][None, :, :]) ** 2) \
+            .sum(-1).argmin(1)
+    recon = cent[cell] + np.concatenate(
+        [cb[s][codes[:, s]] for s in range(M)], axis=1)
+    out = {}
+    for qi in range(nq):
+        probes = np.argsort(d2[qi], kind="stable")[:n_probe]
+        mask = np.isin(cell, probes) & (ids != qi)
+        d = ((x[qi][None, :] - recon) ** 2).sum(-1)
+        d[~mask] = np.inf
+        order = np.lexsort((ids, d))[:k]
+        order = [o for o in order if np.isfinite(d[o])]
+        out[qi] = ([ids[o] for o in order], [d[o] for o in order])
+    return out
+
+
+def test_ivfpq_matches_numpy(emb, fixed_cents, fixed_books):
+    from apache_beam_spark.similarity.pq import ivfpq_topk
+
+    df, ids, x = emb
+    nq = min(20, len(ids))
+    got = {}
+    for r in ivfpq_topk(df.filter(df.vec_id < nq), df, fixed_cents,
+                        fixed_books, k=3, n_probe=2).collect():
+        got.setdefault(r["query_id"], []).append(r)
+    ref = _ref_ivfpq(x, ids, fixed_cents, fixed_books, nq)
+    for qi in range(nq):
+        rows = sorted(got.get(qi, []), key=lambda r: r["rank"])
+        want_ids, want_d = ref[qi]
+        assert [r["neighbor_id"] for r in rows] == list(want_ids)
+        np.testing.assert_allclose([r["adc"] for r in rows], want_d,
+                                   rtol=1e-9)
+
+
+def test_ivfpq_encode_residual_codes(emb, fixed_cents, fixed_books):
+    from apache_beam_spark.similarity.pq import ivfpq_encode
+
+    df, ids, x = emb
+    cent = np.asarray(fixed_cents)
+    cb = np.asarray(fixed_books)
+    d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+    cell = d2.argmin(1)
+    res = x - cent[cell]
+    got = {r["vec_id"]: (r["cell"], list(r["codes"]))
+           for r in ivfpq_encode(df, fixed_cents, fixed_books).collect()}
+    for i, vid in enumerate(ids):
+        want = [int(((res[i, s * DSUB:(s + 1) * DSUB] - cb[s]) ** 2)
+                    .sum(-1).argmin()) for s in range(M)]
+        assert got[vid] == (cell[i], want)
+
+
+def test_ivfpq_recall_floor_vs_flat_pq(emb):
+    """Trained IVF-PQ (n_probe=4 of 8 cells) must keep at least 60% of
+    flat trained PQ's true-nearest-neighbor recall — the price of
+    scanning ~half the code rows is bounded, and everything is seeded
+    so the floor is deterministic."""
+    from apache_beam_spark.similarity.knn import _kmeans
+    from apache_beam_spark.similarity.pq import (ivfpq_topk, pq_topk,
+                                                 pq_train)
+
+    df, ids, x = emb
+    books = pq_train(df, dim=D, m=M, ksub=KSUB)
+    cents = [list(map(float, c)) for c in _kmeans(x, 8)]
+    nq = min(20, len(ids))
+    q = df.filter(df.vec_id < nq)
+
+    def hits(rows):
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        n = 0
+        for qi in range(nq):
+            d = ((x[qi][None, :] - x) ** 2).sum(-1)
+            d[ids == qi] = np.inf
+            if ids[np.argmin(d)] in by_q.get(qi, set()):
+                n += 1
+        return n
+
+    flat = hits(pq_topk(q, df, books, k=3).collect())
+    ivf = hits(ivfpq_topk(q, df, cents, books, k=3, n_probe=4).collect())
+    assert flat > 0
+    assert ivf >= max(1, int(0.6 * flat))

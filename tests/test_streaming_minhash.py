@@ -104,3 +104,87 @@ def test_duplicate_after_eviction_is_kept_again(spark):
         ts.stream(spark, SCHEMA), within="10 minutes", **KW)
     got = {r["doc_id"] for r in read_bounded(sdf).collect()}
     assert {1, 3} <= got and 2 in got
+
+
+def test_md5_column_helpers_match_batch_formulation(spark):
+    """minhash_signature_md5/_band_rows_md5 (the stateless Column twins
+    the streaming md5 path uses) must produce the exact (id, band, bh)
+    set of minhash_dedup_md5's explode/groupBy formulation — the frame
+    the DuckDB oracle reproduces."""
+    from apache_beam_spark.dedup.minhash import (_band_rows_md5,
+                                                 minhash_signature_md5)
+    from apache_beam_spark.functions.text import shingles
+
+    nh, nb, r, k = 32, 8, 4, 3
+    df = spark.createDataFrame(
+        [(1, A), (2, B), (3, C), (4, A + " extra")],
+        "doc_id long, text string")
+    col = (df.select("doc_id",
+                     minhash_signature_md5(F.col("text"), nh, k).alias("s"))
+           .select("doc_id", F.explode(_band_rows_md5("s", nb, r)).alias("b"))
+           .select("doc_id", "b.band", "b.bh"))
+    got = {(x["doc_id"], x["band"], x["bh"]) for x in col.collect()}
+    sh = df.select(
+        F.col("doc_id").alias("id"),
+        F.explode(F.array_distinct(shingles(F.col("text"), k))).alias("s"))
+    hx = (sh.select("id", "s",
+                    F.explode(F.sequence(F.lit(0), F.lit(nh - 1))).alias("i"))
+          .select("id", "i",
+                  F.substring(F.md5(F.encode(
+                      F.concat_ws(":", "s", "i"), "UTF-8")), 1, 16).alias("h"))
+          .groupBy("id", "i").agg(F.min("h").alias("h")))
+    bands = (hx.groupBy("id", F.expr(f"i div {r}").alias("band"))
+             .agg(F.md5(F.encode(F.concat_ws("", F.transform(
+                 F.array_sort(F.collect_list(F.struct("i", "h"))),
+                 lambda x: x["h"])), "UTF-8")).alias("bh")))
+    want = {(x["id"], x["band"], x["bh"]) for x in bands.collect()}
+    assert got == want and len(got) == 4 * nb
+
+
+def test_entry_waves_are_bucket_disjoint(spark):
+    """Determinism precondition of the stream_minhash_dedup entry
+    query: no two docs of the SAME wave share a band bucket (in-batch
+    first-arrival would otherwise be ambiguous).  Checked at the test
+    SF and the driver's sf0.01 gate."""
+    from apache_beam_spark.dedup.minhash import (_band_rows_md5,
+                                                 minhash_signature_md5)
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        d40 = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+               .filter(F.col("doc_id") < 40).select("doc_id", "text"))
+        # the entry's deterministic exclusion: any base doc sharing a
+        # band bucket with another base doc is dropped (the corpus
+        # plants near-dups — 8/12 collide at sf0.001)
+        b0 = (d40.select("doc_id",
+                         minhash_signature_md5(F.col("text"), 64,
+                                               3).alias("s"))
+              .select("doc_id",
+                      F.explode(_band_rows_md5("s", 16, 4)).alias("b"))
+              .select("doc_id", "b.band", "b.bh"))
+        coll = (b0.alias("x").join(
+            b0.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bh") == F.col("y.bh"))
+            & (F.col("x.doc_id") != F.col("y.doc_id")))
+            .select(F.col("x.doc_id").alias("doc_id")).distinct())
+        d = d40.join(coll, "doc_id", "left_anti")
+        assert d.count() >= 30, sf_dir  # exclusion stays non-vacuous
+        waves = (d
+                 .unionByName(d.select(
+                     (F.col("doc_id") + 10000).alias("doc_id"),
+                     F.concat("text", F.lit(" zzz")).alias("text")))
+                 .unionByName(d.select(
+                     (F.col("doc_id") + 20000).alias("doc_id"), "text")))
+        bands = (waves.select(
+            "doc_id",
+            minhash_signature_md5(F.col("text"), 64, 3).alias("s"))
+            .select("doc_id", F.explode(_band_rows_md5("s", 16, 4)).alias("b"))
+            .select(F.expr("doc_id div 10000").alias("wave"), "doc_id",
+                    "b.band", "b.bh"))
+        shared = (bands.alias("a").join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.wave") == F.col("b.wave"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))).count())
+        assert shared == 0, sf_dir
