@@ -1879,6 +1879,36 @@ def _dedup_incremental(spark, sf_dir):
             .filter("__keep__").select("doc_id"))
 
 
+def _dedup_incremental_minhash(spark, sf_dir):
+    """Incremental NEAR-dup ingest — the LSH twin of the exact
+    `dedup_incremental` anti join (dedup/minhash.py::
+    minhash_dedup_incremental, md5 mode): the kept corpus (doc_id <
+    250) persists only its DISTINCT (band, bh) bucket index; the new
+    batch (docs >= 250, plus one-word-PERTURBED copies of docs 0..49
+    re-idd +10000 — near-dups the exact fingerprint anti join cannot
+    catch but the index probe must, plus a perturbed copy of doc 300 —
+    an in-batch near-dup the bucket-min rule handles) is deduped by
+    one semi join against the index and one in-batch bucket-min, the
+    corpus never rewritten.  The md5 signature makes every collision
+    decision reproducible in DuckDB — nothing probabilistic is
+    assumed, the oracle computes which perturbed docs still collide."""
+    from apache_beam_spark.dedup.minhash import (
+        minhash_band_index, minhash_dedup_incremental)
+
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    hist = d.filter(F.col("doc_id") < 250)
+    perturb = F.concat(F.col("text"), F.lit(" zzz")).alias("text")
+    batch = (d.filter(F.col("doc_id") >= 250)
+             .unionByName(d.filter(F.col("doc_id") < 50)
+                          .select((F.col("doc_id") + 10000).alias("doc_id"),
+                                  perturb))
+             .unionByName(d.filter(F.col("doc_id") == 300)
+                          .select((F.col("doc_id") + 10000).alias("doc_id"),
+                                  perturb)))
+    index = minhash_band_index(hist, hashing="md5")
+    return minhash_dedup_incremental(batch, index, hashing="md5")
+
+
 def _dedup_incremental_bloom(spark, sf_dir):
     """The same incremental-ingest dedup as `dedup_incremental` (same
     planted batch, same witness rule) routed through the Bloom-pruned
@@ -3447,6 +3477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram": _value_histogram,
         "dedup_incremental": _dedup_incremental,
         "dedup_incremental_bloom": _dedup_incremental_bloom,
+        "dedup_incremental_minhash": _dedup_incremental_minhash,
         "quantiles_per_key": _quantiles_per_key,
         "rolling_features": _rolling_features,
         "inverted_index": _inverted_index,
@@ -4622,6 +4653,46 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn = 1""",
         # the Bloom-pruned path must produce EXACTLY the plain anti
         # join (the filter prunes, never decides) — same oracle
+        "dedup_incremental_minhash": f"""
+            WITH inp AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 10000, text || ' zzz' FROM documents
+                WHERE doc_id < 50
+                UNION ALL
+                SELECT doc_id + 10000, text || ' zzz' FROM documents
+                WHERE doc_id = 300
+            ), t AS (
+                SELECT doc_id, {toks} AS toks FROM inp
+            ), sh AS (
+                SELECT DISTINCT doc_id AS id,
+                       unnest(list_distinct({shingle_expr})) AS s
+                FROM t
+            ), hx AS (
+                SELECT id, i, MIN(substr(md5(s || ':' || i), 1, 16)) AS h
+                FROM sh, (SELECT unnest(range(0, 64)) AS i)
+                GROUP BY id, i
+            ), bands AS (
+                SELECT id, i // 4 AS band,
+                       md5(string_agg(h, '' ORDER BY i)) AS bh
+                FROM hx GROUP BY id, i // 4
+            ), hb AS (
+                SELECT DISTINCT band, bh FROM bands WHERE id < 250
+            ), bb AS (
+                SELECT id, band, bh FROM bands WHERE id >= 250
+            ), hits AS (
+                SELECT DISTINCT bb.id FROM bb JOIN hb USING (band, bh)
+            ), bmin AS (
+                SELECT band, bh, MIN(id) AS m FROM bb GROUP BY band, bh
+            ), canon AS (
+                SELECT bb.id, MIN(m) AS c
+                FROM bb JOIN bmin USING (band, bh) GROUP BY bb.id
+            )
+            SELECT i.doc_id FROM
+                (SELECT doc_id FROM inp WHERE doc_id >= 250) i
+            LEFT JOIN canon ON canon.id = i.doc_id
+            WHERE COALESCE(canon.c, i.doc_id) = i.doc_id
+              AND i.doc_id NOT IN (SELECT id FROM hits)""",
         "dedup_incremental_bloom": f"""
             WITH f AS (SELECT doc_id, md5({norm_text}) AS fp
                        FROM documents),

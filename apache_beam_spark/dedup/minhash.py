@@ -285,3 +285,76 @@ def minhash_dedup_md5(df: DataFrame, text_col: str = "text", id_col: str = "doc_
             .join(canon, "id", "left")
             .filter(F.coalesce(F.col("c"), F.col("id")) == F.col("id"))
             .select(F.col("id").alias(id_col)))
+
+
+def _bands_frame(df: DataFrame, text_col: str, id_col: str,
+                 num_hashes: int, num_bands: int, shingle_k: int,
+                 seed: int, hashing: str) -> DataFrame:
+    """(id, band, bh) band-bucket rows via the stateless Column
+    signature — ``hashing="xx"`` (fast path) or ``"md5"`` (the
+    cross-engine-deterministic verification tier)."""
+    if hashing not in ("xx", "md5"):
+        raise ValueError(f"unknown hashing {hashing!r}: want 'xx' or 'md5'")
+    r = num_hashes // num_bands
+    sig = (minhash_signature(F.col(text_col), num_hashes, shingle_k, seed)
+           if hashing == "xx"
+           else minhash_signature_md5(F.col(text_col), num_hashes,
+                                      shingle_k))
+    rows = _band_rows if hashing == "xx" else _band_rows_md5
+    return (df.select(F.col(id_col).alias("id"), sig.alias("__sig__"))
+            .select("id", F.explode(rows("__sig__", num_bands, r))
+                    .alias("b"))
+            .select("id", "b.band", "b.bh"))
+
+
+def minhash_band_index(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", num_hashes: int = 64,
+                       num_bands: int = 16, shingle_k: int = 3,
+                       seed: int = 42, hashing: str = "xx") -> DataFrame:
+    """DISTINCT (band, bh) bucket index of a kept corpus — the
+    persistable artifact incremental near-dup ingest probes
+    (``minhash_dedup_incremental``).  At 100 TB: write it once as a
+    table BUCKETED BY (band, bh) (`plans/layout.py` bucketing) so every
+    later batch probe co-locates on the bucket key and shuffles ONLY
+    the batch side; after each ingest, union the kept batch's buckets
+    in (an append, no rebuild).  Rows are (int, hash) pairs — a
+    fraction of the raw text's bytes."""
+    return _bands_frame(df, text_col, id_col, num_hashes, num_bands,
+                        shingle_k, seed, hashing) \
+        .select("band", "bh").distinct()
+
+
+def minhash_dedup_incremental(batch: DataFrame, index: DataFrame,
+                              text_col: str = "text",
+                              id_col: str = "doc_id",
+                              num_hashes: int = 64, num_bands: int = 16,
+                              shingle_k: int = 3, seed: int = 42,
+                              hashing: str = "xx") -> DataFrame:
+    """Incremental NEAR-dup ingest — the LSH twin of the exact
+    ``dedup_incremental`` anti join: a new batch is deduped against the
+    already-kept corpus' ``minhash_band_index`` WITHOUT touching the
+    corpus itself.
+
+    Keep rule (deterministic, value-oracled in the md5 mode): a batch
+    doc survives iff (a) it is the bucket-min of every band bucket it
+    occupies WITHIN the batch (exactly ``minhash_lsh_dedup``'s rule),
+    and (b) none of its buckets hits the history index (it is not a
+    near-dup of anything already kept).  The composition mirrors the
+    streaming first-arrival rule with history as the earlier arrival.
+
+    Shape at 100 TB: batch bands are batch-sized; the index probe is a
+    semi join on (band, bh) — against a bucketed index only the batch
+    shuffles; the in-batch rule is one groupBy over batch bands.
+    Returns the kept ``id_col`` rows."""
+    bands = _bands_frame(batch, text_col, id_col, num_hashes, num_bands,
+                         shingle_k, seed, hashing)
+    bmin = bands.groupBy("band", "bh").agg(F.min("id").alias("m"))
+    canon = (bands.join(bmin, ["band", "bh"])
+             .groupBy("id").agg(F.min("m").alias("c")))
+    hits = (bands.join(index, ["band", "bh"], "left_semi")
+            .select("id").distinct())
+    return (batch.select(F.col(id_col).alias("id"))
+            .join(canon, "id", "left")
+            .filter(F.coalesce(F.col("c"), F.col("id")) == F.col("id"))
+            .join(hits, "id", "left_anti")
+            .select(F.col("id").alias(id_col)))

@@ -57,8 +57,10 @@ QUERIES = [
     "embed_pca_gram", "embed_pq_fixed", "dedup_incremental_bloom",
     "cms_word_counts", "hll_distinct_users", "kmv_user_overlap",
     "quality_lr_fixed", "quality_lr_train",
-    # round-7 additions: histogram quantile sketch, IVF-PQ ANN
+    # round-7 additions: histogram quantile sketch, IVF-PQ ANN,
+    # incremental near-dup ingest
     "hist_quantiles_prices", "embed_ivfpq_fixed",
+    "dedup_incremental_minhash",
 ]
 
 
