@@ -869,8 +869,16 @@ def _stream_minhash_dedup(spark, sf_dir):
         ts.stream(spark, "doc_id bigint, ts bigint, text string"),
         within="10 minutes", num_hashes=64, num_bands=16, shingle_k=3,
         hash_fn="md5")
-    return (read_bounded(sdf).filter(F.col("doc_id") < 90000)
-            .select("doc_id"))
+    # state partitions are fixed at the query's FIRST run; under the
+    # driver's default 200 the five micro-batches pay 200 state-store
+    # commits each for ~120 docs — scope it down for the replay
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        out = read_bounded(sdf)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return out.filter(F.col("doc_id") < 90000).select("doc_id")
 
 
 def _dedup_simhash(spark, sf_dir):
@@ -1879,22 +1887,13 @@ def _dedup_incremental(spark, sf_dir):
             .filter("__keep__").select("doc_id"))
 
 
-def _dedup_incremental_minhash(spark, sf_dir):
-    """Incremental NEAR-dup ingest — the LSH twin of the exact
-    `dedup_incremental` anti join (dedup/minhash.py::
-    minhash_dedup_incremental, md5 mode): the kept corpus (doc_id <
-    250) persists only its DISTINCT (band, bh) bucket index; the new
-    batch (docs >= 250, plus one-word-PERTURBED copies of docs 0..49
-    re-idd +10000 — near-dups the exact fingerprint anti join cannot
-    catch but the index probe must, plus a perturbed copy of doc 300 —
-    an in-batch near-dup the bucket-min rule handles) is deduped by
-    one semi join against the index and one in-batch bucket-min, the
-    corpus never rewritten.  The md5 signature makes every collision
-    decision reproducible in DuckDB — nothing probabilistic is
-    assumed, the oracle computes which perturbed docs still collide."""
-    from apache_beam_spark.dedup.minhash import (
-        minhash_band_index, minhash_dedup_incremental)
-
+def _incremental_minhash_io(spark, sf_dir):
+    """Shared planted hist/batch construction for the incremental
+    near-dup twins: history = docs < 250; batch = docs >= 250 plus
+    one-word-PERTURBED copies of docs 0..49 re-idd +10000 (near-dups
+    the exact fingerprint anti join cannot catch but the index probe
+    must) plus a perturbed copy of doc 300 (an in-batch near-dup the
+    bucket-min rule handles)."""
     d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     hist = d.filter(F.col("doc_id") < 250)
     perturb = F.concat(F.col("text"), F.lit(" zzz")).alias("text")
@@ -1905,6 +1904,38 @@ def _dedup_incremental_minhash(spark, sf_dir):
              .unionByName(d.filter(F.col("doc_id") == 300)
                           .select((F.col("doc_id") + 10000).alias("doc_id"),
                                   perturb)))
+    return hist, batch
+
+
+def _dedup_incremental_minhash(spark, sf_dir):
+    """Incremental NEAR-dup ingest, xxhash64 fast path — the LSH twin
+    of the exact `dedup_incremental` anti join (dedup/minhash.py::
+    minhash_band_index + minhash_dedup_incremental): the kept corpus
+    persists only its DISTINCT (band, bh) bucket index; the planted
+    batch is deduped by one semi join against the index plus one
+    in-batch bucket-min, the corpus never rewritten.  Engine-specific
+    hashes, so rows-only — the md5 twin
+    `dedup_incremental_minhash_md5` value-oracles the identical keep
+    rule (the `dedup_minhash`/`dedup_minhash_md5` convention)."""
+    from apache_beam_spark.dedup.minhash import (
+        minhash_band_index, minhash_dedup_incremental)
+
+    hist, batch = _incremental_minhash_io(spark, sf_dir)
+    index = minhash_band_index(hist, hashing="xx")
+    return minhash_dedup_incremental(batch, index, hashing="xx")
+
+
+def _dedup_incremental_minhash_md5(spark, sf_dir):
+    """The md5 verification twin of `dedup_incremental_minhash`: same
+    planted batch, same keep rule, every hash an md5 hex substring —
+    the whole collision structure (which perturbed copies still
+    collide, which survive) reproduces bit-identically in DuckDB, so
+    the incremental ingest rule is value-oracled, nothing
+    probabilistic assumed."""
+    from apache_beam_spark.dedup.minhash import (
+        minhash_band_index, minhash_dedup_incremental)
+
+    hist, batch = _incremental_minhash_io(spark, sf_dir)
     index = minhash_band_index(hist, hashing="md5")
     return minhash_dedup_incremental(batch, index, hashing="md5")
 
@@ -3478,6 +3509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": _dedup_incremental,
         "dedup_incremental_bloom": _dedup_incremental_bloom,
         "dedup_incremental_minhash": _dedup_incremental_minhash,
+        "dedup_incremental_minhash_md5": _dedup_incremental_minhash_md5,
         "quantiles_per_key": _quantiles_per_key,
         "rolling_features": _rolling_features,
         "inverted_index": _inverted_index,
@@ -4653,7 +4685,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn = 1""",
         # the Bloom-pruned path must produce EXACTLY the plain anti
         # join (the filter prunes, never decides) — same oracle
-        "dedup_incremental_minhash": f"""
+        "dedup_incremental_minhash_md5": f"""
             WITH inp AS (
                 SELECT doc_id, text FROM documents
                 UNION ALL

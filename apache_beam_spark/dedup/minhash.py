@@ -301,7 +301,9 @@ def _bands_frame(df: DataFrame, text_col: str, id_col: str,
            else minhash_signature_md5(F.col(text_col), num_hashes,
                                       shingle_k))
     rows = _band_rows if hashing == "xx" else _band_rows_md5
-    return (df.select(F.col(id_col).alias("id"), sig.alias("__sig__"))
+    src = _parallelize_narrow(df.select(F.col(id_col).alias("id"),
+                                        F.col(text_col)))
+    return (src.select("id", sig.alias("__sig__"))
             .select("id", F.explode(rows("__sig__", num_bands, r))
                     .alias("b"))
             .select("id", "b.band", "b.bh"))

@@ -96,6 +96,8 @@ HEADLINE = [
     "quality_lr_fixed",
     # round-7 operators
     "hist_quantiles_prices",
+    "embed_ivfpq_fixed",
+    "dedup_incremental_minhash",
 ]
 
 

@@ -8,7 +8,8 @@ import __spark_entry__ as e
 
 KNOWN_NO_ORACLE = {
     # documented approximates/iteratives, each with an oracled exact twin
-    "approx_distinct_users", "approx_quantiles", "dedup_minhash",
+    "approx_distinct_users", "approx_quantiles",
+    "dedup_incremental_minhash", "dedup_minhash",
     "dedup_simhash", "embed_ivf_knn", "embed_kmeans",
     "embed_pca_project", "embed_pq_knn", "quality_lr_train",
     "sample_any",
