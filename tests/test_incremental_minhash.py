@@ -52,3 +52,16 @@ def test_empty_index_reduces_to_batch_dedup(spark):
            minhash_dedup_incremental(batch, idx).collect()}
     want = {r["doc_id"] for r in minhash_lsh_dedup(batch).collect()}
     assert got == want and 2 not in got
+
+
+def test_text_never_shuffles(spark):
+    """100 TB shape assertion: every hash-partitioned exchange in the
+    incremental plan carries only (id, band, bh) — the document text is
+    consumed by the signature projection and never moves."""
+    hist = _df(spark, [(1, A), (2, B)])
+    batch = _df(spark, [(10, C), (11, D)])
+    out = minhash_dedup_incremental(batch, minhash_band_index(hist))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text" not in line, line
