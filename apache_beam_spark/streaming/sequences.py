@@ -18,6 +18,10 @@ on the event-time column, read back via ``getCurrentWatermarkMs``), so
 one key's quiet period cannot stall another key's sealing; idle keys
 re-awaken through an event-time timeout the moment the watermark
 passes their buffered events (the reference's watermark timer).
+Since round 7 it is driven by FUNNEL-STEP events only: non-step
+events are pruned by a codegen filter Catalyst pushes into the scan,
+so they cost nothing anywhere — see ``streaming_funnel``'s docstring
+for the trade.
 
 State is one JSON blob per key (same style as the trigger state
 machines): the unsealed event buffer and the open partial chains per
