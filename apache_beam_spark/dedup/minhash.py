@@ -344,19 +344,28 @@ def minhash_dedup_incremental(batch: DataFrame, index: DataFrame,
     near-dup of anything already kept).  The composition mirrors the
     streaming first-arrival rule with history as the earlier arrival.
 
-    Shape at 100 TB: batch bands are batch-sized; the index probe is a
-    semi join on (band, bh) — against a bucketed index only the batch
-    shuffles; the in-batch rule is one groupBy over batch bands.
+    Shape at 100 TB: batch bands are batch-sized and the expensive
+    signature lineage is evaluated ONCE — the index probe is a left
+    join on (band, bh) (against a bucketed index only the batch
+    shuffles), the in-batch bucket-min is a window over the same
+    shuffle, and one aggregation folds both into a per-doc
+    (canon, hit) verdict (the ``minhash_lsh_dedup`` window discipline:
+    no self-join back onto the signature subtree).
     Returns the kept ``id_col`` rows."""
+    from pyspark.sql.window import Window as W
+
     bands = _bands_frame(batch, text_col, id_col, num_hashes, num_bands,
                          shingle_k, seed, hashing)
-    bmin = bands.groupBy("band", "bh").agg(F.min("id").alias("m"))
-    canon = (bands.join(bmin, ["band", "bh"])
-             .groupBy("id").agg(F.min("m").alias("c")))
-    hits = (bands.join(index, ["band", "bh"], "left_semi")
-            .select("id").distinct())
+    probed = bands.join(
+        index.select("band", "bh").withColumn("__hit__", F.lit(1)),
+        ["band", "bh"], "left")
+    verdict = (probed
+               .withColumn("__bmin__",
+                           F.min("id").over(W.partitionBy("band", "bh")))
+               .groupBy("id").agg(F.min("__bmin__").alias("c"),
+                                  F.max("__hit__").alias("hit")))
     return (batch.select(F.col(id_col).alias("id"))
-            .join(canon, "id", "left")
-            .filter(F.coalesce(F.col("c"), F.col("id")) == F.col("id"))
-            .join(hits, "id", "left_anti")
+            .join(verdict, "id", "left")
+            .filter((F.coalesce(F.col("c"), F.col("id")) == F.col("id"))
+                    & F.col("hit").isNull())
             .select(F.col("id").alias(id_col)))

@@ -234,6 +234,10 @@ def bpe_train(df: DataFrame, text_col: str = "text",
     rows-only surface (no SQL oracle); exactness vs the sequential
     reference algorithm — for ANY ``merge_batch`` — is pinned by
     tests/test_bpe.py."""
+    if merge_batch < 1:
+        raise ValueError(f"merge_batch must be >= 1, got {merge_batch}"
+                         " (the loop would spin without ever admitting"
+                         " a merge)")
     spark = df.sparkSession
     vocab = word_vocab(df, text_col).select(
         "cnt", _symbols(F.col("word")).alias("syms")).localCheckpoint()

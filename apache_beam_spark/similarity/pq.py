@@ -167,6 +167,7 @@ def ivfpq_topk(queries: DataFrame, corpus: DataFrame, centroids, codebooks,
     cent = np.asarray(centroids, dtype=np.float64)
     cb = np.asarray(codebooks, dtype=np.float64)
     m, ksub, dsub = cb.shape
+    n_probe = min(n_probe, len(cent))   # probing "all cells" is legal
     qrows = queries.select(F.col(query_id).alias("qid"),
                            F.col(vec_col).cast("array<double>")
                            .alias("v")).collect()

@@ -89,6 +89,9 @@ def streaming_funnel(df: DataFrame, steps: Sequence[str], within_ms: int,
     """
     if len(steps) < 2:
         raise ValueError("streaming_funnel needs at least 2 steps")
+    if len(steps) > 62:
+        raise ValueError(f"streaming_funnel supports at most 62 steps"
+                         f" (bitmask fits a signed long), got {len(steps)}")
     _require_integral(df, key_col, "key")
     _require_integral(df, id_col, "id")
     n_steps = len(steps)
@@ -114,7 +117,7 @@ def streaming_funnel(df: DataFrame, steps: Sequence[str], within_ms: int,
         y_mask = F.when(F.col(type_col) == s, F.lit(m)).otherwise(y_mask)
     src = (df.select(F.col(key_col).cast("long").alias("k"),
                      ts_long.alias("t"),
-                     y_mask.cast("int").alias("y"),
+                     y_mask.cast("long").alias("y"),
                      F.col(id_col).cast("long").alias("i"),
                      F.timestamp_micros(ts_long).alias("__wmts__"))
            .withWatermark("__wmts__", f"{max(lateness_ms, 0)} milliseconds")
