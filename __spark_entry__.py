@@ -303,6 +303,57 @@ def _bpe_token_counts(spark, sf_dir):
         load_table(spark, "documents", sf_dir), _BPE_MERGES)
 
 
+#: the pinned unigram-LM piece table for the oracled tokenizer queries
+#: (the `_BPE_MERGES` pattern): integer costs = quantized -log p, so
+#: the packed Viterbi objective (cost * 8192 + tokens) is pure int64
+#: and bit-identical in DuckDB.  Single chars f..z ride the <unk>
+#: fallback (cost 14) — exercised, not incidental.
+_UNIGRAM_PIECES = {
+    "ta": 12, "ble": 15, "scan": 18, "row": 14, "er": 9, "in": 9,
+    "st": 10, "ue": 11, "val": 16, "cust": 20, "win": 14, "dow": 14,
+    "join": 17, "or": 9, "der": 13,
+    "a": 10, "b": 10, "c": 10, "d": 10, "e": 10}
+_UNIGRAM_UNK = 14
+#: oracle-side mirrors of operators/unigram.py's packed-objective
+#: geometry — imported, not re-typed, so the two engines cannot drift
+from apache_beam_spark.operators.unigram import (  # noqa: E402
+    _BIG as _UNI_BIG, _SCALE as _UNI_SCALE)
+_UNI_ML = max(len(p) for p in _UNIGRAM_PIECES)
+
+
+def _uni_map() -> str:
+    """DuckDB MAP literal of the pinned piece table."""
+    return ("MAP {" + ", ".join(f"'{k}': {v}" for k, v in
+                                sorted(_UNIGRAM_PIECES.items())) + "}")
+
+
+def _unigram_token_counts(spark, sf_dir):
+    """Unigram-LM tokenizer APPLICATION (operators/unigram.py): per-
+    document Viterbi token count + total cost under the pinned piece
+    table — the SentencePiece counterpart of `bpe_token_counts`.  The
+    DP is a pure-Column int64 fold (cost * 8192 + tokens packs the
+    tie-break into one number), so DuckDB reproduces every value via a
+    recursive CTE carrying the same bests array."""
+    from apache_beam_spark.operators.unigram import unigram_segment
+
+    return unigram_segment(load_table(spark, "documents", sf_dir),
+                           _UNIGRAM_PIECES, unk_cost=_UNIGRAM_UNK)
+
+
+def _unigram_piece_counts(spark, sf_dir):
+    """Unigram piece USAGE counts (operators/unigram.py): corpus-
+    weighted Viterbi-segmentation piece frequencies under the pinned
+    table — the E-step aggregate the hard-EM trainer repeats
+    (tests/test_unigram.py pins the trainer itself round-by-round).
+    The backtrack walk's tie-break (shortest admissible piece) is part
+    of the pinned contract; the oracle replays it in a second
+    recursive CTE."""
+    from apache_beam_spark.operators.unigram import unigram_piece_counts
+
+    return unigram_piece_counts(load_table(spark, "documents", sf_dir),
+                                _UNIGRAM_PIECES, unk_cost=_UNIGRAM_UNK)
+
+
 def _group_by_key(spark, sf_dir):
     """GroupByKey -> per-key bag; emit bag size (GroupByKey.java:139)."""
     p = Pipeline(spark)
@@ -3421,6 +3472,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_lr_train": _quality_lr_train,
         "dup_span_scrub": _dup_span_scrub,
         "bpe_token_counts": _bpe_token_counts,
+        "unigram_token_counts": _unigram_token_counts,
+        "unigram_piece_counts": _unigram_piece_counts,
         "group_by_key": _group_by_key,
         "combine_grouped_values": _combine_grouped_values,
         "combine_per_key_multi": _combine_per_key_multi,
@@ -3868,6 +3921,84 @@ def oracle_sql() -> dict[str, str]:
                   FROM s, UNNEST(range(1, len(syms))) AS t(g))
             SELECT a, b, CAST(sum(cnt) AS BIGINT) AS pair_count
             FROM p GROUP BY a, b""",
+        # Unigram-LM Viterbi: the SAME int64 packed objective
+        # (cost * 8192 + tokens) via a recursive CTE carrying the DP's
+        # bests array — one row per (word, prefix length), linear, no
+        # path enumeration.  Bit-identical, not approximate-equal.
+        "unigram_token_counts": f"""
+            WITH RECURSIVE
+            w AS (SELECT doc_id, unnest({toks}) AS word FROM documents),
+            dw AS (SELECT DISTINCT word FROM w),
+            dp AS (
+              SELECT word, 0 AS j, [CAST(0 AS BIGINT)] AS bests FROM dw
+              UNION ALL
+              SELECT word, j + 1,
+                list_append(bests, least(
+                  coalesce(list_min(list_transform(
+                    range(1, least({_UNI_ML}, j + 1) + 1),
+                    k -> bests[j + 2 - k]
+                         + map_extract({_uni_map()}, substr(word,
+                             CAST(j + 2 - k AS INTEGER),
+                             CAST(k AS INTEGER)))[1] * {_UNI_SCALE} + 1)),
+                    {_UNI_BIG}),
+                  bests[j + 1] + {_UNIGRAM_UNK * _UNI_SCALE + 1}))
+              FROM dp WHERE j < length(word)),
+            fin AS (SELECT word, bests[length(word) + 1] AS best
+                    FROM dp WHERE j = length(word))
+            SELECT d.doc_id,
+                   CAST(coalesce(sum(best % {_UNI_SCALE}), 0) AS BIGINT)
+                     AS n_tokens,
+                   CAST(coalesce(sum(best // {_UNI_SCALE}), 0) AS BIGINT)
+                     AS total_cost
+            FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id
+            LEFT JOIN fin USING (word)
+            GROUP BY d.doc_id""",
+        # the backtrack walk replayed in SQL: j steps down by the
+        # SMALLEST k attaining bests[j+1] (the pinned tie-break)
+        "unigram_piece_counts": f"""
+            WITH RECURSIVE
+            w AS (SELECT doc_id, unnest({toks}) AS word FROM documents),
+            wv AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),
+            dp AS (
+              SELECT word, 0 AS j, [CAST(0 AS BIGINT)] AS bests FROM wv
+              UNION ALL
+              SELECT word, j + 1,
+                list_append(bests, least(
+                  coalesce(list_min(list_transform(
+                    range(1, least({_UNI_ML}, j + 1) + 1),
+                    k -> bests[j + 2 - k]
+                         + map_extract({_uni_map()}, substr(word,
+                             CAST(j + 2 - k AS INTEGER),
+                             CAST(k AS INTEGER)))[1] * {_UNI_SCALE} + 1)),
+                    {_UNI_BIG}),
+                  bests[j + 1] + {_UNIGRAM_UNK * _UNI_SCALE + 1}))
+              FROM dp WHERE j < length(word)),
+            fin AS (SELECT word, bests FROM dp WHERE j = length(word)),
+            walk AS (
+              SELECT word, bests, CAST(length(word) AS BIGINT) AS j,
+                     CAST([] AS VARCHAR[]) AS ps
+              FROM fin
+              UNION ALL
+              SELECT word, bests, j - k,
+                     list_append(ps, substr(word,
+                         CAST(j - k + 1 AS INTEGER), CAST(k AS INTEGER)))
+              FROM (SELECT word, bests, j, ps,
+                      list_min(list_filter(
+                        range(1, least({_UNI_ML}, j) + 1), k ->
+                        bests[j - k + 1] + (CASE WHEN k = 1
+                          THEN least(coalesce(map_extract({_uni_map()},
+                                 substr(word, CAST(j AS INTEGER), 1))[1],
+                                 {_UNI_BIG}), {_UNIGRAM_UNK})
+                          ELSE map_extract({_uni_map()}, substr(word,
+                                 CAST(j - k + 1 AS INTEGER),
+                                 CAST(k AS INTEGER)))[1]
+                          END) * {_UNI_SCALE} + 1
+                        = bests[j + 1])) AS k
+                    FROM walk WHERE j > 0) t),
+            seg AS (SELECT word, unnest(ps) AS piece
+                    FROM walk WHERE j = 0)
+            SELECT piece, CAST(sum(cnt) AS BIGINT) AS cnt
+            FROM seg JOIN wv USING (word) GROUP BY piece""",
         "combine_grouped_values": """
             SELECT user_id, COUNT(value) AS n,
                    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total

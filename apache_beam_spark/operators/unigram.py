@@ -1,0 +1,302 @@
+"""Distributed unigram-LM (SentencePiece-style) tokenizer primitives.
+
+The unigram language-model tokenizer (Kudo, ACL 2018) scores a
+segmentation of a word by the sum of its pieces' costs (cost =
+quantized -log p) and picks the minimum-cost split via Viterbi.
+Together with ``operators/bpe.py`` this completes the two tokenizer
+families real LLM pipelines train: merge-based (BPE) and
+likelihood-based (unigram).
+
+Distribution strategy (same spine as BPE):
+
+* the corpus collapses to the DISTINCT-WORD frame in one shuffle agg —
+  the Viterbi DP then runs once per distinct word, not once per
+  occurrence, and the piece table rides along as a broadcast literal
+  map;
+* the DP itself is a pure-Column ``aggregate`` fold over character
+  positions (no Python anywhere): ``best[j] = min over admissible
+  pieces ending at j of best[j - len] + obj(piece)``, all in int64;
+* INTEGER objective: ``obj(piece) = cost * _SCALE + 1`` — the ``+1``
+  per token makes "fewest tokens" the tie-break inside one number, so
+  min-cost is single-valued and the whole operator is bit-identical in
+  DuckDB (a recursive CTE carrying the same bests array), i.e.
+  VALUE-ORACLE-ABLE, unlike float log-prob Viterbi;
+* the segmentation WALK (needed for piece usage counts and training)
+  is a second Column fold backtracking the bests array with a pinned
+  tie-break (shortest admissible piece wins).
+
+``unigram_train`` is hard-EM (Viterbi-EM): E-step = segment the
+distinct-word vocabulary under current integer costs and accumulate
+corpus-weighted piece counts (exact int64 sums — deterministic);
+M-step = requantize costs from counts on the driver (the piece table
+is vocab_size-bounded, the k-means-centroid precedent) and prune
+unused / lowest-count pieces.  Exactness vs a sequential reference
+implementation is pinned in tests/test_unigram.py.
+
+Reference anchor: the reference repo has no tokenizer-training
+operator; this is training-data-pipeline surface (SURVEY §8 extras)
+built on its Combine-per-key shapes (sdks/java/core/.../Combine.java).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from apache_beam_spark.functions.text import word_tokens
+
+#: objective scale: obj(piece) = cost * _SCALE + 1.  Token counts per
+#: word stay below _SCALE as long as words are shorter than _SCALE
+#: characters — guarded by the assert below, so the packed objective
+#: can never silently corrupt.
+_SCALE = 8192
+#: hard word-length cap (chars).  DP cost is O(len * max_piece_len)
+#: per distinct word; a "word" longer than this is corpus noise that
+#: belongs to a quality filter, and silently segmenting it would also
+#: overflow the token-count field — fail loudly instead.
+_MAX_WORD_LEN = 4096
+#: sentinel for "no admissible piece ends here"
+_BIG = 1 << 40
+
+
+def _piece_map(pieces: dict) -> Column:
+    return F.create_map(*[F.lit(x) for kv in sorted(pieces.items())
+                          for x in kv])
+
+
+def _bests(word: Column, pieces: dict, unk_cost: int) -> Column:
+    """int64 array ``bests`` with ``bests[j+1]`` = minimal packed
+    objective (cost * _SCALE + n_tokens) of the length-``j`` prefix.
+    Any single character is always admissible at ``unk_cost`` (the
+    <unk> fallback), so every word is segmentable."""
+    mp = _piece_map(pieces)
+    max_len = max((len(p) for p in pieces), default=1)
+    # loud length guard, evaluated ONCE (at the fold's bound) so the
+    # when() doesn't replicate into every codegen step
+    n = F.when(F.length(word) <= _MAX_WORD_LEN, F.length(word)) \
+        .otherwise(F.raise_error(F.concat(
+            F.lit(f"unigram: word longer than {_MAX_WORD_LEN} chars: "),
+            F.substring(word, 1, 64), F.lit("..."))))
+
+    def step(acc, j):
+        def cand(k):
+            piece = word.substr(j - k + F.lit(1), k)
+            return (F.element_at(acc, j - k + 1)
+                    + F.element_at(mp, piece).cast("long") * _SCALE + 1)
+
+        cands = F.transform(
+            F.sequence(F.lit(1), F.least(F.lit(max_len), j)), cand)
+        best_piece = F.coalesce(F.array_min(cands),
+                                F.lit(_BIG).cast("long"))
+        unk = (F.element_at(acc, j)
+               + F.lit(unk_cost * _SCALE + 1).cast("long"))
+        return F.concat(acc, F.array(F.least(best_piece, unk)))
+
+    return F.aggregate(F.sequence(F.lit(1), n),
+                       F.array(F.lit(0).cast("long")), step)
+
+
+def _walk(word: Column, bests: Column, pieces: dict,
+          unk_cost: int) -> Column:
+    """array<string> of the Viterbi segmentation, backtracked from the
+    bests array.  Tie-break is pinned: at each boundary the SHORTEST
+    admissible piece that attains the optimum wins (smallest k).  The
+    fold runs length(word) steps (enough for the all-singles path) and
+    no-ops once the cursor reaches 0; pieces come out last-first and
+    are reversed at the end."""
+    mp = _piece_map(pieces)
+    max_len = max((len(p) for p in pieces), default=1)
+
+    def step(acc, _):
+        j = acc["j"]
+
+        def obj(k):
+            piece = word.substr(j - k + F.lit(1), k)
+            known = F.element_at(mp, piece).cast("long") * _SCALE + 1
+            return (F.element_at(bests, j - k + 1)
+                    + F.when(k == 1,
+                             F.least(known,
+                                     F.lit(unk_cost * _SCALE + 1)
+                                     .cast("long")))
+                    .otherwise(known))
+
+        ks = F.sequence(F.lit(1), F.least(F.lit(max_len), F.greatest(j, F.lit(1))))
+        hit = F.filter(F.transform(ks, lambda k: F.when(
+            obj(k) == F.element_at(bests, j + 1), k)),
+            lambda x: x.isNotNull())
+        k_star = F.array_min(hit)
+        return F.when(j <= 0, acc).otherwise(F.struct(
+            (j - k_star).alias("j"),
+            F.concat(acc["ps"],
+                     F.array(word.substr(j - k_star + F.lit(1), k_star)))
+            .alias("ps")))
+
+    init = F.struct(F.length(word).cast("int").alias("j"),
+                    F.array().cast("array<string>").alias("ps"))
+    out = F.aggregate(F.sequence(F.lit(1),
+                                 F.greatest(F.length(word), F.lit(1))),
+                      init, step)
+    return F.reverse(out["ps"])
+
+
+def _word_vocab(df: DataFrame, text_col: str) -> DataFrame:
+    """(word, cnt) distinct-word frame — the corpus compression every
+    unigram step runs on (shared shape with bpe.word_vocab)."""
+    return (df.select(F.explode(word_tokens(F.col(text_col)))
+                      .alias("word"))
+            .groupBy("word").agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def unigram_segment(df: DataFrame, pieces: dict, *, unk_cost: int = 14,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Per-document Viterbi token count and total cost under a FIXED
+    piece->cost table — the tokenizer-APPLICATION side (the pinned-
+    artifact pattern of ``bpe_encode_token_counts``); fully
+    value-oracled via a DuckDB recursive CTE carrying the same int64
+    bests array (``unigram_token_counts`` in __spark_entry__).
+
+    Returns (id_col, n_tokens, total_cost); documents with no word
+    tokens report (0, 0)."""
+    wpd = df.select(F.col(id_col),
+                    F.explode_outer(word_tokens(F.col(text_col)))
+                    .alias("word"))
+    dw = (wpd.select("word").where(F.col("word").isNotNull()).distinct()
+          .withColumn("best", F.element_at(
+              _bests(F.col("word"), pieces, unk_cost),
+              F.length("word") + 1)))
+    return (wpd.join(F.broadcast(dw), "word", "left")
+            .groupBy(id_col)
+            .agg(F.coalesce(F.sum(F.col("best") % _SCALE), F.lit(0))
+                 .cast("long").alias("n_tokens"),
+                 F.coalesce(F.sum((F.col("best") / _SCALE).cast("long")),
+                            F.lit(0)).cast("long").alias("total_cost")))
+
+
+def unigram_piece_counts(df: DataFrame, pieces: dict, *,
+                         unk_cost: int = 14,
+                         text_col: str = "text") -> DataFrame:
+    """Corpus-weighted piece usage counts under a FIXED piece table:
+    how often each vocabulary piece (or an <unk> single char, reported
+    as the literal character) appears in the Viterbi segmentation of
+    the corpus.  The walk runs once per DISTINCT word; counts are
+    exact int64 (occurrences * word frequency).  Returns (piece, cnt).
+    """
+    wv = _word_vocab(df, text_col)
+    segs = wv.select(
+        "cnt",
+        _walk(F.col("word"), _bests(F.col("word"), pieces, unk_cost),
+              pieces, unk_cost).alias("ps"))
+    # explode_OUTER, not explode: for a plain explode Catalyst infers
+    # a `size(ps) > 0` filter and — because ps is a function of the
+    # grouping key — pushes it BELOW the word aggregation, evaluating
+    # the whole Viterbi walk once per corpus TOKEN instead of once per
+    # distinct word (~100x wall at sf0.1).  Words are non-empty so ps
+    # never is; the null guard below is for the optimizer, not data.
+    return (segs.select(F.explode_outer("ps").alias("piece"), "cnt")
+            .where(F.col("piece").isNotNull())
+            .groupBy("piece").agg(F.sum("cnt").alias("cnt")))
+
+
+def _quantize_costs(counts: dict, *, scale: int = 8) -> dict:
+    """cost(piece) = max(1, round(log2(total / cnt) * scale)) — the
+    integer quantization of -log2 p that keeps every downstream
+    comparison exact.  Deterministic given integer counts."""
+    total = sum(counts.values())
+    return {p: max(1, round(math.log2(total / c) * scale))
+            for p, c in counts.items() if c > 0}
+
+
+def _substrings(word: Column, lo: int, hi: int) -> Column:
+    """array<string> of ALL substrings of length lo..hi, with
+    multiplicity — a Column HOF (positions x lengths), no Python."""
+    starts = F.sequence(F.lit(1), F.length(word))
+    return F.flatten(F.transform(starts, lambda i: F.filter(
+        F.transform(F.sequence(F.lit(lo), F.lit(hi)),
+                    lambda ln: F.when(i + ln - 1 <= F.length(word),
+                                      word.substr(i, ln))),
+        lambda x: x.isNotNull())))
+
+
+def _seed_pieces(wv: DataFrame, *, max_piece_len: int,
+                 seed_multi: int) -> dict:
+    """Initial piece->count table, computed DISTRIBUTED over the
+    (word, cnt) frame: every single character (mandatory — guarantees
+    coverage; the alphabet-sized pull is bounded) plus the
+    ``seed_multi`` most frequent substrings of length 2..max_piece_len,
+    counted with multiplicity and weighted by word frequency.  Only
+    the two bounded top/alphabet pulls reach the driver — the word
+    frame never does.  Tie-break (cnt desc, piece) is pinned."""
+    singles = (wv.select(F.explode(_substrings(F.col("word"), 1, 1))
+                         .alias("piece"), "cnt")
+               .groupBy("piece").agg(F.sum("cnt").alias("c")).collect())
+    out = {r["piece"]: int(r["c"]) for r in singles}
+    if max_piece_len >= 2:
+        multi = (wv.select(
+            F.explode(_substrings(F.col("word"), 2, max_piece_len))
+            .alias("piece"), "cnt")
+            .groupBy("piece").agg(F.sum("cnt").alias("c"))
+            .orderBy(F.col("c").desc(), "piece")
+            .limit(seed_multi).collect())
+        out.update({r["piece"]: int(r["c"]) for r in multi})
+    return out
+
+
+def unigram_train(df: DataFrame, *, vocab_size: int = 48,
+                  rounds: int = 3, max_piece_len: int = 4,
+                  seed_multi: int = 64,
+                  text_col: str = "text") -> DataFrame:
+    """Learn a unigram piece table by Viterbi-EM (hard EM) and return
+    it as (piece, cost, cnt) — cnt is the final-round corpus usage.
+
+    Each ROUND: one distributed Viterbi pass over the (checkpointed)
+    distinct-word frame accumulates exact int64 piece counts (E-step);
+    the driver requantizes costs from the vocab_size-bounded count
+    table and prunes (M-step) — unused multi-char pieces drop, then
+    the lowest-count multi-char pieces drop until ``vocab_size``
+    remains (single characters are never pruned: coverage).  All
+    driver pulls are piece-table-sized, never corpus-sized.  Iterative
+    + driver-scalar per round, so this is a test-pinned surface (no
+    SQL oracle): tests/test_unigram.py pins every round against a
+    sequential reference implementation."""
+    if max_piece_len < 1:
+        raise ValueError(f"max_piece_len must be >= 1, got {max_piece_len}")
+    spark = df.sparkSession
+    wv = _word_vocab(df, text_col).localCheckpoint()
+    seed_counts = _seed_pieces(wv, max_piece_len=max_piece_len,
+                               seed_multi=seed_multi)
+    singles = {p for p in seed_counts if len(p) == 1}
+    costs = _quantize_costs(seed_counts)
+    counts: dict = dict(seed_counts)
+    # the <unk> fallback never fires during training: every single
+    # char of the corpus is in the seed table and never pruned.  Keep
+    # it admissible-but-dominated so _bests/_walk stay one code path.
+    unk = max(costs.values()) + 1
+    for _ in range(max(1, rounds)):
+        segs = wv.select(
+            "cnt", _walk(F.col("word"),
+                         _bests(F.col("word"), costs, unk),
+                         costs, unk).alias("ps"))
+        rows = (segs.select(F.explode_outer("ps").alias("piece"), "cnt")
+                .where(F.col("piece").isNotNull())  # see unigram_piece_counts
+                .groupBy("piece").agg(F.sum("cnt").alias("cnt"))
+                .collect())
+        counts = {r["piece"]: int(r["cnt"]) for r in rows}
+        for ch in singles:  # coverage: singles survive at count >= 0
+            counts.setdefault(ch, 0)
+        multi = sorted(((p, c) for p, c in counts.items()
+                        if len(p) > 1 and c > 0),
+                       key=lambda kv: (-kv[1], kv[0]))
+        keep_multi = multi[:max(0, vocab_size - len(singles))]
+        kept = {p: max(c, 1) for p, c in
+                list(((s, counts.get(s, 0)) for s in singles))
+                + keep_multi}
+        costs = _quantize_costs({p: max(c, 1) for p, c in kept.items()})
+        unk = max(costs.values()) + 1
+        counts = {p: counts.get(p, 0) for p in costs}
+    return spark.createDataFrame(
+        sorted(((p, costs[p], counts.get(p, 0)) for p in costs),
+               key=lambda t: (t[1], t[0])),
+        "piece string, cost int, cnt long")

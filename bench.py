@@ -98,6 +98,8 @@ HEADLINE = [
     "hist_quantiles_prices",
     "embed_ivfpq_fixed",
     "dedup_incremental_minhash",
+    "unigram_token_counts",
+    "unigram_piece_counts",
 ]
 
 
