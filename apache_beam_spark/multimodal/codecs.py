@@ -505,17 +505,12 @@ def _encode_block(zz: np.ndarray, dc_pred: int, dc_tbl, ac_tbl,
     return int(zz[0])
 
 
-def encode_jpeg(img: np.ndarray, subsampling: str = "444",
-                restart_interval: int = 0) -> bytes:
-    """Baseline JFIF writer: (h, w) gray or (h, w, 3) RGB uint8,
-    Annex K tables, ``subsampling`` "444" (one block per component
-    per MCU) or "420" (2x2 luma blocks + 2x2-averaged chroma — the
-    dominant layout of real crawl JPEGs), optional ``restart_interval``
-    (DRI segment + RSTn markers every N MCUs with DC-predictor
-    resets).  Deterministic: quantization rounds half-up
-    (``floor(x + 0.5)``), so the decode of a CONSTANT gray tile has
-    the closed form ``clip(2*floor((v-128)/2 + .5) + 128)`` — the
-    oracle hook for ``jpeg_roundtrip``."""
+def _jpeg_quantized_planes(img: np.ndarray, subsampling: str):
+    """Shared front half of the baseline and progressive encoders:
+    color transform, subsampling, MCU-grid padding, batch DCT and
+    deterministic round-half-up quantization.  Returns
+    (zz_planes, samp, comp_q, mcus_x, mcus_y, h, w) with zz_planes[i]
+    of shape (bh, bw, 64) in zigzag order."""
     a = np.asarray(img, dtype=np.uint8)
     gray = a.ndim == 2
     if not gray and (a.ndim != 3 or a.shape[2] != 3):
@@ -550,10 +545,6 @@ def encode_jpeg(img: np.ndarray, subsampling: str = "444",
     vmax = max(s[1] for s in samp)
     mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
     mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
-    dc_tbls = [_huff_canonical(*_HUFF_DC_LUMA),
-               _huff_canonical(*_HUFF_DC_CHROMA)]
-    ac_tbls = [_huff_canonical(*_HUFF_AC_LUMA),
-               _huff_canonical(*_HUFF_AC_CHROMA)]
 
     # per component: subsample, pad with edge replication to the MCU
     # grid, batch-DCT every 8x8 block
@@ -577,6 +568,68 @@ def encode_jpeg(img: np.ndarray, subsampling: str = "444",
         # tile closed form exact for the oracle
         q = np.floor(np.round(coef, 6) / qt + 0.5).astype(np.int32)
         zz_planes.append(q[:, :, _ZZ_ROW, _ZZ_COL])   # (bh, bw, 64)
+    return zz_planes, samp, comp_q, mcus_x, mcus_y, h, w
+
+
+def _jpeg_header(h, w, samp, comp_q, sof_marker: int,
+                 restart_interval: int, ac_tables=None) -> bytes:
+    """SOI..tables..SOFn header shared by both encoders.
+    ``ac_tables`` is a list of (table id, (bits, vals)); defaults to
+    the Annex K luma/chroma pair."""
+    ncomp = len(samp)
+    sof_comps = b"".join(
+        bytes([i + 1, samp[i][0] << 4 | samp[i][1], comp_q[i]])
+        for i in range(ncomp))
+    out = (b"\xff\xd8"                                   # SOI
+           + _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+           + _seg(0xFFDB, bytes([0]) + bytes(
+               _QT_LUMA[_ZZ_ROW, _ZZ_COL].astype(np.uint8))))
+    if ncomp == 3:
+        out += _seg(0xFFDB, bytes([1]) + bytes(
+            _QT_CHROMA[_ZZ_ROW, _ZZ_COL].astype(np.uint8)))
+    out += _seg(sof_marker,
+                struct.pack(">BHHB", 8, h, w, ncomp) + sof_comps)
+    out += _seg(0xFFC4, _dht_body(0, 0, _HUFF_DC_LUMA))
+    if ncomp == 3:
+        out += _seg(0xFFC4, _dht_body(0, 1, _HUFF_DC_CHROMA))
+    if ac_tables is None:
+        ac_tables = [(0, _HUFF_AC_LUMA)]
+        if ncomp == 3:
+            ac_tables.append((1, _HUFF_AC_CHROMA))
+    for tid, spec in ac_tables:
+        out += _seg(0xFFC4, _dht_body(1, tid, spec))
+    if restart_interval:
+        out += _seg(0xFFDD, struct.pack(">H", restart_interval))
+    return out
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return struct.pack(">HH", marker, len(body) + 2) + body
+
+
+def _dht_body(cls: int, tid: int, spec) -> bytes:
+    bits, vals = spec
+    return bytes([cls << 4 | tid] + bits + vals)
+
+
+def encode_jpeg(img: np.ndarray, subsampling: str = "444",
+                restart_interval: int = 0) -> bytes:
+    """Baseline JFIF writer: (h, w) gray or (h, w, 3) RGB uint8,
+    Annex K tables, ``subsampling`` "444" (one block per component
+    per MCU) or "420" (2x2 luma blocks + 2x2-averaged chroma — the
+    dominant layout of real crawl JPEGs), optional ``restart_interval``
+    (DRI segment + RSTn markers every N MCUs with DC-predictor
+    resets).  Deterministic: quantization rounds half-up
+    (``floor(x + 0.5)``), so the decode of a CONSTANT gray tile has
+    the closed form ``clip(2*floor((v-128)/2 + .5) + 128)`` — the
+    oracle hook for ``jpeg_roundtrip``."""
+    zz_planes, samp, comp_q, mcus_x, mcus_y, h, w = \
+        _jpeg_quantized_planes(img, subsampling)
+    planes = zz_planes
+    dc_tbls = [_huff_canonical(*_HUFF_DC_LUMA),
+               _huff_canonical(*_HUFF_DC_CHROMA)]
+    ac_tbls = [_huff_canonical(*_HUFF_AC_LUMA),
+               _huff_canonical(*_HUFF_AC_CHROMA)]
 
     scan_parts = []
     wtr = _BitWriter()
@@ -602,35 +655,11 @@ def encode_jpeg(img: np.ndarray, subsampling: str = "444",
     scan_parts.append(wtr.flush())
     scan = b"".join(scan_parts)
 
-    def seg(marker: int, body: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(body) + 2) + body
-
-    def dht(cls: int, tid: int, spec) -> bytes:
-        bits, vals = spec
-        return bytes([cls << 4 | tid] + bits + vals)
-
     ncomp = len(planes)
-    sof_comps = b"".join(
-        bytes([i + 1, samp[i][0] << 4 | samp[i][1], comp_q[i]])
-        for i in range(ncomp))
     sos_comps = b"".join(
         bytes([i + 1, (comp_q[i] and 1) * 0x11]) for i in range(ncomp))
-    out = (b"\xff\xd8"                                   # SOI
-           + seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-           + seg(0xFFDB, bytes([0]) + bytes(
-               _QT_LUMA[_ZZ_ROW, _ZZ_COL].astype(np.uint8))))
-    if ncomp == 3:
-        out += seg(0xFFDB, bytes([1]) + bytes(
-            _QT_CHROMA[_ZZ_ROW, _ZZ_COL].astype(np.uint8)))
-    out += seg(0xFFC0, struct.pack(">BHHB", 8, h, w, ncomp) + sof_comps)
-    out += seg(0xFFC4, dht(0, 0, _HUFF_DC_LUMA))
-    out += seg(0xFFC4, dht(1, 0, _HUFF_AC_LUMA))
-    if ncomp == 3:
-        out += seg(0xFFC4, dht(0, 1, _HUFF_DC_CHROMA))
-        out += seg(0xFFC4, dht(1, 1, _HUFF_AC_CHROMA))
-    if restart_interval:
-        out += seg(0xFFDD, struct.pack(">H", restart_interval))
-    out += seg(0xFFDA, bytes([ncomp]) + sos_comps + b"\x00\x3f\x00")
+    out = _jpeg_header(h, w, samp, comp_q, 0xFFC0, restart_interval)
+    out += _seg(0xFFDA, bytes([ncomp]) + sos_comps + b"\x00\x3f\x00")
     return out + scan + b"\xff\xd9"                      # EOI
 
 
@@ -718,6 +747,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple, tuple] = {}
     frame = None
+    progressive = False
     restart = 0
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
@@ -759,7 +789,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 vals = list(body[b + 17:b + 17 + n])
                 huff[(tc, th)] = _huff_lut(bits, vals)
                 b += 17 + n
-        elif marker in (0xC0, 0xC1):            # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):      # SOF0/1 baseline, SOF2
             prec, fh, fw, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG")
@@ -769,8 +799,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF,
                               "tq": tq})
             frame = (fh, fw, comps)
-        elif marker == 0xC2:
-            raise NotImplementedError("progressive JPEG (SOF2)")
+            progressive = marker == 0xC2
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -780,6 +809,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         elif marker == 0xDA:                    # SOS -> entropy data
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
+            if progressive:
+                # hand the WHOLE scan sequence (this SOS onward) to
+                # the Annex G loop; tables/DRI may change between scans
+                return _decode_progressive(payload, pos, frame, qt,
+                                           huff, [restart])
             ns = body[0]
             sel = {}
             for i in range(ns):
@@ -919,6 +953,14 @@ def _decode_scan(payload, pos, frame, sel, qt, huff, restart):
             dc_pred[ci] = dc
         mcu_index += 1
 
+    return _coef_to_pixels(fh, fw, hmax, vmax, comps, per_comp)
+
+
+def _coef_to_pixels(fh, fw, hmax, vmax, comps, per_comp) -> np.ndarray:
+    """Batch inverse zigzag + dequant + IDCT + upsample + color —
+    the shared back half of the sequential and progressive decoders.
+    Each per_comp entry carries zz (nblocks x 64 rows), bh/bw (block
+    grid), q (8x8 quant table) and h/w (visible component dims)."""
     planes = []
     for ci, c in enumerate(comps):
         pc = per_comp[ci]
@@ -946,3 +988,533 @@ def _decode_scan(payload, pos, frame, sel, qt, huff, restart):
     b = y + 1.772 * cb
     return np.clip(np.round(np.stack([r, g, b], axis=-1)),
                    0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Progressive JPEG (T.81 SOF2, Annex G): spectral selection + successive
+# approximation.  The encoder emits a libjpeg-style scan script (DC
+# first at Al=1, per-component AC bands 1-5 / 6-63 at Al=1, then DC and
+# AC refinement scans), which exercises the complete G.2 decode feature
+# set — EOB-run coding, ZRL-with-correction-bits, newly-significant
+# insertion — so the decoder's progressive path is pinned by exact
+# roundtrip-vs-baseline tests, not just self-consistency.
+# ---------------------------------------------------------------------------
+
+
+#: AC huffman table for the progressive ENCODER: the Annex K baseline
+#: tables define no EOBn (n>0) symbols, which progressive EOB-run
+#: coding requires.  A flat 8-bit canonical table over all 176 legal
+#: progressive AC symbols — EOB0..EOB14 (run<<4|0, run<15), ZRL
+#: (0xF0), and run/size for size 1..10 — is valid (176*2^-8 < 1, and
+#: the all-ones 8-bit code 0xFF stays unused per T.81 C.2) and costs
+#: nothing we measure: test payloads, not crawl output.
+_HUFF_AC_PROG = (
+    [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0],
+    sorted([(r << 4) for r in range(15)] + [0xF0]
+           + [(r << 4) | s for r in range(16) for s in range(1, 11)]))
+
+
+def _flush_eobrun(w: "_BitWriter", ac_tbl, eobrun: int,
+                  pending_bits: list) -> int:
+    """Emit the EOBn symbol for ``eobrun`` blocks (G.1.2.3: RRRR is
+    floor(log2(run)), followed by that many bits of run - 2^RRRR) and
+    any buffered refinement correction bits; returns the reset run."""
+    if eobrun > 0:
+        r = eobrun.bit_length() - 1
+        code, ln = ac_tbl[r << 4]
+        w.write(code, ln)
+        if r:
+            w.write(eobrun - (1 << r), r)
+        for b in pending_bits:
+            w.write(b, 1)
+        pending_bits.clear()
+    return 0
+
+
+def _enc_ac_first(w, ac_tbl, zz, ss, se, al, eobrun, pending) -> int:
+    """One block of an AC first scan (Ah=0): point-transformed band,
+    run/size coding, trailing zeros joining the cross-block EOB run."""
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        v = -((-v) >> al) if v < 0 else v >> al
+        if v == 0:
+            r += 1
+            continue
+        eobrun = _flush_eobrun(w, ac_tbl, eobrun, pending)
+        while r > 15:
+            code, ln = ac_tbl[0xF0]
+            w.write(code, ln)
+            r -= 16
+        size = abs(v).bit_length()
+        code, ln = ac_tbl[(r << 4) | size]
+        w.write(code, ln)
+        w.write(v if v > 0 else v + (1 << size) - 1, size)
+        r = 0
+    if r > 0:
+        eobrun += 1
+        if eobrun == 32767:
+            eobrun = _flush_eobrun(w, ac_tbl, eobrun, pending)
+    return eobrun
+
+
+def _enc_ac_refine(w, ac_tbl, zz, ss, se, ah, al, eobrun,
+                   pending) -> int:
+    """One block of an AC refinement scan (G.1.2.3.2): history
+    coefficients (nonzero at the previous precision) contribute one
+    correction bit each, buffered and emitted after the next code;
+    newly-significant coefficients are coded as run/1 + sign."""
+    block_bits: list = []
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        t = abs(v) >> al
+        if t == 0:
+            r += 1
+            continue
+        if (abs(v) >> ah) != 0:          # history: correction bit
+            block_bits.append(t & 1)
+            continue
+        # newly significant at this precision (t == 1)
+        eobrun = _flush_eobrun(w, ac_tbl, eobrun, pending)
+        while r > 15:
+            code, ln = ac_tbl[0xF0]
+            w.write(code, ln)
+            for b in block_bits:
+                w.write(b, 1)
+            block_bits = []
+            r -= 16
+        code, ln = ac_tbl[(r << 4) | 1]
+        w.write(code, ln)
+        w.write(1 if v > 0 else 0, 1)
+        for b in block_bits:
+            w.write(b, 1)
+        block_bits = []
+        r = 0
+    if r > 0 or block_bits:
+        eobrun += 1
+        pending.extend(block_bits)
+        if eobrun == 32767:
+            eobrun = _flush_eobrun(w, ac_tbl, eobrun, pending)
+    return eobrun
+
+
+def encode_jpeg_progressive(img: np.ndarray, subsampling: str = "444",
+                            restart_interval: int = 0) -> bytes:
+    """Progressive JFIF writer (SOF2): same color/DCT/quantization
+    front end as ``encode_jpeg`` — the two encoders produce IDENTICAL
+    quantized coefficients, so a progressive payload decodes to
+    EXACTLY the pixels of its baseline twin (the roundtrip pin in
+    tests/test_codecs.py, and the same constant-tile closed form for
+    the ``jpeg_progressive_roundtrip`` oracle).
+
+    Scan script: interleaved DC first (Al=1), per-component AC bands
+    1-5 and 6-63 first (Al=1), interleaved DC refinement, then
+    per-component AC refinements — spectral selection AND successive
+    approximation on every coefficient class.  ``restart_interval``
+    (in MCUs for DC scans, blocks for the non-interleaved AC scans)
+    resets DC predictors and flushes/reset EOB runs."""
+    zz_planes, samp, comp_q, mcus_x, mcus_y, h, w = \
+        _jpeg_quantized_planes(img, subsampling)
+    ncomp = len(zz_planes)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    dc_tbls = [_huff_canonical(*_HUFF_DC_LUMA),
+               _huff_canonical(*_HUFF_DC_CHROMA)]
+    ac_prog = _huff_canonical(*_HUFF_AC_PROG)
+
+    out = bytearray(_jpeg_header(h, w, samp, comp_q, 0xFFC2,
+                                 restart_interval,
+                                 ac_tables=[(0, _HUFF_AC_PROG)]))
+
+    def sos(comps_spec: bytes, ss: int, se: int, ah: int,
+            al: int) -> bytes:
+        n = len(comps_spec) // 2
+        return _seg(0xFFDA, bytes([n]) + comps_spec
+                    + bytes([ss, se, (ah << 4) | al]))
+
+    def rst(parts, n):
+        parts.append(bytes([0xFF, 0xD0 + n % 8]))
+
+    # ---- scan 1: DC first, interleaved, Al=1 ------------------------
+    al = 1
+    out += sos(b"".join(bytes([i + 1, (comp_q[i] and 1) << 4])
+                        for i in range(ncomp)), 0, 0, 0, al)
+    parts, wtr = [], _BitWriter()
+    dc_pred = [0] * ncomp
+    mcu = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                parts.append(wtr.flush())
+                rst(parts, mcu // restart_interval - 1)
+                wtr = _BitWriter()
+                dc_pred = [0] * ncomp
+            for ci, (hi, vi) in enumerate(samp):
+                tbl = dc_tbls[comp_q[ci] and 1]
+                for by in range(vi):
+                    for bx in range(hi):
+                        dc = int(zz_planes[ci][my * vi + by,
+                                               mx * hi + bx, 0]) >> al
+                        diff = dc - dc_pred[ci]
+                        dc_pred[ci] = dc
+                        size = abs(diff).bit_length()
+                        code, ln = tbl[size]
+                        wtr.write(code, ln)
+                        if size:
+                            wtr.write(diff if diff > 0
+                                      else diff + (1 << size) - 1, size)
+            mcu += 1
+    parts.append(wtr.flush())
+    out += b"".join(parts)
+
+    # per-component non-interleaved block geometry: ceil of the
+    # component's VISIBLE dims (T.81 A.2.2), not the padded MCU grid
+    def nblocks(ci):
+        hi, vi = samp[ci]
+        cw = (w * hi + hmax - 1) // hmax
+        ch = (h * vi + vmax - 1) // vmax
+        return (ch + 7) // 8, (cw + 7) // 8, mcus_x * hi
+
+    def ac_scan(ci, ss, se, ah, al):
+        buf = bytearray(sos(bytes([ci + 1, 0]), ss, se, ah, al))
+        tbl = ac_prog
+        bh, bw, stride = nblocks(ci)
+        plane = zz_planes[ci].reshape(-1, 64)
+        parts, wtr = [], _BitWriter()
+        eobrun, pending = 0, []
+        blk = 0
+        for by in range(bh):
+            for bx in range(bw):
+                if (restart_interval and blk
+                        and blk % restart_interval == 0):
+                    eobrun = _flush_eobrun(wtr, tbl, eobrun, pending)
+                    parts.append(wtr.flush())
+                    rst(parts, blk // restart_interval - 1)
+                    wtr = _BitWriter()
+                zz = plane[by * stride + bx]
+                if ah == 0:
+                    eobrun = _enc_ac_first(wtr, tbl, zz, ss, se, al,
+                                           eobrun, pending)
+                else:
+                    eobrun = _enc_ac_refine(wtr, tbl, zz, ss, se, ah,
+                                            al, eobrun, pending)
+                blk += 1
+        eobrun = _flush_eobrun(wtr, tbl, eobrun, pending)
+        parts.append(wtr.flush())
+        return bytes(buf) + b"".join(parts)
+
+    # ---- scans 2..: AC first, per component, two spectral bands -----
+    for ci in range(ncomp):
+        out += ac_scan(ci, 1, 5, 0, 1)
+        out += ac_scan(ci, 6, 63, 0, 1)
+
+    # ---- DC refinement: interleaved, raw bits, no huffman -----------
+    out += sos(b"".join(bytes([i + 1, 0]) for i in range(ncomp)),
+               0, 0, 1, 0)
+    parts, wtr = [], _BitWriter()
+    mcu = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                parts.append(wtr.flush())
+                rst(parts, mcu // restart_interval - 1)
+                wtr = _BitWriter()
+            for ci, (hi, vi) in enumerate(samp):
+                for by in range(vi):
+                    for bx in range(hi):
+                        dc = int(zz_planes[ci][my * vi + by,
+                                               mx * hi + bx, 0])
+                        wtr.write(dc & 1, 1)
+            mcu += 1
+    parts.append(wtr.flush())
+    out += b"".join(parts)
+
+    # ---- AC refinement scans ----------------------------------------
+    for ci in range(ncomp):
+        out += ac_scan(ci, 1, 5, 1, 0)
+        out += ac_scan(ci, 6, 63, 1, 0)
+
+    return bytes(out) + b"\xff\xd9"
+
+
+def _split_entropy(payload: bytes, pos: int):
+    """Destuffed entropy segments (split on RSTn) starting at ``pos``;
+    returns (segments, position of the terminating marker's 0xFF)."""
+    segments, cur = [], bytearray()
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0xFF:
+            nxt = payload[pos + 1] if pos + 1 < len(payload) else 0xD9
+            if nxt == 0x00:
+                cur.append(0xFF)
+                pos += 2
+                continue
+            if nxt == 0xFF:                     # fill byte
+                pos += 1
+                continue
+            if 0xD0 <= nxt <= 0xD7:             # RSTn
+                segments.append(bytes(cur))
+                cur = bytearray()
+                pos += 2
+                continue
+            break                               # EOI or next segment
+        cur.append(b)
+        pos += 1
+    segments.append(bytes(cur))
+    return segments, pos
+
+
+def _decode_progressive(payload, pos, frame, qt, huff, restart):
+    """T.81 Annex G.2 progressive decode: accumulate coefficients
+    across every scan (DC/AC first and refinement, interleaved or
+    single-component, EOB runs, restart intervals, tables and DRI
+    redefinable between scans), then reuse the sequential decoder's
+    batch dequant/IDCT/upsample tail."""
+    fh, fw, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if not all(1 <= c["h"] <= 2 and 1 <= c["v"] <= 2 for c in comps):
+        raise NotImplementedError("sampling factors beyond 2x")
+    mcus_x = (fw + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (fh + 8 * vmax - 1) // (8 * vmax)
+
+    per_comp = []
+    for c in comps:
+        bw = mcus_x * c["h"]
+        bh = mcus_y * c["v"]
+        per_comp.append({
+            "zz": [[0] * 64 for _ in range(bh * bw)],
+            "bw": bw, "bh": bh,
+            "w": (fw * c["h"] + hmax - 1) // hmax,
+            "h": (fh * c["v"] + vmax - 1) // vmax,
+        })
+
+    def run_scan(sel, ss, se, ah, al, seg_start):
+        segments, endpos = _split_entropy(payload, seg_start)
+        scomps = [i for i, c in enumerate(comps) if c["id"] in sel]
+        tabs = {}
+        for i in scomps:
+            td, ta = sel[comps[i]["id"]]
+            if ss == 0 and ah == 0:
+                t = huff.get((0, td))
+                if t is None:
+                    raise ValueError("JPEG scan references missing table")
+                tabs[i] = t
+            elif ss > 0:
+                t = huff.get((1, ta))
+                if t is None:
+                    raise ValueError("JPEG scan references missing table")
+                tabs[i] = t
+
+        # unit list: one entry per restart unit — an MCU's blocks when
+        # interleaved, a single block (T.81 A.2.2 ceil-dims raster,
+        # NOT the padded MCU grid) when non-interleaved
+        interleaved = len(scomps) > 1
+        units = []                       # one entry per MCU/block
+        if interleaved:
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    blocks = []
+                    for i in scomps:
+                        c = comps[i]
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                blocks.append((i, (my * c["v"] + by)
+                                               * per_comp[i]["bw"]
+                                               + mx * c["h"] + bx))
+                    units.append(blocks)
+        else:
+            i = scomps[0]
+            c = comps[i]
+            cw = per_comp[i]["w"]
+            ch = per_comp[i]["h"]
+            bw, bh = (cw + 7) // 8, (ch + 7) // 8
+            stride = per_comp[i]["bw"]
+            for by in range(bh):
+                for bx in range(bw):
+                    units.append([(i, by * stride + bx)])
+
+        seg_i = 0
+        val16, nbits = _segment_val16(segments[0])
+        bpos = 0
+        dc_pred = {i: 0 for i in scomps}
+        eobrun = 0
+
+        def bit():
+            nonlocal bpos
+            v = (val16(bpos) >> 15) & 1
+            bpos += 1
+            return v
+
+        def huffsym(sym, ln_t):
+            nonlocal bpos
+            idx = val16(bpos)
+            ln = ln_t[idx]
+            if not ln:
+                raise ValueError("invalid JPEG huffman code")
+            bpos += ln
+            return sym[idx]
+
+        def recv_ext(s):
+            nonlocal bpos
+            v = val16(bpos) >> (16 - s)
+            bpos += s
+            return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+        for u, blocks in enumerate(units):
+            if restart[0] and u and u % restart[0] == 0:
+                seg_i += 1
+                if seg_i >= len(segments):
+                    raise ValueError("missing JPEG restart segment")
+                val16, nbits = _segment_val16(segments[seg_i])
+                bpos = 0
+                dc_pred = {i: 0 for i in scomps}
+                eobrun = 0
+            for i, bidx in blocks:
+                zz = per_comp[i]["zz"][bidx]
+                if ss == 0:                      # DC scan
+                    if ah == 0:
+                        sym, lnt = tabs[i]
+                        size = huffsym(sym, lnt)
+                        diff = recv_ext(size) if size else 0
+                        dc_pred[i] += diff
+                        zz[0] = dc_pred[i] << al
+                    else:                        # DC refinement
+                        if bit():
+                            zz[0] |= 1 << al
+                    continue
+                # AC scans are single-component by construction
+                sym, lnt = tabs[i]
+                if ah == 0:                      # AC first
+                    if eobrun > 0:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        rs = huffsym(sym, lnt)
+                        r, s = rs >> 4, rs & 0xF
+                        if s == 0:
+                            if r != 15:
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    v = val16(bpos) >> (16 - r)
+                                    bpos += r
+                                    eobrun += v
+                                break
+                            k += 16              # ZRL
+                            continue
+                        k += r
+                        if k > se:
+                            raise ValueError("JPEG AC index overflow")
+                        zz[k] = recv_ext(s) << al
+                        k += 1
+                else:                            # AC refinement (G.2)
+                    p1, m1 = 1 << al, -1 << al
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            rs = huffsym(sym, lnt)
+                            r, s = rs >> 4, rs & 0xF
+                            newval = 0
+                            if s == 0:
+                                if r != 15:
+                                    eobrun = 1 << r
+                                    if r:
+                                        v = val16(bpos) >> (16 - r)
+                                        bpos += r
+                                        eobrun += v
+                                    break
+                            else:
+                                if s != 1:
+                                    raise ValueError(
+                                        "bad refinement magnitude")
+                                newval = p1 if bit() else m1
+                            while k <= se:
+                                if zz[k] != 0:
+                                    if bit() and (zz[k] & p1) == 0:
+                                        zz[k] += p1 if zz[k] >= 0 else m1
+                                else:
+                                    if r == 0:
+                                        break
+                                    r -= 1
+                                k += 1
+                            if newval:
+                                if k > se:
+                                    raise ValueError(
+                                        "JPEG AC index overflow")
+                                zz[k] = newval
+                            k += 1
+                    if eobrun > 0:
+                        while k <= se:
+                            if zz[k] != 0:
+                                if bit() and (zz[k] & p1) == 0:
+                                    zz[k] += p1 if zz[k] >= 0 else m1
+                            k += 1
+                        eobrun -= 1
+                if bpos > nbits:
+                    raise ValueError("truncated JPEG entropy stream")
+        return endpos
+
+    # ---- marker loop over the scan sequence ---------------------------
+    while pos + 2 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        while payload[pos + 1] == 0xFF:          # fill bytes
+            pos += 1
+            if pos + 2 > len(payload):
+                raise ValueError("truncated JPEG segment")
+        marker = payload[pos + 1]
+        if marker == 0xD9:                       # EOI
+            break
+        (ln,) = struct.unpack(">H", payload[pos + 2:pos + 4])
+        body = payload[pos + 4:pos + 2 + ln]
+        if len(body) != ln - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xC4:                       # DHT between scans
+            b = 0
+            while b < len(body):
+                tc, th = body[b] >> 4, body[b] & 0xF
+                bits = list(body[b + 1:b + 17])
+                n = sum(bits)
+                huff[(tc, th)] = _huff_lut(bits, list(
+                    body[b + 17:b + 17 + n]))
+                b += 17 + n
+        elif marker == 0xDB:                     # DQT between scans
+            b = 0
+            while b < len(body):
+                pq, tq = body[b] >> 4, body[b] & 0xF
+                if pq == 0:
+                    tbl = np.frombuffer(
+                        body[b + 1:b + 65], np.uint8).astype(np.int32)
+                    b += 65
+                else:
+                    tbl = np.frombuffer(
+                        body[b + 1:b + 129], ">u2").astype(np.int32)
+                    b += 129
+                full = np.zeros((8, 8), np.int32)
+                full[_ZZ_ROW, _ZZ_COL] = tbl
+                qt[tq] = full
+        elif marker == 0xDD:                     # DRI between scans
+            restart[0] = struct.unpack(">H", body[:2])[0]
+        elif marker == 0xDA:                     # SOS
+            ns = body[0]
+            sel = {}
+            for i in range(ns):
+                cs, tt = body[1 + 2 * i:3 + 2 * i]
+                sel[cs] = (tt >> 4, tt & 0xF)
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            aa = body[3 + 2 * ns]
+            if ss > 0 and ns != 1:
+                raise ValueError("interleaved progressive AC scan")
+            pos = run_scan(sel, ss, se, aa >> 4, aa & 0xF,
+                           pos + 2 + ln)
+            continue
+        pos += 2 + ln
+
+    for c, pc in zip(comps, per_comp):
+        q = qt.get(c["tq"])
+        if q is None:
+            raise ValueError("JPEG frame references missing quant table")
+        pc["q"] = q
+    return _coef_to_pixels(fh, fw, hmax, vmax, comps, per_comp)

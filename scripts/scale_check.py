@@ -61,6 +61,8 @@ QUERIES = [
     # incremental near-dup ingest
     "hist_quantiles_prices", "embed_ivfpq_fixed",
     "dedup_incremental_minhash",
+    # round-7 second pass: unigram-LM tokenizer apply + E-step counts
+    "unigram_token_counts", "unigram_piece_counts",
 ]
 
 
