@@ -3315,6 +3315,50 @@ def _jpeg_roundtrip(spark, sf_dir):
                       pixel_sum.alias("pixel_sum"))
 
 
+def _jpeg_progressive_roundtrip(spark, sf_dir):
+    """REAL progressive-JPEG (T.81 SOF2, Annex G) codec round trip:
+    same contract as jpeg_roundtrip, but the payload is written by
+    encode_jpeg_progressive — a multi-scan stream (DC first +
+    per-band AC first + DC/AC refinement, successive approximation)
+    with doc-dependent restart intervals — and decoded by
+    decode_jpeg's Annex G.2 accumulate-across-scans path.  The
+    progressive encoder shares the baseline encoder's quantized
+    coefficients, so the constant-tile closed form
+    ``clip(2*floor((v-128)/2 + .5) + 128)`` holds bit-identically
+    (pinned in tests/test_codecs.py progressive-vs-baseline tests);
+    width/height/channels AND the pixel sum are value-oracled."""
+    from apache_beam_spark.multimodal.columns import decode_image
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from apache_beam_spark.multimodal.codecs import (
+            encode_jpeg_progressive)
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h, v = 4 + d % 5, 3 + d % 4, (d * 7) % 256
+                rows.append({"doc_id": d,
+                             "payload": encode_jpeg_progressive(
+                                 np.full((h, w), v, np.uint8),
+                                 restart_interval=d % 3)})
+            yield pd.DataFrame(rows)
+
+    enc = docs.mapInPandas(gen, "doc_id bigint, payload binary")
+    dec = decode_image(enc).withColumn("hx", F.hex("pixels"))
+    pixel_sum = F.expr(
+        "aggregate(sequence(0, length(hx) div 2 - 1), 0L,"
+        " (acc, i) -> acc + CAST(conv(substring(hx, 2*i + 1, 2), 16, 10)"
+        " AS BIGINT))")
+    return dec.select("doc_id", "width", "height", "channels",
+                      pixel_sum.alias("pixel_sum"))
+
+
 def _rag_chunks(spark, sf_dir):
     """Overlapping retrieval chunks (dedup/chunks.py sliding_chunks):
     30-word windows advancing by 20 (10 words shared context) — the
@@ -3635,6 +3679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wav_roundtrip": _wav_roundtrip,
         "png_roundtrip": _png_roundtrip,
         "jpeg_roundtrip": _jpeg_roundtrip,
+        "jpeg_progressive_roundtrip": _jpeg_progressive_roundtrip,
         "rag_chunks": _rag_chunks,
         "dau_mau_stickiness": _dau_mau_stickiness,
         "zorder_curve": _zorder_curve,
@@ -5764,6 +5809,17 @@ def oracle_sql() -> dict[str, str]:
                        AS pixel_sum
             FROM documents""",
         "jpeg_roundtrip": """
+            SELECT doc_id,
+                   CAST(4 + doc_id % 5 AS INT) AS width,
+                   CAST(3 + doc_id % 4 AS INT) AS height,
+                   1 AS channels,
+                   CAST((4 + doc_id % 5) * (3 + doc_id % 4) *
+                        LEAST(GREATEST(
+                            2 * FLOOR(((doc_id * 7) % 256 - 128) / 2.0
+                                      + 0.5) + 128,
+                            0), 255) AS BIGINT) AS pixel_sum
+            FROM documents""",
+        "jpeg_progressive_roundtrip": """
             SELECT doc_id,
                    CAST(4 + doc_id % 5 AS INT) AS width,
                    CAST(3 + doc_id % 4 AS INT) AS height,

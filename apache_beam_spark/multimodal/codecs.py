@@ -10,10 +10,11 @@ containers are fully decodable:
   None/Sub/Up/Average/Paeth unfiltering; baseline 8-bit gray/RGB/
   palette/alpha, non-interlaced (Adam7 and 16-bit raise with the gap
   named).
-* **JPEG** (ITU-T T.81 baseline sequential): marker walk, Annex K /
-  arbitrary DQT+DHT tables, huffman entropy decode with restart
-  intervals, dequantize + batched numpy IDCT, 1-2x chroma sampling
-  with replication upsample, YCbCr->RGB.  Progressive (SOF2),
+* **JPEG** (ITU-T T.81): marker walk, Annex K / arbitrary DQT+DHT
+  tables, huffman entropy decode with restart intervals, dequantize +
+  batched numpy IDCT, 1-2x chroma sampling with replication upsample,
+  YCbCr->RGB.  Baseline sequential (SOF0/1) AND progressive (SOF2,
+  Annex G spectral selection + successive approximation) both decode;
   arithmetic and lossless frames raise NotImplementedError naming the
   exact gap.
 
@@ -325,9 +326,9 @@ def sniff_format(payload: bytes) -> str:
 
 
 def decode_image_real(payload: bytes) -> np.ndarray:
-    """Decode BMP/PPM/PNG/baseline-JPEG for real — no media libraries.
-    Progressive/arithmetic JPEG raises NotImplementedError from
-    ``decode_jpeg`` naming the gap."""
+    """Decode BMP/PPM/PNG/JPEG (baseline + progressive) for real — no
+    media libraries.  Arithmetic/lossless JPEG raises
+    NotImplementedError from ``decode_jpeg`` naming the gap."""
     fmt = sniff_format(payload)
     if fmt == "bmp":
         return decode_bmp(payload)
@@ -342,14 +343,14 @@ def decode_image_real(payload: bytes) -> np.ndarray:
 
 # ----------------------------------------------------------------- JPEG
 #
-# Baseline sequential JFIF (ITU-T T.81 / ISO 10918-1, public spec):
-# huffman entropy coding with the Annex K tables, zigzag, dequantize,
-# batched numpy IDCT, chroma upsampling, YCbCr->RGB.  Same "real
-# codec" standard as the PNG path: the encoder exists so round trips
-# are testable in-sandbox (no JPEG files ship in the container);
-# progressive (SOF2), arithmetic (SOF9+), lossless and hierarchical
-# frames raise NotImplementedError naming the gap; malformed streams
-# raise ValueError (the dead-letter contract).
+# JFIF (ITU-T T.81 / ISO 10918-1, public spec): huffman entropy
+# coding with the Annex K tables, zigzag, dequantize, batched numpy
+# IDCT, chroma upsampling, YCbCr->RGB.  Same "real codec" standard as
+# the PNG path: the encoders exist so round trips are testable
+# in-sandbox (no JPEG files ship in the container); baseline (SOF0/1)
+# and progressive (SOF2) frames decode, arithmetic (SOF9+), lossless
+# and hierarchical frames raise NotImplementedError naming the gap;
+# malformed streams raise ValueError (the dead-letter contract).
 
 _ZIGZAG = []
 for _s in range(15):
@@ -730,13 +731,14 @@ def _segment_val16(seg: bytes) -> tuple:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """uint8 array from a baseline sequential JFIF stream: (h, w) for
-    one component, (h, w, 3) RGB otherwise.  Supports multiple DQT/DHT
-    segments, 8-bit quant tables, restart intervals, and any 1-2x
-    sampling factors (4:4:4 / 4:2:2 / 4:2:0 — chroma is replicated on
-    upsample).  Progressive/arithmetic/lossless frames raise
-    NotImplementedError naming the gap; malformed input raises
-    ValueError (dead-letter contract).
+    """uint8 array from a JFIF stream: (h, w) for one component,
+    (h, w, 3) RGB otherwise.  Supports baseline sequential (SOF0/1)
+    AND progressive (SOF2, Annex G) frames, multiple DQT/DHT segments,
+    8-bit quant tables, restart intervals, and any 1-2x sampling
+    factors (4:4:4 / 4:2:2 / 4:2:0 — chroma is replicated on
+    upsample).  Arithmetic/lossless frames raise NotImplementedError
+    naming the gap; malformed input raises ValueError (dead-letter
+    contract).
 
     Reference anchor: payloads ride Beam pipelines as opaque bytes
     (sdks/java/core/.../coders/ByteArrayCoder.java); the decode itself
@@ -1063,7 +1065,24 @@ def _enc_ac_refine(w, ac_tbl, zz, ss, se, ah, al, eobrun,
     """One block of an AC refinement scan (G.1.2.3.2): history
     coefficients (nonzero at the previous precision) contribute one
     correction bit each, buffered and emitted after the next code;
-    newly-significant coefficients are coded as run/1 + sign."""
+    newly-significant coefficients are coded as run/1 + sign.
+
+    Ordering mirrors libjpeg's jcphuff encode_mcu_AC_refine: the
+    zero-run counts ZERO coefficients only (history coefficients are
+    transparent to it), and when the run exceeds 15 at ANY nonzero
+    coefficient — history or newly-significant — the needed ZRLs are
+    emitted right there, each flushing only the correction bits
+    buffered so far, so the decoder finds every correction bit
+    interleaved inside the 16-zero span its walk covers.  ZRLs that
+    would land after the block's last newly-significant coefficient
+    fold into the cross-block EOB run instead (the ``k <= eob``
+    guard)."""
+    # index of the last NEWLY-significant coefficient in the band:
+    # zero-runs past it fold into the EOB run, no ZRL needed
+    eob = ss - 1
+    for k in range(ss, se + 1):
+        if (abs(int(zz[k])) >> al) == 1:
+            eob = k
     block_bits: list = []
     r = 0
     for k in range(ss, se + 1):
@@ -1072,18 +1091,19 @@ def _enc_ac_refine(w, ac_tbl, zz, ss, se, ah, al, eobrun,
         if t == 0:
             r += 1
             continue
-        if (abs(v) >> ah) != 0:          # history: correction bit
+        while r > 15 and k <= eob:
+            eobrun = _flush_eobrun(w, ac_tbl, eobrun, pending)
+            code, ln = ac_tbl[0xF0]
+            w.write(code, ln)
+            r -= 16
+            for b in block_bits:
+                w.write(b, 1)
+            block_bits = []
+        if t > 1:                        # history: correction bit
             block_bits.append(t & 1)
             continue
         # newly significant at this precision (t == 1)
         eobrun = _flush_eobrun(w, ac_tbl, eobrun, pending)
-        while r > 15:
-            code, ln = ac_tbl[0xF0]
-            w.write(code, ln)
-            for b in block_bits:
-                w.write(b, 1)
-            block_bits = []
-            r -= 16
         code, ln = ac_tbl[(r << 4) | 1]
         w.write(code, ln)
         w.write(1 if v > 0 else 0, 1)
@@ -1507,6 +1527,13 @@ def _decode_progressive(payload, pos, frame, qt, huff, restart):
             aa = body[3 + 2 * ns]
             if ss > 0 and ns != 1:
                 raise ValueError("interleaved progressive AC scan")
+            # T.81 G.1: a progressive DC scan is exactly Ss=Se=0; a
+            # baseline-shaped scan header (0..63) inside an SOF2 frame
+            # is malformed, not quietly DC-only
+            if (ss == 0) != (se == 0) or se > 63 or ss > se:
+                raise ValueError(
+                    "invalid progressive spectral selection "
+                    f"(Ss={ss}, Se={se})")
             pos = run_scan(sel, ss, se, aa >> 4, aa & 0xF,
                            pos + 2 + ln)
             continue

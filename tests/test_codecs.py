@@ -118,20 +118,23 @@ def test_decode_media_deadletter_routing(spark):
     from apache_beam_spark.multimodal.codecs import encode_bmp, encode_wav
     from apache_beam_spark.multimodal.columns import decode_media_with_deadletter
 
-    from apache_beam_spark.multimodal.codecs import encode_jpeg
+    from apache_beam_spark.multimodal.codecs import (
+        encode_jpeg, encode_jpeg_progressive)
 
     img = np.zeros((2, 3, 3), dtype=np.uint8)
     wav = encode_wav(np.array([1, 2], dtype=np.int16), 8000)
-    # a real baseline JPEG with its SOF0 marker flipped to SOF2:
-    # decodes as PROGRESSIVE -> gated NotImplementedError dead letter
-    prog = encode_jpeg(np.full((8, 8), 7, np.uint8)).replace(
-        b"\xff\xc0", b"\xff\xc2", 1)
+    # a real baseline JPEG with its SOF0 marker flipped to SOF9:
+    # ARITHMETIC coding is gated -> NotImplementedError dead letter
+    arith = encode_jpeg(np.full((8, 8), 7, np.uint8)).replace(
+        b"\xff\xc0", b"\xff\xc9", 1)
     rows = [(1, bytearray(encode_bmp(img))),
             (2, bytearray(wav)),
             (3, bytearray(b"\xff\xd8\xffjpeg-ish")),   # corrupt stream
             (4, bytearray(b"garbage")),                 # unknown container
-            (5, bytearray(prog)),                       # gated frame type
-            (6, bytearray(encode_jpeg(np.full((3, 5), 9, np.uint8))))]
+            (5, bytearray(arith)),                      # gated frame type
+            (6, bytearray(encode_jpeg(np.full((3, 5), 9, np.uint8)))),
+            (7, bytearray(encode_jpeg_progressive(      # progressive: OK
+                np.full((3, 5), 9, np.uint8))))]
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
     ok, errors = decode_media_with_deadletter(df)
     got = {r["doc_id"]: (r["format"], r["width"], r["sample_rate"])
@@ -139,11 +142,12 @@ def test_decode_media_deadletter_routing(spark):
     assert got[1] == ("bmp", 3, None)
     assert got[2] == ("wav", None, 8000)
     assert got[6] == ("jpeg", 5, None)                  # baseline decodes
+    assert got[7] == ("jpeg", 5, None)                  # progressive decodes
     errs = {r["doc_id"]: (r["format"], r["error"]) for r in errors.collect()}
     assert set(errs) == {3, 4, 5}
     assert errs[3][0] == "jpeg" and "ValueError" in errs[3][1]
     assert "unrecognized" in errs[4][1]
-    assert "NotImplementedError" in errs[5][1] and "progressive" in errs[5][1]
+    assert "NotImplementedError" in errs[5][1] and "0xFFC9" in errs[5][1]
 
 
 # ------------------------------------------------------------------ PNG
@@ -344,8 +348,13 @@ def test_jpeg_malformed_inputs_raise_cleanly():
         decode_jpeg(good[:40])                      # truncated segment
     with pytest.raises(ValueError):
         decode_jpeg(good[:-20])                     # truncated entropy data
-    with pytest.raises(NotImplementedError, match="progressive"):
+    # a baseline stream mislabeled SOF2: its 0..63 scan header is not a
+    # legal progressive spectral selection (T.81 G.1) — malformed, not
+    # quietly DC-only
+    with pytest.raises(ValueError, match="spectral selection"):
         decode_jpeg(good.replace(b"\xff\xc0", b"\xff\xc2", 1))
+    with pytest.raises(NotImplementedError, match="non-baseline"):
+        decode_jpeg(good.replace(b"\xff\xc0", b"\xff\xc9", 1))  # arithmetic
     with pytest.raises(NotImplementedError, match="12-bit"):
         # SOF0 precision byte 8 -> 12 (first byte of the SOF body)
         i = good.index(b"\xff\xc0")
@@ -459,3 +468,102 @@ def test_jpeg_fill_bytes_before_markers_tolerated():
     assert j > 0, "restart marker expected in the scan"
     padded2 = blob[:j] + b"\xff" + blob[j:]
     assert np.array_equal(decode_jpeg(padded2), want)
+
+
+# ---------------------------------------------------- progressive JPEG
+
+def test_jpeg_progressive_matches_baseline_exactly():
+    """The progressive encoder shares the baseline encoder's quantized
+    coefficients, so decode(progressive) must equal decode(baseline)
+    PIXEL-EXACTLY — gray and RGB, 4:4:4 and 4:2:0, off-grid dims, with
+    and without restart intervals."""
+    from apache_beam_spark.multimodal.codecs import (
+        decode_jpeg, encode_jpeg, encode_jpeg_progressive)
+
+    rng = np.random.RandomState(11)
+    gray = rng.randint(0, 256, (19, 23)).astype(np.uint8)
+    rgb = rng.randint(0, 256, (21, 17, 3)).astype(np.uint8)
+    for img, ss in [(gray, "444"), (rgb, "444"), (rgb, "420")]:
+        for ri in (0, 1, 3):
+            base = decode_jpeg(encode_jpeg(img, subsampling=ss,
+                                           restart_interval=ri))
+            prog = decode_jpeg(encode_jpeg_progressive(
+                img, subsampling=ss, restart_interval=ri))
+            assert np.array_equal(prog, base), (img.shape, ss, ri)
+
+
+def test_jpeg_progressive_constant_tile_closed_form():
+    """Identical quantized coefficients mean the progressive path keeps
+    the baseline constant-tile closed form — the determinism hook the
+    jpeg_progressive_roundtrip oracle uses."""
+    from apache_beam_spark.multimodal.codecs import (
+        decode_jpeg, encode_jpeg_progressive)
+
+    for v in [0, 1, 77, 128, 200, 255]:
+        img = np.full((13, 21), v, np.uint8)
+        dec = decode_jpeg(encode_jpeg_progressive(img))
+        want = int(np.clip(2 * np.floor((v - 128) / 2 + 0.5) + 128, 0, 255))
+        assert dec.shape == (13, 21) and (dec == want).all(), (v, want)
+
+
+def test_jpeg_progressive_fuzz_vs_baseline():
+    """Seeded random sweep over dims/channels/subsampling/restarts:
+    pins the AC-refinement encoder's libjpeg ZRL/correction-bit
+    ordering — the pre-fix encoder desynced on ~5% of these trials
+    (history bits beyond a 16-zero span flushed after the wrong
+    code)."""
+    from apache_beam_spark.multimodal.codecs import (
+        decode_jpeg, encode_jpeg, encode_jpeg_progressive)
+
+    for seed in range(48):
+        rng = np.random.RandomState(1000 + seed)
+        h, w = rng.randint(1, 40), rng.randint(1, 40)
+        gray = rng.rand() < 0.5
+        img = rng.randint(0, 256,
+                          (h, w) if gray else (h, w, 3)).astype(np.uint8)
+        ss = "420" if (not gray and rng.rand() < 0.5) else "444"
+        ri = int(rng.randint(0, 4))
+        base = decode_jpeg(encode_jpeg(img, subsampling=ss,
+                                       restart_interval=ri))
+        prog = decode_jpeg(encode_jpeg_progressive(
+            img, subsampling=ss, restart_interval=ri))
+        assert np.array_equal(prog, base), (seed, h, w, ss, ri)
+
+
+def test_jpeg_progressive_malformed_inputs_raise_cleanly():
+    from apache_beam_spark.multimodal.codecs import (
+        decode_jpeg, encode_jpeg_progressive)
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, (17, 13, 3)).astype(np.uint8)
+    good = encode_jpeg_progressive(img, restart_interval=2)
+    assert decode_jpeg(good).shape == img.shape
+    with pytest.raises(ValueError):
+        decode_jpeg(good[:-40])                 # truncated entropy data
+    # drop the DHT segments: scans reference missing tables
+    i = good.index(b"\xff\xc4")
+    stripped = bytearray(good[:i])
+    pos = i
+    while good[pos:pos + 2] == b"\xff\xc4":
+        (ln,) = struct.unpack(">H", good[pos + 2:pos + 4])
+        pos += 2 + ln
+    stripped += good[pos:]
+    with pytest.raises(ValueError, match="missing table"):
+        decode_jpeg(bytes(stripped))
+
+
+def test_jpeg_progressive_through_decode_image_stage(spark):
+    """A progressive payload decodes through the distributed
+    mapInPandas stage with the same dims/pixels as its baseline twin."""
+    from apache_beam_spark.multimodal.codecs import (
+        decode_jpeg, encode_jpeg, encode_jpeg_progressive)
+    from apache_beam_spark.multimodal.columns import decode_image
+
+    rng = np.random.RandomState(6)
+    img = rng.randint(0, 256, (9, 7, 3)).astype(np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_jpeg_progressive(img)))],
+        "doc_id long, payload binary")
+    row = decode_image(df).first()
+    assert (row["width"], row["height"], row["channels"]) == (7, 9, 3)
+    assert bytes(row["pixels"]) == decode_jpeg(encode_jpeg(img)).tobytes()
