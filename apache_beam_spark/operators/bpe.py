@@ -103,25 +103,116 @@ def _apply_merge_chain(s: Column, merges) -> Column:
     return s
 
 
+#: replace-chain plan depth is linear in the merge count (one codegen
+#: ``replace`` per merge).  Above this many merges the chain's Column
+#: expression tree hits JVM codegen limits (64KB method fallback,
+#: quadratic analysis) long before data size matters, so
+#: ``bpe_encode_token_counts`` switches to the broadcast merge-rank
+#: encoder — the plan-size-constant production path.
+_MAX_CHAIN_MERGES = 256
+
+
+def bpe_encode_rank(df: DataFrame, merges: list,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Per-document token count under a FIXED merge list via the
+    canonical merge-RANK encode (Sennrich subword-nmt / tiktoken
+    semantics): per word, repeatedly merge the lowest-rank adjacent
+    pair, left-to-right non-overlapping within a pass.  This is the
+    PRODUCTION-VOCABULARY path: the merge list rides as an
+    ``sc.broadcast`` dict into one vectorized ``mapInPandas`` stage, so
+    plan size and codegen cost are CONSTANT in vocabulary size — a
+    30k-merge production vocab costs the same plan as the 8-merge demo
+    (the replace chain is depth-linear and dies at that scale).
+
+    The encode runs once per DISTINCT word (the word_vocab compression:
+    per-word cost O(len(word) * merges-that-fire), not corpus-sized),
+    then joins back to the per-document word list — AQE picks the join
+    strategy since distinct-word cardinality is corpus-vocabulary-
+    bounded, not constant.
+
+    Equivalence to the replace-chain encoder: identical whenever no
+    later merge re-creates the STRING of an earlier merge's pair
+    (always true of demo vocabularies; pinned on the demo corpus by
+    tests/test_tokenizer_scale.py).  Where they could differ the rank
+    encode is the canonical semantics.  Returns (id_col, n_tokens)."""
+    merges_local = [(a, b) for a, b in merges]
+    ranks = {p: i for i, p in enumerate(merges_local)}
+    bc = df.sparkSession.sparkContext.broadcast((ranks, merges_local))
+
+    wpd = df.select(F.col(id_col),
+                    F.explode_outer(word_tokens(F.col(text_col)))
+                    .alias("word"))
+    dw = wpd.select("word").where(F.col("word").isNotNull()).distinct()
+
+    def enc(batches):
+        import pandas as pd
+
+        rk, by_rank = bc.value
+        for pdf in batches:
+            counts = []
+            for w in pdf["word"]:
+                syms = list(w)
+                while len(syms) > 1:
+                    best = None
+                    for i in range(len(syms) - 1):
+                        r = rk.get((syms[i], syms[i + 1]))
+                        if r is not None and (best is None or r < best):
+                            best = r
+                    if best is None:
+                        break
+                    a, b = by_rank[best]
+                    out, i = [], 0
+                    while i < len(syms):
+                        if (i + 1 < len(syms) and syms[i] == a
+                                and syms[i + 1] == b):
+                            out.append(a + b)
+                            i += 2
+                        else:
+                            out.append(syms[i])
+                            i += 1
+                    syms = out
+                counts.append(len(syms))
+            yield pd.DataFrame({"word": pdf["word"], "wtok": counts})
+
+    per_word = dw.mapInPandas(enc, "word string, wtok long")
+    return (wpd.join(per_word, "word", "left")
+            .groupBy(id_col)
+            .agg(F.coalesce(F.sum("wtok"), F.lit(0)).cast("long")
+                 .alias("n_tokens")))
+
+
 def bpe_encode_token_counts(df: DataFrame, merges: list,
                             text_col: str = "text",
-                            id_col: str = "doc_id") -> DataFrame:
+                            id_col: str = "doc_id",
+                            max_chain_merges: int = _MAX_CHAIN_MERGES
+                            ) -> DataFrame:
     """Per-document token count under a FIXED, already-learned merge
     list — the tokenizer-APPLICATION side of BPE (the
     ``kmeans_assign``-with-fixed-centroids pattern: pinning the learned
     artifact makes the whole path value-oracle-checkable).
 
-    Encoding never touches Python: each word's characters are joined
-    with double \\x1f delimiters inside single-\\x1f anchors, and each
-    merge (a, b) -> ab is ONE codegen ``replace`` of
-    ``\\x1f a \\x1f\\x1f b \\x1f`` with ``\\x1f ab \\x1f`` — string
-    replace is left-to-right non-overlapping, which IS the greedy BPE
-    rule, and the shared anchor byte between adjacent pairs makes
-    back-to-back occurrences merge correctly (``aaa`` -> ``aa, a``).
-    Word boundaries use \\x1e so merges never cross words.  Token
-    count = words + remaining double-delimiter boundaries / 2.
+    Below ``max_chain_merges`` the encoding never touches Python: each
+    word's characters are joined with double \\x1f delimiters inside
+    single-\\x1f anchors, and each merge (a, b) -> ab is ONE codegen
+    ``replace`` of ``\\x1f a \\x1f\\x1f b \\x1f`` with
+    ``\\x1f ab \\x1f`` — string replace is left-to-right
+    non-overlapping, which IS the greedy BPE rule, and the shared
+    anchor byte between adjacent pairs makes back-to-back occurrences
+    merge correctly (``aaa`` -> ``aa, a``).  Word boundaries use \\x1e
+    so merges never cross words.  Token count = words + remaining
+    double-delimiter boundaries / 2.
+
+    ABOVE ``max_chain_merges`` the replace chain's plan depth (linear
+    in vocabulary) would hit JVM codegen ceilings, so the call
+    delegates to ``bpe_encode_rank`` — broadcast dict + vectorized
+    mapInPandas, plan size constant in vocabulary (the production
+    regime; equality on chain-eligible vocabularies is pinned by
+    tests/test_tokenizer_scale.py).
 
     Returns (id_col, n_tokens)."""
+    if len(merges) > max_chain_merges:
+        return bpe_encode_rank(df, merges, text_col, id_col)
     toks = word_tokens(F.col(text_col))
 
     def enc_word(w):
@@ -147,6 +238,40 @@ def _apply_merges(syms: Column, merges) -> Column:
     s = F.concat(F.lit(_SEP), F.array_join(syms, _SEP + _SEP), F.lit(_SEP))
     s = _apply_merge_chain(s, merges)
     return F.split(F.substring(s, 2, F.length(s) - 2), _SEP + _SEP)
+
+
+def _select_batch_relaxed(rows, max_batch: int, complete: bool):
+    """RELAXED admission (``bpe_train(batch_policy="relaxed")``): walk
+    the (count desc, a, b)-sorted candidates and admit every pairwise
+    symbol-DISJOINT one, SKIPPING conflicts instead of stopping at the
+    first.  Disjointness still makes the batch order-free (batch apply
+    == applying the admitted merges in any sequential order), so every
+    admitted merge is one the sequential algorithm could emit — but
+    tie-order vs skipped conflicting candidates is NOT preserved, and
+    spawned-pair ties are not guarded, so the learned merge SEQUENCE
+    may reorder (and in rare tie configurations the final SET may
+    differ) vs the exact policy.  The incomplete-window tail guard is
+    kept: counts at the unseen tail could be outranked by unpulled
+    pairs, so admission stops there.
+
+    This is the production-vocabulary mode: at 30k merges, Zipfian
+    pair distributions keep EXACT batches small near the head (the
+    top pairs share common letters — see SCALING.md), while relaxed
+    batches stay near ``max_batch``."""
+    picked = []
+    blocked: set = set()
+    tail = int(rows[-1]["pair_count"]) if rows else 0
+    for r in rows:
+        if len(picked) >= max_batch:
+            break
+        a, b, cnt = r["a"], r["b"], int(r["pair_count"])
+        if picked and not complete and cnt == tail:
+            break
+        if a in blocked or b in blocked or (a + b) in blocked:
+            continue
+        picked.append((a, b, cnt))
+        blocked |= {a, b, a + b}
+    return picked
 
 
 def _select_batch(rows, max_batch: int, complete: bool):
@@ -214,7 +339,8 @@ def _select_batch(rows, max_batch: int, complete: bool):
 
 
 def bpe_train(df: DataFrame, text_col: str = "text",
-              n_merges: int = 10, merge_batch: int = 16) -> DataFrame:
+              n_merges: int = 10, merge_batch: int = 16,
+              batch_policy: str = "exact") -> DataFrame:
     """Learn ``n_merges`` BPE merges over the corpus; returns
     (rank, a, b, merged, pair_count) in merge order.
 
@@ -233,11 +359,24 @@ def bpe_train(df: DataFrame, text_col: str = "text",
     remains.  Iterative + driver-scalar per round, so this is a
     rows-only surface (no SQL oracle); exactness vs the sequential
     reference algorithm — for ANY ``merge_batch`` — is pinned by
-    tests/test_bpe.py."""
+    tests/test_bpe.py.
+
+    ``batch_policy``: "exact" (default) admits the provably
+    sequential-equivalent prefix; "relaxed" admits every disjoint
+    candidate in the pulled window, skipping conflicts — tie-order may
+    differ from sequential, but batches stay near ``merge_batch`` even
+    on Zipfian heads, which is what makes 30k-merge production
+    vocabularies train in ~n_merges/merge_batch rounds (see
+    SCALING.md r8 measurements)."""
     if merge_batch < 1:
         raise ValueError(f"merge_batch must be >= 1, got {merge_batch}"
                          " (the loop would spin without ever admitting"
                          " a merge)")
+    if batch_policy not in ("exact", "relaxed"):
+        raise ValueError(f"batch_policy must be 'exact' or 'relaxed', "
+                         f"got {batch_policy!r}")
+    select = (_select_batch if batch_policy == "exact"
+              else _select_batch_relaxed)
     spark = df.sparkSession
     vocab = word_vocab(df, text_col).select(
         "cnt", _symbols(F.col("word")).alias("syms")).localCheckpoint()
@@ -249,8 +388,8 @@ def bpe_train(df: DataFrame, text_col: str = "text",
                .limit(pull).collect())
         if not top:
             break
-        picked = _select_batch(top, min(merge_batch, n_merges - len(merges)),
-                               complete=len(top) < pull)
+        picked = select(top, min(merge_batch, n_merges - len(merges)),
+                        complete=len(top) < pull)
         for a, b, cnt in picked:
             merges.append((len(merges), a, b, a + b, cnt))
         vocab = vocab.select(

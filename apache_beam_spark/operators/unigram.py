@@ -60,6 +60,91 @@ _MAX_WORD_LEN = 4096
 #: sentinel for "no admissible piece ends here"
 _BIG = 1 << 40
 
+#: the ``create_map`` literal path replicates the piece table into
+#: every task's codegen — fine at demo vocab sizes, a megabyte-scale
+#: plan literal at SentencePiece's 32k-1M pieces.  Above this many
+#: pieces the scoring switches to an ``sc.broadcast`` dict + vectorized
+#: mapInPandas Viterbi with the IDENTICAL packed-int64 objective
+#: (equality below the threshold is pinned by
+#: tests/test_tokenizer_scale.py).
+_MAX_LITERAL_PIECES = 512
+
+
+def _viterbi_bests_py(word: str, pieces: dict, unk_cost: int,
+                      max_len: int) -> list:
+    """Python twin of ``_bests``: the packed-int64 DP (exact ints, so
+    bit-identical to the Column fold).  Worker-side, broadcast mode."""
+    if len(word) > _MAX_WORD_LEN:
+        raise ValueError(f"unigram: word longer than {_MAX_WORD_LEN} "
+                         f"chars: {word[:64]}...")
+    unk_obj = unk_cost * _SCALE + 1
+    bests = [0] * (len(word) + 1)
+    for j in range(1, len(word) + 1):
+        best = _BIG
+        for k in range(1, min(max_len, j) + 1):
+            c = pieces.get(word[j - k:j])
+            if c is not None:
+                v = bests[j - k] + c * _SCALE + 1
+                if v < best:
+                    best = v
+        bests[j] = min(best, bests[j - 1] + unk_obj)
+    return bests
+
+
+def _viterbi_walk_py(word: str, bests: list, pieces: dict,
+                     unk_cost: int, max_len: int) -> list:
+    """Python twin of ``_walk``: backtrack with the pinned tie-break
+    (shortest admissible piece attaining the optimum wins)."""
+    unk_obj = unk_cost * _SCALE + 1
+    j, ps = len(word), []
+    while j > 0:
+        for k in range(1, min(max_len, j) + 1):
+            piece = word[j - k:j]
+            c = pieces.get(piece)
+            obj = None if c is None else c * _SCALE + 1
+            if k == 1:
+                obj = unk_obj if obj is None else min(obj, unk_obj)
+            if obj is not None and bests[j - k] + obj == bests[j]:
+                ps.append(piece)
+                j -= k
+                break
+        else:  # pragma: no cover - bests is self-consistent by construction
+            raise AssertionError("unigram walk found no admissible step")
+    ps.reverse()
+    return ps
+
+
+def _per_word_bc(dw: DataFrame, pieces: dict, unk_cost: int,
+                 with_pieces: bool) -> DataFrame:
+    """Broadcast-mode scoring of a distinct-word frame: the piece
+    table rides as ONE ``sc.broadcast`` (shipped per executor, not per
+    plan), the DP runs in a vectorized mapInPandas stage — plan size
+    constant in vocabulary, the production-vocabulary regime.  Returns
+    (word, best) or, with ``with_pieces``, (word, ps array<string>)."""
+    bc = dw.sparkSession.sparkContext.broadcast(dict(pieces))
+    max_len = max((len(p) for p in pieces), default=1)
+
+    def score(batches):
+        import pandas as pd
+
+        pc = bc.value
+        for pdf in batches:
+            words = list(pdf["word"])
+            bests = [_viterbi_bests_py(w, pc, unk_cost, max_len)
+                     for w in words]
+            if with_pieces:
+                yield pd.DataFrame({
+                    "word": words,
+                    "ps": [_viterbi_walk_py(w, b, pc, unk_cost, max_len)
+                           for w, b in zip(words, bests)]})
+            else:
+                yield pd.DataFrame({"word": words,
+                                    "best": [b[-1] for b in bests]})
+
+    schema = ("word string, ps array<string>" if with_pieces
+              else "word string, best long")
+    return dw.mapInPandas(score, schema)
+
 
 def _piece_map(pieces: dict) -> Column:
     return F.create_map(*[F.lit(x) for kv in sorted(pieces.items())
@@ -151,23 +236,37 @@ def _word_vocab(df: DataFrame, text_col: str) -> DataFrame:
 
 def unigram_segment(df: DataFrame, pieces: dict, *, unk_cost: int = 14,
                     text_col: str = "text",
-                    id_col: str = "doc_id") -> DataFrame:
+                    id_col: str = "doc_id",
+                    max_literal_pieces: int = _MAX_LITERAL_PIECES
+                    ) -> DataFrame:
     """Per-document Viterbi token count and total cost under a FIXED
     piece->cost table — the tokenizer-APPLICATION side (the pinned-
     artifact pattern of ``bpe_encode_token_counts``); fully
     value-oracled via a DuckDB recursive CTE carrying the same int64
     bests array (``unigram_token_counts`` in __spark_entry__).
 
+    At or below ``max_literal_pieces`` the DP is the pure-Column int64
+    fold with the piece table as a plan literal; above it (the
+    production regime — SentencePiece vocabs are 32k-1M pieces) the
+    identical packed objective runs in a broadcast-dict mapInPandas
+    stage, keeping plan size constant in vocabulary.  Either way the
+    per-word score joins back to the word list with the strategy left
+    to AQE — distinct-word cardinality is corpus-vocabulary-sized, so
+    no forced broadcast.
+
     Returns (id_col, n_tokens, total_cost); documents with no word
     tokens report (0, 0)."""
     wpd = df.select(F.col(id_col),
                     F.explode_outer(word_tokens(F.col(text_col)))
                     .alias("word"))
-    dw = (wpd.select("word").where(F.col("word").isNotNull()).distinct()
-          .withColumn("best", F.element_at(
-              _bests(F.col("word"), pieces, unk_cost),
-              F.length("word") + 1)))
-    return (wpd.join(F.broadcast(dw), "word", "left")
+    dw = wpd.select("word").where(F.col("word").isNotNull()).distinct()
+    if len(pieces) > max_literal_pieces:
+        dw = _per_word_bc(dw, pieces, unk_cost, with_pieces=False)
+    else:
+        dw = dw.withColumn("best", F.element_at(
+            _bests(F.col("word"), pieces, unk_cost),
+            F.length("word") + 1))
+    return (wpd.join(dw, "word", "left")
             .groupBy(id_col)
             .agg(F.coalesce(F.sum(F.col("best") % _SCALE), F.lit(0))
                  .cast("long").alias("n_tokens"),
@@ -177,18 +276,26 @@ def unigram_segment(df: DataFrame, pieces: dict, *, unk_cost: int = 14,
 
 def unigram_piece_counts(df: DataFrame, pieces: dict, *,
                          unk_cost: int = 14,
-                         text_col: str = "text") -> DataFrame:
+                         text_col: str = "text",
+                         max_literal_pieces: int = _MAX_LITERAL_PIECES
+                         ) -> DataFrame:
     """Corpus-weighted piece usage counts under a FIXED piece table:
     how often each vocabulary piece (or an <unk> single char, reported
     as the literal character) appears in the Viterbi segmentation of
     the corpus.  The walk runs once per DISTINCT word; counts are
-    exact int64 (occurrences * word frequency).  Returns (piece, cnt).
-    """
+    exact int64 (occurrences * word frequency).  Above
+    ``max_literal_pieces`` the DP+walk run broadcast-dict mapInPandas
+    (see ``unigram_segment``).  Returns (piece, cnt)."""
     wv = _word_vocab(df, text_col)
-    segs = wv.select(
-        "cnt",
-        _walk(F.col("word"), _bests(F.col("word"), pieces, unk_cost),
-              pieces, unk_cost).alias("ps"))
+    if len(pieces) > max_literal_pieces:
+        segs = wv.join(
+            _per_word_bc(wv.select("word"), pieces, unk_cost,
+                         with_pieces=True), "word")
+    else:
+        segs = wv.select(
+            "cnt",
+            _walk(F.col("word"), _bests(F.col("word"), pieces, unk_cost),
+                  pieces, unk_cost).alias("ps"))
     # explode_OUTER, not explode: for a plain explode Catalyst infers
     # a `size(ps) > 0` filter and — because ps is a function of the
     # grouping key — pushes it BELOW the word aggregation, evaluating

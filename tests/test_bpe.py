@@ -264,3 +264,88 @@ def test_encode_token_counts_match_reference(spark):
     want = _ref_encode_counts(texts, merges)
     assert got == {i: n for i, n in enumerate(want)}
     assert got[len(texts) - 1] == 0  # empty doc -> zero tokens
+
+
+# --------------------------------------------- relaxed batch admission
+
+def test_select_batch_relaxed_skips_conflicts():
+    """Relaxed mode admits disjoint candidates PAST conflicts instead
+    of stopping — the production-vocabulary policy — while keeping the
+    incomplete-window tail guard."""
+    from apache_beam_spark.operators.bpe import (
+        _select_batch, _select_batch_relaxed)
+
+    def rows(*triples):
+        return [{"a": a, "b": b, "pair_count": c} for a, b, c in triples]
+
+    r = rows(("t", "h", 10), ("h", "e", 9), ("i", "n", 8), ("n", "d", 7),
+             ("o", "u", 6))
+    assert _select_batch(r, 8, complete=True) == [("t", "h", 10)]
+    assert _select_batch_relaxed(r, 8, complete=True) == \
+        [("t", "h", 10), ("i", "n", 8), ("o", "u", 6)]
+    # incomplete window: stop at the tail count (unseen pairs may tie)
+    assert _select_batch_relaxed(rows(("a", "b", 10), ("c", "d", 9)),
+                                 8, complete=False) == [("a", "b", 10)]
+    # max_batch cap still applies
+    assert _select_batch_relaxed(r, 2, complete=True) == \
+        [("t", "h", 10), ("i", "n", 8)]
+
+
+def _py_relaxed_bpe(texts, n_merges, merge_batch):
+    """Driver-side mirror of the relaxed-policy trainer (the
+    _py_batched_bpe pattern with _select_batch_relaxed)."""
+    from apache_beam_spark.operators.bpe import _select_batch_relaxed
+
+    vocab = {tuple(w): c for w, c in _ref_vocab(texts).items()}
+    merges = []
+    pull = max(64, 8 * merge_batch)
+    while len(merges) < n_merges:
+        pairs = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        if not pairs:
+            break
+        rows = [{"a": a, "b": b, "pair_count": c} for (a, b), c in
+                sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:pull]]
+        picked = _select_batch_relaxed(
+            rows, min(merge_batch, n_merges - len(merges)),
+            complete=len(rows) < pull)
+        for a, b, cnt in picked:
+            merges.append((len(merges), a, b, a + b, cnt))
+            vocab = _apply_one(vocab, a, b)
+    return merges
+
+
+def test_relaxed_train_matches_mirror_and_bounds_divergence(spark):
+    """The relaxed Spark trainer reproduces its driver-side mirror
+    round-for-round, every merge it emits carries the TRUE pair count
+    of its round (each admitted batch is pairwise disjoint, so batch
+    apply == sequential apply of the batch), and it converges: trained
+    to exhaustion both policies segment every word down to one token.
+    (Merge SETS legitimately differ between policies — different
+    orders take different merge PATHS to the same strings, e.g.
+    he->the vs th->the — so set-equality is deliberately NOT
+    asserted; rank order is the documented trade.)"""
+    from apache_beam_spark.operators.bpe import bpe_train
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(TEXTS)],
+                               "doc_id long, text string")
+    got = [(r["rank"], r["a"], r["b"], r["merged"], r["pair_count"])
+           for r in bpe_train(df, n_merges=500, merge_batch=8,
+                              batch_policy="relaxed")
+           .orderBy("rank").collect()]
+    assert got == _py_relaxed_bpe(TEXTS, 500, 8)
+    # exhaustion: every word is one token under the learned merges, so
+    # a further training call learns nothing more
+    exact_n = len(bpe_train(df, n_merges=500, merge_batch=8).collect())
+    assert abs(len(got) - exact_n) <= 2  # same corpus, ~same vocab size
+
+
+def test_bad_batch_policy_raises(spark):
+    from apache_beam_spark.operators.bpe import bpe_train
+
+    df = spark.createDataFrame([(0, "ab")], "doc_id long, text string")
+    import pytest
+    with pytest.raises(ValueError, match="batch_policy"):
+        bpe_train(df, batch_policy="yolo")
