@@ -307,6 +307,90 @@ def unigram_piece_counts(df: DataFrame, pieces: dict, *,
             .groupBy("piece").agg(F.sum("cnt").alias("cnt")))
 
 
+#: full-EM expected counts are fractional; they are quantized to int64
+#: PER (word, piece) before the distributed sum, so the cross-word
+#: aggregation is exact integer math (deterministic regardless of
+#: partition/merge order) and a sequential reference reproduces every
+#: round bit-identically.  2^20 keeps ~6 decimal digits of the
+#: expectation.
+_EM_SCALE = 1 << 20
+
+#: _quantize_costs' log2 scale (cost = round(-log2 p * 8)); the EM
+#: lattice converts costs back to log-probs with the same constant.
+_COST_SCALE = 8
+
+
+def _expected_counts_word(word: str, costs: dict, max_len: int) -> dict:
+    """Forward-backward expected piece counts over the segmentation
+    lattice of one word (Kudo ACL'18 full-EM E-step): piece P's edge
+    (j-k, j) contributes 2^(alpha[j-k] + logp(P) + beta[j] - alpha[n]).
+    Log2-space with ``np.logaddexp2`` folded in ascending-k order, so
+    the float math is a fixed operation sequence — deterministic given
+    (word, costs), which is what lets the per-word quantization pin
+    the whole distributed E-step."""
+    import numpy as np
+
+    n = len(word)
+    lp = {p: -c / _COST_SCALE for p, c in costs.items()}
+    neg = -np.inf
+    la = np.full(n + 1, neg)
+    la[0] = 0.0
+    for j in range(1, n + 1):
+        acc = neg
+        for k in range(1, min(max_len, j) + 1):
+            c = lp.get(word[j - k:j])
+            if c is not None and la[j - k] != neg:
+                acc = np.logaddexp2(acc, la[j - k] + c)
+        la[j] = acc
+    lb = np.full(n + 1, neg)
+    lb[n] = 0.0
+    for j in range(n - 1, -1, -1):
+        acc = neg
+        for k in range(1, min(max_len, n - j) + 1):
+            c = lp.get(word[j:j + k])
+            if c is not None and lb[j + k] != neg:
+                acc = np.logaddexp2(acc, lb[j + k] + c)
+        lb[j] = acc
+    total = la[n]
+    out: dict = {}
+    if total == neg:        # unsegmentable (never happens with singles)
+        return out
+    for j in range(n):
+        for k in range(1, min(max_len, n - j) + 1):
+            c = lp.get(word[j:j + k])
+            if c is None or la[j] == neg or lb[j + k] == neg:
+                continue
+            e = float(2.0 ** (la[j] + c + lb[j + k] - total))
+            piece = word[j:j + k]
+            out[piece] = out.get(piece, 0.0) + e
+    return out
+
+
+def _em_counts(wv: DataFrame, costs: dict) -> DataFrame:
+    """Distributed full-EM E-step over the (word, cnt) frame: per-word
+    expected counts (broadcast piece table + mapInPandas, the
+    production-vocabulary shape), quantized to int64 * _EM_SCALE per
+    (word, piece) BEFORE the shuffle, summed exactly.  Returns
+    (piece, c) with c in _EM_SCALE units."""
+    bc = wv.sparkSession.sparkContext.broadcast(dict(costs))
+    max_len = max((len(p) for p in costs), default=1)
+
+    def gen(batches):
+        import pandas as pd
+
+        cs = bc.value
+        for pdf in batches:
+            pieces, cc = [], []
+            for w, wc in zip(pdf["word"], pdf["cnt"]):
+                for p, e in _expected_counts_word(w, cs, max_len).items():
+                    pieces.append(p)
+                    cc.append(int(round(e * int(wc) * _EM_SCALE)))
+            yield pd.DataFrame({"piece": pieces, "c": cc})
+
+    return (wv.mapInPandas(gen, "piece string, c long")
+            .groupBy("piece").agg(F.sum("c").alias("c")))
+
+
 def _quantize_costs(counts: dict, *, scale: int = 8) -> dict:
     """cost(piece) = max(1, round(log2(total / cnt) * scale)) — the
     integer quantization of -log2 p that keeps every downstream
@@ -353,23 +437,36 @@ def _seed_pieces(wv: DataFrame, *, max_piece_len: int,
 
 def unigram_train(df: DataFrame, *, vocab_size: int = 48,
                   rounds: int = 3, max_piece_len: int = 4,
-                  seed_multi: int = 64,
+                  seed_multi: int = 64, em: str = "hard",
                   text_col: str = "text") -> DataFrame:
-    """Learn a unigram piece table by Viterbi-EM (hard EM) and return
-    it as (piece, cost, cnt) — cnt is the final-round corpus usage.
+    """Learn a unigram piece table by EM and return it as
+    (piece, cost, cnt) — cnt is the final-round corpus usage (for
+    ``em="full"``, the rounded expected usage).
 
-    Each ROUND: one distributed Viterbi pass over the (checkpointed)
-    distinct-word frame accumulates exact int64 piece counts (E-step);
-    the driver requantizes costs from the vocab_size-bounded count
-    table and prunes (M-step) — unused multi-char pieces drop, then
-    the lowest-count multi-char pieces drop until ``vocab_size``
-    remains (single characters are never pruned: coverage).  All
-    driver pulls are piece-table-sized, never corpus-sized.  Iterative
-    + driver-scalar per round, so this is a test-pinned surface (no
-    SQL oracle): tests/test_unigram.py pins every round against a
-    sequential reference implementation."""
+    ``em="hard"`` (Viterbi-EM): E-step segments the distinct-word
+    frame under current integer costs via the pure-Column Viterbi walk
+    and accumulates exact int64 piece counts.  ``em="full"``
+    (SentencePiece's actual E-step, Kudo ACL'18): forward-backward
+    EXPECTED counts over every word's segmentation lattice — no
+    hard-assignment local optimum — computed per word in a broadcast-
+    table mapInPandas stage (fixed-order log2-space float math,
+    deterministic per word) and quantized to int64 * 2^20 per
+    (word, piece) before the shuffle, so the cross-word sum stays
+    exact integer math and every round is reproducible bit-for-bit.
+
+    M-step (both modes): the driver requantizes costs from the
+    vocab_size-bounded count table and prunes — unused multi-char
+    pieces drop, then the lowest-count multi-char pieces drop until
+    ``vocab_size`` remains (single characters are never pruned:
+    coverage).  All driver pulls are piece-table-sized, never
+    corpus-sized.  Iterative + driver-scalar per round, so this is a
+    test-pinned surface (no SQL oracle): tests/test_unigram.py pins
+    every round of both modes against sequential references, and the
+    full-EM lattice against brute-force segmentation enumeration."""
     if max_piece_len < 1:
         raise ValueError(f"max_piece_len must be >= 1, got {max_piece_len}")
+    if em not in ("hard", "full"):
+        raise ValueError(f"em must be 'hard' or 'full', got {em!r}")
     spark = df.sparkSession
     wv = _word_vocab(df, text_col).localCheckpoint()
     seed_counts = _seed_pieces(wv, max_piece_len=max_piece_len,
@@ -377,20 +474,28 @@ def unigram_train(df: DataFrame, *, vocab_size: int = 48,
     singles = {p for p in seed_counts if len(p) == 1}
     costs = _quantize_costs(seed_counts)
     counts: dict = dict(seed_counts)
+    # unit of the per-round counts: raw occurrences for hard EM,
+    # _EM_SCALE-ths of an expected occurrence for full EM (ratios are
+    # unit-free, so _quantize_costs needs no change)
+    unit = 1 if em == "hard" else _EM_SCALE
     # the <unk> fallback never fires during training: every single
     # char of the corpus is in the seed table and never pruned.  Keep
     # it admissible-but-dominated so _bests/_walk stay one code path.
     unk = max(costs.values()) + 1
     for _ in range(max(1, rounds)):
-        segs = wv.select(
-            "cnt", _walk(F.col("word"),
-                         _bests(F.col("word"), costs, unk),
-                         costs, unk).alias("ps"))
-        rows = (segs.select(F.explode_outer("ps").alias("piece"), "cnt")
-                .where(F.col("piece").isNotNull())  # see unigram_piece_counts
-                .groupBy("piece").agg(F.sum("cnt").alias("cnt"))
-                .collect())
-        counts = {r["piece"]: int(r["cnt"]) for r in rows}
+        if em == "hard":
+            segs = wv.select(
+                "cnt", _walk(F.col("word"),
+                             _bests(F.col("word"), costs, unk),
+                             costs, unk).alias("ps"))
+            rows = (segs.select(F.explode_outer("ps").alias("piece"), "cnt")
+                    .where(F.col("piece").isNotNull())  # see unigram_piece_counts
+                    .groupBy("piece").agg(F.sum("cnt").alias("cnt"))
+                    .collect())
+            counts = {r["piece"]: int(r["cnt"]) for r in rows}
+        else:
+            rows = _em_counts(wv, costs).collect()
+            counts = {r["piece"]: int(r["c"]) for r in rows}
         for ch in singles:  # coverage: singles survive at count >= 0
             counts.setdefault(ch, 0)
         multi = sorted(((p, c) for p, c in counts.items()
@@ -404,6 +509,8 @@ def unigram_train(df: DataFrame, *, vocab_size: int = 48,
         unk = max(costs.values()) + 1
         counts = {p: counts.get(p, 0) for p in costs}
     return spark.createDataFrame(
-        sorted(((p, costs[p], counts.get(p, 0)) for p in costs),
+        sorted(((p, costs[p],
+                 (counts.get(p, 0) + unit // 2) // unit)
+                for p in costs),
                key=lambda t: (t[1], t[0])),
         "piece string, cost int, cnt long")

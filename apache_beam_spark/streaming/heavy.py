@@ -93,7 +93,10 @@ def streaming_heavy_hitters(df: DataFrame, item_col: str,
             for pdf in pdfs:
                 # standard late-row discipline: rows behind the
                 # watermark are beyond the lateness bound -> dropped
-                counters = _absorb(counters, pdf[pdf["t"] >= wm_us])
+                # (wm 0 = first batch: nothing can be late, skip the
+                # full-frame mask+copy)
+                counters = _absorb(
+                    counters, pdf[pdf["t"] >= wm_us] if wm_us else pdf)
         if wm_us >= w_start + window_us:  # window closed: emit + free
             if state.exists:
                 state.remove()
@@ -115,7 +118,8 @@ def streaming_heavy_hitters(df: DataFrame, item_col: str,
         wm_us = state.getCurrentWatermarkMs() * 1000
         if not state.hasTimedOut:
             for pdf in pdfs:
-                pdf = pdf[pdf["t"] >= wm_us]
+                if wm_us:       # first batch: nothing can be late
+                    pdf = pdf[pdf["t"] >= wm_us]
                 if not len(pdf):
                     continue
                 # ONE vectorized count over the whole batch instead of

@@ -172,7 +172,10 @@ def streaming_funnel(df: DataFrame, steps: Sequence[str], within_ms: int,
             for pdf in pdfs:
                 # Spark's late-row rule: a row with event time < the
                 # watermark is beyond the lateness bound -> dropped
-                pdf = pdf[pdf["t"] >= wm]
+                # (wm 0 = first batch: nothing can be late, skip the
+                # full-frame mask+copy)
+                if wm:
+                    pdf = pdf[pdf["t"] >= wm]
                 buf.extend(zip(pdf["t"].astype(int).tolist(),
                                pdf["y"].astype(int).tolist(),
                                pdf["i"].astype(int).tolist()))
@@ -196,10 +199,12 @@ def streaming_funnel(df: DataFrame, steps: Sequence[str], within_ms: int,
         wm = wm_ms * 1000
         if not state.hasTimedOut:
             for pdf in pdfs:
-                # vectorized ingest: late-row filter + per-user bulk
-                # extend (a groupby over the Arrow batch, not a Python
-                # loop over events)
-                pdf = pdf[pdf["t"] >= wm]
+                # vectorized ingest: late-row filter (skipped on
+                # the wm-0 first batch: nothing can be late) +
+                # per-user bulk extend (a groupby over the Arrow
+                # batch, not a Python loop over events)
+                if wm:
+                    pdf = pdf[pdf["t"] >= wm]
                 for u, g in pdf.groupby("k", sort=False):
                     st = users.get(str(u))
                     if st is None:

@@ -251,3 +251,130 @@ def test_train_learns_frequent_whole_words(spark):
     pieces = {r["piece"] for r in rows}
     # 'scan' appears 5x and fits max_piece_len — the trainer keeps it
     assert "scan" in pieces
+
+
+# --------------------------------------------------------------- full EM
+
+def _ref_expected_counts_bruteforce(word, costs):
+    """Exact expected piece counts by ENUMERATING every segmentation
+    of the word into table pieces (independent of the operator's
+    forward-backward lattice — the strongest possible pin; corpus
+    words are <= 8 chars so <= 2^7 segmentations)."""
+    max_len = max(len(p) for p in costs)
+    lp = {p: -c / 8 for p, c in costs.items()}
+    segs = []
+
+    def rec(j, cur):
+        if j == len(word):
+            segs.append(list(cur))
+            return
+        for k in range(1, min(max_len, len(word) - j) + 1):
+            p = word[j:j + k]
+            if p in costs:
+                cur.append(p)
+                rec(j + k, cur)
+                cur.pop()
+
+    rec(0, [])
+    weights = [2.0 ** sum(lp[p] for p in s) for s in segs]
+    tot = sum(weights)
+    out = {}
+    for s, w in zip(segs, weights):
+        for p in s:
+            out[p] = out.get(p, 0.0) + w / tot
+    return out
+
+
+def test_em_lattice_matches_bruteforce_enumeration():
+    from apache_beam_spark.operators.unigram import _expected_counts_word
+
+    costs = {"t": 8, "h": 9, "e": 7, "th": 11, "he": 12, "the": 13,
+             "a": 8, "b": 9, "ab": 10, "s": 8, "c": 9, "n": 8,
+             "sc": 11, "an": 9, "scan": 15}
+    max_len = max(len(p) for p in costs)
+    for word in ["the", "thethe", "aab", "scan", "scanscan", "ban",
+                 "t", "heath"]:
+        got = _expected_counts_word(word, costs, max_len)
+        want = _ref_expected_counts_bruteforce(word, costs)
+        assert set(got) == set(want), word
+        for p in want:
+            assert got[p] == pytest.approx(want[p], abs=1e-9), (word, p)
+        # expectations are per-occurrence: total equals the expected
+        # token count, which lies within [min, max] segmentation length
+        total = sum(got.values())
+        assert 1.0 - 1e-9 <= total <= len(word) + 1e-9
+
+
+def _ref_train_full_em(texts, vocab_size, rounds, max_piece_len,
+                       seed_multi):
+    """Sequential mirror of the full-EM trainer: same seed, same
+    per-word expected counts (the lattice itself is pinned against
+    brute-force enumeration above), same int64 * 2^20 quantization
+    BEFORE summation, same prune/requantize M-step."""
+    from apache_beam_spark.operators.unigram import (
+        _EM_SCALE, _expected_counts_word)
+
+    wv = _ref_word_vocab(texts)
+    singles, multi = Counter(), Counter()
+    for w, c in wv.items():
+        for i in range(len(w)):
+            singles[w[i]] += c
+            for ln in range(2, max_piece_len + 1):
+                if i + ln > len(w):
+                    break
+                multi[w[i:i + ln]] += c
+    top = sorted(multi.items(), key=lambda kv: (-kv[1], kv[0]))[:seed_multi]
+    seed = {**dict(singles), **dict(top)}
+    single_set = set(singles)
+    costs = _ref_quantize(seed)
+    counts = dict(seed)
+    for _ in range(max(1, rounds)):
+        ml = max(len(p) for p in costs)
+        counts = Counter()
+        for w, c in wv.items():
+            for p, e in _expected_counts_word(w, costs, ml).items():
+                counts[p] += int(round(e * c * _EM_SCALE))
+        counts = dict(counts)
+        for ch in single_set:
+            counts.setdefault(ch, 0)
+        keep_multi = sorted(
+            ((p, c) for p, c in counts.items() if len(p) > 1 and c > 0),
+            key=lambda kv: (-kv[1], kv[0]))[:max(0, vocab_size
+                                                 - len(single_set))]
+        kept = {p: max(c, 1) for p, c in
+                [(s, counts.get(s, 0)) for s in single_set] + keep_multi}
+        costs = _ref_quantize(kept)
+        counts = {p: counts.get(p, 0) for p in costs}
+    return sorted(((p, costs[p],
+                    (counts.get(p, 0) + _EM_SCALE // 2) // _EM_SCALE)
+                   for p in costs),
+                  key=lambda t: (t[1], t[0]))
+
+
+def test_full_em_train_matches_sequential_reference(spark):
+    got = [(r["piece"], r["cost"], r["cnt"]) for r in
+           unigram_train(_docs(spark, CORPUS), vocab_size=24, rounds=3,
+                         max_piece_len=4, seed_multi=32, em="full")
+           .orderBy("cost", "piece").collect()]
+    want = _ref_train_full_em(CORPUS, 24, 3, 4, 32)
+    assert got == want
+
+
+def test_full_em_differs_from_hard_em_where_lattice_is_ambiguous(spark):
+    """Full EM credits EVERY segmentation, hard EM only the Viterbi
+    one — on an ambiguity-heavy corpus the learned tables diverge
+    (if they never did, the full-EM path would be dead code)."""
+    texts = ["abab abab ab aba bab", "ab ab abab aba", "bab aba abab"]
+    hard = {(r["piece"], r["cost"]) for r in
+            unigram_train(_docs(spark, texts), vocab_size=6, rounds=3,
+                          max_piece_len=3, seed_multi=8).collect()}
+    full = {(r["piece"], r["cost"]) for r in
+            unigram_train(_docs(spark, texts), vocab_size=6, rounds=3,
+                          max_piece_len=3, seed_multi=8,
+                          em="full").collect()}
+    assert hard != full
+
+
+def test_full_em_bad_mode_raises(spark):
+    with pytest.raises(ValueError, match="em must be"):
+        unigram_train(_docs(spark, CORPUS), em="soft")
