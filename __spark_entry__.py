@@ -303,6 +303,21 @@ def _bpe_token_counts(spark, sf_dir):
         load_table(spark, "documents", sf_dir), _BPE_MERGES)
 
 
+def _bpe_rank_token_counts(spark, sf_dir):
+    """The PRODUCTION BPE encode path under the correctness gate:
+    `operators/bpe.py::bpe_encode_rank` (broadcast merge-rank dict +
+    vectorized mapInPandas — plan size constant in vocabulary, the
+    30k-merge regime) applied to the SAME pinned demo merge list as
+    `bpe_token_counts`, against the SAME DuckDB oracle: on a chain-
+    eligible vocabulary the canonical subword-nmt min-rank loop and
+    the replace chain are equal (pinned in
+    tests/test_tokenizer_scale.py), so both paths are value-oracled."""
+    from apache_beam_spark.operators.bpe import bpe_encode_rank
+
+    return bpe_encode_rank(
+        load_table(spark, "documents", sf_dir), _BPE_MERGES)
+
+
 #: the pinned unigram-LM piece table for the oracled tokenizer queries
 #: (the `_BPE_MERGES` pattern): integer costs = quantized -log p, so
 #: the packed Viterbi objective (cost * 8192 + tokens) is pure int64
@@ -338,6 +353,20 @@ def _unigram_token_counts(spark, sf_dir):
 
     return unigram_segment(load_table(spark, "documents", sf_dir),
                            _UNIGRAM_PIECES, unk_cost=_UNIGRAM_UNK)
+
+
+def _unigram_token_counts_bc(spark, sf_dir):
+    """The PRODUCTION unigram scoring path under the correctness gate:
+    `unigram_segment` with `max_literal_pieces=0` forces the
+    broadcast-dict mapInPandas Viterbi (the 32k-1M-piece regime; plan
+    size constant in vocabulary) on the SAME pinned piece table as
+    `unigram_token_counts`, against the SAME recursive-CTE oracle —
+    the packed int64 objective is identical math in both engines."""
+    from apache_beam_spark.operators.unigram import unigram_segment
+
+    return unigram_segment(load_table(spark, "documents", sf_dir),
+                           _UNIGRAM_PIECES, unk_cost=_UNIGRAM_UNK,
+                           max_literal_pieces=0)
 
 
 def _unigram_piece_counts(spark, sf_dir):
@@ -3516,7 +3545,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_lr_train": _quality_lr_train,
         "dup_span_scrub": _dup_span_scrub,
         "bpe_token_counts": _bpe_token_counts,
+        "bpe_rank_token_counts": _bpe_rank_token_counts,
         "unigram_token_counts": _unigram_token_counts,
+        "unigram_token_counts_bc": _unigram_token_counts_bc,
         "unigram_piece_counts": _unigram_piece_counts,
         "group_by_key": _group_by_key,
         "combine_grouped_values": _combine_grouped_values,
@@ -5968,4 +5999,10 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT COUNT(*) FROM uniq) AS n_uniq,
                    (SELECT COUNT(*) FROM reps) AS n_reps,
                    (SELECT COUNT(DISTINCT (shard, bin)) FROM pack) AS n_bins""")
+    # the PRODUCTION tokenizer encode paths (broadcast merge-rank /
+    # broadcast piece table) are pinned equal to the Column paths on
+    # the demo vocabularies, so they answer to the SAME oracles —
+    # sharing the string keeps the two contracts from drifting
+    out["bpe_rank_token_counts"] = out["bpe_token_counts"]
+    out["unigram_token_counts_bc"] = out["unigram_token_counts"]
     return out
