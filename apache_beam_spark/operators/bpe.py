@@ -14,7 +14,14 @@ process, but the algorithm distributes naturally:
   centroids / CC convergence counters) and one pure-Column
   replace-chain that applies a provably sequential-equivalent BATCH of
   merges — no Python UDFs anywhere, and 30k-merge production
-  vocabularies cost ~30k/merge_batch rounds, not 30k.
+  vocabularies cost ~30k/merge_batch rounds, not 30k (with
+  ``batch_policy="relaxed"`` sustaining ~merge_batch merges/round even
+  on Zipfian heads — see SCALING.md r8);
+* the ENCODE side has two pinned-equal paths: the codegen
+  replace-chain (plan depth linear in vocab — demo/oracle grade) and
+  ``bpe_encode_rank`` (broadcast merge-rank dict + vectorized
+  mapInPandas, plan size constant in vocab — the 30k-merge production
+  regime, oracled as ``bpe_rank_token_counts``).
 
 ``bpe_pair_counts`` (the first iteration's counting step) is fully
 SQL-expressible and value-oracled against DuckDB; the iterative

@@ -25,13 +25,24 @@ Distribution strategy (same spine as BPE):
   is a second Column fold backtracking the bests array with a pinned
   tie-break (shortest admissible piece wins).
 
-``unigram_train`` is hard-EM (Viterbi-EM): E-step = segment the
-distinct-word vocabulary under current integer costs and accumulate
-corpus-weighted piece counts (exact int64 sums — deterministic);
-M-step = requantize costs from counts on the driver (the piece table
-is vocab_size-bounded, the k-means-centroid precedent) and prune
-unused / lowest-count pieces.  Exactness vs a sequential reference
-implementation is pinned in tests/test_unigram.py.
+``unigram_train`` supports both EM flavors: ``em="hard"`` (Viterbi-EM:
+E-step = segment the distinct-word vocabulary under current integer
+costs and accumulate corpus-weighted piece counts — exact int64 sums,
+deterministic) and ``em="full"`` (SentencePiece's actual E-step:
+forward-backward EXPECTED counts over each word's segmentation
+lattice, quantized to int64 per (word, piece) before the distributed
+sum so determinism survives).  M-step (both) = requantize costs from
+counts on the driver (the piece table is vocab_size-bounded, the
+k-means-centroid precedent) and prune unused / lowest-count pieces.
+Exactness vs sequential references — and the full-EM lattice vs
+brute-force segmentation enumeration — is pinned in
+tests/test_unigram.py.
+
+Production vocabularies (32k-1M pieces): scoring switches from the
+``create_map`` plan literal to a broadcast dict + vectorized
+mapInPandas above ``_MAX_LITERAL_PIECES``, keeping plan size constant
+in vocabulary (equality pinned in tests/test_tokenizer_scale.py and
+oracled as ``unigram_token_counts_bc``).
 
 Reference anchor: the reference repo has no tokenizer-training
 operator; this is training-data-pipeline surface (SURVEY §8 extras)
