@@ -3301,6 +3301,45 @@ def _png_roundtrip(spark, sf_dir):
                       pixel_sum.alias("pixel_sum"))
 
 
+def _png_adam7_roundtrip(spark, sf_dir):
+    """Adam7-INTERLACED PNG round trip (r8: the decoder's seven-pass
+    scatter path — each pass independently filtered, empty passes for
+    sub-tile dims): same per-doc pixel formula as png_roundtrip, but
+    encoded with encode_png(interlace=True).  PNG is lossless either
+    way, so the SAME oracle value-checks dims + pixel sum; doc-
+    dependent dims below 8x8 exercise the empty-pass branches."""
+    from apache_beam_spark.multimodal.columns import decode_image
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from apache_beam_spark.multimodal.codecs import encode_png
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 4 + d % 5, 3 + d % 4
+                k = np.arange(w * h * 3, dtype=np.int64)
+                px = ((d * 7 + k * 13) % 256).astype(np.uint8)
+                rows.append({"doc_id": d,
+                             "payload": encode_png(px.reshape(h, w, 3),
+                                                   interlace=True)})
+            yield pd.DataFrame(rows)
+
+    enc = docs.mapInPandas(gen, "doc_id bigint, payload binary")
+    dec = decode_image(enc).withColumn("hx", F.hex("pixels"))
+    pixel_sum = F.expr(
+        "aggregate(sequence(0, length(hx) div 2 - 1), 0L,"
+        " (acc, i) -> acc + CAST(conv(substring(hx, 2*i + 1, 2), 16, 10)"
+        " AS BIGINT))")
+    return dec.select("doc_id", "width", "height", "channels",
+                      pixel_sum.alias("pixel_sum"))
+
+
 def _jpeg_roundtrip(spark, sf_dir):
     """REAL baseline-JPEG codec round trip (multimodal/codecs.py
     encode_jpeg/decode_jpeg — Annex K huffman, batched numpy DCT/IDCT,
@@ -3709,6 +3748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_report": _dq_report,
         "wav_roundtrip": _wav_roundtrip,
         "png_roundtrip": _png_roundtrip,
+        "png_adam7_roundtrip": _png_adam7_roundtrip,
         "jpeg_roundtrip": _jpeg_roundtrip,
         "jpeg_progressive_roundtrip": _jpeg_progressive_roundtrip,
         "rag_chunks": _rag_chunks,
@@ -6005,4 +6045,7 @@ def oracle_sql() -> dict[str, str]:
     # sharing the string keeps the two contracts from drifting
     out["bpe_rank_token_counts"] = out["bpe_token_counts"]
     out["unigram_token_counts_bc"] = out["unigram_token_counts"]
+    # PNG is lossless sequential or Adam7-interlaced: same pixels,
+    # same oracle
+    out["png_adam7_roundtrip"] = out["png_roundtrip"]
     return out

@@ -7,9 +7,9 @@ of a web crawl — PNG and baseline JPEG — plus the uncompressed
 containers are fully decodable:
 
 * **PNG** (RFC 2083): chunk walk with CRC verification, zlib inflate,
-  None/Sub/Up/Average/Paeth unfiltering; baseline 8-bit gray/RGB/
-  palette/alpha, non-interlaced (Adam7 and 16-bit raise with the gap
-  named).
+  None/Sub/Up/Average/Paeth unfiltering; 8- and 16-bit gray/RGB/
+  palette/alpha, sequential AND Adam7-interlaced rasters (sub-byte
+  depths raise with the gap named).
 * **JPEG** (ITU-T T.81): marker walk, Annex K / arbitrary DQT+DHT
   tables, huffman entropy decode with restart intervals, dequantize +
   batched numpy IDCT, 1-2x chroma sampling with replication upsample,
@@ -164,34 +164,69 @@ def decode_ppm(payload: bytes) -> np.ndarray:
 # Pure stdlib-zlib + numpy implementation of the public PNG spec
 # (RFC 2083 / https://www.w3.org/TR/png-3/): chunk walk with CRC
 # verification, zlib inflate, per-scanline unfiltering (None/Sub/Up/
-# Average/Paeth).  Baseline coverage: bit depth 8, color types
-# 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA),
-# non-interlaced.  Adam7 / 16-bit raise NotImplementedError with the
-# exact gap named (the gated-loader standard).
+# Average/Paeth).  Coverage: bit depths 8 and 16 (big-endian
+# samples), color types 0 (gray), 2 (RGB), 3 (palette), 4
+# (gray+alpha), 6 (RGBA), sequential and Adam7-interlaced rasters
+# (r8).  Sub-byte depths raise NotImplementedError with the exact gap
+# named (the gated-loader standard).
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
+#: Adam7 pass grid: (x0, y0, dx, dy) per pass (PNG spec 4.5.9)
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
 
-def encode_png(img: np.ndarray) -> bytes:
-    """PNG writer for uint8 arrays: (h, w) gray, (h, w, 3) RGB or
-    (h, w, 4) RGBA.  Filter 0 on every scanline (decoders must accept
-    any per-row filter, so the simplest legal stream round-trips)."""
+
+def encode_png(img: np.ndarray, interlace: bool = False) -> bytes:
+    """PNG writer: (h, w) gray, (h, w, 3) RGB or (h, w, 4) RGBA —
+    uint8 (depth 8) or uint16 (depth 16, big-endian samples).  Filter
+    0 on every scanline (decoders must accept any per-row filter, so
+    the simplest legal stream round-trips); ``interlace`` emits the
+    seven Adam7 passes instead of the sequential raster."""
     import zlib
 
-    a = np.ascontiguousarray(np.asarray(img, dtype=np.uint8))
+    a = np.asarray(img)
+    if a.dtype == np.uint16:
+        depth = 16
+    else:
+        a = a.astype(np.uint8)
+        depth = 8
+    a = np.ascontiguousarray(a)
     if a.ndim == 2:
         color_type = 0
+        a3 = a[:, :, None]
     elif a.ndim == 3 and a.shape[2] == 3:
         color_type = 2
+        a3 = a
     elif a.ndim == 3 and a.shape[2] == 4:
         color_type = 6
+        a3 = a
     else:
         raise ValueError(f"unsupported array shape {a.shape}")
     h, w = a.shape[:2]
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    flat = a.reshape(h, -1)
-    raw = b"".join(b"\x00" + flat[y].tobytes() for y in range(h))
+
+    def rows_bytes(sub: np.ndarray) -> bytes:
+        # (ph, pw, ch) -> filter-0 scanlines, big-endian samples
+        ph = sub.shape[0]
+        if depth == 16:
+            flat = sub.astype(">u2").reshape(ph, -1).view(np.uint8)
+        else:
+            flat = sub.reshape(ph, -1)
+        return b"".join(b"\x00" + flat[y].tobytes() for y in range(ph))
+
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = a3[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                parts.append(rows_bytes(sub))
+        raw = b"".join(parts)
+    else:
+        raw = rows_bytes(a3)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0,
+                       1 if interlace else 0)
 
     def chunk(ctype: bytes, body: bytes) -> bytes:
         crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
@@ -244,10 +279,11 @@ def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
 
 
 def decode_png(payload: bytes) -> np.ndarray:
-    """uint8 image array from a baseline PNG: (h, w) for grayscale,
-    (h, w, 3) for RGB/palette, (h, w, 2)/(h, w, 4) with alpha.  Chunk
-    CRCs are verified (malformed input raises ValueError, the
-    dead-letter contract); Adam7 interlace and 16-bit depth raise
+    """Image array from a PNG: (h, w) for grayscale, (h, w, 3) for
+    RGB/palette, (h, w, 2)/(h, w, 4) with alpha — uint8 for depth 8,
+    uint16 for depth 16; sequential and Adam7-interlaced rasters both
+    decode.  Chunk CRCs are verified (malformed input raises
+    ValueError, the dead-letter contract); sub-byte depths raise
     NotImplementedError naming the gap."""
     import zlib
 
@@ -279,33 +315,73 @@ def decode_png(payload: bytes) -> np.ndarray:
     w, h, depth, color_type, comp, filt, interlace = ihdr
     if comp != 0 or filt != 0:
         raise ValueError("invalid PNG compression/filter method")
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNG not supported")
-    if depth != 8:
+    if interlace not in (0, 1):
+        raise ValueError(f"invalid PNG interlace method {interlace}")
+    if depth not in (8, 16):
         raise NotImplementedError(f"PNG bit depth {depth} not supported "
-                                  "(baseline 8-bit only)")
+                                  "(8/16-bit only; sub-byte depths are "
+                                  "palette-era streams)")
     if color_type not in _PNG_CHANNELS:
         raise ValueError(f"invalid PNG color type {color_type}")
+    if color_type == 3 and depth != 8:
+        raise ValueError("palette PNG requires bit depth <= 8")
     channels = _PNG_CHANNELS[color_type]
+    bytes_per = depth // 8
     if w == 0 or h == 0:
         raise ValueError("zero-dimension PNG")
     try:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error as e:
         raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
-    stride = w * channels
-    grid = _png_unfilter(raw, h, stride, channels)
+
+    bpp = channels * bytes_per
+
+    def to_samples(grid: np.ndarray, ph: int, pw: int) -> np.ndarray:
+        # byte grid (ph, pw*bpp) -> sample grid (ph, pw, channels)
+        if depth == 16:  # big-endian sample pairs
+            g = grid.reshape(ph, pw * channels, 2).astype(np.uint16)
+            return ((g[:, :, 0] << 8) | g[:, :, 1]).reshape(
+                ph, pw, channels)
+        return grid.reshape(ph, pw, channels)
+
+    if interlace == 1:
+        # Adam7: seven independently-filtered sub-images, scattered
+        # back onto the full raster (empty passes carry no bytes)
+        out = np.zeros((h, w, channels),
+                       dtype=np.uint16 if depth == 16 else np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw == 0 or ph == 0:
+                continue
+            stride = pw * bpp
+            need = ph * (stride + 1)
+            grid = _png_unfilter(raw[pos:pos + need], ph, stride, bpp)
+            pos += need
+            out[y0::dy, x0::dx] = to_samples(grid, ph, pw)
+        if pos != len(raw):
+            raise ValueError("PNG pixel data length mismatch "
+                             f"(got {len(raw)}, Adam7 needs {pos})")
+        samples = out
+    else:
+        stride = w * bpp
+        if len(raw) != h * (stride + 1):
+            raise ValueError("PNG pixel data length mismatch "
+                             f"(got {len(raw)}, need {h * (stride + 1)})")
+        grid = _png_unfilter(raw, h, stride, bpp)
+        samples = to_samples(grid, h, w)
+
     if color_type == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE chunk")
-        idx = grid.reshape(h, w)
+        idx = samples.reshape(h, w)
         if int(idx.max(initial=0)) >= len(plte):
             raise ValueError("PNG palette index out of range")
         return plte[idx]          # (h, w, 3)
     if trns is not None and color_type in (0, 2):
         pass  # color-key transparency carried in metadata, not pixels
-    img = grid.reshape(h, w, channels)
-    return img[:, :, 0] if channels == 1 else img
+    return samples[:, :, 0] if channels == 1 else samples
 
 
 # ------------------------------------------------------------ dispatch

@@ -258,10 +258,14 @@ def test_png_malformed_inputs_raise_cleanly():
                                 struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
                    + _png_chunk(b"IDAT", b"\x00not-zlib")
                    + _png_chunk(b"IEND", b""))
-    with _pytest.raises(NotImplementedError, match="Adam7"):
-        decode_png(_make_png(img, [0, 0], interlace=1))
+    # Adam7 and 16-bit decode for real now (r8); sub-byte depths stay
+    # gated, and a sequential-raster stream mislabeled interlaced has
+    # the wrong pass-data length -> truncation ValueError
     with _pytest.raises(NotImplementedError, match="depth"):
-        decode_png(_make_png(img, [0, 0], depth=16))
+        decode_png(_make_png(img, [0, 0], depth=4))
+    with _pytest.raises(ValueError, match="truncated|length mismatch"):
+        decode_png(_make_png(np.zeros((9, 9, 3), np.uint8),
+                             [0] * 9, interlace=1))
 
 
 def test_png_through_decode_image_stage(spark):
@@ -567,3 +571,61 @@ def test_jpeg_progressive_through_decode_image_stage(spark):
     row = decode_image(df).first()
     assert (row["width"], row["height"], row["channels"]) == (7, 9, 3)
     assert bytes(row["pixels"]) == decode_jpeg(encode_jpeg(img)).tobytes()
+
+
+# ------------------------------------------- PNG Adam7 / 16-bit depth
+
+def test_png_adam7_roundtrip_all_color_types():
+    """Interlaced streams decode to the same pixels as sequential ones
+    — gray, RGB and RGBA, including dims smaller than one 8x8 Adam7
+    tile (several passes empty)."""
+    from apache_beam_spark.multimodal.codecs import decode_png, encode_png
+
+    rng = np.random.RandomState(31)
+    for shape in [(16, 16, 3), (13, 21), (5, 3, 4), (1, 1), (2, 9, 3),
+                  (7, 7)]:
+        img = rng.randint(0, 256, size=shape).astype(np.uint8)
+        assert np.array_equal(decode_png(encode_png(img, interlace=True)),
+                              img), shape
+
+
+def test_png_16bit_roundtrip_and_dtype():
+    """Depth-16 streams decode to uint16 with big-endian sample order,
+    sequential and interlaced."""
+    from apache_beam_spark.multimodal.codecs import decode_png, encode_png
+
+    rng = np.random.RandomState(32)
+    for shape in [(6, 5), (4, 7, 3), (3, 3, 4)]:
+        img = rng.randint(0, 65536, size=shape).astype(np.uint16)
+        for il in (False, True):
+            dec = decode_png(encode_png(img, interlace=il))
+            assert dec.dtype == np.uint16
+            assert np.array_equal(dec, img), (shape, il)
+    # byte order pin: sample 0x0102 must come back 258, not 513
+    one = np.array([[0x0102]], dtype=np.uint16)
+    assert decode_png(encode_png(one))[0, 0] == 0x0102
+
+
+def test_png_adam7_filtered_passes_decode():
+    """Each Adam7 pass is filtered INDEPENDENTLY — build a stream
+    whose passes use Sub/Up/Average/Paeth via the forward filterer and
+    check the decoder inverts them per pass."""
+    import zlib
+
+    from apache_beam_spark.multimodal.codecs import decode_png
+    from apache_beam_spark.multimodal.codecs import _ADAM7
+
+    rng = np.random.RandomState(33)
+    img = rng.randint(0, 256, size=(12, 10, 3)).astype(np.uint8)
+    h, w = img.shape[:2]
+    parts = []
+    filters = [1, 2, 3, 4, 0, 1, 2]
+    for (x0, y0, dx, dy), f in zip(_ADAM7, filters):
+        sub = img[y0::dy, x0::dx]
+        if sub.shape[0] and sub.shape[1]:
+            parts.append(_forward_filter(sub, [f] * sub.shape[0]))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)
+    payload = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+               + _png_chunk(b"IDAT", zlib.compress(b"".join(parts)))
+               + _png_chunk(b"IEND", b""))
+    assert np.array_equal(decode_png(payload), img)
