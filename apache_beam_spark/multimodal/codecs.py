@@ -378,6 +378,10 @@ def decode_png(payload: bytes) -> np.ndarray:
         idx = samples.reshape(h, w)
         if int(idx.max(initial=0)) >= len(plte):
             raise ValueError("PNG palette index out of range")
+        if trns is not None:      # palette alpha: RGBA out (r8)
+            alpha = np.full(len(plte), 255, np.uint8)
+            alpha[:min(len(trns), len(plte))] = trns[:len(plte)]
+            return np.dstack([plte[idx], alpha[idx]])   # (h, w, 4)
         return plte[idx]          # (h, w, 3)
     if trns is not None and color_type in (0, 2):
         pass  # color-key transparency carried in metadata, not pixels
@@ -592,8 +596,8 @@ def _jpeg_quantized_planes(img: np.ndarray, subsampling: str):
     gray = a.ndim == 2
     if not gray and (a.ndim != 3 or a.shape[2] != 3):
         raise ValueError(f"unsupported array shape {a.shape}")
-    if subsampling not in ("444", "420"):
-        raise ValueError(f"subsampling must be '444' or '420', "
+    if subsampling not in ("444", "422", "420"):
+        raise ValueError(f"subsampling must be '444', '422' or '420', "
                          f"got {subsampling!r}")
     h, w = a.shape[:2]
     if h == 0 or w == 0:
@@ -615,8 +619,9 @@ def _jpeg_quantized_planes(img: np.ndarray, subsampling: str):
         planes = [y - 128.0, cb - 128.0, cr - 128.0]
         qts = [_QT_LUMA, _QT_CHROMA, _QT_CHROMA]
         comp_q = [0, 1, 1]
-        samp = ([(2, 2), (1, 1), (1, 1)] if subsampling == "420"
-                else [(1, 1)] * 3)
+        samp = {"420": [(2, 2), (1, 1), (1, 1)],
+                "422": [(2, 1), (1, 1), (1, 1)],
+                "444": [(1, 1)] * 3}[subsampling]
 
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)
@@ -693,8 +698,9 @@ def encode_jpeg(img: np.ndarray, subsampling: str = "444",
                 restart_interval: int = 0) -> bytes:
     """Baseline JFIF writer: (h, w) gray or (h, w, 3) RGB uint8,
     Annex K tables, ``subsampling`` "444" (one block per component
-    per MCU) or "420" (2x2 luma blocks + 2x2-averaged chroma — the
-    dominant layout of real crawl JPEGs), optional ``restart_interval``
+    per MCU), "422" (horizontal-only 2x chroma) or "420" (2x2 luma
+    blocks + 2x2-averaged chroma — the dominant layout of real crawl
+    JPEGs), optional ``restart_interval``
     (DRI segment + RSTn markers every N MCUs with DC-predictor
     resets).  Deterministic: quantization rounds half-up
     (``floor(x + 0.5)``), so the decode of a CONSTANT gray tile has

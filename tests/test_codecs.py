@@ -412,8 +412,15 @@ def test_jpeg_420_subsampling_and_restart_intervals():
                   0, 255).astype(np.uint8)
     assert decode_jpeg(encode_jpeg(odd, subsampling="420")).shape == odd.shape
 
+    # 4:2:2 (horizontal-only chroma): the decoder's asymmetric
+    # sampling-factor path, now driven by a real encoder mode
+    dec = decode_jpeg(encode_jpeg(img, subsampling="422",
+                                  restart_interval=2))
+    assert dec.shape == img.shape
+    assert np.abs(dec.astype(int) - img.astype(int)).mean() < 4
+
     with pytest.raises(ValueError, match="subsampling"):
-        encode_jpeg(img, subsampling="422")
+        encode_jpeg(img, subsampling="411")
 
 
 def test_jpeg_property_roundtrip_random_images():
@@ -629,3 +636,43 @@ def test_png_adam7_filtered_passes_decode():
                + _png_chunk(b"IDAT", zlib.compress(b"".join(parts)))
                + _png_chunk(b"IEND", b""))
     assert np.array_equal(decode_png(payload), img)
+
+
+def test_jpeg_422_progressive_matches_baseline():
+    """4:2:2 through BOTH encoders: shared quantized coefficients mean
+    pixel-exact agreement, including odd dims (17 wide: half-res
+    chroma width 9 crops exactly)."""
+    from apache_beam_spark.multimodal.codecs import (
+        decode_jpeg, encode_jpeg, encode_jpeg_progressive)
+
+    rng = np.random.RandomState(41)
+    img = rng.randint(0, 256, (13, 17, 3)).astype(np.uint8)
+    for ri in (0, 2):
+        base = decode_jpeg(encode_jpeg(img, subsampling="422",
+                                       restart_interval=ri))
+        prog = decode_jpeg(encode_jpeg_progressive(
+            img, subsampling="422", restart_interval=ri))
+        assert base.shape == img.shape
+        assert np.array_equal(prog, base), ri
+
+
+def test_png_palette_trns_decodes_to_rgba():
+    """A tRNS chunk on a palette PNG carries per-entry alpha: decode
+    yields RGBA, entries beyond the tRNS length default opaque."""
+    from apache_beam_spark.multimodal.codecs import decode_png
+
+    palette = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8)
+    idx = np.array([[0, 1, 2], [2, 1, 0]], dtype=np.uint8)
+    import zlib
+    ihdr = struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0)
+    raw = _forward_filter(idx, [0, 0])
+    payload = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+               + _png_chunk(b"PLTE", palette.tobytes())
+               + _png_chunk(b"tRNS", bytes([128, 17]))  # entry 2 -> 255
+               + _png_chunk(b"IDAT", zlib.compress(raw))
+               + _png_chunk(b"IEND", b""))
+    dec = decode_png(payload)
+    assert dec.shape == (2, 3, 4)
+    assert np.array_equal(dec[:, :, :3], palette[idx])
+    want_alpha = np.array([128, 17, 255], np.uint8)[idx]
+    assert np.array_equal(dec[:, :, 3], want_alpha)
