@@ -369,6 +369,51 @@ def _unigram_token_counts_bc(spark, sf_dir):
                            max_literal_pieces=0)
 
 
+#: pinned WordPiece vocabulary (the `_BPE_MERGES` pattern): greedy
+#: longest-match decisions (cust/##omer, tab vs ta, ##eam, ##ue),
+#: continuation markers, and [UNK] routing (dup/group/spark hit the
+#: missing ##p) are all exercised against the documents corpus.
+_WP_VOCAB = sorted(
+    list("abcdfghjklmopqrstvw")
+    + ["scan", "tab", "val", "win", "the", "cust", "sma"]
+    + ["##" + c for c in "abcdeghilmnorstuwy"]
+    + ["##omer", "##ble", "##dow", "##ue", "##der", "##ry", "##eam"])
+_WP_MAX_SPAN = 4
+
+
+def _wp_map() -> str:
+    """DuckDB MAP literal of the pinned WordPiece vocabulary."""
+    return ("MAP {" + ", ".join(f"'{p}': 1" for p in _WP_VOCAB) + "}")
+
+
+def _wordpiece_token_counts(spark, sf_dir):
+    """WordPiece tokenizer APPLICATION (operators/wordpiece.py — the
+    THIRD tokenizer family, BERT-style greedy longest-match with ##
+    continuation markers and HuggingFace all-or-nothing [UNK]
+    semantics) under the pinned vocabulary: per-document token count +
+    [UNK]-word count, value-oracled via a DuckDB recursive CTE
+    replaying the same greedy walk (longest admissible span per step,
+    whole word -> one [UNK] on any miss)."""
+    from apache_beam_spark.operators.wordpiece import (
+        wordpiece_token_counts)
+
+    return wordpiece_token_counts(load_table(spark, "documents", sf_dir),
+                                  _WP_VOCAB)
+
+
+def _wordpiece_token_counts_bc(spark, sf_dir):
+    """The production-vocabulary WordPiece path (broadcast set +
+    mapInPandas, plan size constant in vocab — BERT vocabs are 30k
+    pieces) under the SAME pinned vocabulary and the SAME oracle as
+    `wordpiece_token_counts` (equality pinned in
+    tests/test_wordpiece.py)."""
+    from apache_beam_spark.operators.wordpiece import (
+        wordpiece_token_counts)
+
+    return wordpiece_token_counts(load_table(spark, "documents", sf_dir),
+                                  _WP_VOCAB, max_literal_pieces=0)
+
+
 def _unigram_piece_counts(spark, sf_dir):
     """Unigram piece USAGE counts (operators/unigram.py): corpus-
     weighted Viterbi-segmentation piece frequencies under the pinned
@@ -3587,6 +3632,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_rank_token_counts": _bpe_rank_token_counts,
         "unigram_token_counts": _unigram_token_counts,
         "unigram_token_counts_bc": _unigram_token_counts_bc,
+        "wordpiece_token_counts": _wordpiece_token_counts,
+        "wordpiece_token_counts_bc": _wordpiece_token_counts_bc,
         "unigram_piece_counts": _unigram_piece_counts,
         "group_by_key": _group_by_key,
         "combine_grouped_values": _combine_grouped_values,
@@ -4066,6 +4113,47 @@ def oracle_sql() -> dict[str, str]:
                      AS n_tokens,
                    CAST(coalesce(sum(best // {_UNI_SCALE}), 0) AS BIGINT)
                      AS total_cost
+            FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id
+            LEFT JOIN fin USING (word)
+            GROUP BY d.doc_id""",
+        # WordPiece greedy longest-match replayed in SQL: per step the
+        # LARGEST admissible span advances the cursor; any miss flags
+        # the whole word [UNK] (HF all-or-nothing semantics)
+        "wordpiece_token_counts": f"""
+            WITH RECURSIVE
+            w AS (SELECT doc_id, unnest({toks}) AS word FROM documents),
+            dw AS (SELECT DISTINCT word FROM w),
+            walk AS (
+              SELECT word, 0 AS pos, 0 AS n, FALSE AS failed FROM dw
+              UNION ALL
+              SELECT word,
+                     CASE WHEN k IS NULL THEN pos ELSE pos + k END,
+                     CASE WHEN k IS NULL THEN n ELSE n + 1 END,
+                     k IS NULL
+              FROM (
+                SELECT word, pos, n,
+                       list_max(list_filter(range(1, {_WP_MAX_SPAN} + 1),
+                         k -> pos + k <= length(word)
+                              AND len(map_extract({_wp_map()},
+                                    CASE WHEN pos = 0
+                                         THEN substr(word, 1,
+                                                     CAST(k AS INTEGER))
+                                         ELSE '##' || substr(word,
+                                                CAST(pos + 1 AS INTEGER),
+                                                CAST(k AS INTEGER)) END))
+                                  > 0)) AS k
+                FROM walk
+                WHERE pos < length(word) AND NOT failed) t),
+            fin AS (
+              SELECT word,
+                     CASE WHEN failed THEN 1 ELSE n END AS n_tokens,
+                     CASE WHEN failed THEN 1 ELSE 0 END AS is_unk
+              FROM walk
+              WHERE failed OR pos >= length(word))
+            SELECT d.doc_id,
+                   CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(sum(is_unk), 0) AS BIGINT)
+                     AS n_unk_words
             FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id
             LEFT JOIN fin USING (word)
             GROUP BY d.doc_id""",
@@ -6045,6 +6133,7 @@ def oracle_sql() -> dict[str, str]:
     # sharing the string keeps the two contracts from drifting
     out["bpe_rank_token_counts"] = out["bpe_token_counts"]
     out["unigram_token_counts_bc"] = out["unigram_token_counts"]
+    out["wordpiece_token_counts_bc"] = out["wordpiece_token_counts"]
     # PNG is lossless sequential or Adam7-interlaced: same pixels,
     # same oracle
     out["png_adam7_roundtrip"] = out["png_roundtrip"]
