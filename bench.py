@@ -100,6 +100,13 @@ HEADLINE = [
     "dedup_incremental_minhash",
     "unigram_token_counts",
     "unigram_piece_counts",
+    # round-8 operators: production tokenizer encode paths, the
+    # WordPiece family, progressive-JPEG/Adam7 codec roundtrips
+    "bpe_rank_token_counts",
+    "unigram_token_counts_bc",
+    "wordpiece_token_counts",
+    "jpeg_progressive_roundtrip",
+    "png_adam7_roundtrip",
 ]
 
 

@@ -63,6 +63,10 @@ QUERIES = [
     "dedup_incremental_minhash",
     # round-7 second pass: unigram-LM tokenizer apply + E-step counts
     "unigram_token_counts", "unigram_piece_counts",
+    # round-8: production tokenizer encode paths (broadcast artifact +
+    # mapInPandas) and the WordPiece greedy walk
+    "bpe_rank_token_counts", "unigram_token_counts_bc",
+    "wordpiece_token_counts",
 ]
 
 
