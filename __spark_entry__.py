@@ -3346,6 +3346,48 @@ def _png_roundtrip(spark, sf_dir):
                       pixel_sum.alias("pixel_sum"))
 
 
+def _gif_roundtrip(spark, sf_dir):
+    """REAL GIF codec round trip (multimodal/codecs.py decode_gif —
+    r8: variable-code-width LZW, global color table, first frame):
+    per doc, the SAME deterministic RGB formula as png_roundtrip
+    (4-8 x 3-6 images carry at most 48 distinct colors, inside GIF's
+    256-entry palette) encoded with encode_gif, decoded by the
+    distributed decode_image stage.  GIF is lossless on palette
+    content, so the png_roundtrip oracle value-checks dims + pixel
+    sum byte-for-byte."""
+    from apache_beam_spark.multimodal.columns import decode_image
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from apache_beam_spark.multimodal.codecs import encode_gif
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 4 + d % 5, 3 + d % 4
+                k = np.arange(w * h * 3, dtype=np.int64)
+                px = ((d * 7 + k * 13) % 256).astype(np.uint8)
+                rows.append({"doc_id": d,
+                             "payload": encode_gif(
+                                 px.reshape(h, w, 3),
+                                 interlace=bool(d % 2))})
+            yield pd.DataFrame(rows)
+
+    enc = docs.mapInPandas(gen, "doc_id bigint, payload binary")
+    dec = decode_image(enc).withColumn("hx", F.hex("pixels"))
+    pixel_sum = F.expr(
+        "aggregate(sequence(0, length(hx) div 2 - 1), 0L,"
+        " (acc, i) -> acc + CAST(conv(substring(hx, 2*i + 1, 2), 16, 10)"
+        " AS BIGINT))")
+    return dec.select("doc_id", "width", "height", "channels",
+                      pixel_sum.alias("pixel_sum"))
+
+
 def _png_adam7_roundtrip(spark, sf_dir):
     """Adam7-INTERLACED PNG round trip (r8: the decoder's seven-pass
     scatter path — each pass independently filtered, empty passes for
@@ -3796,6 +3838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wav_roundtrip": _wav_roundtrip,
         "png_roundtrip": _png_roundtrip,
         "png_adam7_roundtrip": _png_adam7_roundtrip,
+        "gif_roundtrip": _gif_roundtrip,
         "jpeg_roundtrip": _jpeg_roundtrip,
         "jpeg_progressive_roundtrip": _jpeg_progressive_roundtrip,
         "rag_chunks": _rag_chunks,
@@ -6134,7 +6177,8 @@ def oracle_sql() -> dict[str, str]:
     out["bpe_rank_token_counts"] = out["bpe_token_counts"]
     out["unigram_token_counts_bc"] = out["unigram_token_counts"]
     out["wordpiece_token_counts_bc"] = out["wordpiece_token_counts"]
-    # PNG is lossless sequential or Adam7-interlaced: same pixels,
-    # same oracle
+    # PNG is lossless sequential or Adam7-interlaced, and GIF is
+    # lossless on palette content: same pixels, same oracle
     out["png_adam7_roundtrip"] = out["png_roundtrip"]
+    out["gif_roundtrip"] = out["png_roundtrip"]
     return out

@@ -18,13 +18,18 @@ containers are fully decodable:
   arithmetic and lossless frames raise NotImplementedError naming the
   exact gap.
 
-* **WAV** (RIFF little-endian, PCM 8/16/32-bit): chunk walk honoring
-  chunk sizes and padding; returns (sample_rate, channels, samples)
-  with samples as an (n, channels) int numpy array.
+* **WAV** (RIFF little-endian): chunk walk honoring chunk sizes and
+  padding; integer PCM 8/16/32-bit, IEEE float 32/64 (r8), and G.711
+  A-law/mu-law (r8: spec-algorithm companding, exact byte-level
+  encode<->decode inverses) -> (sample_rate, channels, samples) with
+  samples as an (n, channels) numpy array.
 * **BMP** (BITMAPINFOHEADER, 24bpp uncompressed): bottom-up BGR rows
   with 4-byte row padding -> (h, w, 3) RGB array.
 * **PPM** (P6, maxval 255): whitespace/comment-tolerant header -> raw
   RGB array.
+* **GIF** (87a/89a, r8): logical screen walk, global/local color
+  tables, variable-code-width LZW decode, 4-pass de-interlacing,
+  89a extension blocks skipped; first frame -> (h, w, 3) RGB.
 
 Encoders exist for all three so round trips are testable in-sandbox;
 the decode stages in ``columns.py`` sniff magic bytes and use these
@@ -41,16 +46,25 @@ import numpy as np
 
 
 def encode_wav(samples: np.ndarray, sample_rate: int,
-               bits: int = 16) -> bytes:
-    """PCM WAV writer.  ``samples``: (n,) or (n, channels) ints."""
+               bits: int = 16, audio_format: int = 1) -> bytes:
+    """WAV writer.  ``samples``: (n,) or (n, channels).  Formats: 1
+    (integer PCM, default), 3 (IEEE float, bits 32/64), 6 (A-law) and
+    7 (mu-law) — for 6/7 pass the uint8 G.711 codes (bits=8), e.g.
+    from ``alaw_encode``/``ulaw_encode``."""
     s = np.asarray(samples)
     if s.ndim == 1:
         s = s[:, None]
     n, channels = s.shape
-    dtype = {8: np.uint8, 16: np.int16, 32: np.int32}[bits]
+    if audio_format == 3:
+        dtype = {32: np.float32, 64: np.float64}[bits]
+    elif audio_format in (6, 7):
+        assert bits == 8, "G.711 WAV carries 8-bit codes"
+        dtype = np.uint8
+    else:
+        dtype = {8: np.uint8, 16: np.int16, 32: np.int32}[bits]
     data = s.astype(dtype).tobytes()
     block_align = channels * bits // 8
-    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
+    fmt = struct.pack("<HHIIHH", audio_format, channels, sample_rate,
                       sample_rate * block_align, block_align, bits)
     body = (b"WAVE"
             + b"fmt " + struct.pack("<I", len(fmt)) + fmt
@@ -58,8 +72,70 @@ def encode_wav(samples: np.ndarray, sample_rate: int,
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+# G.711 companding, implemented from the spec's segment algorithm
+# (not copied magic tables) — encode/decode are exact inverses on the
+# 256 code points, asserted exhaustively in tests/test_codecs.py.
+
+_ULAW_BIAS = 0x84
+_ULAW_CLIP = 32635
+
+
+def ulaw_encode(samples: np.ndarray) -> np.ndarray:
+    """int16 linear -> uint8 G.711 mu-law codes (vectorized)."""
+    x = np.asarray(samples, np.int32)
+    sign = (x < 0).astype(np.uint8) * 0x80
+    mag = np.minimum(np.abs(x), _ULAW_CLIP) + _ULAW_BIAS
+    seg = (np.floor(np.log2(mag)).astype(np.int32) - 7).clip(0, 7)
+    mant = (mag >> (seg + 3)) & 0x0F
+    return (~(sign | (seg.astype(np.uint8) << 4)
+              | mant.astype(np.uint8))).astype(np.uint8)
+
+
+def ulaw_decode(codes: np.ndarray) -> np.ndarray:
+    """uint8 G.711 mu-law codes -> int16 linear (vectorized)."""
+    u = ~np.asarray(codes, np.uint8)
+    seg = (u >> 4) & 0x07
+    mant = u & 0x0F
+    mag = (((mant.astype(np.int32) << 3) + _ULAW_BIAS)
+           << seg.astype(np.int32)) - _ULAW_BIAS
+    return np.where(u & 0x80, -mag, mag).astype(np.int16)
+
+
+def alaw_encode(samples: np.ndarray) -> np.ndarray:
+    """int16 linear -> uint8 G.711 A-law codes (the CCITT reference
+    algorithm, vectorized): 13-bit magnitude, segment = position of
+    the leading bit, mask 0xD5 for non-negative / 0x55 for negative
+    (A-law transmits with even bits inverted)."""
+    x = np.asarray(samples, np.int32) >> 3     # 16 -> 13 bit
+    neg = x < 0
+    mask = np.where(neg, 0x55, 0xD5)
+    p = np.where(neg, -x - 1, x)
+    p = np.minimum(p, 0xFFF)
+    seg = np.maximum(
+        np.floor(np.log2(np.maximum(p, 1))).astype(np.int32) - 4,
+        0).clip(0, 7)
+    mant = np.where(seg < 2, p >> 1, p >> seg) & 0x0F
+    return (((seg << 4) | mant) ^ mask).astype(np.uint8)
+
+
+def alaw_decode(codes: np.ndarray) -> np.ndarray:
+    """uint8 G.711 A-law codes -> int16 linear (the CCITT reference
+    expansion, vectorized)."""
+    a = np.asarray(codes, np.int32) ^ 0x55
+    t = (a & 0x0F) << 4
+    seg = (a >> 4) & 0x07
+    t = np.where(seg == 0, t + 8,
+                 np.where(seg == 1, t + 0x108,
+                          (t + 0x108) << np.maximum(seg - 1, 0)))
+    return np.where(a & 0x80, t, -t).astype(np.int16)
+
+
 def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
-    """(sample_rate, channels, samples[n, channels]).  PCM only."""
+    """(sample_rate, channels, samples[n, channels]).  Formats: 1
+    (integer PCM 8/16/32), 3 (IEEE float 32/64 -> float32 array),
+    6 (G.711 A-law -> expanded int16), 7 (G.711 mu-law -> int16);
+    WAVE_FORMAT_EXTENSIBLE and compressed codecs raise with the gap
+    named."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos, end = 12, 8 + struct.unpack("<I", payload[4:8])[0]
@@ -76,10 +152,23 @@ def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
     audio_format, channels, sample_rate, _, _, bits = fmt
-    if audio_format != 1:
+    if audio_format == 1:
+        if bits not in (8, 16, 32):
+            raise ValueError(f"invalid PCM WAV bit depth {bits}")
+        dtype = {8: np.uint8, 16: np.int16, 32: np.int32}[bits]
+        samples = np.frombuffer(data, dtype=dtype)
+    elif audio_format == 3:
+        if bits not in (32, 64):
+            raise ValueError(f"invalid float WAV bit depth {bits}")
+        dtype = {32: np.float32, 64: np.float64}[bits]
+        samples = np.frombuffer(data, dtype=dtype).astype(np.float32)
+    elif audio_format in (6, 7):
+        if bits != 8:
+            raise ValueError(f"G.711 WAV must be 8-bit, got {bits}")
+        dec = alaw_decode if audio_format == 6 else ulaw_decode
+        samples = dec(np.frombuffer(data, np.uint8))
+    else:
         raise NotImplementedError(f"non-PCM WAV (format {audio_format})")
-    dtype = {8: np.uint8, 16: np.int16, 32: np.int32}[bits]
-    samples = np.frombuffer(data, dtype=dtype)
     samples = samples[: (len(samples) // channels) * channels]
     return sample_rate, channels, samples.reshape(-1, channels)
 
@@ -388,6 +477,239 @@ def decode_png(payload: bytes) -> np.ndarray:
     return samples[:, :, 0] if channels == 1 else samples
 
 
+# ------------------------------------------------------------------ GIF
+#
+# GIF87a/89a (the public W3C/CompuServe spec): logical screen
+# descriptor, global/local color tables, LZW-compressed image data in
+# sub-blocks, optional Adam-style 4-pass interlacing, 89a extension
+# blocks skipped.  Decodes the FIRST image frame to (h, w, 3) RGB —
+# the crawl-pipeline contract (animation frames are a metadata
+# concern; sampling them is `media_frame_sample`'s job).  The encoder
+# writes a real variable-code-width LZW stream so round trips are
+# testable in-sandbox, same standard as the other codecs.
+
+
+def _lzw_decode(data: bytes, min_code_size: int, npix: int) -> bytearray:
+    """GIF-flavor LZW: variable code width starting at
+    ``min_code_size + 1``, CLEAR and EOI codes, width grows AFTER the
+    table fills a width (max 12 bits).  Returns index bytes."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    # bit reader: GIF packs codes LSB-first
+    acc = nbits = pos = 0
+
+    def read(width):
+        nonlocal acc, nbits, pos
+        while nbits < width:
+            if pos >= len(data):
+                return None
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        v = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        return v
+
+    def reset_table():
+        return ({i: bytes([i]) for i in range(clear)}, clear + 2,
+                min_code_size + 1)
+
+    table, next_code, width = reset_table()
+    prev = None
+    while len(out) < npix:
+        code = read(width)
+        if code is None:
+            raise ValueError("truncated GIF LZW stream")
+        if code == clear:
+            table, next_code, width = reset_table()
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table.get(code)
+            if entry is None:
+                raise ValueError("invalid GIF LZW code")
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:          # the KwKwK case
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("invalid GIF LZW code")
+        out += entry
+        if prev is not None:
+            if next_code < 4096:
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+        prev = entry
+    return out
+
+
+def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """GIF-flavor LZW writer (the decoder's exact inverse): emits
+    CLEAR first, grows code width when the next code would not fit,
+    re-CLEARs at table 4096, ends with EOI."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def write(code, width):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def reset():
+        return ({bytes([i]): i for i in range(clear)}, clear + 2,
+                min_code_size + 1)
+
+    table, next_code, width = reset()
+    write(clear, width)
+    cur = b""
+    for bch in indices:
+        nxt = cur + bytes([bch])
+        if nxt in table:
+            cur = nxt
+            continue
+        write(table[cur], width)
+        table[nxt] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4096:
+            write(clear, width)
+            table, next_code, width = reset()
+        cur = bytes([bch])
+    if cur:
+        write(table[cur], width)
+    write(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+#: GIF 4-pass interlace row schedule: (start row, step)
+_GIF_INTERLACE = [(0, 8), (4, 8), (2, 4), (1, 2)]
+
+
+def encode_gif(rgb: np.ndarray, interlace: bool = False) -> bytes:
+    """GIF87a writer for an (h, w, 3) uint8 image with at most 256
+    distinct colors (GIF is palette-indexed; more raises ValueError —
+    quantization is a modeling choice, not a codec concern)."""
+    a = np.asarray(rgb, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError(f"unsupported array shape {a.shape}")
+    h, w = a.shape[:2]
+    flat = a.reshape(-1, 3)
+    palette, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError(f"GIF needs <= 256 distinct colors, "
+                         f"got {len(palette)}")
+    # color table size: power of two >= max(2, len(palette))
+    bits = max(1, int(np.ceil(np.log2(max(2, len(palette))))))
+    table = np.zeros((1 << bits, 3), np.uint8)
+    table[:len(palette)] = palette
+    idx = inverse.astype(np.uint8).reshape(h, w)
+    if interlace:
+        rows = [r for s, st in _GIF_INTERLACE for r in range(s, h, st)]
+        idx = idx[rows]
+    min_code = max(2, bits)
+    lzw = _lzw_encode(idx.tobytes(), min_code)
+    out = bytearray(b"GIF87a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((bits - 1) << 4)
+                       | (bits - 1), 0, 0)
+    out += table.tobytes()
+    out += b"," + struct.pack("<HHHHB", 0, 0, w, h,
+                              0x40 if interlace else 0)
+    out.append(min_code)
+    for i in range(0, len(lzw), 255):
+        block = lzw[i:i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00;"                       # block terminator + trailer
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """(h, w, 3) RGB uint8 from the FIRST frame of a GIF87a/89a
+    stream: LZW decode, palette lookup, 4-pass de-interlacing;
+    89a extension blocks (graphics control, comments, application)
+    are skipped.  Malformed input raises ValueError."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
+    sw, sh, flags, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(payload[pos:pos + 3 * n],
+                            np.uint8).reshape(-1, 3)
+        if len(gct) != n:
+            raise ValueError("truncated GIF color table")
+        pos += 3 * n
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:                     # trailer
+            break
+        if b == 0x21:                     # 89a extension: skip blocks
+            pos += 2
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02X}")
+        if pos + 10 > len(payload):
+            raise ValueError("truncated GIF image descriptor")
+        ix, iy, iw, ih, iflags = struct.unpack("<HHHHB",
+                                               payload[pos + 1:pos + 10])
+        pos += 10
+        table = gct
+        if iflags & 0x80:                 # local color table
+            n = 2 << (iflags & 0x07)
+            table = np.frombuffer(payload[pos:pos + 3 * n],
+                                  np.uint8).reshape(-1, 3)
+            pos += 3 * n
+        if table is None:
+            raise ValueError("GIF image has no color table")
+        if iw == 0 or ih == 0:
+            raise ValueError("zero-dimension GIF frame")
+        min_code = payload[pos]
+        pos += 1
+        if not 2 <= min_code <= 11:
+            raise ValueError(f"invalid GIF LZW code size {min_code}")
+        data = bytearray()
+        while pos < len(payload) and payload[pos] != 0:
+            ln = payload[pos]
+            data += payload[pos + 1:pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = np.frombuffer(_lzw_decode(bytes(data), min_code, iw * ih),
+                            np.uint8)
+        if len(idx) < iw * ih:
+            raise ValueError("GIF LZW data ended early")
+        idx = idx[:iw * ih].reshape(ih, iw)
+        if iflags & 0x40:                 # de-interlace (4 passes)
+            rows = [r for s, st in _GIF_INTERLACE for r in range(s, ih, st)]
+            grid = np.empty_like(idx)
+            grid[rows] = idx
+            idx = grid
+        if int(idx.max(initial=0)) >= len(table):
+            raise ValueError("GIF palette index out of range")
+        return table[idx]                 # first frame only
+    raise ValueError("GIF stream has no image frame")
+
+
 # ------------------------------------------------------------ dispatch
 
 def sniff_format(payload: bytes) -> str:
@@ -402,6 +724,8 @@ def sniff_format(payload: bytes) -> str:
         return "jpeg"
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return "png"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     return "unknown"
 
 
@@ -418,6 +742,8 @@ def decode_image_real(payload: bytes) -> np.ndarray:
         return decode_png(payload)
     if fmt == "jpeg":
         return decode_jpeg(payload)
+    if fmt == "gif":
+        return decode_gif(payload)
     raise ValueError(f"unrecognized image container ({fmt})")
 
 

@@ -56,7 +56,7 @@ def _decode_image_impl(payload: bytes, fake: bool) -> tuple[int, int, int, bytes
     from apache_beam_spark.multimodal.codecs import (
         decode_image_real, sniff_format)
 
-    if sniff_format(payload) in ("bmp", "ppm", "png", "jpeg"):
+    if sniff_format(payload) in ("bmp", "ppm", "png", "jpeg", "gif"):
         rgb = decode_image_real(payload)
         if rgb.ndim == 2:  # grayscale PNG/JPEG: channels=1
             h_, w_, c_ = rgb.shape[0], rgb.shape[1], 1
@@ -65,7 +65,7 @@ def _decode_image_impl(payload: bytes, fake: bool) -> tuple[int, int, int, bytes
         return w_, h_, c_, rgb.tobytes()
     if not fake:
         raise NotImplementedError(
-            "unrecognized image container; PNG/JPEG-baseline/BMP/PPM "
+            "unrecognized image container; PNG/JPEG/GIF/BMP/PPM "
             "decode natively, or pass fake=True for the deterministic "
             "test decoder")
     h = hashlib.sha256(payload).digest()

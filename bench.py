@@ -107,6 +107,7 @@ HEADLINE = [
     "wordpiece_token_counts",
     "jpeg_progressive_roundtrip",
     "png_adam7_roundtrip",
+    "gif_roundtrip",
 ]
 
 

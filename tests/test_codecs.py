@@ -43,11 +43,15 @@ def test_wav_mono_and_header_fields():
 def test_wav_rejects_non_pcm_and_garbage():
     s = np.zeros(4, dtype=np.int16)
     payload = bytearray(encode_wav(s, 8000))
-    payload[20] = 3  # audio format -> IEEE float
+    payload[20] = 2  # audio format -> ADPCM (a real compressed codec)
     with pytest.raises(NotImplementedError, match="non-PCM"):
         decode_wav(bytes(payload))
     with pytest.raises(ValueError, match="RIFF"):
         decode_wav(b"not audio at all")
+    # float format with an integer bit depth is malformed, not gated
+    payload[20] = 3
+    with pytest.raises(ValueError, match="float WAV"):
+        decode_wav(bytes(payload))
 
 
 def test_wav_extra_chunk_skipped():
@@ -676,3 +680,142 @@ def test_png_palette_trns_decodes_to_rgba():
     assert np.array_equal(dec[:, :, :3], palette[idx])
     want_alpha = np.array([128, 17, 255], np.uint8)[idx]
     assert np.array_equal(dec[:, :, 3], want_alpha)
+
+
+# ------------------------------------------------- WAV float / G.711
+
+def test_wav_float_roundtrip():
+    from apache_beam_spark.multimodal.codecs import decode_wav, encode_wav
+
+    rng = np.random.RandomState(51)
+    f = (rng.rand(500, 2).astype(np.float32) * 2 - 1)
+    rate, ch, back = decode_wav(encode_wav(f, 16000, bits=32,
+                                           audio_format=3))
+    assert (rate, ch) == (16000, 2)
+    assert back.dtype == np.float32 and np.allclose(back, f)
+    # 64-bit floats come back float32
+    r64 = decode_wav(encode_wav(f.astype(np.float64), 16000, bits=64,
+                                audio_format=3))[2]
+    assert r64.dtype == np.float32 and np.allclose(r64, f, atol=1e-6)
+
+
+def test_g711_codes_are_exact_inverses():
+    """encode(decode(byte)) == byte for ALL 256 code points of both
+    laws — the strongest self-consistency pin a companding pair has.
+    The single exception is spec-canonical: mu-law 0x7F ('negative
+    zero') decodes to 0, which re-encodes as 0xFF (positive zero)."""
+    from apache_beam_spark.multimodal.codecs import (
+        alaw_decode, alaw_encode, ulaw_decode, ulaw_encode)
+
+    codes = np.arange(256, dtype=np.uint8)
+    a = alaw_encode(alaw_decode(codes))
+    assert np.array_equal(a, codes)
+    u = ulaw_encode(ulaw_decode(codes))
+    keep = codes != 0x7F
+    assert np.array_equal(u[keep], codes[keep]) and u[0x7F] == 0xFF
+    # spec anchors: mu-law zero code, sign symmetry of both laws
+    assert ulaw_decode(np.array([0xFF], np.uint8))[0] == 0
+    assert int(ulaw_encode(np.array([0]))[0]) == 0xFF
+    x = np.arange(-32000, 32001, 977, dtype=np.int16)
+    assert np.array_equal(ulaw_decode(ulaw_encode(-x)),
+                          -ulaw_decode(ulaw_encode(x)))
+    assert np.array_equal(alaw_decode(alaw_encode(x)) * -1,
+                          alaw_decode(alaw_encode((-x - 1).astype(np.int16))))
+
+
+def test_g711_wav_companding_error_bounded():
+    """A full G.711 WAV round trip (compand -> container -> expand)
+    reconstructs within the law's quantization error: <= ~4% relative
+    for mu-law, <= ~11% for A-law (its coarser first segment), with
+    denominators floored at one segment-0 step."""
+    from apache_beam_spark.multimodal.codecs import (
+        alaw_encode, decode_wav, encode_wav, ulaw_encode)
+
+    rng = np.random.RandomState(52)
+    x = rng.randint(-30000, 30000, 2000).astype(np.int16)
+    for fmt, enc, bound in ((7, ulaw_encode, 0.05), (6, alaw_encode, 0.12)):
+        rate, ch, back = decode_wav(encode_wav(enc(x), 8000, bits=8,
+                                               audio_format=fmt))
+        assert back.dtype == np.int16
+        rel = (np.abs(back[:, 0].astype(int) - x.astype(int))
+               / np.maximum(np.abs(x), 64))
+        assert float(rel.max()) < bound, fmt
+
+
+def test_g711_wav_through_decode_audio_stage(spark):
+    from apache_beam_spark.multimodal.codecs import encode_wav, ulaw_encode
+    from apache_beam_spark.multimodal.columns import decode_audio
+
+    x = np.array([1000, -2000, 4000, -8000], dtype=np.int16)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_wav(ulaw_encode(x), 8000, bits=8,
+                                  audio_format=7)))],
+        "doc_id long, payload binary")
+    row = decode_audio(df).first()
+    assert row["sample_rate"] == 8000 and row["num_samples"] == 4
+    assert 7500 <= row["peak_abs"] <= 8500   # companded 8000
+
+
+# ------------------------------------------------------------------ GIF
+
+def test_gif_roundtrip_plain_and_interlaced():
+    from apache_beam_spark.multimodal.codecs import decode_gif, encode_gif
+
+    rng = np.random.RandomState(61)
+    for shape, il in [((7, 9), False), ((16, 5), True), ((1, 1), False),
+                      ((23, 31), True)]:
+        pal = rng.randint(0, 256, (13, 3)).astype(np.uint8)
+        img = pal[rng.randint(0, 13, shape)]
+        assert np.array_equal(decode_gif(encode_gif(img, interlace=il)),
+                              img), (shape, il)
+
+
+def test_gif_lzw_table_growth_and_reclear():
+    """An image large enough to fill the 12-bit LZW table forces the
+    width-growth ladder and the encoder's mid-stream re-CLEAR; the
+    decoder must track both."""
+    from apache_beam_spark.multimodal.codecs import decode_gif, encode_gif
+
+    rng = np.random.RandomState(62)
+    pal = rng.randint(0, 256, (256, 3)).astype(np.uint8)
+    pal = np.unique(pal, axis=0)
+    img = pal[rng.randint(0, len(pal), (120, 150))]
+    assert np.array_equal(decode_gif(encode_gif(img)), img)
+
+
+def test_gif_89a_extensions_skipped_and_malformed_raise():
+    from apache_beam_spark.multimodal.codecs import decode_gif, encode_gif
+
+    img = np.zeros((2, 3, 3), np.uint8)
+    img[0, 0] = [255, 0, 0]
+    blob = bytearray(encode_gif(img))
+    # splice a graphics-control extension after the color table,
+    # before the image descriptor, and flip the header to 89a
+    i = blob.index(b",")
+    ext = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    spliced = bytes(blob[:i]) + ext + bytes(blob[i:])
+    spliced = b"GIF89a" + spliced[6:]
+    assert np.array_equal(decode_gif(spliced),
+                          decode_gif(bytes(blob)))
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"garbage")
+    with pytest.raises(ValueError, match="truncated|LZW|frame"):
+        decode_gif(bytes(blob[:20]))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_gif(bytes(blob[:10]))
+    with pytest.raises(ValueError, match="256 distinct"):
+        rng = np.random.RandomState(63)
+        encode_gif(rng.randint(0, 256, (40, 40, 3)).astype(np.uint8))
+
+
+def test_gif_through_decode_image_stage(spark):
+    from apache_beam_spark.multimodal.codecs import encode_gif
+    from apache_beam_spark.multimodal.columns import decode_image
+
+    pal = np.array([[10, 20, 30], [200, 100, 0]], np.uint8)
+    img = pal[np.random.RandomState(64).randint(0, 2, (6, 5))]
+    df = spark.createDataFrame([(1, bytearray(encode_gif(img)))],
+                               "doc_id long, payload binary")
+    row = decode_image(df).first()
+    assert (row["width"], row["height"], row["channels"]) == (5, 6, 3)
+    assert bytes(row["pixels"]) == img.tobytes()
