@@ -263,17 +263,29 @@ def _streaming_benchmarks(spark) -> dict:
                 .option("maxFilesPerTrigger", mft).parquet(replay_spool))
 
     # document stream for the near-dup dedup gate (docs/s, not ev/s):
-    # synthetic event times off doc_id, one data micro-batch
-    docs = (load_table(spark, "documents", SF_DIR)
-            .select("doc_id", "text",
-                    (F.lit(86_400_000_000)
-                     + F.col("doc_id") * 1_000_000).alias("ts")))
+    # synthetic event times off doc_id.  r8: 10x replicas (distinct
+    # ids, perturbed text so replicas are not artificial near-dups,
+    # own time regions) — at the original 5k docs the two chained
+    # stateful operators' fixed micro-batch cost dominated (~2k docs/s
+    # measured vs 12.3k at 50k docs, SCALING.md r8).
+    docs1 = (load_table(spark, "documents", SF_DIR)
+             .select("doc_id", "text",
+                     (F.lit(86_400_000_000)
+                      + F.col("doc_id") * 1_000_000).alias("ts")))
+    docs = None
+    for i in range(10):
+        r = (docs1.withColumn("doc_id",
+                              F.col("doc_id") + F.lit(i * 10_000_000))
+             .withColumn("ts", F.col("ts") + F.lit(i * 10_000_000_000))
+             .withColumn("text", F.concat(F.col("text"),
+                                          F.lit(f" replica{i}"))))
+        docs = r if docs is None else docs.unionAll(r)
     n_docs = docs.count()
     docs_spool = tempfile.mkdtemp(prefix="bench_stream_docs_")
-    docs.repartition(4).write.mode("overwrite").parquet(docs_spool)
+    docs.repartition(40).write.mode("overwrite").parquet(docs_spool)
     docs_schema = docs.schema
 
-    def docs_source(mft: int = 4):
+    def docs_source(mft: int = 40):
         return (spark.readStream.schema(docs_schema)
                 .option("maxFilesPerTrigger", mft).parquet(docs_spool))
 
@@ -304,14 +316,13 @@ def _streaming_benchmarks(spark) -> dict:
             )
 
         def stream_join(mft: int = 8):
-            # one larger micro-batch (mft 8 = the whole spool): the
-            # drift-controlled config sweep (scripts/stream_join_sweep.py,
-            # r6) measured 71.7k ev/s min vs 68.8k for the r5 two-batch
-            # shape — per-trigger state-commit overhead outweighs any
-            # pipelining at this corpus size
+            # steady-state on the 10x replay spool (r8 — the same
+            # fixed-cost argument as funnel/heavy/rate; the r8 sweep
+            # read 48k/88k/125k ev/s at parts 8/16/32: the symmetric
+            # join state finally rewards parallelism at this size,
+            # while at 100k events every config sat on the floor)
             def src():
-                return (spark.readStream.schema(events.schema)
-                        .option("maxFilesPerTrigger", mft).parquet(spool))
+                return replay_source(mft)
 
             p = (src().filter(F.col("event_type") == "purchase")
                  .select("user_id", F.col("ts").alias("pts"))
@@ -326,17 +337,21 @@ def _streaming_benchmarks(spark) -> dict:
                 "inner")
 
         def stateful():
-            # 32-way key-group sharding (r4): ~2k user keys multiplex
-            # through 32 state keys -> 32 Python round trips per batch
-            # instead of 2000; measured 46.7k -> 78.7k ev/s at sf0.1
+            # key-group sharding (r4) + r8 steady-state replay spool:
+            # 128 shards over 8 state partitions at 1M events read
+            # ~1.1M ev/s in the r8 sweep (the 100k-event runs sat on
+            # the python-task floor at 46-79k regardless of config)
             return count_trigger_aggregate(
-                source().withColumn("user", F.col("user_id").cast("string")),
-                key="user", value_col="value", fire_every=50, n_shards=32)
+                replay_source().withColumn("user",
+                                           F.col("user_id").cast("string")),
+                key="user", value_col="value", fire_every=50, n_shards=128)
 
         def stream_dedup():
             from apache_beam_spark.streaming import streaming_distinct
 
-            return streaming_distinct(source(), ["event_id"], "ts",
+            # r8: steady-state replay spool (1M distinct event ids —
+            # the watermark-bounded state the operator is FOR)
+            return streaming_distinct(replay_source(), ["event_id"], "ts",
                                       within="10 minutes")
 
         # funnel/heavy/rate measure STEADY-STATE throughput on the 10x
@@ -377,7 +392,7 @@ def _streaming_benchmarks(spark) -> dict:
             from apache_beam_spark.streaming.stateful import (
                 streaming_minhash_dedup)
 
-            return streaming_minhash_dedup(docs_source(4),
+            return streaming_minhash_dedup(docs_source(40),
                                            within="10 minutes")
 
         # INTERLEAVED rounds (r6): the gates' best-of-N samples used to
@@ -391,13 +406,13 @@ def _streaming_benchmarks(spark) -> dict:
         # codegen: a first fresh query pays ~2x).
         gates = [
             ("window", windowed_count, 2),
-            ("join", stream_join, 8),
-            ("stateful", stateful, 4),
-            ("dedup", stream_dedup, 4),
+            ("join", stream_join, 32),
+            ("stateful", stateful, 8),
+            ("dedup", stream_dedup, 8),
             ("funnel", stream_funnel, 16),
             ("heavy", stream_heavy, 8),
             ("rate", stream_rate_limit, 8),
-            ("minhash", stream_minhash, 4),
+            ("minhash", stream_minhash, 8),
         ]
         walls: dict[str, float] = {}
         for rnd in range(5):
@@ -413,9 +428,9 @@ def _streaming_benchmarks(spark) -> dict:
         spark.conf.set("spark.sql.shuffle.partitions", "32")
     return {
         "streaming_events_per_sec": int(n / walls["window"]),
-        "stream_join_events_per_sec": int(2 * n / walls["join"]),
-        "stateful_events_per_sec": int(n / walls["stateful"]),
-        "stream_dedup_events_per_sec": int(n / walls["dedup"]),
+        "stream_join_events_per_sec": int(2 * n_replay / walls["join"]),
+        "stateful_events_per_sec": int(n_replay / walls["stateful"]),
+        "stream_dedup_events_per_sec": int(n_replay / walls["dedup"]),
         "stream_funnel_events_per_sec": int(n_replay / walls["funnel"]),
         "stream_heavy_hitters_events_per_sec": int(n_replay / walls["heavy"]),
         "stream_rate_limit_events_per_sec": int(n_replay / walls["rate"]),
