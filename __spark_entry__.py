@@ -3346,6 +3346,46 @@ def _png_roundtrip(spark, sf_dir):
                       pixel_sum.alias("pixel_sum"))
 
 
+def _tiff_roundtrip(spark, sf_dir):
+    """REAL TIFF codec round trip (multimodal/codecs.py decode_tiff —
+    r8: IFD walk, strip assembly, PackBits): the png_roundtrip pixel
+    formula encoded with PackBits on even doc ids / uncompressed on
+    odd, big-endian (MM) on ids % 3 == 0 — lossless, so the
+    png_roundtrip oracle value-checks dims + pixel sum."""
+    from apache_beam_spark.multimodal.columns import decode_image
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from apache_beam_spark.multimodal.codecs import encode_tiff
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 4 + d % 5, 3 + d % 4
+                k = np.arange(w * h * 3, dtype=np.int64)
+                px = ((d * 7 + k * 13) % 256).astype(np.uint8)
+                rows.append({"doc_id": d,
+                             "payload": encode_tiff(
+                                 px.reshape(h, w, 3),
+                                 packbits=(d % 2 == 0),
+                                 big_endian=(d % 3 == 0))})
+            yield pd.DataFrame(rows)
+
+    enc = docs.mapInPandas(gen, "doc_id bigint, payload binary")
+    dec = decode_image(enc).withColumn("hx", F.hex("pixels"))
+    pixel_sum = F.expr(
+        "aggregate(sequence(0, length(hx) div 2 - 1), 0L,"
+        " (acc, i) -> acc + CAST(conv(substring(hx, 2*i + 1, 2), 16, 10)"
+        " AS BIGINT))")
+    return dec.select("doc_id", "width", "height", "channels",
+                      pixel_sum.alias("pixel_sum"))
+
+
 def _gif_roundtrip(spark, sf_dir):
     """REAL GIF codec round trip (multimodal/codecs.py decode_gif —
     r8: variable-code-width LZW, global color table, first frame):
@@ -3839,6 +3879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "png_roundtrip": _png_roundtrip,
         "png_adam7_roundtrip": _png_adam7_roundtrip,
         "gif_roundtrip": _gif_roundtrip,
+        "tiff_roundtrip": _tiff_roundtrip,
         "jpeg_roundtrip": _jpeg_roundtrip,
         "jpeg_progressive_roundtrip": _jpeg_progressive_roundtrip,
         "rag_chunks": _rag_chunks,
@@ -6181,4 +6222,5 @@ def oracle_sql() -> dict[str, str]:
     # lossless on palette content: same pixels, same oracle
     out["png_adam7_roundtrip"] = out["png_roundtrip"]
     out["gif_roundtrip"] = out["png_roundtrip"]
+    out["tiff_roundtrip"] = out["png_roundtrip"]
     return out

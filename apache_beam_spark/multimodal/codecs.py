@@ -30,6 +30,10 @@ containers are fully decodable:
 * **GIF** (87a/89a, r8): logical screen walk, global/local color
   tables, variable-code-width LZW decode, 4-pass de-interlacing,
   89a extension blocks skipped; first frame -> (h, w, 3) RGB.
+* **TIFF** (baseline 6.0, r8): II/MM byte orders, first-IFD walk,
+  8-bit gray (photometric 0 inverted) / RGB, strip assembly,
+  Compression 1 and PackBits; tiles/LZW/16-bit raise with the gap
+  named.
 
 Encoders exist for all three so round trips are testable in-sandbox;
 the decode stages in ``columns.py`` sniff magic bytes and use these
@@ -477,6 +481,238 @@ def decode_png(payload: bytes) -> np.ndarray:
     return samples[:, :, 0] if channels == 1 else samples
 
 
+# ----------------------------------------------------------------- TIFF
+#
+# Baseline TIFF 6.0 (the public Adobe spec): II/MM byte orders, first
+# IFD walk, 8-bit gray (photometric 0/1) and RGB, chunky planar
+# config, strip assembly, Compression 1 (none) and 32773 (PackBits).
+# Tiled / LZW / JPEG-in-TIFF and 16-bit raise NotImplementedError
+# naming the gap; malformed input raises ValueError (the dead-letter
+# contract).  The encoder writes II or MM so the decoder's both-order
+# paths round-trip in-sandbox.
+
+
+def _packbits_decode(data: bytes, expect: int) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expect:
+        n = data[i]
+        i += 1
+        if n == 128:                      # noop
+            continue
+        if n < 128:                       # n+1 literal bytes
+            out += data[i:i + n + 1]
+            i += n + 1
+        else:                             # repeat next byte 257-n times
+            if i >= len(data):
+                raise ValueError("truncated TIFF PackBits run")
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+    if len(out) < expect:
+        raise ValueError("truncated TIFF PackBits data")
+    return bytes(out[:expect])
+
+
+def _packbits_encode(row: bytes) -> bytes:
+    """Simple spec-legal PackBits: runs of >= 3 as replicate packets,
+    everything else literal."""
+    out = bytearray()
+    i, n = 0, len(row)
+    while i < n:
+        run = 1
+        while i + run < n and row[i + run] == row[i] and run < 128:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, row[i]])
+            i += run
+            continue
+        lit_start = i
+        i += run
+        while i < n and (i - lit_start) < 128:
+            run = 1
+            while i + run < n and row[i + run] == row[i] and run < 128:
+                run += 1
+            if run >= 3:
+                break
+            i += run
+        chunk = row[lit_start:i][:128]
+        i = lit_start + len(chunk)
+        out += bytes([len(chunk) - 1]) + chunk
+    return bytes(out)
+
+
+def encode_tiff(img: np.ndarray, packbits: bool = False,
+                big_endian: bool = False) -> bytes:
+    """Baseline TIFF writer: (h, w) gray or (h, w, 3) RGB uint8, one
+    strip per row when PackBits else one strip, II or MM byte order."""
+    a = np.ascontiguousarray(np.asarray(img, dtype=np.uint8))
+    gray = a.ndim == 2
+    if not gray and (a.ndim != 3 or a.shape[2] != 3):
+        raise ValueError(f"unsupported array shape {a.shape}")
+    h, w = a.shape[:2]
+    spp = 1 if gray else 3
+    e = ">" if big_endian else "<"
+    rows = a.reshape(h, -1)
+    if packbits:
+        strips = [_packbits_encode(rows[y].tobytes()) for y in range(h)]
+        rows_per_strip = 1
+    else:
+        strips = [a.tobytes()]
+        rows_per_strip = h
+
+    # layout: header(8) + IFD + [bits-per-sample array] + strip data
+    tags = []  # (tag, type, count, value-or-bytes)
+    def short(v):
+        return (3, 1, v)
+
+    tags.append((256, *short(w)))
+    tags.append((257, *short(h)))
+    if spp == 3:
+        tags.append((258, 3, 3, None))    # needs external array
+    else:
+        tags.append((258, *short(8)))
+    tags.append((259, *short(32773 if packbits else 1)))
+    tags.append((262, *short(1 if gray else 2)))
+    tags.append((273, 4, len(strips), None))
+    tags.append((277, *short(spp)))
+    tags.append((278, *short(rows_per_strip)))
+    tags.append((279, 4, len(strips), None))
+
+    n_tags = len(tags)
+    ifd_size = 2 + 12 * n_tags + 4
+    pos = 8 + ifd_size
+    extra = bytearray()
+    ext_off = {}
+    if spp == 3:
+        ext_off[258] = pos + len(extra)
+        extra += struct.pack(e + "HHH", 8, 8, 8)
+    counts = [len(s) for s in strips]
+    if len(strips) > 1:
+        ext_off[279] = pos + len(extra)
+        extra += b"".join(struct.pack(e + "I", c) for c in counts)
+        ext_off[273] = pos + len(extra)
+        data_start = pos + len(extra) + 4 * len(strips)
+        offs, run = [], data_start
+        for c in counts:
+            offs.append(run)
+            run += c
+        extra += b"".join(struct.pack(e + "I", o) for o in offs)
+    else:
+        data_start = pos + len(extra)
+
+    out = bytearray()
+    out += (b"MM\x00\x2a" if big_endian else b"II\x2a\x00")
+    out += struct.pack(e + "I", 8)
+    out += struct.pack(e + "H", n_tags)
+    for tag, typ, cnt, val in sorted(tags):
+        if tag == 273:
+            v = data_start if len(strips) == 1 else ext_off[273]
+        elif tag == 279:
+            v = counts[0] if len(strips) == 1 else ext_off[279]
+        elif tag == 258 and spp == 3:
+            v = ext_off[258]
+        else:
+            v = val
+        if typ == 3 and cnt == 1:
+            # SHORT value is left-justified in the 4-byte field
+            vbytes = struct.pack(e + "HH", v, 0)
+        else:
+            vbytes = struct.pack(e + "I", v)
+        out += struct.pack(e + "HHI", tag, typ, cnt) + vbytes
+    out += struct.pack(e + "I", 0)        # no next IFD
+    out += extra
+    out += b"".join(strips)
+    return bytes(out)
+
+
+def decode_tiff(payload: bytes) -> np.ndarray:
+    """uint8 array from a baseline TIFF: (h, w) gray (photometric 0
+    inverted per spec) or (h, w, 3) RGB; II/MM, strips, Compression
+    1/PackBits.  Tiles, LZW/JPEG compression and non-8-bit samples
+    raise NotImplementedError naming the gap."""
+    if payload[:4] == b"II\x2a\x00":
+        e = "<"
+    elif payload[:4] == b"MM\x00\x2a":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF payload")
+    if len(payload) < 8:
+        raise ValueError("truncated TIFF header")
+    (ifd_off,) = struct.unpack(e + "I", payload[4:8])
+    if ifd_off + 2 > len(payload):
+        raise ValueError("truncated TIFF IFD")
+    (n_tags,) = struct.unpack(e + "H", payload[ifd_off:ifd_off + 2])
+    type_size = {1: 1, 3: 2, 4: 4}
+    type_fmt = {1: "B", 3: "H", 4: "I"}
+    tags = {}
+    for i in range(n_tags):
+        off = ifd_off + 2 + 12 * i
+        if off + 12 > len(payload):
+            raise ValueError("truncated TIFF IFD entry")
+        tag, typ, cnt = struct.unpack(e + "HHI", payload[off:off + 8])
+        if typ not in type_size:
+            continue                      # RATIONAL etc: not needed
+        total = type_size[typ] * cnt
+        if total <= 4:
+            body = payload[off + 8:off + 8 + total]
+        else:
+            (voff,) = struct.unpack(e + "I", payload[off + 8:off + 12])
+            body = payload[voff:voff + total]
+            if len(body) != total:
+                raise ValueError("truncated TIFF tag value")
+        tags[tag] = list(struct.unpack(e + str(cnt) + type_fmt[typ], body))
+
+    def one(tag, default=None):
+        v = tags.get(tag)
+        if v is None:
+            if default is None:
+                raise ValueError(f"TIFF missing required tag {tag}")
+            return default
+        return v[0]
+
+    w, h = one(256), one(257)
+    spp = one(277, 1)
+    bits = tags.get(258, [8] * spp)
+    comp = one(259, 1)
+    photo = one(262, 1)
+    planar = one(284, 1)
+    if any(b != 8 for b in bits):
+        raise NotImplementedError(f"TIFF bits-per-sample {bits} "
+                                  "(8-bit only)")
+    if planar != 1:
+        raise NotImplementedError("planar TIFF not supported")
+    if 322 in tags or 323 in tags:
+        raise NotImplementedError("tiled TIFF not supported")
+    if comp not in (1, 32773):
+        raise NotImplementedError(f"TIFF compression {comp} "
+                                  "(none/PackBits only)")
+    if photo not in (0, 1, 2) or spp not in (1, 3):
+        raise NotImplementedError(
+            f"TIFF photometric {photo} x {spp} samples not supported")
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if offsets is None or counts is None or len(offsets) != len(counts):
+        raise ValueError("TIFF missing strip offsets/byte counts")
+    rows_per_strip = one(278, h)
+    raw = bytearray()
+    for si, (o, c) in enumerate(zip(offsets, counts)):
+        strip = payload[o:o + c]
+        if len(strip) != c:
+            raise ValueError("truncated TIFF strip")
+        nrows = min(rows_per_strip, h - si * rows_per_strip)
+        if comp == 32773:
+            raw += _packbits_decode(strip, nrows * w * spp)
+        else:
+            raw += strip
+    if len(raw) < h * w * spp:
+        raise ValueError("TIFF pixel data ended early")
+    arr = np.frombuffer(bytes(raw[:h * w * spp]), np.uint8)
+    img = arr.reshape(h, w, spp)
+    if photo == 0:                        # white-is-zero: invert
+        img = 255 - img
+    return img[:, :, 0] if spp == 1 else img
+
+
 # ------------------------------------------------------------------ GIF
 #
 # GIF87a/89a (the public W3C/CompuServe spec): logical screen
@@ -726,6 +962,8 @@ def sniff_format(payload: bytes) -> str:
         return "png"
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if payload[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
+        return "tiff"
     return "unknown"
 
 
@@ -744,6 +982,8 @@ def decode_image_real(payload: bytes) -> np.ndarray:
         return decode_jpeg(payload)
     if fmt == "gif":
         return decode_gif(payload)
+    if fmt == "tiff":
+        return decode_tiff(payload)
     raise ValueError(f"unrecognized image container ({fmt})")
 
 

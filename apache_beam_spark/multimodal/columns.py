@@ -56,7 +56,8 @@ def _decode_image_impl(payload: bytes, fake: bool) -> tuple[int, int, int, bytes
     from apache_beam_spark.multimodal.codecs import (
         decode_image_real, sniff_format)
 
-    if sniff_format(payload) in ("bmp", "ppm", "png", "jpeg", "gif"):
+    if sniff_format(payload) in ("bmp", "ppm", "png", "jpeg", "gif",
+                                 "tiff"):
         rgb = decode_image_real(payload)
         if rgb.ndim == 2:  # grayscale PNG/JPEG: channels=1
             h_, w_, c_ = rgb.shape[0], rgb.shape[1], 1

@@ -108,6 +108,7 @@ HEADLINE = [
     "jpeg_progressive_roundtrip",
     "png_adam7_roundtrip",
     "gif_roundtrip",
+    "tiff_roundtrip",
 ]
 
 

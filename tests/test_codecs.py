@@ -819,3 +819,65 @@ def test_gif_through_decode_image_stage(spark):
     row = decode_image(df).first()
     assert (row["width"], row["height"], row["channels"]) == (5, 6, 3)
     assert bytes(row["pixels"]) == img.tobytes()
+
+
+# ----------------------------------------------------------------- TIFF
+
+def test_tiff_roundtrip_all_modes():
+    """Gray + RGB x uncompressed/PackBits x II/MM all round-trip."""
+    from apache_beam_spark.multimodal.codecs import decode_tiff, encode_tiff
+
+    rng = np.random.RandomState(71)
+    for shape in [(5, 7), (6, 4, 3), (1, 1), (13, 9, 3)]:
+        img = rng.randint(0, 256, size=shape).astype(np.uint8)
+        for pb in (False, True):
+            for be in (False, True):
+                back = decode_tiff(encode_tiff(img, packbits=pb,
+                                               big_endian=be))
+                assert np.array_equal(back, img), (shape, pb, be)
+
+
+def test_tiff_packbits_compresses_runs_and_photometric_zero():
+    from apache_beam_spark.multimodal.codecs import decode_tiff, encode_tiff
+
+    flat = np.zeros((20, 30), np.uint8)
+    flat[5:10] = 200
+    blob = encode_tiff(flat, packbits=True)
+    assert len(blob) < 20 * 30            # runs actually compressed
+    assert np.array_equal(decode_tiff(blob), flat)
+    # photometric 0 (white-is-zero): flip the tag, expect inversion
+    i = blob.index(struct.pack("<HHI", 262, 3, 1))
+    flipped = blob[:i + 8] + b"\x00" + blob[i + 9:]
+    assert np.array_equal(decode_tiff(flipped), 255 - flat)
+
+
+def test_tiff_malformed_and_gated():
+    from apache_beam_spark.multimodal.codecs import decode_tiff, encode_tiff
+
+    img = np.zeros((3, 4), np.uint8)
+    good = encode_tiff(img)
+    with pytest.raises(ValueError, match="not a TIFF"):
+        decode_tiff(b"garbage")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_tiff(good[:10])
+    with pytest.raises(ValueError, match="truncated|strip"):
+        decode_tiff(good[:-5])
+    # LZW compression (5) is gated with the gap named
+    i = good.index(struct.pack("<HHI", 259, 3, 1))
+    lzw = good[:i + 8] + b"\x05" + good[i + 9:]
+    with pytest.raises(NotImplementedError, match="compression"):
+        decode_tiff(lzw)
+
+
+def test_tiff_through_decode_image_stage(spark):
+    from apache_beam_spark.multimodal.codecs import encode_tiff
+    from apache_beam_spark.multimodal.columns import decode_image
+
+    img = np.random.RandomState(72).randint(
+        0, 256, size=(6, 5, 3)).astype(np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_tiff(img, packbits=True)))],
+        "doc_id long, payload binary")
+    row = decode_image(df).first()
+    assert (row["width"], row["height"], row["channels"]) == (5, 6, 3)
+    assert bytes(row["pixels"]) == img.tobytes()
