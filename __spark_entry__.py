@@ -414,6 +414,33 @@ def _wordpiece_token_counts_bc(spark, sf_dir):
                                   _WP_VOCAB, max_literal_pieces=0)
 
 
+def _dsir_scores(spark, sf_dir):
+    """DSIR importance scores (operators/dsir.py — Xie et al. NeurIPS
+    2023): every document scored by the quantized log-likelihood ratio
+    of its hashed unigram+bigram features under bag-of-ngrams models
+    of a TARGET subcorpus (doc_id % 7 == 0 — a deterministic 'domain')
+    vs the raw corpus.  md5 feature hashing + int64-quantized weights
+    make the whole pipeline reproducible in DuckDB; value-oracled."""
+    from apache_beam_spark.operators.dsir import dsir_scores, dsir_weights
+
+    docs = load_table(spark, "documents", sf_dir)
+    target = docs.where(F.col("doc_id") % 7 == 0)
+    return dsir_scores(docs, dsir_weights(docs, target))
+
+
+def _dsir_select_top(spark, sf_dir):
+    """The DSIR SELECTION step: keep the top 10% of documents by
+    importance score with a deterministic (score desc, doc_id)
+    tie-break — the actual data-selection output a pretraining
+    pipeline materializes.  Value-oracled (same weights CTE + QUALIFY
+    row_number)."""
+    from apache_beam_spark.operators.dsir import dsir_select, dsir_weights
+
+    docs = load_table(spark, "documents", sf_dir)
+    target = docs.where(F.col("doc_id") % 7 == 0)
+    return dsir_select(docs, dsir_weights(docs, target), frac=0.1)
+
+
 def _unigram_piece_counts(spark, sf_dir):
     """Unigram piece USAGE counts (operators/unigram.py): corpus-
     weighted Viterbi-segmentation piece frequencies under the pinned
@@ -3716,6 +3743,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_token_counts_bc": _unigram_token_counts_bc,
         "wordpiece_token_counts": _wordpiece_token_counts,
         "wordpiece_token_counts_bc": _wordpiece_token_counts_bc,
+        "dsir_scores": _dsir_scores,
+        "dsir_select_top": _dsir_select_top,
         "unigram_piece_counts": _unigram_piece_counts,
         "group_by_key": _group_by_key,
         "combine_grouped_values": _combine_grouped_values,
@@ -4199,6 +4228,41 @@ def oracle_sql() -> dict[str, str]:
                      AS total_cost
             FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id
             LEFT JOIN fin USING (word)
+            GROUP BY d.doc_id""",
+        # DSIR: same md5 buckets, Laplace smoothing and int64 weight
+        # quantization as operators/dsir.py — ln() is the only float
+        # (1-ulp engine differences vanish under round(x * 2^16))
+        "dsir_scores": f"""
+            WITH t AS (SELECT doc_id, {toks} AS tk FROM documents),
+            feats AS (
+              SELECT doc_id, unnest(list_concat(tk,
+                       list_transform(range(1, len(tk)),
+                                      i -> tk[i] || ' ' || tk[i+1])))
+                     AS f
+              FROM t),
+            fb AS (SELECT doc_id,
+                          CAST(CAST(('0x' || substr(md5(f), 1, 6))
+                               AS BIGINT) % 4096 AS INT) AS bucket
+                   FROM feats),
+            p AS (SELECT bucket, count(*) AS pc FROM fb
+                  WHERE doc_id % 7 = 0 GROUP BY bucket),
+            q AS (SELECT bucket, count(*) AS qc FROM fb GROUP BY bucket),
+            grid AS (SELECT CAST(unnest(range(0, 4096)) AS INT) AS bucket),
+            j AS (SELECT bucket,
+                         coalesce(pc, 0) + 1 AS pc,
+                         coalesce(qc, 0) + 1 AS qc
+                  FROM grid LEFT JOIN p USING (bucket)
+                  LEFT JOIN q USING (bucket)),
+            tot AS (SELECT CAST(sum(pc) AS DOUBLE) AS P,
+                           CAST(sum(qc) AS DOUBLE) AS Q FROM j),
+            w AS (SELECT bucket,
+                         CAST(round((ln(pc / P) - ln(qc / Q)) * 65536)
+                              AS BIGINT) AS w
+                  FROM j, tot)
+            SELECT d.doc_id,
+                   CAST(coalesce(sum(w.w), 0) AS BIGINT) AS dsir_score
+            FROM documents d LEFT JOIN fb ON d.doc_id = fb.doc_id
+            LEFT JOIN w USING (bucket)
             GROUP BY d.doc_id""",
         # WordPiece greedy longest-match replayed in SQL: per step the
         # LARGEST admissible span advances the cursor; any miss flags
@@ -6223,4 +6287,11 @@ def oracle_sql() -> dict[str, str]:
     out["png_adam7_roundtrip"] = out["png_roundtrip"]
     out["gif_roundtrip"] = out["png_roundtrip"]
     out["tiff_roundtrip"] = out["png_roundtrip"]
+    # DSIR selection = the scores CTE + a deterministic top-10% rank
+    out["dsir_select_top"] = (
+        "WITH scores AS (" + out["dsir_scores"] + ")\n"
+        "SELECT doc_id, dsir_score FROM scores\n"
+        "QUALIFY row_number() OVER (ORDER BY dsir_score DESC, doc_id)\n"
+        "  <= greatest(1, CAST(floor("
+        "(SELECT count(*) FROM documents) * 0.1) AS BIGINT))")
     return out

@@ -109,6 +109,7 @@ HEADLINE = [
     "png_adam7_roundtrip",
     "gif_roundtrip",
     "tiff_roundtrip",
+    "dsir_scores",
 ]
 
 

@@ -67,6 +67,8 @@ QUERIES = [
     # mapInPandas) and the WordPiece greedy walk
     "bpe_rank_token_counts", "unigram_token_counts_bc",
     "wordpiece_token_counts",
+    # round-8 second pass: DSIR importance-resampling selection
+    "dsir_scores", "dsir_select_top",
 ]
 
 
