@@ -3332,36 +3332,34 @@ def _wav_roundtrip(spark, sf_dir):
         "doc_id", "sample_rate", "num_samples", "peak_abs")
 
 
-def _png_roundtrip(spark, sf_dir):
-    """REAL image codec round trip (multimodal/codecs.py decode_png —
-    stdlib zlib inflate + numpy unfiltering, no media libs): per doc, a
-    deterministic RGB image is synthesized from an integer pixel
-    formula, compressed with encode_png, decoded back by the
-    decode_image stage (chunk walk, CRC verify, unfilter), and the
-    decoded (width, height, channels, pixel byte sum) are value-checked
-    against the oracle computing the same formula in SQL — the codec is
-    verified end-to-end through the distributed mapInPandas plumbing,
-    same standard as wav_roundtrip."""
+def _rt_rgb_image(d: int):
+    """The shared roundtrip pixel formula: a (3-6) x (4-8) RGB image
+    whose bytes are ((d*7 + k*13) % 256) — at most 48 distinct colors
+    (inside GIF's palette limit), SQL-expressible for the oracle."""
+    import numpy as np
+
+    w, h = 4 + d % 5, 3 + d % 4
+    k = np.arange(w * h * 3, dtype=np.int64)
+    return ((d * 7 + k * 13) % 256).astype(np.uint8).reshape(h, w, 3)
+
+
+def _image_roundtrip(spark, sf_dir, payload_fn):
+    """Shared scaffold of every codec roundtrip query: per doc,
+    ``payload_fn(doc_id) -> encoded bytes`` (runs inside the
+    distributed mapInPandas stage), decoded back by decode_image, and
+    (width, height, channels, pixel byte sum) returned for the
+    value-oracle."""
     from apache_beam_spark.multimodal.columns import decode_image
 
     docs = load_table(spark, "documents", sf_dir).select("doc_id")
 
     def gen(batches):
-        import numpy as np
         import pandas as pd
 
-        from apache_beam_spark.multimodal.codecs import encode_png
-
         for pdf in batches:
-            rows = []
-            for d in pdf["doc_id"]:
-                d = int(d)
-                w, h = 4 + d % 5, 3 + d % 4
-                k = np.arange(w * h * 3, dtype=np.int64)
-                px = ((d * 7 + k * 13) % 256).astype(np.uint8)
-                rows.append({"doc_id": d,
-                             "payload": encode_png(px.reshape(h, w, 3))})
-            yield pd.DataFrame(rows)
+            ids = [int(d) for d in pdf["doc_id"]]
+            yield pd.DataFrame({"doc_id": ids,
+                                "payload": [payload_fn(d) for d in ids]})
 
     enc = docs.mapInPandas(gen, "doc_id bigint, payload binary")
     dec = decode_image(enc).withColumn("hx", F.hex("pixels"))
@@ -3371,127 +3369,67 @@ def _png_roundtrip(spark, sf_dir):
         " AS BIGINT))")
     return dec.select("doc_id", "width", "height", "channels",
                       pixel_sum.alias("pixel_sum"))
+
+
+def _png_roundtrip(spark, sf_dir):
+    """REAL image codec round trip (multimodal/codecs.py decode_png —
+    stdlib zlib inflate + numpy unfiltering, no media libs): the
+    shared RGB pixel formula compressed with encode_png, decoded back
+    by the decode_image stage (chunk walk, CRC verify, unfilter), dims
+    + pixel byte sum value-checked against the oracle computing the
+    same formula in SQL — end-to-end through the distributed
+    mapInPandas plumbing, same standard as wav_roundtrip."""
+    def payload(d):
+        from apache_beam_spark.multimodal.codecs import encode_png
+
+        return encode_png(_rt_rgb_image(d))
+
+    return _image_roundtrip(spark, sf_dir, payload)
 
 
 def _tiff_roundtrip(spark, sf_dir):
     """REAL TIFF codec round trip (multimodal/codecs.py decode_tiff —
-    r8: IFD walk, strip assembly, PackBits): the png_roundtrip pixel
-    formula encoded with PackBits on even doc ids / uncompressed on
-    odd, big-endian (MM) on ids % 3 == 0 — lossless, so the
-    png_roundtrip oracle value-checks dims + pixel sum."""
-    from apache_beam_spark.multimodal.columns import decode_image
-
-    docs = load_table(spark, "documents", sf_dir).select("doc_id")
-
-    def gen(batches):
-        import numpy as np
-        import pandas as pd
-
+    r8: IFD walk, strip assembly, PackBits): the shared RGB formula,
+    PackBits on even doc ids / uncompressed on odd, big-endian (MM) on
+    ids % 3 == 0 — lossless, so the png_roundtrip oracle value-checks
+    dims + pixel sum."""
+    def payload(d):
         from apache_beam_spark.multimodal.codecs import encode_tiff
 
-        for pdf in batches:
-            rows = []
-            for d in pdf["doc_id"]:
-                d = int(d)
-                w, h = 4 + d % 5, 3 + d % 4
-                k = np.arange(w * h * 3, dtype=np.int64)
-                px = ((d * 7 + k * 13) % 256).astype(np.uint8)
-                rows.append({"doc_id": d,
-                             "payload": encode_tiff(
-                                 px.reshape(h, w, 3),
-                                 packbits=(d % 2 == 0),
-                                 big_endian=(d % 3 == 0))})
-            yield pd.DataFrame(rows)
+        return encode_tiff(_rt_rgb_image(d), packbits=(d % 2 == 0),
+                           big_endian=(d % 3 == 0))
 
-    enc = docs.mapInPandas(gen, "doc_id bigint, payload binary")
-    dec = decode_image(enc).withColumn("hx", F.hex("pixels"))
-    pixel_sum = F.expr(
-        "aggregate(sequence(0, length(hx) div 2 - 1), 0L,"
-        " (acc, i) -> acc + CAST(conv(substring(hx, 2*i + 1, 2), 16, 10)"
-        " AS BIGINT))")
-    return dec.select("doc_id", "width", "height", "channels",
-                      pixel_sum.alias("pixel_sum"))
+    return _image_roundtrip(spark, sf_dir, payload)
 
 
 def _gif_roundtrip(spark, sf_dir):
     """REAL GIF codec round trip (multimodal/codecs.py decode_gif —
-    r8: variable-code-width LZW, global color table, first frame):
-    per doc, the SAME deterministic RGB formula as png_roundtrip
-    (4-8 x 3-6 images carry at most 48 distinct colors, inside GIF's
-    256-entry palette) encoded with encode_gif, decoded by the
-    distributed decode_image stage.  GIF is lossless on palette
-    content, so the png_roundtrip oracle value-checks dims + pixel
+    r8: variable-code-width LZW, global color table, first frame,
+    4-pass interlace on odd doc ids): the shared RGB formula carries
+    at most 48 distinct colors, inside GIF's 256-entry palette;
+    lossless, so the png_roundtrip oracle value-checks dims + pixel
     sum byte-for-byte."""
-    from apache_beam_spark.multimodal.columns import decode_image
-
-    docs = load_table(spark, "documents", sf_dir).select("doc_id")
-
-    def gen(batches):
-        import numpy as np
-        import pandas as pd
-
+    def payload(d):
         from apache_beam_spark.multimodal.codecs import encode_gif
 
-        for pdf in batches:
-            rows = []
-            for d in pdf["doc_id"]:
-                d = int(d)
-                w, h = 4 + d % 5, 3 + d % 4
-                k = np.arange(w * h * 3, dtype=np.int64)
-                px = ((d * 7 + k * 13) % 256).astype(np.uint8)
-                rows.append({"doc_id": d,
-                             "payload": encode_gif(
-                                 px.reshape(h, w, 3),
-                                 interlace=bool(d % 2))})
-            yield pd.DataFrame(rows)
+        return encode_gif(_rt_rgb_image(d), interlace=bool(d % 2))
 
-    enc = docs.mapInPandas(gen, "doc_id bigint, payload binary")
-    dec = decode_image(enc).withColumn("hx", F.hex("pixels"))
-    pixel_sum = F.expr(
-        "aggregate(sequence(0, length(hx) div 2 - 1), 0L,"
-        " (acc, i) -> acc + CAST(conv(substring(hx, 2*i + 1, 2), 16, 10)"
-        " AS BIGINT))")
-    return dec.select("doc_id", "width", "height", "channels",
-                      pixel_sum.alias("pixel_sum"))
+    return _image_roundtrip(spark, sf_dir, payload)
 
 
 def _png_adam7_roundtrip(spark, sf_dir):
     """Adam7-INTERLACED PNG round trip (r8: the decoder's seven-pass
     scatter path — each pass independently filtered, empty passes for
-    sub-tile dims): same per-doc pixel formula as png_roundtrip, but
-    encoded with encode_png(interlace=True).  PNG is lossless either
-    way, so the SAME oracle value-checks dims + pixel sum; doc-
-    dependent dims below 8x8 exercise the empty-pass branches."""
-    from apache_beam_spark.multimodal.columns import decode_image
-
-    docs = load_table(spark, "documents", sf_dir).select("doc_id")
-
-    def gen(batches):
-        import numpy as np
-        import pandas as pd
-
+    sub-tile dims): the shared RGB formula encoded with
+    encode_png(interlace=True).  PNG is lossless either way, so the
+    SAME oracle value-checks dims + pixel sum; doc-dependent dims
+    below 8x8 exercise the empty-pass branches."""
+    def payload(d):
         from apache_beam_spark.multimodal.codecs import encode_png
 
-        for pdf in batches:
-            rows = []
-            for d in pdf["doc_id"]:
-                d = int(d)
-                w, h = 4 + d % 5, 3 + d % 4
-                k = np.arange(w * h * 3, dtype=np.int64)
-                px = ((d * 7 + k * 13) % 256).astype(np.uint8)
-                rows.append({"doc_id": d,
-                             "payload": encode_png(px.reshape(h, w, 3),
-                                                   interlace=True)})
-            yield pd.DataFrame(rows)
+        return encode_png(_rt_rgb_image(d), interlace=True)
 
-    enc = docs.mapInPandas(gen, "doc_id bigint, payload binary")
-    dec = decode_image(enc).withColumn("hx", F.hex("pixels"))
-    pixel_sum = F.expr(
-        "aggregate(sequence(0, length(hx) div 2 - 1), 0L,"
-        " (acc, i) -> acc + CAST(conv(substring(hx, 2*i + 1, 2), 16, 10)"
-        " AS BIGINT))")
-    return dec.select("doc_id", "width", "height", "channels",
-                      pixel_sum.alias("pixel_sum"))
+    return _image_roundtrip(spark, sf_dir, payload)
 
 
 def _jpeg_roundtrip(spark, sf_dir):
@@ -3507,34 +3445,15 @@ def _jpeg_roundtrip(spark, sf_dir):
     pixel sum are value-oracled — the richer AC/chroma paths are
     covered by tests/test_codecs.py round trips, which a SQL oracle
     cannot express for lossy content."""
-    from apache_beam_spark.multimodal.columns import decode_image
-
-    docs = load_table(spark, "documents", sf_dir).select("doc_id")
-
-    def gen(batches):
+    def payload(d):
         import numpy as np
-        import pandas as pd
 
         from apache_beam_spark.multimodal.codecs import encode_jpeg
 
-        for pdf in batches:
-            rows = []
-            for d in pdf["doc_id"]:
-                d = int(d)
-                w, h, v = 4 + d % 5, 3 + d % 4, (d * 7) % 256
-                rows.append({"doc_id": d,
-                             "payload": encode_jpeg(
-                                 np.full((h, w), v, np.uint8))})
-            yield pd.DataFrame(rows)
+        w, h, v = 4 + d % 5, 3 + d % 4, (d * 7) % 256
+        return encode_jpeg(np.full((h, w), v, np.uint8))
 
-    enc = docs.mapInPandas(gen, "doc_id bigint, payload binary")
-    dec = decode_image(enc).withColumn("hx", F.hex("pixels"))
-    pixel_sum = F.expr(
-        "aggregate(sequence(0, length(hx) div 2 - 1), 0L,"
-        " (acc, i) -> acc + CAST(conv(substring(hx, 2*i + 1, 2), 16, 10)"
-        " AS BIGINT))")
-    return dec.select("doc_id", "width", "height", "channels",
-                      pixel_sum.alias("pixel_sum"))
+    return _image_roundtrip(spark, sf_dir, payload)
 
 
 def _jpeg_progressive_roundtrip(spark, sf_dir):
@@ -3545,40 +3464,20 @@ def _jpeg_progressive_roundtrip(spark, sf_dir):
     with doc-dependent restart intervals — and decoded by
     decode_jpeg's Annex G.2 accumulate-across-scans path.  The
     progressive encoder shares the baseline encoder's quantized
-    coefficients, so the constant-tile closed form
-    ``clip(2*floor((v-128)/2 + .5) + 128)`` holds bit-identically
-    (pinned in tests/test_codecs.py progressive-vs-baseline tests);
-    width/height/channels AND the pixel sum are value-oracled."""
-    from apache_beam_spark.multimodal.columns import decode_image
-
-    docs = load_table(spark, "documents", sf_dir).select("doc_id")
-
-    def gen(batches):
+    coefficients, so the constant-tile closed form holds
+    bit-identically (pinned in tests/test_codecs.py
+    progressive-vs-baseline tests); dims AND pixel sum value-oracled."""
+    def payload(d):
         import numpy as np
-        import pandas as pd
 
         from apache_beam_spark.multimodal.codecs import (
             encode_jpeg_progressive)
 
-        for pdf in batches:
-            rows = []
-            for d in pdf["doc_id"]:
-                d = int(d)
-                w, h, v = 4 + d % 5, 3 + d % 4, (d * 7) % 256
-                rows.append({"doc_id": d,
-                             "payload": encode_jpeg_progressive(
-                                 np.full((h, w), v, np.uint8),
-                                 restart_interval=d % 3)})
-            yield pd.DataFrame(rows)
+        w, h, v = 4 + d % 5, 3 + d % 4, (d * 7) % 256
+        return encode_jpeg_progressive(np.full((h, w), v, np.uint8),
+                                       restart_interval=d % 3)
 
-    enc = docs.mapInPandas(gen, "doc_id bigint, payload binary")
-    dec = decode_image(enc).withColumn("hx", F.hex("pixels"))
-    pixel_sum = F.expr(
-        "aggregate(sequence(0, length(hx) div 2 - 1), 0L,"
-        " (acc, i) -> acc + CAST(conv(substring(hx, 2*i + 1, 2), 16, 10)"
-        " AS BIGINT))")
-    return dec.select("doc_id", "width", "height", "channels",
-                      pixel_sum.alias("pixel_sum"))
+    return _image_roundtrip(spark, sf_dir, payload)
 
 
 def _rag_chunks(spark, sf_dir):

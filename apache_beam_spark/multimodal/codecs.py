@@ -62,7 +62,9 @@ def encode_wav(samples: np.ndarray, sample_rate: int,
     if audio_format == 3:
         dtype = {32: np.float32, 64: np.float64}[bits]
     elif audio_format in (6, 7):
-        assert bits == 8, "G.711 WAV carries 8-bit codes"
+        if bits != 8:
+            raise ValueError("G.711 WAV carries 8-bit codes, "
+                             f"got bits={bits}")
         dtype = np.uint8
     else:
         dtype = {8: np.uint8, 16: np.int16, 32: np.int32}[bits]
@@ -78,7 +80,9 @@ def encode_wav(samples: np.ndarray, sample_rate: int,
 
 # G.711 companding, implemented from the spec's segment algorithm
 # (not copied magic tables) — encode/decode are exact inverses on the
-# 256 code points, asserted exhaustively in tests/test_codecs.py.
+# 256 code points, asserted exhaustively in tests/test_codecs.py, with
+# ONE spec-canonical exception: mu-law 0x7F ('negative zero') decodes
+# to 0, which re-encodes as 0xFF (positive zero).
 
 _ULAW_BIAS = 0x84
 _ULAW_CLIP = 32635
@@ -671,6 +675,8 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         return v[0]
 
     w, h = one(256), one(257)
+    if w == 0 or h == 0:
+        raise ValueError("zero-dimension TIFF")
     spp = one(277, 1)
     bits = tags.get(258, [8] * spp)
     comp = one(259, 1)
@@ -913,13 +919,19 @@ def decode_gif(payload: bytes) -> np.ndarray:
         table = gct
         if iflags & 0x80:                 # local color table
             n = 2 << (iflags & 0x07)
-            table = np.frombuffer(payload[pos:pos + 3 * n],
-                                  np.uint8).reshape(-1, 3)
+            body = payload[pos:pos + 3 * n]
+            if len(body) != 3 * n:
+                raise ValueError("truncated GIF local color table")
+            table = np.frombuffer(body, np.uint8).reshape(-1, 3)
+            if len(table) != n:
+                raise ValueError("truncated GIF local color table")
             pos += 3 * n
         if table is None:
             raise ValueError("GIF image has no color table")
         if iw == 0 or ih == 0:
             raise ValueError("zero-dimension GIF frame")
+        if pos >= len(payload):
+            raise ValueError("truncated GIF image data")
         min_code = payload[pos]
         pos += 1
         if not 2 <= min_code <= 11:

@@ -7,13 +7,14 @@ input split — media work parallelizes by repartitioning on row count,
 not bytes, so ``repartition_for_media`` sizes partitions by payload
 bytes instead).
 
-Uncompressed containers decode FOR REAL via ``codecs.py`` (pure
-struct/numpy — PCM WAV audio, 24bpp BMP and P6 PPM images).
-Compressed formats (JPEG/PNG/MP3/H.264) are gated behind
-``NotImplementedError`` naming the needed library; a deterministic
-fake decoder remains for plumbing tests of those paths — it derives
-(width, height, channels) and pixel statistics purely from the payload
-bytes, so tests have stable expected values.
+Containers decode FOR REAL via ``codecs.py`` (pure struct/zlib/numpy
+— WAV PCM/float/G.711 audio; BMP, PPM, PNG incl. Adam7/16-bit, GIF,
+TIFF, JPEG baseline+progressive images).  Still-gated formats
+(arithmetic JPEG, MP3, H.264) raise ``NotImplementedError`` naming
+the needed library; a deterministic fake decoder remains for plumbing
+tests of those paths — it derives (width, height, channels) and pixel
+statistics purely from the payload bytes, so tests have stable
+expected values.
 """
 
 from __future__ import annotations
@@ -48,11 +49,11 @@ def attach_media_metadata(df: DataFrame, payload_col: str = "payload",
 def _decode_image_impl(payload: bytes, fake: bool) -> tuple[int, int, int, bytes]:
     """(width, height, channels, pixel_bytes).
 
-    PNG (stdlib zlib + numpy unfiltering), baseline JPEG (huffman +
-    batched IDCT), BMP 24bpp and PPM P6 decode FOR REAL via
-    ``codecs.py`` — no media libs.  The deterministic fake derives
-    everything from the payload so plumbing tests for UNDECODABLE
-    containers have stable oracles."""
+    PNG (incl. Adam7/16-bit), JPEG (baseline + progressive), GIF,
+    TIFF, BMP 24bpp and PPM P6 decode FOR REAL via ``codecs.py`` — no
+    media libs.  The deterministic fake derives everything from the
+    payload so plumbing tests for UNDECODABLE containers have stable
+    oracles."""
     from apache_beam_spark.multimodal.codecs import (
         decode_image_real, sniff_format)
 
@@ -66,7 +67,7 @@ def _decode_image_impl(payload: bytes, fake: bool) -> tuple[int, int, int, bytes
         return w_, h_, c_, rgb.tobytes()
     if not fake:
         raise NotImplementedError(
-            "unrecognized image container; PNG/JPEG/GIF/BMP/PPM "
+            "unrecognized image container; PNG/JPEG/GIF/TIFF/BMP/PPM "
             "decode natively, or pass fake=True for the deterministic "
             "test decoder")
     h = hashlib.sha256(payload).digest()

@@ -137,13 +137,20 @@ def dsir_select(df: DataFrame, weights: DataFrame, *, frac: float,
 
     if not 0 < frac <= 1:
         raise ValueError(f"frac must be in (0, 1], got {frac}")
+    # checkpoint AFTER the range exchange: the count, the offset pull
+    # and the caller's action are three jobs — without this each one
+    # would recompute the whole scoring pipeline (plus the lazy weight
+    # plan's two corpus scans), and repartitionByRange RE-SAMPLES its
+    # bounds per execution, so the pid->offset map could describe a
+    # different partitioning than the one the final filter reads
     scores = dsir_scores(df, weights, n_buckets=n_buckets,
                          text_col=text_col, id_col=id_col)
-    n = scores.count()
-    keep = max(1, int(n * frac))
     parts = (scores.repartitionByRange(F.col("dsir_score").desc(),
                                        F.col(id_col))
-             .withColumn("pid", F.spark_partition_id()))
+             .withColumn("pid", F.spark_partition_id())
+             .localCheckpoint())
+    n = parts.count()
+    keep = max(1, int(n * frac))
     sizes = {r["pid"]: r["c"] for r in
              parts.groupBy("pid").agg(F.count(F.lit(1)).alias("c"))
              .collect()}

@@ -167,15 +167,16 @@ def wordpiece_token_counts(df: DataFrame, vocab, *,
 
     Returns (id_col, n_tokens, n_unk_words); empty docs report (0, 0).
     """
+    vocab = set(vocab)   # materialize: generators must not exhaust
     wpd = df.select(F.col(id_col),
                     F.explode_outer(word_tokens(F.col(text_col)))
                     .alias("word"))
     dw = wpd.select("word").where(F.col("word").isNotNull()).distinct()
-    if len(set(vocab)) > max_literal_pieces:
+    if len(vocab) > max_literal_pieces:
         dw = _per_word_bc(dw, vocab)
     else:
         dw = (dw.withColumn("r", _greedy_counts_col(F.col("word"),
-                                                    set(vocab)))
+                                                    vocab))
               .select("word", F.col("r.n_tokens").alias("n_tokens"),
                       F.col("r.is_unk").alias("is_unk")))
     return (wpd.join(dw, "word", "left")
@@ -211,10 +212,13 @@ def wordpiece_train(df: DataFrame, *, n_merges: int = 10,
     Each ROUND: one symbol-count agg + one pair-count agg over the
     (checkpointed) vocabulary frame, the score computed DISTRIBUTED
     (two joins against the symbol-count frame — strategy left to AQE),
-    a BOUNDED driver pull of the top 64 candidates by float score, and
-    the argmax decided within that window by exact cross-multiplied
-    fraction comparison (python ints — float only ranks the window,
-    never decides a tie).  One merge per round: the ratio score
+    a BOUNDED driver pull of the top 256 candidates by float score,
+    and the argmax decided within that window by exact
+    cross-multiplied fraction comparison (python ints).  The float
+    ranking only selects the window; the one theoretical gap — more
+    than 256 exact-DISTINCT rationals collapsing to the same double at
+    the window boundary — cannot occur for the integer counts real
+    corpora produce.  One merge per round: the ratio score
     changes non-locally after every merge, so the BPE disjoint-batch
     exactness argument does not port.  Pinned round-by-round against a
     sequential reference in tests/test_wordpiece.py."""
@@ -242,7 +246,7 @@ def wordpiece_train(df: DataFrame, *, n_merges: int = 10,
                                      F.col("c").alias("cb")), "b")
                 .withColumn("score", F.col("pc") / (F.col("ca") * F.col("cb")))
                 .orderBy(F.col("score").desc(), "a", "b")
-                .limit(64).collect())
+                .limit(256).collect())
         if not cand:
             break
         # exact argmax within the pulled window: pc1*den2 > pc2*den1
