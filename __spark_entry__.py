@@ -1033,6 +1033,49 @@ def _stream_minhash_dedup(spark, sf_dir):
     return out.filter(F.col("doc_id") < 90000).select("doc_id")
 
 
+def _stream_heavy_hitters_exact(spark, sf_dir):
+    """Streaming windowed heavy hitters run END-TO-END inside the
+    query (streaming/heavy.py::streaming_heavy_hitters, the sharded
+    Misra-Gries path): every 5th event replays through TestStream in
+    one data wave plus a watermark tail that closes all
+    6-hour windows.  With ``capacity`` (64) >= the stream's distinct
+    item count (~5 event types) the MG summary degenerates to EXACT
+    counting, so the emitted (window, item, count >= 5) rows are
+    fully SQL-expressible: the oracle is a plain windowed
+    GROUP BY/HAVING.  Counts are additive, so the result is
+    deterministic regardless of partition order — the second REAL
+    streaming query under the value-oracle gate (after
+    stream_minhash_dedup)."""
+    import tempfile
+
+    from apache_beam_spark.streaming.heavy import streaming_heavy_hitters
+    from apache_beam_spark.streaming.sources import (TestStream,
+                                                     read_bounded)
+
+    # ts arrives as TIMESTAMP_NTZ (load_table's nanos handling):
+    # unix_micros matches the oracle's epoch_us(ts::TIMESTAMP)
+    ev = (load_table(spark, "events", sf_dir)
+          .filter(F.col("event_id") % 5 == 0)
+          .select(F.unix_micros(F.col("ts").cast("timestamp"))
+                  .alias("tus"), "event_type"))
+    rows = [(int(r["tus"]), r["event_type"]) for r in ev.collect()]
+    ts = TestStream(tempfile.mkdtemp(prefix="entry_sheavy_"))
+    ts.add_elements([{"ts": t, "event_type": et} for t, et in rows])
+    tail = max(t for t, _ in rows) + 7 * 24 * 3600 * 1_000_000
+    ts.add_elements([{"ts": tail, "event_type": "zz_watermark_tail"}])
+    sdf = streaming_heavy_hitters(
+        ts.stream(spark, "ts bigint, event_type string"),
+        "event_type", window_ms=6 * 60 * 60_000, capacity=64,
+        min_count=5, n_shards=4)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        out = read_bounded(sdf)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return out.select("window_start", "item", "approx_count")
+
+
 def _dedup_simhash(spark, sf_dir):
     """SimHash near-dedup — rows-only (engine-specific hashes)."""
     return simhash_dedup(load_table(spark, "documents", sf_dir), max_hamming=3) \
@@ -3691,6 +3734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": _dedup_minhash,
         "dedup_minhash_md5": _dedup_minhash_md5,
         "stream_minhash_dedup": _stream_minhash_dedup,
+        "stream_heavy_hitters_exact": _stream_heavy_hitters_exact,
         "dedup_simhash": _dedup_simhash,
         "dedup_simhash_md5": _dedup_simhash_md5,
         "ngram_jaccard": _ngram_jaccard,
@@ -4163,6 +4207,18 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN fb ON d.doc_id = fb.doc_id
             LEFT JOIN w USING (bucket)
             GROUP BY d.doc_id""",
+        # streaming heavy hitters, exact regime: capacity >= distinct
+        # items makes Misra-Gries exact counting, so the whole
+        # streamed output is one windowed GROUP BY / HAVING
+        "stream_heavy_hitters_exact": """
+            SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 21600000000)
+                     * 21600000000 AS window_start,
+                   event_type AS item,
+                   CAST(COUNT(*) AS BIGINT) AS approx_count
+            FROM events
+            WHERE event_id % 5 = 0
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= 5""",
         # WordPiece greedy longest-match replayed in SQL: per step the
         # LARGEST admissible span advances the cursor; any miss flags
         # the whole word [UNK] (HF all-or-nothing semantics)
