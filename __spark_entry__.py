@@ -1076,6 +1076,50 @@ def _stream_heavy_hitters_exact(spark, sf_dir):
     return out.select("window_start", "item", "approx_count")
 
 
+def _stream_funnel_exact(spark, sf_dir):
+    """Streaming funnel run END-TO-END inside the query
+    (streaming/sequences.py::streaming_funnel, the sharded path):
+    step-typed events replay through TestStream in one data wave (the
+    watermark is 0 during it, so nothing is late) plus a tail that
+    seals every buffered chain.  Matching is event-time-ordered with
+    an event-id tie-break — arrival order cannot perturb it — and the
+    batch/stream parity is pinned in tests/test_streaming_funnel.py,
+    so the completed chains answer to the same SQL as the batch
+    funnel (view -> earliest click within 1 day -> earliest purchase
+    within 1 day), value-oracled with epoch-microsecond outputs."""
+    import tempfile
+
+    from apache_beam_spark.streaming import streaming_funnel
+    from apache_beam_spark.streaming.sources import (TestStream,
+                                                     read_bounded)
+
+    ev = (load_table(spark, "events", sf_dir)
+          .filter(F.col("event_type").isin("view", "click", "purchase")
+                  & (F.col("user_id") < 200))
+          .select("event_id", "user_id",
+                  F.unix_micros(F.col("ts").cast("timestamp"))
+                  .alias("ts"), "event_type"))
+    rows = [r.asDict() for r in ev.collect()]
+    ts = TestStream(tempfile.mkdtemp(prefix="entry_sfunnel_"))
+    ts.add_elements(rows)
+    tail = max(r["ts"] for r in rows) + 30 * 24 * 3600 * 1_000_000
+    ts.add_elements([{"event_id": 900000001, "user_id": 999999,
+                      "ts": tail, "event_type": "view"}])
+    sdf = streaming_funnel(
+        ts.stream(spark, "event_id bigint, user_id bigint, ts bigint,"
+                         " event_type string"),
+        ["view", "click", "purchase"], within_ms=24 * 60 * 60_000,
+        n_shards=8)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        out = read_bounded(sdf)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (out.filter(F.col("user_id") < 200)
+            .select("user_id", "view_ts", "click_ts", "purchase_ts"))
+
+
 def _dedup_simhash(spark, sf_dir):
     """SimHash near-dedup — rows-only (engine-specific hashes)."""
     return simhash_dedup(load_table(spark, "documents", sf_dir), max_hamming=3) \
@@ -3735,6 +3779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_md5": _dedup_minhash_md5,
         "stream_minhash_dedup": _stream_minhash_dedup,
         "stream_heavy_hitters_exact": _stream_heavy_hitters_exact,
+        "stream_funnel_exact": _stream_funnel_exact,
         "dedup_simhash": _dedup_simhash,
         "dedup_simhash_md5": _dedup_simhash_md5,
         "ngram_jaccard": _ngram_jaccard,
@@ -4207,6 +4252,37 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN fb ON d.doc_id = fb.doc_id
             LEFT JOIN w USING (bucket)
             GROUP BY d.doc_id""",
+        # streaming funnel: the batch funnel CTE over the same event
+        # subset, timestamps as epoch microseconds
+        "stream_funnel_exact": """
+            WITH ev AS (SELECT user_id,
+                               epoch_us(CAST(ts AS TIMESTAMP)) AS ts,
+                               event_type
+                        FROM events WHERE user_id < 200),
+            v AS (SELECT user_id, ts AS view_ts FROM ev
+                  WHERE event_type = 'view'),
+            c AS (
+                SELECT user_id, view_ts,
+                       (SELECT min(e.ts) FROM ev e
+                        WHERE e.user_id = v.user_id
+                          AND e.event_type = 'click'
+                          AND e.ts > v.view_ts
+                          AND e.ts <= v.view_ts + 86400000000)
+                           AS click_ts
+                FROM v),
+            p AS (
+                SELECT user_id, view_ts, click_ts,
+                       (SELECT min(e.ts) FROM ev e
+                        WHERE e.user_id = c.user_id
+                          AND e.event_type = 'purchase'
+                          AND e.ts > c.click_ts
+                          AND e.ts <= c.click_ts + 86400000000)
+                           AS purchase_ts
+                FROM c WHERE click_ts IS NOT NULL)
+            SELECT user_id, CAST(view_ts AS BIGINT) AS view_ts,
+                   CAST(click_ts AS BIGINT) AS click_ts,
+                   CAST(purchase_ts AS BIGINT) AS purchase_ts
+            FROM p WHERE purchase_ts IS NOT NULL""",
         # streaming heavy hitters, exact regime: capacity >= distinct
         # items makes Misra-Gries exact counting, so the whole
         # streamed output is one windowed GROUP BY / HAVING
