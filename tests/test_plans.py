@@ -333,3 +333,61 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_dsir_scores_plan_shape(spark):
+    """DSIR scoring: the weight table joins BROADCAST (4096 rows), the
+    totals ride a broadcast scalar join (no CartesianProduct), and no
+    python stage appears — the whole pipeline is Column ops."""
+    from apache_beam_spark.plans import plan_string
+
+    df = Q["dsir_scores"](spark, SF)
+    p = plan_string(df)
+    assert broadcast_join_count(df) >= 1
+    assert "CartesianProduct" not in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "FlatMapGroupsInPandas" not in p and "MapInPandas" not in p
+
+
+def test_dsir_select_no_global_window_funnel(spark):
+    """The top-frac rank must NOT be an unpartitioned window (which
+    drags the whole score frame through one task): the plan carries a
+    pid-PARTITIONED window and never an Exchange SinglePartition."""
+    from apache_beam_spark.plans import plan_string
+
+    df = Q["dsir_select_top"](spark, SF)
+    p = plan_string(df)
+    assert "windowspecdefinition(pid#" in p
+    assert "Exchange SinglePartition" not in p
+
+
+def test_wordpiece_literal_path_stays_jvm(spark):
+    """The demo-vocab WordPiece walk is a pure-Column fold: no python
+    stages; the doc aggregation + distinct-word join keep the shuffle
+    count small."""
+    from apache_beam_spark.plans import plan_string
+
+    df = Q["wordpiece_token_counts"](spark, SF)
+    p = plan_string(df)
+    assert "MapInPandas" not in p and "ArrowEvalPython" not in p
+    assert shuffle_count(df) <= 4
+
+
+def test_production_tokenizer_paths_are_single_python_stage(spark):
+    """The broadcast (production-vocabulary) encode paths run ONE
+    python stage (the per-distinct-word scorer; the formatted plan
+    prints the node in the tree and the detail section, hence the
+    node-id count) and never a replace chain — plan-size constancy in
+    vocabulary is asserted separately in tests/test_tokenizer_scale.py.
+    """
+    import re
+
+    from apache_beam_spark.plans import plan_string
+
+    for name in ("bpe_rank_token_counts", "unigram_token_counts_bc",
+                 "wordpiece_token_counts_bc"):
+        df = Q[name](spark, SF)
+        p = plan_string(df)
+        ids = set(re.findall(r"\(\d+\) MapInPandas", p))
+        assert len(ids) == 1, name
+        assert "replace(replace(" not in p, name
