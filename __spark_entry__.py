@@ -441,6 +441,20 @@ def _dsir_select_top(spark, sf_dir):
     return dsir_select(docs, dsir_weights(docs, target), frac=0.1)
 
 
+def _wordpiece_piece_counts(spark, sf_dir):
+    """WordPiece piece USAGE counts (operators/wordpiece.py): corpus-
+    weighted greedy-segmentation piece frequencies under the pinned
+    vocabulary, with '[UNK]' counted once per unmatched word — the
+    aggregate a vocabulary pruning pass consumes (the
+    unigram_piece_counts analog).  Value-oracled by extending the
+    greedy recursive CTE with the accumulated piece list."""
+    from apache_beam_spark.operators.wordpiece import (
+        wordpiece_piece_counts)
+
+    return wordpiece_piece_counts(load_table(spark, "documents", sf_dir),
+                                  _WP_VOCAB)
+
+
 def _unigram_piece_counts(spark, sf_dir):
     """Unigram piece USAGE counts (operators/unigram.py): corpus-
     weighted Viterbi-segmentation piece frequencies under the pinned
@@ -3729,6 +3743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_token_counts_bc": _unigram_token_counts_bc,
         "wordpiece_token_counts": _wordpiece_token_counts,
         "wordpiece_token_counts_bc": _wordpiece_token_counts_bc,
+        "wordpiece_piece_counts": _wordpiece_piece_counts,
         "dsir_scores": _dsir_scores,
         "dsir_select_top": _dsir_select_top,
         "unigram_piece_counts": _unigram_piece_counts,
@@ -4252,6 +4267,51 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN fb ON d.doc_id = fb.doc_id
             LEFT JOIN w USING (bucket)
             GROUP BY d.doc_id""",
+        # WordPiece piece usage: the greedy walk CTE accumulating the
+        # piece list, weighted by word frequency; failed words count
+        # one '[UNK]'
+        "wordpiece_piece_counts": f"""
+            WITH RECURSIVE
+            w AS (SELECT doc_id, unnest({toks}) AS word FROM documents),
+            wv AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),
+            walk AS (
+              SELECT word, 0 AS pos, CAST([] AS VARCHAR[]) AS ps,
+                     FALSE AS failed
+              FROM wv
+              UNION ALL
+              SELECT word,
+                     CASE WHEN k IS NULL THEN pos ELSE pos + k END,
+                     CASE WHEN k IS NULL THEN ps
+                          ELSE list_append(ps,
+                            CASE WHEN pos = 0
+                                 THEN substr(word, 1, CAST(k AS INTEGER))
+                                 ELSE '##' || substr(word,
+                                        CAST(pos + 1 AS INTEGER),
+                                        CAST(k AS INTEGER)) END) END,
+                     k IS NULL
+              FROM (
+                SELECT word, pos, ps,
+                       list_max(list_filter(range(1, {_WP_MAX_SPAN} + 1),
+                         k -> pos + k <= length(word)
+                              AND len(map_extract({_wp_map()},
+                                    CASE WHEN pos = 0
+                                         THEN substr(word, 1,
+                                                     CAST(k AS INTEGER))
+                                         ELSE '##' || substr(word,
+                                                CAST(pos + 1 AS INTEGER),
+                                                CAST(k AS INTEGER)) END))
+                                  > 0)) AS k
+                FROM walk
+                WHERE pos < length(word) AND NOT failed) t),
+            fin AS (
+              SELECT word,
+                     CASE WHEN failed THEN ['[UNK]'] ELSE ps END AS ps
+              FROM walk
+              WHERE failed OR pos >= length(word))
+            SELECT piece, CAST(sum(cnt) AS BIGINT) AS cnt
+            FROM (SELECT word, unnest(ps) AS piece FROM fin)
+            JOIN wv USING (word)
+            GROUP BY piece""",
         # streaming funnel: the batch funnel CTE over the same event
         # subset, timestamps as epoch microseconds
         "stream_funnel_exact": """

@@ -187,6 +187,120 @@ def wordpiece_token_counts(df: DataFrame, vocab, *,
                  .alias("n_unk_words")))
 
 
+#: the reported token for all-or-nothing failures
+_UNK = "[UNK]"
+
+
+def _greedy_pieces_col(word: Column, vocab) -> Column:
+    """array<string> of the greedy segmentation's pieces (## markers
+    included); a failed word yields ['[UNK]'] — the walk twin of
+    ``_greedy_counts_col``."""
+    mp = _vocab_map(vocab)
+    max_span = max((len(p[2:]) if p.startswith(_CONT) else len(p)
+                    for p in vocab), default=1)
+    n = F.when(F.length(word) <= _MAX_WORD_LEN, F.length(word)) \
+        .otherwise(F.raise_error(F.concat(
+            F.lit(f"wordpiece: word longer than {_MAX_WORD_LEN} chars: "),
+            F.substring(word, 1, 64), F.lit("..."))))
+
+    def step(acc, _):
+        pos, ps, failed = acc["pos"], acc["ps"], acc["failed"]
+
+        def hit(k):
+            raw = word.substr(pos + 1, k)
+            piece = F.when(pos == 0, raw).otherwise(
+                F.concat(F.lit(_CONT), raw))
+            return F.when(F.element_at(mp, piece).isNotNull(), k)
+
+        ks = F.sequence(F.lit(1), F.least(F.lit(max_span),
+                                          F.greatest(F.length(word) - pos,
+                                                     F.lit(1))))
+        k_star = F.array_max(F.filter(F.transform(ks, hit),
+                                      lambda x: x.isNotNull()))
+        raw = word.substr(pos + 1, k_star)
+        piece = F.when(pos == 0, raw).otherwise(
+            F.concat(F.lit(_CONT), raw))
+        active = (~failed) & (pos < F.length(word))
+        return F.when(~active, acc).otherwise(
+            F.when(k_star.isNull(),
+                   F.struct(pos.alias("pos"), ps.alias("ps"),
+                            F.lit(True).alias("failed")))
+            .otherwise(F.struct((pos + k_star).alias("pos"),
+                                F.concat(ps, F.array(piece)).alias("ps"),
+                                F.lit(False).alias("failed"))))
+
+    init = F.struct(F.lit(0).alias("pos"),
+                    F.array().cast("array<string>").alias("ps"),
+                    F.lit(False).alias("failed"))
+    out = F.aggregate(F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+                      init, step)
+    return F.when(out["failed"], F.array(F.lit(_UNK))).otherwise(out["ps"])
+
+
+def _greedy_pieces_py(word: str, vocab: set, max_span: int) -> list:
+    """Python twin of ``_greedy_pieces_col`` (broadcast mode)."""
+    if len(word) > _MAX_WORD_LEN:
+        raise ValueError(f"wordpiece: word longer than {_MAX_WORD_LEN} "
+                         f"chars: {word[:64]}...")
+    pos, ps = 0, []
+    while pos < len(word):
+        k = None
+        for span in range(min(max_span, len(word) - pos), 0, -1):
+            piece = word[pos:pos + span] if pos == 0 \
+                else _CONT + word[pos:pos + span]
+            if piece in vocab:
+                k = span
+                break
+        if k is None:
+            return [_UNK]
+        ps.append(word[pos:pos + k] if pos == 0
+                  else _CONT + word[pos:pos + k])
+        pos += k
+    return ps
+
+
+def wordpiece_piece_counts(df: DataFrame, vocab, *,
+                           text_col: str = "text",
+                           max_literal_pieces: int = _MAX_LITERAL_PIECES
+                           ) -> DataFrame:
+    """Corpus-weighted piece USAGE counts under a FIXED vocabulary:
+    how often each piece (or '[UNK]', once per unmatched word) appears
+    in the greedy segmentation — the unigram_piece_counts analog, and
+    the aggregate a WordPiece-vocabulary pruning pass consumes.  The
+    walk runs once per DISTINCT word; counts are exact int64.
+    Value-oracled (`wordpiece_piece_counts` in __spark_entry__) by
+    extending the greedy recursive CTE with the piece list.  Returns
+    (piece, cnt)."""
+    vocab = set(vocab)
+    wv = (df.select(F.explode(word_tokens(F.col(text_col))).alias("word"))
+          .groupBy("word").agg(F.count(F.lit(1)).alias("cnt")))
+    if len(vocab) > max_literal_pieces:
+        bc = df.sparkSession.sparkContext.broadcast(vocab)
+        max_span = max((len(p[2:]) if p.startswith(_CONT) else len(p)
+                        for p in vocab), default=1)
+
+        def walk(batches):
+            import pandas as pd
+
+            vs = bc.value
+            for pdf in batches:
+                yield pd.DataFrame({
+                    "word": pdf["word"],
+                    "ps": [_greedy_pieces_py(w, vs, max_span)
+                           for w in pdf["word"]]})
+
+        segs = wv.join(wv.select("word").mapInPandas(
+            walk, "word string, ps array<string>"), "word")
+    else:
+        segs = wv.select(
+            "cnt", _greedy_pieces_col(F.col("word"), vocab).alias("ps"))
+    # explode_outer + null guard: see unigram_piece_counts — a plain
+    # explode invites a size() filter below the word agg
+    return (segs.select(F.explode_outer("ps").alias("piece"), "cnt")
+            .where(F.col("piece").isNotNull())
+            .groupBy("piece").agg(F.sum("cnt").alias("cnt")))
+
+
 def _symbolize(word: Column) -> Column:
     """WordPiece initial symbols: first char bare, rest ##-prefixed."""
     chars = F.regexp_extract_all(word, F.lit("(.)"), 1)

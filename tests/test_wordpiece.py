@@ -224,3 +224,65 @@ def test_train_continuation_markers_compose(spark):
 def test_train_stops_when_no_pairs_left(spark):
     df = _docs(spark, ["a b c a b"])
     assert wordpiece_train(df, n_merges=5).count() == 0
+
+
+# --------------------------------------------------------- piece counts
+
+def _ref_piece_counts(texts, vocab):
+    max_span = max(len(p[2:]) if p.startswith(_CONT) else len(p)
+                   for p in vocab)
+    counts = Counter()
+    for t in texts:
+        for w in re.findall(r"[\w']+", t.lower()):
+            pos, ps = 0, []
+            while pos < len(w):
+                k = None
+                for span in range(min(max_span, len(w) - pos), 0, -1):
+                    piece = w[pos:pos + span] if pos == 0 \
+                        else _CONT + w[pos:pos + span]
+                    if piece in vocab:
+                        k = span
+                        break
+                if k is None:
+                    ps = ["[UNK]"]
+                    break
+                ps.append(w[pos:pos + k] if pos == 0
+                          else _CONT + w[pos:pos + k])
+                pos += k
+            counts.update(ps)
+    return dict(counts)
+
+
+def test_piece_counts_match_reference(spark):
+    from apache_beam_spark.operators.wordpiece import wordpiece_piece_counts
+
+    got = {r["piece"]: r["cnt"] for r in
+           wordpiece_piece_counts(_docs(spark, CORPUS), VOCAB).collect()}
+    assert got == _ref_piece_counts(CORPUS, VOCAB)
+    assert "[UNK]" in got          # the unmatched words actually count
+
+
+def test_piece_counts_broadcast_equals_literal(spark):
+    from apache_beam_spark.operators.wordpiece import wordpiece_piece_counts
+
+    df = _docs(spark, CORPUS)
+    lit = sorted(tuple(r) for r in
+                 wordpiece_piece_counts(df, VOCAB).collect())
+    bc = sorted(tuple(r) for r in
+                wordpiece_piece_counts(df, VOCAB,
+                                       max_literal_pieces=0).collect())
+    assert lit == bc
+
+
+def test_piece_counts_sum_matches_token_counts(spark):
+    """Σ piece usage == Σ per-doc token counts — the two surfaces
+    agree on the same segmentation."""
+    from apache_beam_spark.operators.wordpiece import (
+        wordpiece_piece_counts, wordpiece_token_counts)
+
+    df = _docs(spark, CORPUS)
+    total_pieces = sum(r["cnt"] for r in
+                       wordpiece_piece_counts(df, VOCAB).collect())
+    total_tokens = sum(r["n_tokens"] for r in
+                       wordpiece_token_counts(df, VOCAB).collect())
+    assert total_pieces == total_tokens
