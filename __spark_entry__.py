@@ -1162,8 +1162,11 @@ def _embed_kmeans_fixed(spark, sf_dir):
     """kmeans_assign with a FIXED quantizer (the embeddings of
     vec_id 0..7): the assignment path — gemm argmin with
     lowest-cluster tiebreak — becomes fully value-checkable, the same
-    strategy as `embed_ivf_fixed`.  The trained-fit path stays
-    rows-only in `embed_kmeans`."""
+    strategy as `embed_ivf_fixed`.  The trained-fit path (iterative,
+    float-order-dependent Lloyd's) is numpy-pinned in
+    tests/test_kmeans.py; its rows-only entry was retired in r9
+    (VERDICT r8 item 4: it added no correctness signal this twin
+    lacks)."""
     from apache_beam_spark.similarity.kmeans import kmeans_assign
 
     emb = load_table(spark, "embeddings", sf_dir)
@@ -1246,18 +1249,6 @@ def _corpus_prep_stats(spark, sf_dir):
             .crossJoin(F.broadcast(r)).crossJoin(F.broadcast(p)))
 
 
-def _embed_kmeans(spark, sf_dir):
-    """Distributed fixed-iteration Lloyd's k-means over the embedding
-    table (similarity/kmeans.py): gemm-batched assignment, partial-agg
-    centroid update.  Iterative + float-order-dependent, so rows-only
-    (no SQL oracle); cluster quality is unit-tested against a numpy
-    reference in tests/test_kmeans.py."""
-    from apache_beam_spark.similarity.kmeans import kmeans
-
-    emb = load_table(spark, "embeddings", sf_dir)
-    return kmeans(emb, k=10, n_iter=5)
-
-
 def _embed_pq_fixed(spark, sf_dir):
     """Product-quantization ANN with a FIXED codebook — subspace s's
     centroids are the s-th subvectors of embeddings vec_id 0..15
@@ -1266,8 +1257,9 @@ def _embed_pq_fixed(spark, sf_dir):
     lookup tables, sum of m table hits, rank ties to lowest neighbor)
     are then deterministic, so the WHOLE compressed-domain pipeline is
     value-oracled in SQL — same strategy as `embed_ivf_fixed` /
-    `embed_kmeans_fixed`.  The trained-codebook path stays rows-only
-    in `embed_pq_knn`."""
+    `embed_kmeans_fixed`.  The trained-codebook path (sampled k-means)
+    is recall-floor-tested in tests/test_pq.py; its rows-only entry
+    was retired in r9 (VERDICT r8 item 4)."""
     from apache_beam_spark.similarity.pq import pq_topk
 
     emb = load_table(spark, "embeddings", sf_dir)
@@ -1305,19 +1297,6 @@ def _embed_ivfpq_fixed(spark, sf_dir):
     return ivfpq_topk(q, emb, cents, books, k=3, n_probe=2)
 
 
-def _embed_pq_knn(spark, sf_dir):
-    """PQ ANN with sampled-kmeans codebooks (similarity/pq.py) —
-    rows-only (codebooks depend on a driver-side training sample);
-    encode/ADC mechanics are value-oracled in `embed_pq_fixed` and
-    numpy-pinned in tests/test_pq.py."""
-    from apache_beam_spark.similarity.pq import pq_train, pq_topk
-
-    emb = load_table(spark, "embeddings", sf_dir)
-    books = pq_train(emb, dim=64, m=8, ksub=16)
-    q = emb.filter(F.col("vec_id") < 100)
-    return pq_topk(q, emb, books, k=3)
-
-
 def _embed_pca_gram(spark, sf_dir):
     """Population covariance matrix of the embedding table in long
     form (i, j, cov) — the one-pass moment aggregation behind
@@ -1333,18 +1312,31 @@ def _embed_pca_gram(spark, sf_dir):
 
 
 def _embed_pca_project(spark, sf_dir):
-    """Distributed PCA fit + projection (similarity/pca.py): top-8
-    components from the driver-side eigh of the one-pass covariance
-    (signs canonicalized), then a second gemm pass projects every
-    row — long form (vec_id, comp, value), n*k rows.  Eigenvectors
-    are not SQL-expressible, so rows-only here; the model and the
-    projection are pinned against a numpy reference in
-    tests/test_pca.py, and the covariance feeding eigh is the
-    value-oracled `embed_pca_gram`."""
-    from apache_beam_spark.similarity.pca import pca
+    """Distributed PCA PROJECTION under a FIXED 8-row basis — the
+    production gemm pass (similarity/pca.py::pca_project: mean-center,
+    ``(x - mean) @ B^T`` per Arrow batch, explode-free long form, n*k
+    rows) made VALUE-ORACLE-ABLE by pinning the basis to the first 8
+    embedding vectors (``vec_id < 8`` — the embed_kmeans_fixed
+    precedent; r8 VERDICT item 4: this query was the one rows-only
+    entry an oracle could reach).  The eigen-FIT side stays covered by
+    the value-oracled ``embed_pca_gram`` covariance (the moments that
+    feed eigh) plus the numpy-pinned fit+projection round trips in
+    tests/test_pca.py — eigenvectors themselves are not
+    SQL-expressible, the projection machinery is."""
+    from apache_beam_spark.similarity.pca import (PCAModel,
+                                                  embedding_moments,
+                                                  pca_project)
 
     emb = load_table(spark, "embeddings", sf_dir)
-    return pca(emb, k=8, long_form=True)
+    _, mean, _ = embedding_moments(emb)
+    basis = [r["v"] for r in
+             emb.where(F.col("vec_id") < 8)
+             .select("vec_id", F.col("embedding").cast("array<double>")
+                     .alias("v"))
+             .orderBy("vec_id").collect()]
+    model = PCAModel(mean=mean.tolist(), components=basis,
+                     explained_variance=[0.0] * len(basis))
+    return pca_project(emb, model, long_form=True)
 
 
 def _ngram_containment(spark, sf_dir):
@@ -1463,16 +1455,6 @@ def _embed_ivf_fixed(spark, sf_dir):
     q = emb.filter(F.col("vec_id") < 100)
     return ivf_topk(q, emb, dim=64, k=3, n_cells=16, n_probe=4,
                     centroids=cents).select(
-        "query_id", "neighbor_id", "rank", "sim")
-
-
-def _embed_ivf_knn(spark, sf_dir):
-    """IVF (k-means cell) ANN — rows-only (recall-approximate)."""
-    from apache_beam_spark.similarity.knn import ivf_topk
-
-    emb = load_table(spark, "embeddings", sf_dir)
-    q = emb.filter(F.col("vec_id") < 100)
-    return ivf_topk(q, emb, dim=64, k=3, n_cells=16, n_probe=4).select(
         "query_id", "neighbor_id", "rank", "sim")
 
 
@@ -3444,15 +3426,26 @@ def _rt_rgb_image(d: int):
     return ((d * 7 + k * 13) % 256).astype(np.uint8).reshape(h, w, 3)
 
 
-def _image_roundtrip(spark, sf_dir, payload_fn):
+def _image_roundtrip(spark, sf_dir, payload_fn, every: int | None = None):
     """Shared scaffold of every codec roundtrip query: per doc,
     ``payload_fn(doc_id) -> encoded bytes`` (runs inside the
     distributed mapInPandas stage), decoded back by decode_image, and
     (width, height, channels, pixel byte sum) returned for the
-    value-oracle."""
+    value-oracle.
+
+    ``every``: run on the ``doc_id % every == 3`` subset only — the
+    HEADLINE codec entries use every=11 (VERDICT r8 item 5: the
+    fixture work is per-doc Python codec invocations that don't scale
+    with sf, so full-corpus depth belongs in tests/test_codecs.py, not
+    the bench wall).  11 is coprime to every dims/branch residue the
+    pixel formula uses (w: %5, h: %4, restart/endian: %3, interlace/
+    packbits: %2), so the subset still exercises all 60 residue
+    combinations; the oracle SQL applies the same filter."""
     from apache_beam_spark.multimodal.columns import decode_image
 
     docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    if every is not None:
+        docs = docs.where(F.col("doc_id") % every == 3)
 
     def gen(batches):
         import pandas as pd
@@ -3500,7 +3493,7 @@ def _tiff_roundtrip(spark, sf_dir):
         return encode_tiff(_rt_rgb_image(d), packbits=(d % 2 == 0),
                            big_endian=(d % 3 == 0))
 
-    return _image_roundtrip(spark, sf_dir, payload)
+    return _image_roundtrip(spark, sf_dir, payload, every=11)
 
 
 def _gif_roundtrip(spark, sf_dir):
@@ -3515,7 +3508,7 @@ def _gif_roundtrip(spark, sf_dir):
 
         return encode_gif(_rt_rgb_image(d), interlace=bool(d % 2))
 
-    return _image_roundtrip(spark, sf_dir, payload)
+    return _image_roundtrip(spark, sf_dir, payload, every=11)
 
 
 def _png_adam7_roundtrip(spark, sf_dir):
@@ -3530,7 +3523,7 @@ def _png_adam7_roundtrip(spark, sf_dir):
 
         return encode_png(_rt_rgb_image(d), interlace=True)
 
-    return _image_roundtrip(spark, sf_dir, payload)
+    return _image_roundtrip(spark, sf_dir, payload, every=11)
 
 
 def _jpeg_roundtrip(spark, sf_dir):
@@ -3578,7 +3571,7 @@ def _jpeg_progressive_roundtrip(spark, sf_dir):
         return encode_jpeg_progressive(np.full((h, w), v, np.uint8),
                                        restart_interval=d % 3)
 
-    return _image_roundtrip(spark, sf_dir, payload)
+    return _image_roundtrip(spark, sf_dir, payload, every=11)
 
 
 def _rag_chunks(spark, sf_dir):
@@ -3804,17 +3797,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_dedup": _chunk_dedup,
         "embed_knn": _embed_knn,
         "embed_lsh_knn": _embed_lsh_knn,
-        "embed_ivf_knn": _embed_ivf_knn,
         "embed_ivf_fixed": _embed_ivf_fixed,
         "embed_near_dup": _embed_near_dup,
         "semantic_dedup": _semantic_dedup,
-        "embed_kmeans": _embed_kmeans,
         "embed_kmeans_fixed": _embed_kmeans_fixed,
         "embed_pca_gram": _embed_pca_gram,
         "embed_pca_project": _embed_pca_project,
         "embed_pq_fixed": _embed_pq_fixed,
         "embed_ivfpq_fixed": _embed_ivfpq_fixed,
-        "embed_pq_knn": _embed_pq_knn,
         "pack_sequences": _pack_sequences,
         "llm_corpus_prep": _llm_corpus_prep,
         "corpus_prep_stats": _corpus_prep_stats,
@@ -5584,6 +5574,24 @@ def oracle_sql() -> dict[str, str]:
             FROM s CROSS JOIN n
             JOIN m ma ON ma.i = s.i
             JOIN m mb ON mb.i = s.j""",
+        # fixed-basis projection: comp c == the embedding row vec_id=c
+        # (0-based ids in the test data), value = (x - mean) . basis_c
+        "embed_pca_project": """
+            WITH ex AS (
+                SELECT vec_id,
+                       generate_subscripts(embedding, 1) AS i,
+                       UNNEST(embedding)::DOUBLE AS x
+                FROM embeddings),
+            m AS (SELECT i, AVG(x) AS mu FROM ex GROUP BY i),
+            b AS (SELECT vec_id AS comp, i, x AS bx
+                  FROM ex WHERE vec_id < 8)
+            SELECT e.vec_id,
+                   CAST(b.comp AS INT) AS comp,
+                   SUM((e.x - m.mu) * b.bx) AS value
+            FROM ex e
+            JOIN m USING (i)
+            JOIN b USING (i)
+            GROUP BY e.vec_id, b.comp""",
         # fixed-quantizer assignment: euclidean argmin, ties to the
         # lowest cluster id — list_distance reproduces the gemm path
         "embed_kmeans_fixed": """
@@ -6374,10 +6382,17 @@ def oracle_sql() -> dict[str, str]:
     out["unigram_token_counts_bc"] = out["unigram_token_counts"]
     out["wordpiece_token_counts_bc"] = out["wordpiece_token_counts"]
     # PNG is lossless sequential or Adam7-interlaced, and GIF is
-    # lossless on palette content: same pixels, same oracle
-    out["png_adam7_roundtrip"] = out["png_roundtrip"]
-    out["gif_roundtrip"] = out["png_roundtrip"]
-    out["tiff_roundtrip"] = out["png_roundtrip"]
+    # lossless on palette content: same pixels, same oracle.  The
+    # HEADLINE codec entries run the doc_id % 11 == 3 subset (VERDICT
+    # r8 item 5 — see _image_roundtrip's `every`), so their oracles
+    # carry the same filter.
+    out["png_adam7_roundtrip"] = (out["png_roundtrip"]
+                                  + "\n            WHERE doc_id % 11 = 3")
+    out["gif_roundtrip"] = out["png_adam7_roundtrip"]
+    out["tiff_roundtrip"] = out["png_adam7_roundtrip"]
+    out["jpeg_progressive_roundtrip"] = (
+        out["jpeg_progressive_roundtrip"]
+        + "\n            WHERE doc_id % 11 = 3")
     # DSIR selection = the scores CTE + a deterministic top-10% rank
     out["dsir_select_top"] = (
         "WITH scores AS (" + out["dsir_scores"] + ")\n"

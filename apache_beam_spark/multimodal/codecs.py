@@ -934,7 +934,10 @@ def decode_gif(payload: bytes) -> np.ndarray:
             raise ValueError("truncated GIF image data")
         min_code = payload[pos]
         pos += 1
-        if not 2 <= min_code <= 11:
+        # spec maximum is 8 (256-color palettes); 9-11 would reach the
+        # LZW table reset with roots >= 256 and die on a misleading
+        # bytes() range error instead of this named gap (ADVICE r8)
+        if not 2 <= min_code <= 8:
             raise ValueError(f"invalid GIF LZW code size {min_code}")
         data = bytearray()
         while pos < len(payload) and payload[pos] != 0:

@@ -253,13 +253,19 @@ def _select_batch_relaxed(rows, max_batch: int, complete: bool):
     symbol-DISJOINT one, SKIPPING conflicts instead of stopping at the
     first.  Disjointness still makes the batch order-free (batch apply
     == applying the admitted merges in any sequential order), so every
-    admitted merge is one the sequential algorithm could emit — but
-    tie-order vs skipped conflicting candidates is NOT preserved, and
-    spawned-pair ties are not guarded, so the learned merge SEQUENCE
-    may reorder (and in rare tie configurations the final SET may
-    differ) vs the exact policy.  The incomplete-window tail guard is
-    kept: counts at the unseen tail could be outranked by unpulled
-    pairs, so admission stops there.
+    admitted merge carries its true round-start count — but neither of
+    the exact policy's dominance guards is kept: tie-order vs skipped
+    conflicting candidates is not preserved, and a SELF-merge (x, x)
+    with count c may spawn pairs with count up to floor(c/2) that
+    strictly dominate lower-count candidates admitted in the same
+    batch.  The learned merge SEQUENCE may therefore reorder, and the
+    final merge SET may differ from the sequential algorithm whenever
+    ties occur or a self-merge is admitted alongside lower-count
+    candidates (ADVICE r8) — relaxed mode is pinned against a
+    driver-side mirror of the SAME policy, not against sequential.
+    The incomplete-window tail guard is kept: counts at the unseen
+    tail could be outranked by unpulled pairs, so admission stops
+    there.
 
     This is the production-vocabulary mode: at 30k merges, Zipfian
     pair distributions keep EXACT batches small near the head (the
@@ -384,6 +390,8 @@ def bpe_train(df: DataFrame, text_col: str = "text",
                          f"got {batch_policy!r}")
     select = (_select_batch if batch_policy == "exact"
               else _select_batch_relaxed)
+    from apache_beam_spark.plans.caching import release_local_checkpoint
+
     spark = df.sparkSession
     vocab = word_vocab(df, text_col).select(
         "cnt", _symbols(F.col("word")).alias("syms")).localCheckpoint()
@@ -399,10 +407,16 @@ def bpe_train(df: DataFrame, text_col: str = "text",
                         complete=len(top) < pull)
         for a, b, cnt in picked:
             merges.append((len(merges), a, b, a + b, cnt))
+        prev = vocab
         vocab = vocab.select(
             "cnt",
             _apply_merges(F.col("syms"),
                           [(a, b) for a, b, _ in picked]).alias("syms")
         ).localCheckpoint()
+        # the new (eager) checkpoint has materialized — the superseded
+        # round's blocks are dead weight; release them so executor
+        # storage stays flat across production round counts (ADVICE r8)
+        release_local_checkpoint(prev)
+    release_local_checkpoint(vocab)
     return spark.createDataFrame(
         merges, "rank int, a string, b string, merged string, pair_count long")

@@ -462,8 +462,13 @@ def unigram_train(df: DataFrame, *, vocab_size: int = 48,
     hard-assignment local optimum — computed per word in a broadcast-
     table mapInPandas stage (fixed-order log2-space float math,
     deterministic per word) and quantized to int64 * 2^20 per
-    (word, piece) before the shuffle, so the cross-word sum stays
-    exact integer math and every round is reproducible bit-for-bit.
+    (word, piece) before the shuffle, so the cross-word sum is
+    order-independent exact integer math.  Reproducibility caveat
+    (ADVICE r8): the per-word lattice floats themselves are only
+    bit-stable when every executor runs the same numpy/libm builds —
+    on a heterogeneous cluster a 1-ulp libm difference can flip the
+    int64 rounding at an exact .5 boundary; pin identical binaries
+    across executors for bit-for-bit round reproducibility.
 
     M-step (both modes): the driver requantizes costs from the
     vocab_size-bounded count table and prunes — unused multi-char

@@ -22,10 +22,14 @@ Distribution strategy (the shared tokenizer spine):
   a broadcast-dict vectorized mapInPandas twin (the production-
   vocabulary regime, plan size constant in vocab), pinned equal;
 * each training ROUND is one symbol-count + one pair-count partial
-  agg over the vocabulary frame plus a bounded driver argmax — the
-  BPE loop with a ratio score (one merge per round: the ratio score
-  has no disjoint-batch exactness theorem, so batching is not
-  offered).
+  agg over the vocabulary frame plus a bounded driver admission — the
+  BPE loop with a ratio score.  ``batch_policy="exact"`` admits one
+  merge per round (the ratio score has no disjoint-batch exactness
+  theorem, unlike BPE's frequency score); ``batch_policy="relaxed"``
+  admits up to ``merge_batch`` pairwise symbol-disjoint merges per
+  round — each carries its exact round-start score under any
+  sequential order of the batch — making production 30k-piece
+  vocabularies ~n_merges/merge_batch rounds, mirror-pinned.
 
 ``wordpiece_token_counts`` is value-oracled via a DuckDB recursive
 CTE replaying the same greedy walk; the trainer is pinned
@@ -314,8 +318,88 @@ def _merge_symbol(a: str, b: str) -> str:
     return a + (b[len(_CONT):] if b.startswith(_CONT) else b)
 
 
+#: delimiter byte for the replace-chain batch apply — cannot occur
+#: inside a symbol (word chars are ``[\w']``; the only characters the
+#: symbolization adds are the ``##`` markers)
+_SEP = "\x1f"
+
+
+def _apply_merges(syms: Column, merges) -> Column:
+    """Apply a merge batch to the symbol ARRAY via the delimiter-
+    anchored string form (the ``operators/bpe.py`` replace-chain with
+    WordPiece merged-symbol spelling): anchor every symbol between
+    ``\\x1f`` bytes, apply each merge (a, b) as ONE codegen ``replace``
+    of ``\\x1f a \\x1f\\x1f b \\x1f`` with ``\\x1f merged \\x1f``
+    (string replace is left-to-right non-overlapping — exactly the
+    greedy sequential merge rule, and the shared anchor byte makes
+    back-to-back occurrences compose correctly), then split back.
+    Plan cost: one ``replace`` per merge in the batch — flat, no
+    per-element fold."""
+    s = F.concat(F.lit(_SEP), F.array_join(syms, _SEP + _SEP), F.lit(_SEP))
+    for a, b in merges:
+        s = F.replace(s, F.lit(_SEP + a + _SEP + _SEP + b + _SEP),
+                      F.lit(_SEP + _merge_symbol(a, b) + _SEP))
+    return F.split(F.substring(s, 2, F.length(s) - 2), _SEP + _SEP)
+
+
+def _select_batch_relaxed(rows, max_batch: int, complete: bool):
+    """Batch admission for ``wordpiece_train`` — the
+    ``operators/bpe.py::_select_batch_relaxed`` policy adapted to the
+    likelihood-gain score.  ``rows`` are (a, b, pc, ca, cb) records
+    from the float-ranked window pull; they are re-sorted here by the
+    EXACT fraction ``pc / (ca*cb)`` descending (``Fraction`` compare —
+    the float ranking only selects the window), ties by (a, b), then
+    walked admitting every candidate pairwise symbol-DISJOINT from the
+    admitted set — ``a``, ``b`` and ``_merge_symbol(a, b)`` all block —
+    SKIPPING conflicts.
+
+    Why admitted scores are exact under batch apply: a merge (a, b)
+    only consumes occurrences of its own two symbols and only spawns
+    adjacencies involving its merged symbol, so for any DISJOINT
+    candidate both the pair count (numerator) and the two symbol
+    counts (denominator) are frozen at their round-start values
+    whichever sequential order the batch is applied in.  Skipped
+    CONFLICTING candidates' scores are NOT frozen (their denominators
+    shrink after a merge), so the learned merge sequence — and
+    possibly the merge SET — may diverge from one-merge-per-round;
+    relaxed mode is therefore pinned against a driver-side sequential
+    mirror of the SAME policy (tests/test_wordpiece.py), not against
+    the exact trainer.
+
+    With ``max_batch == 1`` the admission degenerates to the exact
+    window argmax (first candidate in exact-fraction order, admitted
+    unconditionally) — the one-merge-per-round EXACT policy shares
+    this code path.  The incomplete-window tail guard stops admission
+    at the window's tail FLOAT score: unpulled pairs rank at or below
+    that float, so they could outrank anything admitted there."""
+    from fractions import Fraction
+
+    def flt(r):  # the window-ranking float, recomputed bit-for-bit
+        return int(r["pc"]) / (float(r["ca"]) * int(r["cb"]))
+
+    ordered = sorted(rows, key=lambda r: (
+        Fraction(-int(r["pc"]), int(r["ca"]) * int(r["cb"])),
+        r["a"], r["b"]))
+    tail = min((flt(r) for r in rows), default=0.0)
+    picked = []
+    blocked: set = set()
+    for r in ordered:
+        if len(picked) >= max_batch:
+            break
+        a, b = r["a"], r["b"]
+        if picked and not complete and flt(r) == tail:
+            break
+        m = _merge_symbol(a, b)
+        if a in blocked or b in blocked or m in blocked:
+            continue
+        picked.append((a, b, int(r["pc"]), int(r["ca"]) * int(r["cb"])))
+        blocked |= {a, b, m}
+    return picked
+
+
 def wordpiece_train(df: DataFrame, *, n_merges: int = 10,
-                    text_col: str = "text") -> DataFrame:
+                    text_col: str = "text", merge_batch: int = 1,
+                    batch_policy: str = "exact") -> DataFrame:
     """Learn ``n_merges`` WordPiece merges; returns
     (rank, a, b, merged, score_num, score_den) in merge order, where
     the selection score is ``score_num / score_den`` =
@@ -325,23 +409,56 @@ def wordpiece_train(df: DataFrame, *, n_merges: int = 10,
 
     Each ROUND: one symbol-count agg + one pair-count agg over the
     (checkpointed) vocabulary frame, the score computed DISTRIBUTED
-    (two joins against the symbol-count frame — strategy left to AQE),
-    a BOUNDED driver pull of the top 256 candidates by float score,
-    and the argmax decided within that window by exact
-    cross-multiplied fraction comparison (python ints).  The float
-    ranking only selects the window; the one theoretical gap — more
-    than 256 exact-DISTINCT rationals collapsing to the same double at
-    the window boundary — cannot occur for the integer counts real
-    corpora produce.  One merge per round: the ratio score
-    changes non-locally after every merge, so the BPE disjoint-batch
-    exactness argument does not port.  Pinned round-by-round against a
-    sequential reference in tests/test_wordpiece.py."""
+    (two joins against the symbol-count frame — strategy left to AQE;
+    the ranking float divides by a DOUBLE product so corpus-scale
+    symbol counts cannot overflow int64), a BOUNDED driver pull of the
+    top-K candidates by float score, admission decided within that
+    window by exact cross-multiplied fraction comparison (python
+    ints), and ONE replace-chain rewrite applying the admitted batch.
+    The float ranking only selects the window; the one theoretical
+    gap — more exact-DISTINCT rationals than the window holds
+    collapsing to the same double at its boundary — cannot occur for
+    the integer counts real corpora produce.  Superseded checkpoint
+    blocks are released every round (ADVICE r8), so executor storage
+    stays flat across the 30k rounds a production vocabulary implies.
+
+    ``batch_policy="exact"`` (default) admits ONE merge per round —
+    the sequential algorithm, pinned round-by-round against a
+    sequential reference in tests/test_wordpiece.py.  Unlike BPE,
+    exact mode cannot batch at all (``merge_batch`` must stay 1): the
+    ratio score changes non-locally after every merge, so the BPE
+    disjoint-batch exactness theorem does not port.
+    ``batch_policy="relaxed"`` admits up to ``merge_batch`` pairwise
+    symbol-disjoint candidates per round, skipping conflicts — each
+    admitted merge carries the exact round-start score it would carry
+    under any sequential order of the batch (see
+    ``_select_batch_relaxed``), but the sequence vs skipped conflicts
+    may reorder; pinned round-for-round against a driver-side mirror
+    of the same policy.  This is the production-vocabulary mode: a 30k
+    vocabulary trains in ~n_merges/merge_batch rounds, not 30k."""
+    if merge_batch < 1:
+        raise ValueError(f"merge_batch must be >= 1, got {merge_batch}"
+                         " (the loop would spin without ever admitting"
+                         " a merge)")
+    if batch_policy not in ("exact", "relaxed"):
+        raise ValueError(f"batch_policy must be 'exact' or 'relaxed', "
+                         f"got {batch_policy!r}")
+    if batch_policy == "exact" and merge_batch != 1:
+        raise ValueError(
+            "batch_policy='exact' admits one merge per round — the "
+            "likelihood-gain score changes non-locally after every "
+            "merge, so no disjoint batch is provably sequential-"
+            "equivalent; use batch_policy='relaxed' for batched "
+            f"training (got merge_batch={merge_batch})")
+    from apache_beam_spark.plans.caching import release_local_checkpoint
+
     spark = df.sparkSession
     wv = (df.select(F.explode(word_tokens(F.col(text_col))).alias("word"))
           .groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
           .select("cnt", _symbolize(F.col("word")).alias("syms"))
           .localCheckpoint())
     merges = []
+    pull = max(256, 8 * merge_batch)
     while len(merges) < n_merges:
         syms_df = (wv.select(F.explode("syms").alias("s"), "cnt")
                    .groupBy("s").agg(F.sum("cnt").alias("c")))
@@ -358,49 +475,24 @@ def wordpiece_train(df: DataFrame, *, n_merges: int = 10,
                                      F.col("c").alias("ca")), "a")
                 .join(syms_df.select(F.col("s").alias("b"),
                                      F.col("c").alias("cb")), "b")
-                .withColumn("score", F.col("pc") / (F.col("ca") * F.col("cb")))
+                .withColumn("score", F.col("pc")
+                            / (F.col("ca").cast("double") * F.col("cb")))
                 .orderBy(F.col("score").desc(), "a", "b")
-                .limit(256).collect())
+                .limit(pull).collect())
         if not cand:
             break
-        # exact argmax within the pulled window: pc1*den2 > pc2*den1
-        best = None
-        for r in cand:
-            a, b, pc = r["a"], r["b"], int(r["pc"])
-            den = int(r["ca"]) * int(r["cb"])
-            if best is None:
-                best = (a, b, pc, den)
-                continue
-            lhs = pc * best[3]
-            rhs = best[2] * den
-            if lhs > rhs or (lhs == rhs and (a, b) < (best[0], best[1])):
-                best = (a, b, pc, den)
-        a, b, pc, den = best
-        merges.append((len(merges), a, b, _merge_symbol(a, b), pc, den))
-        merged_lit = F.lit(_merge_symbol(a, b))
-        # one array-level rewrite: left-to-right via a fold that joins
-        # (prev, cur) == (a, b) into the merged symbol
-        def apply_merge(syms):
-            def step(acc, s):
-                out, prev = acc["out"], acc["prev"]
-                return F.when(
-                    prev.isNotNull() & (prev == F.lit(a)) & (s == F.lit(b)),
-                    F.struct(F.concat(out, F.array(merged_lit)).alias("out"),
-                             F.lit(None).cast("string").alias("prev"))
-                ).otherwise(F.struct(
-                    F.when(prev.isNotNull(), F.concat(out, F.array(prev)))
-                    .otherwise(out).alias("out"),
-                    s.alias("prev")))
-
-            init = F.struct(F.array().cast("array<string>").alias("out"),
-                            F.lit(None).cast("string").alias("prev"))
-            folded = F.aggregate(syms, init, step)
-            return F.when(folded["prev"].isNotNull(),
-                          F.concat(folded["out"], F.array(folded["prev"]))
-                          ).otherwise(folded["out"])
-
-        wv = wv.select("cnt", apply_merge(F.col("syms")).alias("syms")) \
-               .localCheckpoint()
+        picked = _select_batch_relaxed(
+            cand, min(merge_batch, n_merges - len(merges)),
+            complete=len(cand) < pull)
+        for a, b, pc, den in picked:
+            merges.append((len(merges), a, b, _merge_symbol(a, b), pc, den))
+        prev = wv
+        wv = wv.select("cnt", _apply_merges(
+            F.col("syms"),
+            [(a, b) for a, b, _, _ in picked]).alias("syms")
+        ).localCheckpoint()
+        release_local_checkpoint(prev)
+    release_local_checkpoint(wv)
     return spark.createDataFrame(
         merges,
         "rank int, a string, b string, merged string, "

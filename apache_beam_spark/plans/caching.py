@@ -102,3 +102,25 @@ def release_caches() -> None:
         frames = list(_GLOBAL)
         _GLOBAL.clear()
     _unpersist_all(frames)
+
+
+def release_local_checkpoint(df: DataFrame) -> None:
+    """Free the storage blocks behind a ``localCheckpoint()``ed frame.
+
+    Iterative trainers (``bpe_train``, ``wordpiece_train``) truncate
+    lineage with a local checkpoint every round, but Spark offers no
+    DataFrame-level release for them — without one, each superseded
+    round's blocks stay pinned in executor storage until session end,
+    growing linearly with the round count (ADVICE r8: material at
+    30k-merge production vocabularies).  A local checkpoint's analyzed
+    plan is a ``LogicalRDD`` over the checkpointed RDD; unpersist that
+    RDD non-blocking.  ONLY call after a successor checkpoint has
+    MATERIALIZED (eager ``localCheckpoint()`` does): a locally-
+    checkpointed RDD's lineage is truncated, so its blocks cannot be
+    recomputed.  No-op on frames that are not local checkpoints."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:  # session stopped / plan shape changed — nothing to free
+        pass

@@ -48,13 +48,13 @@ HEADLINE = [
     "q5_local_supplier",
     "q10_returned_items",
     "q18_large_volume",
-    "embed_ivf_knn",
+    "embed_ivf_fixed",
     "combine_grouped_values",
     "embed_near_dup",
     "q13_customer_distribution",
     "dup_clusters",
     "collocations_pmi",
-    "embed_kmeans",
+    "embed_kmeans_fixed",
     "pack_sequences",
     "llm_corpus_prep",
     "ngram_containment",
@@ -230,13 +230,6 @@ def _streaming_benchmarks(spark) -> dict:
     # parquet carries ts as TIMESTAMP_NTZ, which withWatermark rejects)
     events = ensure_event_time(load_table(spark, "events", SF_DIR), "ts")
     n = events.count()
-    spool = tempfile.mkdtemp(prefix="bench_stream_")
-    # several files -> several micro-batches with maxFilesPerTrigger
-    events.repartition(8).write.mode("overwrite").parquet(spool)
-
-    def source(mft: int = 4):
-        return (spark.readStream.schema(events.schema)
-                .option("maxFilesPerTrigger", mft).parquet(spool))
 
     # 10x replay spool for the python-stateful gates (funnel / heavy /
     # rate): each replica carries DISTINCT event ids and its own time
@@ -311,8 +304,14 @@ def _streaming_benchmarks(spark) -> dict:
 
     try:
         def windowed_count():
+            # r9 (VERDICT r8 item 6): the last gate still on the
+            # 100k-event definition — re-based on the 10x replay spool
+            # so all eight gates measure the same steady-state thing
+            # (each replica carries its own +i-days time region, so
+            # window state stays bounded while the operator processes
+            # 10x real events)
             return windowed_aggregate(
-                source(), FixedWindows("1 hour"), "ts",
+                replay_source(8), FixedWindows("1 hour"), "ts",
                 aggs=[F.count(F.lit(1)).alias("n")], keys=["event_type"],
                 allowed_lateness="10 minutes",
             )
@@ -429,7 +428,7 @@ def _streaming_benchmarks(spark) -> dict:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", "32")
     return {
-        "streaming_events_per_sec": int(n / walls["window"]),
+        "streaming_events_per_sec": int(n_replay / walls["window"]),
         "stream_join_events_per_sec": int(2 * n_replay / walls["join"]),
         "stateful_events_per_sec": int(n_replay / walls["stateful"]),
         "stream_dedup_events_per_sec": int(n_replay / walls["dedup"]),

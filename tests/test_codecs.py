@@ -808,6 +808,22 @@ def test_gif_89a_extensions_skipped_and_malformed_raise():
         encode_gif(rng.randint(0, 256, (40, 40, 3)).astype(np.uint8))
 
 
+def test_gif_lzw_code_size_above_spec_max_raises_named_gap():
+    """LZW minimum code sizes 9-11 are beyond the spec maximum of 8
+    (256-color palettes) — they must hit the NAMED check, not a bare
+    bytes()-range error deep in the table reset (ADVICE r8)."""
+    from apache_beam_spark.multimodal.codecs import decode_gif, encode_gif
+
+    img = np.zeros((2, 3, 3), np.uint8)
+    blob = bytearray(encode_gif(img))
+    i = blob.index(b",")                 # image descriptor
+    for bad in (9, 10, 11, 12, 1, 0):
+        spliced = bytearray(blob)
+        spliced[i + 10] = bad            # the min-code byte
+        with pytest.raises(ValueError, match="LZW code size"):
+            decode_gif(bytes(spliced))
+
+
 def test_gif_through_decode_image_stage(spark):
     from apache_beam_spark.multimodal.codecs import encode_gif
     from apache_beam_spark.multimodal.columns import decode_image

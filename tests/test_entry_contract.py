@@ -7,11 +7,16 @@ import inspect
 import __spark_entry__ as e
 
 KNOWN_NO_ORACLE = {
-    # documented approximates/iteratives, each with an oracled exact twin
+    # documented approximates/iteratives, each with an oracled exact
+    # twin.  r9 (VERDICT r8 item 4): embed_pca_project gained a
+    # fixed-basis value oracle; the rows-only trained-path duplicates
+    # embed_kmeans / embed_ivf_knn / embed_pq_knn were retired from
+    # queries() (their _fixed twins are value-oracled, the trainers
+    # numpy-/recall-pinned in tests).  Every entry left here is
+    # inherently seed- or iteration-dependent.
     "approx_distinct_users", "approx_quantiles",
     "dedup_incremental_minhash", "dedup_minhash",
-    "dedup_simhash", "embed_ivf_knn", "embed_kmeans",
-    "embed_pca_project", "embed_pq_knn", "quality_lr_train",
+    "dedup_simhash", "quality_lr_train",
     "sample_any",
 }
 

@@ -226,6 +226,156 @@ def test_train_stops_when_no_pairs_left(spark):
     assert wordpiece_train(df, n_merges=5).count() == 0
 
 
+# ---------------------------------------------- relaxed batch admission
+
+def test_select_batch_relaxed_admission_rules():
+    """Exact-fraction reordering within the float window, conflict
+    SKIP (incl. merged-symbol collisions under the ## spelling), the
+    incomplete-window float-tail guard, and the max_batch=1
+    degeneration to the exact argmax."""
+    from apache_beam_spark.operators.wordpiece import _select_batch_relaxed
+
+    def rows(*tups):
+        return [{"a": a, "b": b, "pc": pc, "ca": ca, "cb": cb}
+                for a, b, pc, ca, cb in tups]
+
+    # exact-fraction order decides: 6/24 > 9/40 even though raw pc says
+    # otherwise; disjoint pairs admit past the skipped conflict
+    r = rows(("t", "##h", 9, 10, 4), ("s", "##c", 6, 6, 4),
+             ("##c", "##a", 5, 4, 10), ("x", "##y", 1, 2, 3))
+    assert _select_batch_relaxed(r, 8, complete=True) == \
+        [("s", "##c", 6, 24), ("t", "##h", 9, 40), ("x", "##y", 1, 6)]
+    # merged-symbol collision blocks: (s, ##c) produced 'sc'
+    r2 = rows(("s", "##c", 6, 6, 4), ("sc", "##z", 5, 6, 4))
+    assert _select_batch_relaxed(r2, 8, complete=True) == \
+        [("s", "##c", 6, 24)]
+    # ...and a candidate whose MERGED symbol equals an admitted symbol
+    # blocks too: (##s, ##c) -> '##sc' vs admitted '##sc'
+    r3 = rows(("##sc", "##z", 6, 6, 4), ("##s", "##c", 5, 6, 4))
+    assert _select_batch_relaxed(r3, 8, complete=True) == \
+        [("##sc", "##z", 6, 24)]
+    # incomplete window: stop at the tail FLOAT score (unpulled pairs
+    # could outrank there); the first candidate always admits
+    r4 = rows(("a", "##b", 8, 4, 4), ("c", "##d", 4, 4, 4))
+    assert _select_batch_relaxed(r4, 8, complete=False) == \
+        [("a", "##b", 8, 16)]
+    assert _select_batch_relaxed(r4, 8, complete=True) == \
+        [("a", "##b", 8, 16), ("c", "##d", 4, 16)]
+    # max_batch=1 == the exact window argmax
+    assert _select_batch_relaxed(r, 1, complete=True) == \
+        [("s", "##c", 6, 24)]
+
+
+def test_exact_policy_rejects_merge_batch(spark):
+    df = _docs(spark, ["ab ab"])
+    with pytest.raises(ValueError, match="relaxed"):
+        wordpiece_train(df, n_merges=2, merge_batch=4)
+    with pytest.raises(ValueError, match="merge_batch"):
+        wordpiece_train(df, n_merges=2, merge_batch=0)
+    with pytest.raises(ValueError, match="batch_policy"):
+        wordpiece_train(df, n_merges=2, batch_policy="bogus")
+
+
+def _apply_one_wp(vocab, a, b, merged):
+    new = {}
+    for syms, c in vocab.items():
+        out, prev = [], None
+        for s in syms:
+            if prev == a and s == b:
+                out.append(merged)
+                prev = None
+            else:
+                if prev is not None:
+                    out.append(prev)
+                prev = s
+        if prev is not None:
+            out.append(prev)
+        new[tuple(out)] = new.get(tuple(out), 0) + c
+    return new
+
+
+def _py_relaxed_wp(texts, n_merges, merge_batch):
+    """Driver-side mirror of the relaxed-policy trainer: same float
+    window pull, same _select_batch_relaxed admission, same greedy
+    apply — the tests/test_bpe.py::_py_relaxed_bpe pattern with the
+    likelihood-gain score."""
+    from apache_beam_spark.operators.wordpiece import _select_batch_relaxed
+
+    words = Counter()
+    for t in texts:
+        words.update(re.findall(r"[\w']+", t.lower()))
+    vocab = {}
+    for w, c in words.items():
+        syms = tuple([w[0]] + [_CONT + ch for ch in w[1:]])
+        vocab[syms] = vocab.get(syms, 0) + c
+    merges = []
+    pull = max(256, 8 * merge_batch)
+    while len(merges) < n_merges:
+        sym_cnt, pair_cnt = Counter(), Counter()
+        for syms, c in vocab.items():
+            for s in syms:
+                sym_cnt[s] += c
+            for i in range(len(syms) - 1):
+                pair_cnt[(syms[i], syms[i + 1])] += c
+        if not pair_cnt:
+            break
+        rows = [{"a": a, "b": b, "pc": pc,
+                 "ca": sym_cnt[a], "cb": sym_cnt[b]}
+                for (a, b), pc in pair_cnt.items()]
+        # the Spark pull: float-score desc, (a, b) tie-break, top-pull
+        rows.sort(key=lambda r: (-(r["pc"] / (float(r["ca"]) * r["cb"])),
+                                 r["a"], r["b"]))
+        window = rows[:pull]
+        picked = _select_batch_relaxed(
+            window, min(merge_batch, n_merges - len(merges)),
+            complete=len(window) < pull)
+        for a, b, pc, den in picked:
+            merged = _merge_symbol(a, b)
+            merges.append((len(merges), a, b, merged, pc, den))
+            vocab = _apply_one_wp(vocab, a, b, merged)
+    return merges
+
+
+def test_relaxed_train_matches_mirror(spark):
+    """The relaxed Spark trainer reproduces its driver-side mirror
+    round-for-round to exhaustion, and actually batches (fewer rounds
+    than merges is invisible here, so pin multiple distinct scores per
+    round-batch instead via the admitted count)."""
+    got = [(r["rank"], r["a"], r["b"], r["merged"],
+            r["score_num"], r["score_den"]) for r in
+           wordpiece_train(_docs(spark, CORPUS), n_merges=200,
+                           merge_batch=8, batch_policy="relaxed")
+           .orderBy("rank").collect()]
+    assert got == _py_relaxed_wp(CORPUS, 200, 8)
+    # exhaustion: both policies segment every word to one piece, so
+    # the learned vocab sizes agree up to admission-order noise
+    # (sequential exhaustion from the cheap Python reference)
+    assert abs(len(got) - len(_ref_train(CORPUS, 200))) <= 2
+    assert len(got) > 10
+
+
+def test_relaxed_merge_batch_one_matches_exact(spark):
+    """merge_batch=1 relaxed == the exact sequential policy (the
+    admission degenerates to the exact window argmax)."""
+    exact = [tuple(r) for r in wordpiece_train(
+        _docs(spark, CORPUS), n_merges=8).orderBy("rank").collect()]
+    relaxed = [tuple(r) for r in wordpiece_train(
+        _docs(spark, CORPUS), n_merges=8, merge_batch=1,
+        batch_policy="relaxed").orderBy("rank").collect()]
+    assert exact == relaxed
+
+
+def test_train_releases_checkpoint_storage(spark):
+    """Superseded per-round localCheckpoints are unpersisted (ADVICE
+    r8): after training, the trainer leaves NO cached RDD blocks
+    behind, so executor storage is flat in the round count."""
+    sc = spark.sparkContext._jsc.sc()
+    before = {r.id() for r in sc.getRDDStorageInfo()}
+    wordpiece_train(_docs(spark, CORPUS), n_merges=6).collect()
+    after = {r.id() for r in sc.getRDDStorageInfo()}
+    assert after - before == set()
+
+
 # --------------------------------------------------------- piece counts
 
 def _ref_piece_counts(texts, vocab):
