@@ -1134,6 +1134,55 @@ def _stream_funnel_exact(spark, sf_dir):
             .select("user_id", "view_ts", "click_ts", "purchase_ts"))
 
 
+def _stream_session_exact(spark, sf_dir):
+    """Streaming SESSION-WINDOW aggregation run END-TO-END inside the
+    query — Spark's native ``session_window`` (gap-merging streaming
+    state) over a TestStream replay of the real event stream
+    (user_id < 200), one data wave plus a watermark tail that closes
+    every open session.  Session bounds are EVENT-TIME-determined
+    (the merged union of per-event [ts, ts+gap] intervals; probe-
+    verified: Spark merges at exact-gap adjacency, end = last event
+    ts + gap) and counts are additive, so arrival/partition order
+    cannot perturb the result and the emitted (user_id, session_start,
+    session_end, n_events) rows answer to the classic gaps-and-islands
+    CTE in DuckDB — the FOURTH real streaming query under the
+    value-oracle gate, covering the one stateful-streaming family
+    (merging session state) the first three don't.  Batch twin:
+    `window_session` (same gap, Sessions windowing); parity pinned in
+    tests/test_streaming_session.py."""
+    import tempfile
+
+    from apache_beam_spark.streaming.sources import (TestStream,
+                                                     read_bounded)
+
+    ev = (load_table(spark, "events", sf_dir)
+          .filter(F.col("user_id") < 200)
+          .select("user_id",
+                  F.unix_micros(F.col("ts").cast("timestamp"))
+                  .alias("tus")))
+    rows = [r.asDict() for r in ev.collect()]
+    ts = TestStream(tempfile.mkdtemp(prefix="entry_ssession_"))
+    ts.add_elements(rows)
+    tail = max(r["tus"] for r in rows) + 30 * 24 * 3600 * 1_000_000
+    ts.add_elements([{"user_id": 999999, "tus": tail}])
+    sdf = (ts.stream(spark, "user_id bigint, tus bigint")
+           .select("user_id", F.timestamp_micros("tus").alias("ts"))
+           .withWatermark("ts", "10 minutes")
+           .groupBy("user_id", F.session_window("ts", "10 minutes"))
+           .agg(F.count(F.lit(1)).alias("n_events")))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        out = read_bounded(sdf)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (out.filter(F.col("user_id") < 200)
+            .select("user_id",
+                    F.col("session_window.start").alias("session_start"),
+                    F.col("session_window.end").alias("session_end"),
+                    "n_events"))
+
+
 def _dedup_simhash(spark, sf_dir):
     """SimHash near-dedup — rows-only (engine-specific hashes)."""
     return simhash_dedup(load_table(spark, "documents", sf_dir), max_hamming=3) \
@@ -3788,6 +3837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_minhash_dedup": _stream_minhash_dedup,
         "stream_heavy_hitters_exact": _stream_heavy_hitters_exact,
         "stream_funnel_exact": _stream_funnel_exact,
+        "stream_session_exact": _stream_session_exact,
         "dedup_simhash": _dedup_simhash,
         "dedup_simhash_md5": _dedup_simhash_md5,
         "ngram_jaccard": _ngram_jaccard,
@@ -4302,6 +4352,31 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT word, unnest(ps) AS piece FROM fin)
             JOIN wv USING (word)
             GROUP BY piece""",
+        # streaming session windows: gaps-and-islands over the same
+        # event subset; session_end = last event ts + gap (Spark merges
+        # sessions at exact-gap adjacency, hence the strict > below)
+        "stream_session_exact": """
+            WITH e AS (
+                SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+                FROM events WHERE user_id < 200),
+            gaps AS (
+                SELECT user_id, ts,
+                       CASE WHEN LAG(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts) IS NULL
+                            OR ts - LAG(ts) OVER (PARTITION BY user_id
+                                                  ORDER BY ts)
+                               > INTERVAL '10 minutes'
+                            THEN 1 ELSE 0 END AS new_session
+                FROM e),
+            sessions AS (
+                SELECT user_id, ts,
+                       SUM(new_session) OVER (PARTITION BY user_id
+                           ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+                FROM gaps)
+            SELECT user_id, MIN(ts) AS session_start,
+                   MAX(ts) + INTERVAL '10 minutes' AS session_end,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM sessions GROUP BY user_id, sid""",
         # streaming funnel: the batch funnel CTE over the same event
         # subset, timestamps as epoch microseconds
         "stream_funnel_exact": """

@@ -76,7 +76,7 @@ QUERIES = [
     # doc_id<40-bounded by design, so its flat ratio documents that)
     "wordpiece_token_counts_bc", "wordpiece_piece_counts",
     "stream_minhash_dedup", "stream_heavy_hitters_exact",
-    "stream_funnel_exact",
+    "stream_funnel_exact", "stream_session_exact",
 ]
 
 #: dup-mining families whose OUTPUT grows superlinearly on the
