@@ -3623,6 +3623,28 @@ def _jpeg_progressive_roundtrip(spark, sf_dir):
     return _image_roundtrip(spark, sf_dir, payload, every=11)
 
 
+def _jpeg_arith_roundtrip(spark, sf_dir):
+    """REAL arithmetic-coded JPEG (T.81 SOF9, Annex D QM-coder +
+    F.1.4 model, r9 — the entropy layer libjpeg gates behind
+    D_ARITH_CODING_SUPPORTED) round trip: same contract as
+    jpeg_roundtrip — the QM-coder rides over the SAME quantized
+    coefficients, so the constant-tile closed form holds bit-
+    identically (pinned pixel-equal to baseline across a 40-trial
+    fuzz in tests/test_codecs.py); dims AND pixel sum value-oracled.
+    Doc-dependent restart intervals exercise the per-segment
+    coder/statistics reset path."""
+    def payload(d):
+        import numpy as np
+
+        from apache_beam_spark.multimodal.codecs import encode_jpeg_arith
+
+        w, h, v = 4 + d % 5, 3 + d % 4, (d * 7) % 256
+        return encode_jpeg_arith(np.full((h, w), v, np.uint8),
+                                 restart_interval=d % 3)
+
+    return _image_roundtrip(spark, sf_dir, payload, every=11)
+
+
 def _rag_chunks(spark, sf_dir):
     """Overlapping retrieval chunks (dedup/chunks.py sliding_chunks):
     30-word windows advancing by 20 (10 words shared context) — the
@@ -3954,6 +3976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tiff_roundtrip": _tiff_roundtrip,
         "jpeg_roundtrip": _jpeg_roundtrip,
         "jpeg_progressive_roundtrip": _jpeg_progressive_roundtrip,
+        "jpeg_arith_roundtrip": _jpeg_arith_roundtrip,
         "rag_chunks": _rag_chunks,
         "dau_mau_stickiness": _dau_mau_stickiness,
         "zorder_curve": _zorder_curve,
@@ -6468,6 +6491,9 @@ def oracle_sql() -> dict[str, str]:
     out["jpeg_progressive_roundtrip"] = (
         out["jpeg_progressive_roundtrip"]
         + "\n            WHERE doc_id % 11 = 3")
+    # the QM-coder rides over the same quantized coefficients, so the
+    # arithmetic roundtrip answers to the identical closed form
+    out["jpeg_arith_roundtrip"] = out["jpeg_progressive_roundtrip"]
     # DSIR selection = the scores CTE + a deterministic top-10% rank
     out["dsir_select_top"] = (
         "WITH scores AS (" + out["dsir_scores"] + ")\n"

@@ -13,10 +13,11 @@ containers are fully decodable:
 * **JPEG** (ITU-T T.81): marker walk, Annex K / arbitrary DQT+DHT
   tables, huffman entropy decode with restart intervals, dequantize +
   batched numpy IDCT, 1-2x chroma sampling with replication upsample,
-  YCbCr->RGB.  Baseline sequential (SOF0/1) AND progressive (SOF2,
-  Annex G spectral selection + successive approximation) both decode;
-  arithmetic and lossless frames raise NotImplementedError naming the
-  exact gap.
+  YCbCr->RGB.  Baseline sequential (SOF0/1), progressive (SOF2,
+  Annex G spectral selection + successive approximation) and
+  arithmetic-coded sequential (SOF9, Annex D QM-coder, r9) all
+  decode; arithmetic-progressive and lossless frames raise
+  NotImplementedError naming the exact gap.
 
 * **WAV** (RIFF little-endian): chunk walk honoring chunk sizes and
   padding; integer PCM 8/16/32-bit, IEEE float 32/64 (r8), and G.711
@@ -1008,8 +1009,9 @@ def decode_image_real(payload: bytes) -> np.ndarray:
 # coding with the Annex K tables, zigzag, dequantize, batched numpy
 # IDCT, chroma upsampling, YCbCr->RGB.  Same "real codec" standard as
 # the PNG path: the encoders exist so round trips are testable
-# in-sandbox (no JPEG files ship in the container); baseline (SOF0/1)
-# and progressive (SOF2) frames decode, arithmetic (SOF9+), lossless
+# in-sandbox (no JPEG files ship in the container); baseline (SOF0/1),
+# progressive (SOF2) and arithmetic-coded sequential (SOF9, Annex D
+# QM-coder) frames decode; arithmetic-progressive (SOF10), lossless
 # and hierarchical frames raise NotImplementedError naming the gap;
 # malformed streams raise ValueError (the dead-letter contract).
 
@@ -1396,12 +1398,13 @@ def _segment_val16(seg: bytes) -> tuple:
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """uint8 array from a JFIF stream: (h, w) for one component,
     (h, w, 3) RGB otherwise.  Supports baseline sequential (SOF0/1)
-    AND progressive (SOF2, Annex G) frames, multiple DQT/DHT segments,
-    8-bit quant tables, restart intervals, and any 1-2x sampling
-    factors (4:4:4 / 4:2:2 / 4:2:0 — chroma is replicated on
-    upsample).  Arithmetic/lossless frames raise NotImplementedError
-    naming the gap; malformed input raises ValueError (dead-letter
-    contract).
+    AND progressive (SOF2, Annex G) AND arithmetic-coded sequential
+    (SOF9, Annex D QM-coder + DAC conditioning) frames, multiple
+    DQT/DHT segments, 8-bit quant tables, restart intervals, and any
+    1-2x sampling factors (4:4:4 / 4:2:2 / 4:2:0 — chroma is
+    replicated on upsample).  Arithmetic-progressive/lossless frames
+    raise NotImplementedError naming the gap; malformed input raises
+    ValueError (dead-letter contract).
 
     Reference anchor: payloads ride Beam pipelines as opaque bytes
     (sdks/java/core/.../coders/ByteArrayCoder.java); the decode itself
@@ -1411,8 +1414,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     pos = 2
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple, tuple] = {}
+    dac: dict[tuple, object] = {}
     frame = None
     progressive = False
+    arithmetic = False
     restart = 0
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
@@ -1454,7 +1459,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 vals = list(body[b + 17:b + 17 + n])
                 huff[(tc, th)] = _huff_lut(bits, vals)
                 b += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2):      # SOF0/1 baseline, SOF2
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):  # SOF0/1, SOF2, SOF9
             prec, fh, fw, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG")
@@ -1465,10 +1470,29 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                               "tq": tq})
             frame = (fh, fw, comps)
             progressive = marker == 0xC2
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            arithmetic = marker == 0xC9
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"non-baseline JPEG frame (SOF marker 0xFF{marker:02X})")
+        elif marker == 0xCC:                    # DAC conditioning
+            if len(body) % 2:
+                raise ValueError("malformed DAC segment length")
+            b = 0
+            while b < len(body):
+                tc, tb = body[b] >> 4, body[b] & 0xF
+                cs = body[b + 1]
+                if tc == 0:
+                    dl, du = cs & 0xF, cs >> 4
+                    if dl > du:
+                        raise ValueError("invalid DAC DC conditioning"
+                                         f" (L={dl} > U={du})")
+                    dac[(0, tb)] = (dl, du)
+                else:
+                    if not 1 <= cs <= 63:
+                        raise ValueError(f"invalid DAC AC Kx {cs}")
+                    dac[(1, tb)] = cs
+                b += 2
         elif marker == 0xDD:                    # DRI
             (restart,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:                    # SOS -> entropy data
@@ -1485,6 +1509,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cs, tt = body[1 + 2 * i:3 + 2 * i]
                 sel[cs] = (tt >> 4, tt & 0xF)
             scan_start = pos + 2 + ln
+            if arithmetic:
+                return _decode_scan_arith(payload, scan_start, frame,
+                                          sel, qt, dac, restart)
             return _decode_scan(payload, scan_start, frame, sel, qt,
                                 huff, restart)
         pos += 2 + ln
@@ -1653,6 +1680,576 @@ def _coef_to_pixels(fh, fw, hmax, vmax, comps, per_comp) -> np.ndarray:
     b = y + 1.772 * cb
     return np.clip(np.round(np.stack([r, g, b], axis=-1)),
                    0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Arithmetic-coded JPEG (T.81 SOF9, Annexes D & F.1.4): the adaptive
+# QM-coder replaces huffman as the entropy layer over the SAME
+# quantized coefficients, so arithmetic round trips are bit-identical
+# in pixel space to baseline round trips (pinned in tests).  The
+# probability state machine is spec Table D.3; conditioning defaults
+# (DC L=0/U=1, AC Kx=5) follow Table F.5 and are overridable via the
+# DAC segment, which both sides implement.  0xFF bytes in the entropy
+# segment are stuffed as FF 00 — the convention the huffman scans
+# already use — so markers cannot be emulated and one splitter serves
+# both entropy layers.  Decode-side data exhaustion feeds zero bytes
+# per D.2.7 — the IN-SPEC way an arithmetic scan meets its terminating
+# marker, so (unlike huffman scans) a truncated arithmetic segment
+# legally decodes its final MCUs from zero data instead of raising;
+# structural corruption (impossible magnitudes, AC run overflow,
+# malformed DAC) still raises ValueError (dead-letter contract).
+# ---------------------------------------------------------------------------
+
+#: T.81 Table D.3: (Qe, next-index-LPS, next-index-MPS, switch-MPS)
+#: per estimation state; index 113 is the NON-adaptive ~0.5 bin the
+#: F.1.4 model uses for AC sign decisions (Table F.5 note).
+_QM_TAB = (
+    (0x5A1D, 1, 1, 1), (0x2586, 14, 2, 0), (0x1114, 16, 3, 0),
+    (0x080B, 18, 4, 0), (0x03D8, 20, 5, 0), (0x01DA, 23, 6, 0),
+    (0x00E5, 25, 7, 0), (0x006F, 28, 8, 0), (0x0036, 30, 9, 0),
+    (0x001A, 33, 10, 0), (0x000D, 35, 11, 0), (0x0006, 9, 12, 0),
+    (0x0003, 10, 13, 0), (0x0001, 12, 13, 0), (0x5A7F, 15, 15, 1),
+    (0x3F25, 36, 16, 0), (0x2CF2, 38, 17, 0), (0x207C, 39, 18, 0),
+    (0x17B9, 40, 19, 0), (0x1182, 42, 20, 0), (0x0CEF, 43, 21, 0),
+    (0x09A1, 45, 22, 0), (0x072F, 46, 23, 0), (0x055C, 48, 24, 0),
+    (0x0406, 49, 25, 0), (0x0303, 51, 26, 0), (0x0240, 52, 27, 0),
+    (0x01B1, 54, 28, 0), (0x0144, 56, 29, 0), (0x00F5, 57, 30, 0),
+    (0x00B7, 59, 31, 0), (0x008A, 60, 32, 0), (0x0068, 62, 33, 0),
+    (0x004E, 63, 34, 0), (0x003B, 32, 35, 0), (0x002C, 33, 9, 0),
+    (0x5AE1, 37, 37, 1), (0x484C, 64, 38, 0), (0x3A0D, 65, 39, 0),
+    (0x2EF1, 67, 40, 0), (0x261F, 68, 41, 0), (0x1F33, 69, 42, 0),
+    (0x19A8, 70, 43, 0), (0x1518, 72, 44, 0), (0x1177, 73, 45, 0),
+    (0x0E74, 74, 46, 0), (0x0BFB, 75, 47, 0), (0x09F8, 77, 48, 0),
+    (0x0861, 78, 49, 0), (0x0706, 79, 50, 0), (0x05CD, 48, 51, 0),
+    (0x04DE, 50, 52, 0), (0x040F, 50, 53, 0), (0x0363, 51, 54, 0),
+    (0x02D4, 52, 55, 0), (0x025C, 53, 56, 0), (0x01F8, 54, 57, 0),
+    (0x01A4, 55, 58, 0), (0x0160, 56, 59, 0), (0x0125, 57, 60, 0),
+    (0x00F6, 58, 61, 0), (0x00CB, 59, 62, 0), (0x00AB, 61, 63, 0),
+    (0x008F, 61, 32, 0), (0x5B12, 65, 65, 1), (0x4D04, 80, 66, 0),
+    (0x412C, 81, 67, 0), (0x37D8, 82, 68, 0), (0x2FE8, 83, 69, 0),
+    (0x293C, 84, 70, 0), (0x2379, 86, 71, 0), (0x1EDF, 87, 72, 0),
+    (0x1AA9, 87, 73, 0), (0x174E, 72, 74, 0), (0x1424, 72, 75, 0),
+    (0x119C, 74, 76, 0), (0x0F6B, 74, 77, 0), (0x0D51, 75, 78, 0),
+    (0x0BB6, 77, 79, 0), (0x0A40, 77, 48, 0), (0x5832, 80, 81, 1),
+    (0x4D1C, 88, 82, 0), (0x438E, 89, 83, 0), (0x3BDD, 90, 84, 0),
+    (0x34EE, 91, 85, 0), (0x2EAE, 92, 86, 0), (0x299A, 93, 87, 0),
+    (0x2516, 86, 71, 0), (0x5570, 88, 89, 1), (0x4CA9, 95, 90, 0),
+    (0x44D9, 96, 91, 0), (0x3E22, 97, 92, 0), (0x3824, 99, 93, 0),
+    (0x32B4, 99, 94, 0), (0x2E17, 93, 86, 0), (0x56A8, 95, 96, 1),
+    (0x4F46, 101, 97, 0), (0x47E5, 102, 98, 0), (0x41CF, 103, 99, 0),
+    (0x3C3D, 104, 100, 0), (0x375E, 99, 93, 0), (0x5231, 105, 102, 0),
+    (0x4C0F, 106, 103, 0), (0x4639, 107, 104, 0), (0x415E, 103, 99, 0),
+    (0x5627, 105, 106, 1), (0x50E7, 108, 107, 0), (0x4B85, 109, 103, 0),
+    (0x5597, 110, 109, 0), (0x504F, 111, 107, 0), (0x5A10, 110, 111, 1),
+    (0x5522, 112, 109, 0), (0x59EB, 112, 111, 1),
+    (0x5A1D, 113, 113, 0),          # 113: fixed ~0.5, never adapts
+)
+
+#: statistics-bin byte layout: MPS sense in bit 7, Table D.3 index in
+#: bits 0-6 (so "estimate after LPS with switch" is one XOR)
+_QM_NL = [(nl | (sw << 7)) for _, nl, _, sw in _QM_TAB]
+_QM_NM = [nm for _, _, nm, _ in _QM_TAB]
+_QM_QE = [qe for qe, _, _, _ in _QM_TAB]
+
+#: F.1.4 statistics areas: 64 DC bins (S0/SS/SP/SN per context class +
+#: X/M ladders at 20/34) and 256 AC bins (3 per k + the two magnitude
+#: ladders at 189/217) per conditioning table
+_DC_STAT_BINS = 64
+_AC_STAT_BINS = 256
+_FIXED_BIN = 113 << 0               # index 113, MPS 0, never updated
+
+
+class _QMEncoder:
+    """Annex D QM-coder, encode side: 16-bit interval register A,
+    code register C with 11-bit byte-out countdown, stacked-0xFF
+    carry resolution, trailing-zero suppression, FF 00 stuffing."""
+
+    def __init__(self):
+        self.a = 0x10000
+        self.c = 0
+        self.ct = 11
+        self.buf = -1               # buffered byte a carry may still bump
+        self.sc = 0                 # stacked 0xFF bytes
+        self.zc = 0                 # pending 0x00 bytes (drop if trailing)
+        self.out = bytearray()
+
+    def _flush_zc(self):
+        while self.zc:
+            self.out.append(0)
+            self.zc -= 1
+
+    def _byteout(self):
+        t = self.c >> 19
+        if t > 0xFF:
+            # carry ripples into the buffered byte; stacked 0xFFs
+            # become 0x00s (D.1.6)
+            if self.buf >= 0:
+                self._flush_zc()
+                self.out.append(self.buf + 1)
+                if self.buf + 1 == 0xFF:
+                    self.out.append(0)
+            self.zc += self.sc
+            self.sc = 0
+            self.buf = t & 0xFF
+        elif t == 0xFF:
+            self.sc += 1            # may still be bumped by a carry
+        else:
+            if self.buf == 0:
+                self.zc += 1
+            elif self.buf >= 0:
+                self._flush_zc()
+                self.out.append(self.buf)
+            if self.sc:
+                self._flush_zc()
+                while self.sc:
+                    self.out += b"\xff\x00"
+                    self.sc -= 1
+            self.buf = t
+        self.c &= 0x7FFFF
+        self.ct += 8
+
+    def encode(self, st: bytearray, i: int, bit: int) -> None:
+        sv = st[i]
+        idx = sv & 0x7F
+        qe = _QM_QE[idx]
+        self.a -= qe
+        if bit != (sv >> 7):
+            # LPS; conditional exchange when the MPS interval shrank
+            # below Qe (D.1.4)
+            if self.a >= qe:
+                self.c += self.a
+                self.a = qe
+            st[i] = (sv & 0x80) ^ _QM_NL[idx]
+        else:
+            if self.a >= 0x8000:
+                return              # MPS with no renormalization
+            if self.a < qe:
+                self.c += self.a
+                self.a = qe
+            st[i] = (sv & 0x80) | _QM_NM[idx]
+        while True:                 # RENORME (D.1.6)
+            self.a <<= 1
+            self.c <<= 1
+            self.ct -= 1
+            if self.ct == 0:
+                self._byteout()
+            if self.a >= 0x8000:
+                break
+
+    def flush(self) -> bytes:
+        """D.1.8 termination: pick the code point with the most
+        trailing zeros, emit what remains (trailing zeros dropped)."""
+        t = (self.a - 1 + self.c) & 0xFFFF0000
+        self.c = t + 0x8000 if t < self.c else t
+        self.c <<= self.ct
+        if self.c & 0xF8000000:     # one final carry
+            if self.buf >= 0:
+                self._flush_zc()
+                self.out.append(self.buf + 1)
+                if self.buf + 1 == 0xFF:
+                    self.out.append(0)
+            self.zc += self.sc
+            self.sc = 0
+        else:
+            if self.buf == 0:
+                self.zc += 1
+            elif self.buf >= 0:
+                self._flush_zc()
+                self.out.append(self.buf)
+            if self.sc:
+                self._flush_zc()
+                while self.sc:
+                    self.out += b"\xff\x00"
+                    self.sc -= 1
+        if self.c & 0x7FFF800:
+            self._flush_zc()
+            b = (self.c >> 19) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0)
+            if self.c & 0x7F800:
+                b = (self.c >> 11) & 0xFF
+                self.out.append(b)
+                if b == 0xFF:
+                    self.out.append(0)
+        return bytes(self.out)
+
+
+class _QMDecoder:
+    """Annex D QM-coder, decode side, over one destuffed entropy
+    segment; a segment that runs dry feeds zero bytes (D.2.7 — the
+    legal way an arithmetic scan meets its terminating marker)."""
+
+    def __init__(self, seg: bytes):
+        self.seg = seg
+        self.p = 0
+        self.c = 0
+        self.a = 0
+        self.ct = -16               # two initial bytes still to load
+
+    def decode(self, st: bytearray, i: int) -> int:
+        # renormalization & data input (D.2.6)
+        while self.a < 0x8000:
+            self.ct -= 1
+            if self.ct < 0:
+                b = self.seg[self.p] if self.p < len(self.seg) else 0
+                self.p += 1
+                self.c = ((self.c << 8) | b) & 0xFFFFFFFF
+                self.ct += 8
+                if self.ct < 0:
+                    self.ct += 1
+                    if self.ct == 0:
+                        self.a = 0x8000   # -> 0x10000 after the shift
+            self.a <<= 1
+        sv = st[i]
+        idx = sv & 0x7F
+        qe = _QM_QE[idx]
+        self.a -= qe
+        t = (self.a << self.ct) & 0xFFFFFFFF
+        if self.c >= t:
+            self.c -= t
+            # upper subinterval: LPS unless conditionally exchanged
+            if self.a < qe:
+                self.a = qe
+                st[i] = (sv & 0x80) | _QM_NM[idx]
+            else:
+                self.a = qe
+                st[i] = (sv & 0x80) ^ _QM_NL[idx]
+                sv ^= 0x80
+        elif self.a < 0x8000:
+            # lower subinterval needing renorm: MPS unless exchanged
+            if self.a < qe:
+                st[i] = (sv & 0x80) ^ _QM_NL[idx]
+                sv ^= 0x80
+            else:
+                st[i] = (sv & 0x80) | _QM_NM[idx]
+        return sv >> 7
+
+
+def _arith_encode_block(enc, dc_st, ac_st, fixed_st, zz, dc_pred: int,
+                        dc_ctx: list, ci: int, dc_l: int, dc_u: int,
+                        ac_kx: int) -> int:
+    """F.1.4 sequential statistical model, encode side: DC difference
+    with the 5-class previous-diff conditioning, then per-k AC
+    EOB/zero/sign/magnitude decisions.  Returns the new DC value."""
+    v = int(zz[0]) - dc_pred
+    st = dc_ctx[ci]
+    if v == 0:
+        enc.encode(dc_st, st, 0)
+        dc_ctx[ci] = 0
+    else:
+        enc.encode(dc_st, st, 1)
+        if v > 0:
+            enc.encode(dc_st, st + 1, 0)
+            st += 2                             # SP
+            sign = 0
+        else:
+            v = -v
+            enc.encode(dc_st, st + 1, 1)
+            st += 3                             # SN
+            sign = 1
+        m = 0
+        v -= 1
+        if v:
+            enc.encode(dc_st, st, 1)
+            m = 1
+            st = 20                             # X1 ladder
+            v2 = v
+            while v2 >> 1:
+                v2 >>= 1
+                enc.encode(dc_st, st, 1)
+                m <<= 1
+                st += 1
+        enc.encode(dc_st, st, 0)
+        if m < (1 << dc_l) >> 1:
+            dc_ctx[ci] = 0
+        elif m > (1 << dc_u) >> 1:
+            dc_ctx[ci] = 12 + 4 * sign          # large diff class
+        else:
+            dc_ctx[ci] = 4 + 4 * sign           # small diff class
+        st += 14                                # M ladder
+        while m >> 1:
+            m >>= 1
+            enc.encode(dc_st, st, 1 if (m & v) else 0)
+    # AC coefficients (F.1.4.2)
+    ke = 63
+    while ke > 0 and zz[ke] == 0:
+        ke -= 1
+    k = 1
+    while k <= ke:
+        st = 3 * (k - 1)
+        enc.encode(ac_st, st, 0)                # not yet EOB
+        while zz[k] == 0:
+            enc.encode(ac_st, st + 1, 0)
+            st += 3
+            k += 1
+        enc.encode(ac_st, st + 1, 1)
+        v = int(zz[k])
+        if v > 0:
+            enc.encode(fixed_st, 0, 0)
+            sign = 0
+        else:
+            v = -v
+            enc.encode(fixed_st, 0, 1)
+            sign = 1
+        st += 2
+        m = 0
+        v -= 1
+        if v:
+            enc.encode(ac_st, st, 1)
+            m = 1
+            v2 = v
+            if v2 >> 1:
+                enc.encode(ac_st, st, 1)
+                m <<= 1
+                v2 >>= 1
+                st = 189 if k <= ac_kx else 217  # X2 ladders
+                while v2 >> 1:
+                    v2 >>= 1
+                    enc.encode(ac_st, st, 1)
+                    m <<= 1
+                    st += 1
+        enc.encode(ac_st, st, 0)
+        st += 14
+        while m >> 1:
+            m >>= 1
+            enc.encode(ac_st, st, 1 if (m & v) else 0)
+        k += 1
+    if k <= 63:
+        enc.encode(ac_st, 3 * (k - 1), 1)       # EOB decision
+    return int(zz[0])
+
+
+def _arith_decode_block(dec, dc_st, ac_st, fixed_st, zz, dc_pred: int,
+                        dc_ctx: list, ci: int, dc_l: int, dc_u: int,
+                        ac_kx: int) -> int:
+    """Decode-side mirror of ``_arith_encode_block`` (F.2.4.1-2)."""
+    st = dc_ctx[ci]
+    if dec.decode(dc_st, st) == 0:
+        dc_ctx[ci] = 0
+        diff = 0
+    else:
+        sign = dec.decode(dc_st, st + 1)
+        st += 2 + sign
+        m = dec.decode(dc_st, st)
+        if m:
+            st = 20
+            while dec.decode(dc_st, st):
+                m <<= 1
+                if m == 0x8000:
+                    raise ValueError("corrupt arithmetic JPEG (DC)")
+                st += 1
+        if m < (1 << dc_l) >> 1:
+            dc_ctx[ci] = 0
+        elif m > (1 << dc_u) >> 1:
+            dc_ctx[ci] = 12 + 4 * sign
+        else:
+            dc_ctx[ci] = 4 + 4 * sign
+        v = m
+        st += 14
+        while m >> 1:
+            m >>= 1
+            if dec.decode(dc_st, st):
+                v |= m
+        v += 1
+        diff = -v if sign else v
+    dc = dc_pred + diff
+    zz[0] = dc
+    k = 1
+    while k <= 63:
+        st = 3 * (k - 1)
+        if dec.decode(ac_st, st):
+            break                               # EOB
+        while dec.decode(ac_st, st + 1) == 0:
+            st += 3
+            k += 1
+            if k > 63:
+                raise ValueError("corrupt arithmetic JPEG (AC run)")
+        sign = dec.decode(fixed_st, 0)
+        st += 2
+        m = dec.decode(ac_st, st)
+        if m:
+            if dec.decode(ac_st, st):
+                m <<= 1
+                st = 189 if k <= ac_kx else 217
+                while dec.decode(ac_st, st):
+                    m <<= 1
+                    if m == 0x8000:
+                        raise ValueError("corrupt arithmetic JPEG (AC)")
+                    st += 1
+        v = m
+        st += 14
+        while m >> 1:
+            m >>= 1
+            if dec.decode(ac_st, st):
+                v |= m
+        v += 1
+        zz[k] = -v if sign else v
+        k += 1
+    return dc
+
+
+def encode_jpeg_arith(img: np.ndarray, subsampling: str = "444",
+                      restart_interval: int = 0) -> bytes:
+    """Arithmetic-coded JFIF writer (T.81 SOF9): the baseline
+    encoder's quantized coefficients entropy-coded with the Annex D
+    QM-coder under the F.1.4 sequential model — so decode output is
+    pixel-identical to the huffman baseline's (pinned in
+    tests/test_codecs.py), including the constant-tile closed form
+    the `jpeg_arith_roundtrip` oracle uses.  Emits an explicit DAC
+    segment with the Table F.5 defaults (DC L=0/U=1, AC Kx=5) so the
+    decoder's conditioning parser is exercised; ``restart_interval``
+    adds DRI + RSTn markers with full coder/statistics/DC resets."""
+    zz_planes, samp, comp_q, mcus_x, mcus_y, h, w = \
+        _jpeg_quantized_planes(img, subsampling)
+    ncomp = len(zz_planes)
+
+    out = (b"\xff\xd8"
+           + _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+           + _seg(0xFFDB, bytes([0]) + bytes(
+               _QT_LUMA[_ZZ_ROW, _ZZ_COL].astype(np.uint8))))
+    if ncomp == 3:
+        out += _seg(0xFFDB, bytes([1]) + bytes(
+            _QT_CHROMA[_ZZ_ROW, _ZZ_COL].astype(np.uint8)))
+    sof_comps = b"".join(
+        bytes([i + 1, samp[i][0] << 4 | samp[i][1], comp_q[i]])
+        for i in range(ncomp))
+    out += _seg(0xFFC9, struct.pack(">BHHB", 8, h, w, ncomp) + sof_comps)
+    # DAC: Table F.5 defaults, one DC + one AC conditioning table per
+    # quant-table class in use
+    dac = b""
+    for t in sorted(set(comp_q)):
+        dac += bytes([0x00 | t, (1 << 4) | 0])   # DC: U=1, L=0
+        dac += bytes([0x10 | t, 5])              # AC: Kx=5
+    out += _seg(0xFFCC, dac)
+    if restart_interval:
+        out += _seg(0xFFDD, struct.pack(">H", restart_interval))
+    sos_comps = b"".join(
+        bytes([i + 1, comp_q[i] * 0x11]) for i in range(ncomp))
+    out += _seg(0xFFDA, bytes([ncomp]) + sos_comps + b"\x00\x3f\x00")
+
+    ntab = len(set(comp_q))
+
+    def fresh():
+        return (_QMEncoder(),
+                [bytearray(_DC_STAT_BINS) for _ in range(ntab)],
+                [bytearray(_AC_STAT_BINS) for _ in range(ntab)],
+                bytearray([_FIXED_BIN]), [0] * ncomp, [0] * ncomp)
+
+    enc, dc_sts, ac_sts, fixed_st, dc_ctx, dc_pred = fresh()
+    scan_parts = []
+    mcu_index = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if (restart_interval and mcu_index
+                    and mcu_index % restart_interval == 0):
+                scan_parts.append(enc.flush())
+                scan_parts.append(bytes(
+                    [0xFF, 0xD0 + (mcu_index // restart_interval - 1) % 8]))
+                enc, dc_sts, ac_sts, fixed_st, dc_ctx, dc_pred = fresh()
+            for ci, (hi, vi) in enumerate(samp):
+                t = comp_q[ci]
+                for by in range(vi):
+                    for bx in range(hi):
+                        dc_pred[ci] = _arith_encode_block(
+                            enc, dc_sts[t], ac_sts[t], fixed_st,
+                            zz_planes[ci][my * vi + by, mx * hi + bx],
+                            dc_pred[ci], dc_ctx, ci, 0, 1, 5)
+            mcu_index += 1
+    scan_parts.append(enc.flush())
+    return out + b"".join(scan_parts) + b"\xff\xd9"
+
+
+def _decode_scan_arith(payload, pos, frame, sel, qt, dac, restart):
+    """Arithmetic sequential scan decode: the `_decode_scan` shell
+    (marker split + FF 00 destuffing are shared conventions) with the
+    QM-coder + F.2.4 model replacing the huffman LUT loop; the back
+    half is the shared `_coef_to_pixels`."""
+    fh, fw, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if not all(1 <= c["h"] <= 2 and 1 <= c["v"] <= 2 for c in comps):
+        raise NotImplementedError("sampling factors beyond 2x")
+    mcus_x = (fw + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (fh + 8 * vmax - 1) // (8 * vmax)
+
+    segments, cur = [], bytearray()
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0xFF:
+            nxt = payload[pos + 1] if pos + 1 < len(payload) else 0xD9
+            if nxt == 0x00:
+                cur.append(0xFF)
+                pos += 2
+                continue
+            if nxt == 0xFF:
+                pos += 1
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                segments.append(bytes(cur))
+                cur = bytearray()
+                pos += 2
+                continue
+            break
+        cur.append(b)
+        pos += 1
+    segments.append(bytes(cur))
+
+    per_comp = []
+    cond = []
+    for c in comps:
+        if c["id"] not in sel:
+            raise ValueError("scan references unknown component")
+        td, ta = sel[c["id"]]
+        q = qt.get(c["tq"])
+        if q is None:
+            raise ValueError("JPEG scan references missing quant table")
+        dl, du = dac.get((0, td), (0, 1))
+        kx = dac.get((1, ta), 5)
+        cond.append((td, ta, dl, du, kx))
+        bw = mcus_x * c["h"]
+        bh = mcus_y * c["v"]
+        per_comp.append({
+            "zz": [[0] * 64 for _ in range(bh * bw)],
+            "bw": bw, "bh": bh, "q": q,
+            "w": (fw * c["h"] + hmax - 1) // hmax,
+            "h": (fh * c["v"] + vmax - 1) // vmax,
+        })
+
+    ntab = 16                       # table ids are 4-bit
+
+    def fresh(seg):
+        return (_QMDecoder(seg),
+                [bytearray(_DC_STAT_BINS) for _ in range(ntab)],
+                [bytearray(_AC_STAT_BINS) for _ in range(ntab)],
+                bytearray([_FIXED_BIN]), [0] * len(comps),
+                [0] * len(comps))
+
+    dec, dc_sts, ac_sts, fixed_st, dc_ctx, dc_pred = fresh(segments[0])
+    seg_i = 0
+    n_mcus = mcus_x * mcus_y
+    mcu_index = 0
+    while mcu_index < n_mcus:
+        if restart and mcu_index and mcu_index % restart == 0:
+            seg_i += 1
+            if seg_i >= len(segments):
+                raise ValueError("missing JPEG restart segment")
+            dec, dc_sts, ac_sts, fixed_st, dc_ctx, dc_pred = \
+                fresh(segments[seg_i])
+        my, mx = divmod(mcu_index, mcus_x)
+        for ci, c in enumerate(comps):
+            pc = per_comp[ci]
+            td, ta, dl, du, kx = cond[ci]
+            bw = pc["bw"]
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    zz = pc["zz"][(my * c["v"] + by) * bw
+                                  + mx * c["h"] + bx]
+                    dc_pred[ci] = _arith_decode_block(
+                        dec, dc_sts[td], ac_sts[ta], fixed_st, zz,
+                        dc_pred[ci], dc_ctx, ci, dl, du, kx)
+        mcu_index += 1
+    return _coef_to_pixels(fh, fw, hmax, vmax, comps, per_comp)
 
 
 # ---------------------------------------------------------------------------

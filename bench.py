@@ -110,6 +110,8 @@ HEADLINE = [
     "gif_roundtrip",
     "tiff_roundtrip",
     "dsir_scores",
+    # round-9: arithmetic-coded JPEG (SOF9 QM-coder)
+    "jpeg_arith_roundtrip",
 ]
 
 
@@ -396,6 +398,16 @@ def _streaming_benchmarks(spark) -> dict:
             return streaming_minhash_dedup(docs_source(40),
                                            within="10 minutes")
 
+        def stream_session():
+            # r9: merging session-window state (the stream_session_exact
+            # family) at steady state on the 10x replay spool — native
+            # JVM stateful agg, per-user gap-merged sessions
+            return (replay_source(8)
+                    .withWatermark("ts", "10 minutes")
+                    .groupBy("user_id",
+                             F.session_window("ts", "30 minutes"))
+                    .agg(F.count(F.lit(1)).alias("n")))
+
         # INTERLEAVED rounds (r6): the gates' best-of-N samples used to
         # run back-to-back per gate, so a 10-second host-load beat
         # could swallow every sample of whichever gate ran inside it
@@ -414,6 +426,7 @@ def _streaming_benchmarks(spark) -> dict:
             ("heavy", stream_heavy, 8),
             ("rate", stream_rate_limit, 8),
             ("minhash", stream_minhash, 8),
+            ("session", stream_session, 4),
         ]
         walls: dict[str, float] = {}
         for rnd in range(5):
@@ -436,6 +449,7 @@ def _streaming_benchmarks(spark) -> dict:
         "stream_heavy_hitters_events_per_sec": int(n_replay / walls["heavy"]),
         "stream_rate_limit_events_per_sec": int(n_replay / walls["rate"]),
         "stream_minhash_docs_per_sec": int(n_docs / walls["minhash"]),
+        "stream_session_events_per_sec": int(n_replay / walls["session"]),
     }
 
 

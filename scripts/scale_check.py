@@ -79,15 +79,19 @@ QUERIES = [
     "stream_funnel_exact", "stream_session_exact",
 ]
 
-#: dup-mining families whose OUTPUT grows superlinearly on the
-#: replicated corpus (the 10x replicas form cross-copy near-dup
-#: cliques, so emitted pairs grow ~k^2 where planted): the honest
-#: scale metric is time-per-emitted-row, not raw wall ratio (VERDICT
-#: r8 item 3 — makes the recurring "output-bound" adjudication
-#: mechanical).  Each must show <= MAX_TIME_PER_OUTPUT_RATIO growth in
-#: per-row cost at 10x; the script exits nonzero otherwise.
+#: dup-mining families whose wall ratio at 10x has repeatedly needed
+#: manual "output-bound" adjudication (VERDICT r8 item 3).  The
+#: mechanical metric: record emitted rows at both scales and assert
+#: ``scale_efficiency = time_ratio / max(data_ratio, output_ratio)``
+#: <= MAX_SCALE_EFFICIENCY — wall may grow no faster than the DOMINANT
+#: growth axis.  Two regimes, measured k=10: ngram_jaccard's output
+#: EXPLODES (256 -> 249,916 pairs — the planted replica cliques), so
+#: its 3.6x wall is ~0.004x per output; llm_corpus_prep's output is
+#: FIXED (the replicas dedup away and the kept reps are identical), so
+#: its 4.6x wall is 0.46x of the 10x data growth.  Either way <= 1
+#: means honestly sublinear; the script exits nonzero otherwise.
 OUTPUT_NORMALIZED = ["llm_corpus_prep", "semantic_dedup", "ngram_jaccard"]
-MAX_TIME_PER_OUTPUT_RATIO = 2.0
+MAX_SCALE_EFFICIENCY = 1.0
 
 
 def build_replica(spark, k: int, dst: str) -> None:
@@ -236,18 +240,18 @@ def main() -> None:
         r = report[name]
         if not rows_base[name] or not rows_scaled[name]:
             continue
-        per_row_ratio = round(
-            (r["t_scaled"] / rows_scaled[name])
-            / (r["t_sf01"] / rows_base[name]), 2)
+        out_ratio = rows_scaled[name] / rows_base[name]
+        eff = round(r["time_ratio"] / max(k, out_ratio), 3)
         r.update(rows_sf01=rows_base[name], rows_scaled=rows_scaled[name],
-                 time_per_output_ratio=per_row_ratio)
-        if per_row_ratio > MAX_TIME_PER_OUTPUT_RATIO:
-            violations.append((name, per_row_ratio))
+                 output_ratio=round(out_ratio, 2), scale_efficiency=eff)
+        if eff > MAX_SCALE_EFFICIENCY:
+            violations.append((name, eff))
     print(json.dumps({"k": k, "data_ratio": k, "queries": report}))
     if violations:
         raise SystemExit(
-            f"time-per-emitted-row grew beyond "
-            f"{MAX_TIME_PER_OUTPUT_RATIO}x at {k}x data: {violations}")
+            f"wall grew faster than the dominant data/output axis at "
+            f"{k}x (scale_efficiency > {MAX_SCALE_EFFICIENCY}): "
+            f"{violations}")
 
 
 if __name__ == "__main__":

@@ -127,10 +127,11 @@ def test_decode_media_deadletter_routing(spark):
 
     img = np.zeros((2, 3, 3), dtype=np.uint8)
     wav = encode_wav(np.array([1, 2], dtype=np.int16), 8000)
-    # a real baseline JPEG with its SOF0 marker flipped to SOF9:
-    # ARITHMETIC coding is gated -> NotImplementedError dead letter
+    # a real baseline JPEG with its SOF0 marker flipped to SOF10:
+    # arithmetic-PROGRESSIVE coding is gated -> NotImplementedError
+    # dead letter (sequential SOF9 decodes for real since r9)
     arith = encode_jpeg(np.full((8, 8), 7, np.uint8)).replace(
-        b"\xff\xc0", b"\xff\xc9", 1)
+        b"\xff\xc0", b"\xff\xca", 1)
     rows = [(1, bytearray(encode_bmp(img))),
             (2, bytearray(wav)),
             (3, bytearray(b"\xff\xd8\xffjpeg-ish")),   # corrupt stream
@@ -151,7 +152,7 @@ def test_decode_media_deadletter_routing(spark):
     assert set(errs) == {3, 4, 5}
     assert errs[3][0] == "jpeg" and "ValueError" in errs[3][1]
     assert "unrecognized" in errs[4][1]
-    assert "NotImplementedError" in errs[5][1] and "0xFFC9" in errs[5][1]
+    assert "NotImplementedError" in errs[5][1] and "0xFFCA" in errs[5][1]
 
 
 # ------------------------------------------------------------------ PNG
@@ -362,7 +363,9 @@ def test_jpeg_malformed_inputs_raise_cleanly():
     with pytest.raises(ValueError, match="spectral selection"):
         decode_jpeg(good.replace(b"\xff\xc0", b"\xff\xc2", 1))
     with pytest.raises(NotImplementedError, match="non-baseline"):
-        decode_jpeg(good.replace(b"\xff\xc0", b"\xff\xc9", 1))  # arithmetic
+        # arithmetic-progressive (SOF10) is still gated; sequential
+        # SOF9 decodes for real since r9 (test_jpeg_arith_*)
+        decode_jpeg(good.replace(b"\xff\xc0", b"\xff\xca", 1))
     with pytest.raises(NotImplementedError, match="12-bit"):
         # SOF0 precision byte 8 -> 12 (first byte of the SOF body)
         i = good.index(b"\xff\xc0")
@@ -582,6 +585,128 @@ def test_jpeg_progressive_through_decode_image_stage(spark):
     row = decode_image(df).first()
     assert (row["width"], row["height"], row["channels"]) == (7, 9, 3)
     assert bytes(row["pixels"]) == decode_jpeg(encode_jpeg(img)).tobytes()
+
+
+# ------------------------------------------ arithmetic JPEG (SOF9, r9)
+
+def test_jpeg_arith_matches_baseline_exactly():
+    """The QM-coder entropy layer rides over the SAME quantized
+    coefficients, so arithmetic decode output is pixel-identical to
+    the huffman baseline's — gray and RGB, all subsamplings."""
+    from apache_beam_spark.multimodal.codecs import (decode_jpeg,
+                                                     encode_jpeg,
+                                                     encode_jpeg_arith)
+
+    rng = np.random.RandomState(3)
+    gray = rng.randint(0, 256, (13, 11)).astype(np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg_arith(gray)),
+                          decode_jpeg(encode_jpeg(gray)))
+    rgb = rng.randint(0, 256, (10, 17, 3)).astype(np.uint8)
+    for sub in ("444", "422", "420"):
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg_arith(rgb, subsampling=sub)),
+            decode_jpeg(encode_jpeg(rgb, subsampling=sub))), sub
+
+
+def test_jpeg_arith_fuzz_vs_baseline():
+    """Seeded fuzz across dims/content/subsampling/restarts: the
+    arithmetic path must never diverge from baseline pixels (this is
+    what pins the QM-coder + F.1.4 model pairing end to end)."""
+    from apache_beam_spark.multimodal.codecs import (decode_jpeg,
+                                                     encode_jpeg,
+                                                     encode_jpeg_arith)
+
+    rng = np.random.RandomState(17)
+    for trial in range(40):
+        h, w = rng.randint(1, 28), rng.randint(1, 28)
+        gray = rng.rand() < 0.4
+        if rng.rand() < 0.3:                       # smooth content too
+            img = (np.add.outer(np.arange(h) * 3, np.arange(w) * 5)
+                   % 256).astype(np.uint8)
+            if not gray:
+                img = np.stack([img, img[::-1], (img + 37) % 256],
+                               axis=-1).astype(np.uint8)
+        else:
+            img = rng.randint(0, 256,
+                              (h, w) if gray else (h, w, 3)).astype(np.uint8)
+        sub = "444" if gray else ["444", "422", "420"][trial % 3]
+        ri = [0, 1, 2, 5][trial % 4]
+        base = decode_jpeg(encode_jpeg(img, subsampling=sub,
+                                       restart_interval=ri))
+        ar = decode_jpeg(encode_jpeg_arith(img, subsampling=sub,
+                                           restart_interval=ri))
+        assert np.array_equal(base, ar), (trial, h, w, gray, sub, ri)
+
+
+def test_jpeg_arith_constant_tile_closed_form():
+    """Same closed form as baseline (only the DC survives; round-half-
+    up quantization): clip(2*floor((v-128)/2 + .5) + 128) — the
+    jpeg_arith_roundtrip oracle hook."""
+    from apache_beam_spark.multimodal.codecs import (decode_jpeg,
+                                                     encode_jpeg_arith)
+
+    for v in (0, 1, 7, 127, 128, 200, 254, 255):
+        img = np.full((5, 6), v, np.uint8)
+        want = int(np.clip(2 * np.floor((v - 128) / 2 + 0.5) + 128,
+                           0, 255))
+        got = decode_jpeg(encode_jpeg_arith(img))
+        assert got.shape == (5, 6) and int(got[0, 0]) == want, v
+        assert np.all(got == want)
+
+
+def test_jpeg_arith_beats_huffman_on_low_entropy():
+    """The adaptive coder's reason to exist: on a constant tile the
+    huffman scan pays fixed EOB/DC code lengths per block while the
+    QM-coder adapts toward zero cost — the arithmetic payload must be
+    strictly smaller."""
+    from apache_beam_spark.multimodal.codecs import (encode_jpeg,
+                                                     encode_jpeg_arith)
+
+    img = np.full((64, 64), 77, np.uint8)
+    a = encode_jpeg_arith(img)
+    h = encode_jpeg(img)
+    # compare entropy payloads, not headers (the huffman header carries
+    # DHT segments the arithmetic one doesn't)
+    a_scan = len(a) - a.index(b"\xff\xda")
+    h_scan = len(h) - h.index(b"\xff\xda")
+    assert a_scan < h_scan
+
+
+def test_jpeg_arith_dac_validation():
+    """Malformed DAC segments hit named ValueErrors; a legal DAC with
+    non-default conditioning still round-trips (decoder honors it —
+    the encoder always writes the matching defaults, so craft the
+    stream by patching bytes)."""
+    from apache_beam_spark.multimodal.codecs import (decode_jpeg,
+                                                     encode_jpeg_arith)
+
+    img = np.full((4, 4), 9, np.uint8)
+    blob = encode_jpeg_arith(img)
+    i = blob.index(b"\xff\xcc")
+    # DC conditioning byte is at i+5 (marker 2 + length 2 + Tc/Tb 1):
+    # L=3 > U=1 must raise
+    with pytest.raises(ValueError, match="DAC DC conditioning"):
+        decode_jpeg(blob[:i + 5] + bytes([0x13]) + blob[i + 6:])
+    # AC Kx = 0 is out of range (spec says 1..63)
+    with pytest.raises(ValueError, match="DAC AC Kx"):
+        decode_jpeg(blob[:i + 7] + bytes([0x00]) + blob[i + 8:])
+    # odd-length DAC body
+    seg = blob[i:i + 8]
+    with pytest.raises(ValueError, match="DAC segment length"):
+        decode_jpeg(blob[:i] + seg[:2] + b"\x00\x05" + seg[4:7]
+                    + blob[i + 8:])
+
+
+def test_jpeg_arith_through_decode_image_stage(spark):
+    from apache_beam_spark.multimodal.codecs import encode_jpeg_arith
+    from apache_beam_spark.multimodal.columns import decode_image
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, (6, 9, 3)).astype(np.uint8)
+    df = spark.createDataFrame([(1, bytearray(encode_jpeg_arith(img)))],
+                               "doc_id long, payload binary")
+    row = decode_image(df).collect()[0]
+    assert (row["width"], row["height"], row["channels"]) == (9, 6, 3)
 
 
 # ------------------------------------------- PNG Adam7 / 16-bit depth
