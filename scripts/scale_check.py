@@ -90,7 +90,8 @@ QUERIES = [
 #: FIXED (the replicas dedup away and the kept reps are identical), so
 #: its 4.6x wall is 0.46x of the 10x data growth.  Either way <= 1
 #: means honestly sublinear; the script exits nonzero otherwise.
-OUTPUT_NORMALIZED = ["llm_corpus_prep", "semantic_dedup", "ngram_jaccard"]
+OUTPUT_NORMALIZED = ["llm_corpus_prep", "semantic_dedup", "ngram_jaccard",
+                     "dup_clusters"]
 MAX_SCALE_EFFICIENCY = 1.0
 
 
