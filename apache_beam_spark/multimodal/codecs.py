@@ -15,8 +15,8 @@ containers are fully decodable:
   batched numpy IDCT, 1-2x chroma sampling with replication upsample,
   YCbCr->RGB.  Baseline sequential (SOF0/1), progressive (SOF2,
   Annex G spectral selection + successive approximation) and
-  arithmetic-coded sequential (SOF9, Annex D QM-coder, r9) all
-  decode; arithmetic-progressive and lossless frames raise
+  arithmetic-coded (SOF9 sequential AND SOF10 progressive — the
+  Annex D QM-coder, r9) frames all decode; lossless frames raise
   NotImplementedError naming the exact gap.
 
 * **WAV** (RIFF little-endian): chunk walk honoring chunk sizes and
@@ -1010,9 +1010,9 @@ def decode_image_real(payload: bytes) -> np.ndarray:
 # IDCT, chroma upsampling, YCbCr->RGB.  Same "real codec" standard as
 # the PNG path: the encoders exist so round trips are testable
 # in-sandbox (no JPEG files ship in the container); baseline (SOF0/1),
-# progressive (SOF2) and arithmetic-coded sequential (SOF9, Annex D
-# QM-coder) frames decode; arithmetic-progressive (SOF10), lossless
-# and hierarchical frames raise NotImplementedError naming the gap;
+# progressive (SOF2) and arithmetic-coded (SOF9 sequential, SOF10
+# progressive — Annex D QM-coder) frames all decode; lossless and
+# hierarchical frames raise NotImplementedError naming the gap;
 # malformed streams raise ValueError (the dead-letter contract).
 
 _ZIGZAG = []
@@ -1398,13 +1398,13 @@ def _segment_val16(seg: bytes) -> tuple:
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """uint8 array from a JFIF stream: (h, w) for one component,
     (h, w, 3) RGB otherwise.  Supports baseline sequential (SOF0/1)
-    AND progressive (SOF2, Annex G) AND arithmetic-coded sequential
-    (SOF9, Annex D QM-coder + DAC conditioning) frames, multiple
-    DQT/DHT segments, 8-bit quant tables, restart intervals, and any
-    1-2x sampling factors (4:4:4 / 4:2:2 / 4:2:0 — chroma is
-    replicated on upsample).  Arithmetic-progressive/lossless frames
-    raise NotImplementedError naming the gap; malformed input raises
-    ValueError (dead-letter contract).
+    AND progressive (SOF2, Annex G) AND arithmetic-coded (SOF9
+    sequential, SOF10 progressive — Annex D QM-coder + DAC
+    conditioning) frames, multiple DQT/DHT segments, 8-bit quant
+    tables, restart intervals, and any 1-2x sampling factors
+    (4:4:4 / 4:2:2 / 4:2:0 — chroma is replicated on upsample).
+    Lossless/hierarchical frames raise NotImplementedError naming the
+    gap; malformed input raises ValueError (dead-letter contract).
 
     Reference anchor: payloads ride Beam pipelines as opaque bytes
     (sdks/java/core/.../coders/ByteArrayCoder.java); the decode itself
@@ -1459,7 +1459,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 vals = list(body[b + 17:b + 17 + n])
                 huff[(tc, th)] = _huff_lut(bits, vals)
                 b += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):  # SOF0/1, SOF2, SOF9
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
+            # SOF0/1 baseline, SOF2 progressive, SOF9/10 arithmetic
             prec, fh, fw, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG")
@@ -1469,9 +1470,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF,
                               "tq": tq})
             frame = (fh, fw, comps)
-            progressive = marker == 0xC2
-            arithmetic = marker == 0xC9
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB,
+            progressive = marker in (0xC2, 0xCA)
+            arithmetic = marker in (0xC9, 0xCA)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"non-baseline JPEG frame (SOF marker 0xFF{marker:02X})")
@@ -1502,7 +1503,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 # hand the WHOLE scan sequence (this SOS onward) to
                 # the Annex G loop; tables/DRI may change between scans
                 return _decode_progressive(payload, pos, frame, qt,
-                                           huff, [restart])
+                                           huff, [restart],
+                                           arithmetic=arithmetic,
+                                           dac=dac)
             ns = body[0]
             sel = {}
             for i in range(ns):
@@ -1926,72 +1929,118 @@ class _QMDecoder:
         return sv >> 7
 
 
-def _arith_encode_block(enc, dc_st, ac_st, fixed_st, zz, dc_pred: int,
-                        dc_ctx: list, ci: int, dc_l: int, dc_u: int,
-                        ac_kx: int) -> int:
-    """F.1.4 sequential statistical model, encode side: DC difference
-    with the 5-class previous-diff conditioning, then per-k AC
-    EOB/zero/sign/magnitude decisions.  Returns the new DC value."""
-    v = int(zz[0]) - dc_pred
+def _arith_enc_dc(enc, dc_st, v: int, dc_pred: int, dc_ctx: list,
+                  ci: int, dc_l: int, dc_u: int) -> int:
+    """F.1.4.1 DC model, encode side: the difference ``v - dc_pred``
+    under the 5-class previous-diff conditioning.  ``v`` is the
+    (already point-transformed, for progressive scans) DC value;
+    returns it as the new predictor."""
+    diff = v - dc_pred
     st = dc_ctx[ci]
-    if v == 0:
+    if diff == 0:
         enc.encode(dc_st, st, 0)
         dc_ctx[ci] = 0
+        return v
+    enc.encode(dc_st, st, 1)
+    if diff > 0:
+        enc.encode(dc_st, st + 1, 0)
+        st += 2                             # SP
+        sign = 0
     else:
+        diff = -diff
+        enc.encode(dc_st, st + 1, 1)
+        st += 3                             # SN
+        sign = 1
+    m = 0
+    diff -= 1
+    if diff:
         enc.encode(dc_st, st, 1)
-        if v > 0:
-            enc.encode(dc_st, st + 1, 0)
-            st += 2                             # SP
-            sign = 0
-        else:
-            v = -v
-            enc.encode(dc_st, st + 1, 1)
-            st += 3                             # SN
-            sign = 1
-        m = 0
-        v -= 1
-        if v:
+        m = 1
+        st = 20                             # X1 ladder
+        v2 = diff
+        while v2 >> 1:
+            v2 >>= 1
             enc.encode(dc_st, st, 1)
-            m = 1
-            st = 20                             # X1 ladder
-            v2 = v
-            while v2 >> 1:
-                v2 >>= 1
-                enc.encode(dc_st, st, 1)
-                m <<= 1
-                st += 1
-        enc.encode(dc_st, st, 0)
-        if m < (1 << dc_l) >> 1:
-            dc_ctx[ci] = 0
-        elif m > (1 << dc_u) >> 1:
-            dc_ctx[ci] = 12 + 4 * sign          # large diff class
-        else:
-            dc_ctx[ci] = 4 + 4 * sign           # small diff class
-        st += 14                                # M ladder
-        while m >> 1:
-            m >>= 1
-            enc.encode(dc_st, st, 1 if (m & v) else 0)
-    # AC coefficients (F.1.4.2)
-    ke = 63
-    while ke > 0 and zz[ke] == 0:
+            m <<= 1
+            st += 1
+    enc.encode(dc_st, st, 0)
+    if m < (1 << dc_l) >> 1:
+        dc_ctx[ci] = 0
+    elif m > (1 << dc_u) >> 1:
+        dc_ctx[ci] = 12 + 4 * sign          # large diff class
+    else:
+        dc_ctx[ci] = 4 + 4 * sign           # small diff class
+    st += 14                                # M ladder
+    while m >> 1:
+        m >>= 1
+        enc.encode(dc_st, st, 1 if (m & diff) else 0)
+    return v
+
+
+def _arith_dec_dc(dec, dc_st, dc_pred: int, dc_ctx: list, ci: int,
+                  dc_l: int, dc_u: int) -> int:
+    """Decode-side mirror of ``_arith_enc_dc``; returns the new
+    (point-transformed) predictor."""
+    st = dc_ctx[ci]
+    if dec.decode(dc_st, st) == 0:
+        dc_ctx[ci] = 0
+        return dc_pred
+    sign = dec.decode(dc_st, st + 1)
+    st += 2 + sign
+    m = dec.decode(dc_st, st)
+    if m:
+        st = 20
+        while dec.decode(dc_st, st):
+            m <<= 1
+            if m == 0x8000:
+                raise ValueError("corrupt arithmetic JPEG (DC)")
+            st += 1
+    if m < (1 << dc_l) >> 1:
+        dc_ctx[ci] = 0
+    elif m > (1 << dc_u) >> 1:
+        dc_ctx[ci] = 12 + 4 * sign
+    else:
+        dc_ctx[ci] = 4 + 4 * sign
+    v = m
+    st += 14
+    while m >> 1:
+        m >>= 1
+        if dec.decode(dc_st, st):
+            v |= m
+    v += 1
+    return dc_pred + (-v if sign else v)
+
+
+def _mag_shift(x: int, s: int) -> int:
+    """Sign-magnitude point transform (T.81 G.1.2.1 for AC): shift the
+    MAGNITUDE, keep the sign."""
+    return -((-x) >> s) if x < 0 else x >> s
+
+
+def _arith_enc_ac(enc, ac_st, fixed_st, zz, ss: int, se: int, al: int,
+                  kx: int) -> None:
+    """F.1.4.2 AC model over band [ss, se] at point transform ``al``
+    (sequential scans are ss=1, se=63, al=0): per-k EOB decision, zero
+    runs, fixed-bin sign, magnitude category + bits with the Kx ladder
+    split."""
+    ke = se
+    while ke >= ss and _mag_shift(int(zz[ke]), al) == 0:
         ke -= 1
-    k = 1
+    k = ss
     while k <= ke:
         st = 3 * (k - 1)
         enc.encode(ac_st, st, 0)                # not yet EOB
-        while zz[k] == 0:
+        while _mag_shift(int(zz[k]), al) == 0:
             enc.encode(ac_st, st + 1, 0)
             st += 3
             k += 1
         enc.encode(ac_st, st + 1, 1)
-        v = int(zz[k])
+        v = _mag_shift(int(zz[k]), al)
         if v > 0:
             enc.encode(fixed_st, 0, 0)
-            sign = 0
         else:
             v = -v
             enc.encode(fixed_st, 0, 1)
-            sign = 1
         st += 2
         m = 0
         v -= 1
@@ -2003,7 +2052,7 @@ def _arith_encode_block(enc, dc_st, ac_st, fixed_st, zz, dc_pred: int,
                 enc.encode(ac_st, st, 1)
                 m <<= 1
                 v2 >>= 1
-                st = 189 if k <= ac_kx else 217  # X2 ladders
+                st = 189 if k <= kx else 217    # X2 ladders
                 while v2 >> 1:
                     v2 >>= 1
                     enc.encode(ac_st, st, 1)
@@ -2015,55 +2064,23 @@ def _arith_encode_block(enc, dc_st, ac_st, fixed_st, zz, dc_pred: int,
             m >>= 1
             enc.encode(ac_st, st, 1 if (m & v) else 0)
         k += 1
-    if k <= 63:
+    if k <= se:
         enc.encode(ac_st, 3 * (k - 1), 1)       # EOB decision
-    return int(zz[0])
 
 
-def _arith_decode_block(dec, dc_st, ac_st, fixed_st, zz, dc_pred: int,
-                        dc_ctx: list, ci: int, dc_l: int, dc_u: int,
-                        ac_kx: int) -> int:
-    """Decode-side mirror of ``_arith_encode_block`` (F.2.4.1-2)."""
-    st = dc_ctx[ci]
-    if dec.decode(dc_st, st) == 0:
-        dc_ctx[ci] = 0
-        diff = 0
-    else:
-        sign = dec.decode(dc_st, st + 1)
-        st += 2 + sign
-        m = dec.decode(dc_st, st)
-        if m:
-            st = 20
-            while dec.decode(dc_st, st):
-                m <<= 1
-                if m == 0x8000:
-                    raise ValueError("corrupt arithmetic JPEG (DC)")
-                st += 1
-        if m < (1 << dc_l) >> 1:
-            dc_ctx[ci] = 0
-        elif m > (1 << dc_u) >> 1:
-            dc_ctx[ci] = 12 + 4 * sign
-        else:
-            dc_ctx[ci] = 4 + 4 * sign
-        v = m
-        st += 14
-        while m >> 1:
-            m >>= 1
-            if dec.decode(dc_st, st):
-                v |= m
-        v += 1
-        diff = -v if sign else v
-    dc = dc_pred + diff
-    zz[0] = dc
-    k = 1
-    while k <= 63:
+def _arith_dec_ac(dec, ac_st, fixed_st, zz, ss: int, se: int, al: int,
+                  kx: int) -> None:
+    """Decode-side mirror of ``_arith_enc_ac`` (F.2.4.2); decoded
+    values land scaled back by ``<< al``."""
+    k = ss
+    while k <= se:
         st = 3 * (k - 1)
         if dec.decode(ac_st, st):
             break                               # EOB
         while dec.decode(ac_st, st + 1) == 0:
             st += 3
             k += 1
-            if k > 63:
+            if k > se:
                 raise ValueError("corrupt arithmetic JPEG (AC run)")
         sign = dec.decode(fixed_st, 0)
         st += 2
@@ -2071,7 +2088,7 @@ def _arith_decode_block(dec, dc_st, ac_st, fixed_st, zz, dc_pred: int,
         if m:
             if dec.decode(ac_st, st):
                 m <<= 1
-                st = 189 if k <= ac_kx else 217
+                st = 189 if k <= kx else 217
                 while dec.decode(ac_st, st):
                     m <<= 1
                     if m == 0x8000:
@@ -2084,8 +2101,96 @@ def _arith_decode_block(dec, dc_st, ac_st, fixed_st, zz, dc_pred: int,
             if dec.decode(ac_st, st):
                 v |= m
         v += 1
-        zz[k] = -v if sign else v
+        zz[k] = (-v if sign else v) << al
         k += 1
+
+
+def _arith_enc_ac_refine(enc, ac_st, fixed_st, zz, ss: int, se: int,
+                         ah: int, al: int) -> None:
+    """G.1.3.3 AC successive-approximation refinement, encode side:
+    per coefficient either a correction bit (previously nonzero at
+    precision ``ah``), a newly-nonzero insertion (+ fixed-bin sign),
+    or a zero decision; EOB decisions only beyond the PREVIOUS scan's
+    end-of-block index."""
+    ke = se
+    while ke >= ss and _mag_shift(int(zz[ke]), al) == 0:
+        ke -= 1
+    kex = se
+    while kex >= ss and _mag_shift(int(zz[kex]), ah) == 0:
+        kex -= 1
+    k = ss
+    while k <= ke:
+        st = 3 * (k - 1)
+        if k > kex:
+            enc.encode(ac_st, st, 0)            # not yet EOB
+        while True:
+            x = int(zz[k])
+            t = (-x if x < 0 else x) >> al      # magnitude this scan
+            if t:
+                if t >> 1:                      # previously nonzero
+                    enc.encode(ac_st, st + 2, t & 1)
+                else:                           # newly nonzero
+                    enc.encode(ac_st, st + 1, 1)
+                    enc.encode(fixed_st, 0, 1 if x < 0 else 0)
+                break
+            enc.encode(ac_st, st + 1, 0)
+            st += 3
+            k += 1
+        k += 1
+    if k <= se:
+        enc.encode(ac_st, 3 * (k - 1), 1)       # EOB decision
+
+
+def _arith_dec_ac_refine(dec, ac_st, fixed_st, zz, ss: int, se: int,
+                         al: int) -> None:
+    """Decode-side mirror of ``_arith_enc_ac_refine`` (G.2.3): the
+    previous-scan EOB index is recovered from the ACCUMULATED
+    coefficients, so no side channel is needed."""
+    p1 = 1 << al
+    m1 = -p1
+    kex = se
+    while kex >= ss and zz[kex] == 0:
+        kex -= 1
+    k = ss
+    while k <= se:
+        st = 3 * (k - 1)
+        if k > kex:
+            if dec.decode(ac_st, st):
+                break                           # EOB
+        while True:
+            if zz[k]:
+                if dec.decode(ac_st, st + 2):
+                    zz[k] += p1 if zz[k] >= 0 else m1
+                break
+            if dec.decode(ac_st, st + 1):
+                zz[k] = m1 if dec.decode(fixed_st, 0) else p1
+                break
+            st += 3
+            k += 1
+            if k > se:
+                raise ValueError("corrupt arithmetic JPEG (AC refine)")
+        k += 1
+
+
+def _arith_encode_block(enc, dc_st, ac_st, fixed_st, zz, dc_pred: int,
+                        dc_ctx: list, ci: int, dc_l: int, dc_u: int,
+                        ac_kx: int) -> int:
+    """F.1.4 SEQUENTIAL statistical model, encode side — the
+    progressive primitives composed at full precision (DC + the whole
+    1..63 band at al=0).  Returns the new DC value."""
+    dc = _arith_enc_dc(enc, dc_st, int(zz[0]), dc_pred, dc_ctx, ci,
+                       dc_l, dc_u)
+    _arith_enc_ac(enc, ac_st, fixed_st, zz, 1, 63, 0, ac_kx)
+    return dc
+
+
+def _arith_decode_block(dec, dc_st, ac_st, fixed_st, zz, dc_pred: int,
+                        dc_ctx: list, ci: int, dc_l: int, dc_u: int,
+                        ac_kx: int) -> int:
+    """Decode-side mirror of ``_arith_encode_block`` (F.2.4.1-2)."""
+    dc = _arith_dec_dc(dec, dc_st, dc_pred, dc_ctx, ci, dc_l, dc_u)
+    zz[0] = dc
+    _arith_dec_ac(dec, ac_st, fixed_st, zz, 1, 63, 0, ac_kx)
     return dc
 
 
@@ -2158,6 +2263,133 @@ def encode_jpeg_arith(img: np.ndarray, subsampling: str = "444",
             mcu_index += 1
     scan_parts.append(enc.flush())
     return out + b"".join(scan_parts) + b"\xff\xd9"
+
+
+def encode_jpeg_arith_progressive(img: np.ndarray,
+                                  subsampling: str = "444",
+                                  restart_interval: int = 0) -> bytes:
+    """Arithmetic-coded PROGRESSIVE JFIF writer (T.81 SOF10): the
+    huffman progressive encoder's exact scan script — interleaved DC
+    first (Al=1), per-component AC bands 1-5 / 6-63 first (Al=1),
+    interleaved DC refinement, per-component AC refinements — with the
+    Annex D QM-coder under the G.1.3 progressive conditioning
+    (F.1.4 DC/AC models on point-transformed values, fixed-bin DC
+    correction bits, previous-EOB-indexed AC refinement).  Statistics
+    and the coder reset per SCAN (and per restart segment), as the
+    spec requires.  The quantized coefficients are the baseline
+    encoder's, so decode output is pixel-identical to every other
+    JPEG flavor's (the cross-flavor fuzz pin in tests)."""
+    zz_planes, samp, comp_q, mcus_x, mcus_y, h, w = \
+        _jpeg_quantized_planes(img, subsampling)
+    ncomp = len(zz_planes)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+
+    out = (b"\xff\xd8"
+           + _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+           + _seg(0xFFDB, bytes([0]) + bytes(
+               _QT_LUMA[_ZZ_ROW, _ZZ_COL].astype(np.uint8))))
+    if ncomp == 3:
+        out += _seg(0xFFDB, bytes([1]) + bytes(
+            _QT_CHROMA[_ZZ_ROW, _ZZ_COL].astype(np.uint8)))
+    sof_comps = b"".join(
+        bytes([i + 1, samp[i][0] << 4 | samp[i][1], comp_q[i]])
+        for i in range(ncomp))
+    out += _seg(0xFFCA, struct.pack(">BHHB", 8, h, w, ncomp) + sof_comps)
+    dac = b""
+    for t in sorted(set(comp_q)):
+        dac += bytes([0x00 | t, (1 << 4) | 0])
+        dac += bytes([0x10 | t, 5])
+    out += _seg(0xFFCC, dac)
+    if restart_interval:
+        out += _seg(0xFFDD, struct.pack(">H", restart_interval))
+    out = bytearray(out)
+
+    def sos(comps_spec: bytes, ss: int, se: int, ah: int,
+            al: int) -> bytes:
+        n = len(comps_spec) // 2
+        return _seg(0xFFDA, bytes([n]) + comps_spec
+                    + bytes([ss, se, (ah << 4) | al]))
+
+    def fresh():
+        return (_QMEncoder(),
+                [bytearray(_DC_STAT_BINS) for _ in range(2)],
+                [bytearray(_AC_STAT_BINS) for _ in range(2)],
+                bytearray([_FIXED_BIN]), [0] * ncomp, [0] * ncomp)
+
+    def dc_scan(ah: int, al: int) -> bytes:
+        buf = bytearray(sos(
+            b"".join(bytes([i + 1, comp_q[i] << 4])
+                     for i in range(ncomp)), 0, 0, ah, al))
+        parts = []
+        enc, dc_sts, _, fixed_st, dc_ctx, dc_pred = fresh()
+        mcu = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and mcu \
+                        and mcu % restart_interval == 0:
+                    parts.append(enc.flush())
+                    parts.append(bytes(
+                        [0xFF, 0xD0 + (mcu // restart_interval - 1) % 8]))
+                    enc, dc_sts, _, fixed_st, dc_ctx, dc_pred = fresh()
+                for ci, (hi, vi) in enumerate(samp):
+                    t = comp_q[ci]
+                    for by in range(vi):
+                        for bx in range(hi):
+                            v = int(zz_planes[ci][my * vi + by,
+                                                  mx * hi + bx, 0])
+                            if ah == 0:
+                                dc_pred[ci] = _arith_enc_dc(
+                                    enc, dc_sts[t], v >> al,
+                                    dc_pred[ci], dc_ctx, ci, 0, 1)
+                            else:
+                                enc.encode(fixed_st, 0, (v >> al) & 1)
+                mcu += 1
+        parts.append(enc.flush())
+        return bytes(buf) + b"".join(parts)
+
+    def nblocks(ci):
+        hi, vi = samp[ci]
+        cw = (w * hi + hmax - 1) // hmax
+        ch = (h * vi + vmax - 1) // vmax
+        return (ch + 7) // 8, (cw + 7) // 8, mcus_x * hi
+
+    def ac_scan(ci, ss, se, ah, al) -> bytes:
+        t = comp_q[ci]
+        buf = bytearray(sos(bytes([ci + 1, t]), ss, se, ah, al))
+        bh, bw, stride = nblocks(ci)
+        plane = zz_planes[ci].reshape(-1, 64)
+        parts = []
+        enc, _, ac_sts, fixed_st, _, _ = fresh()
+        blk = 0
+        for by in range(bh):
+            for bx in range(bw):
+                if (restart_interval and blk
+                        and blk % restart_interval == 0):
+                    parts.append(enc.flush())
+                    parts.append(bytes(
+                        [0xFF, 0xD0 + (blk // restart_interval - 1) % 8]))
+                    enc, _, ac_sts, fixed_st, _, _ = fresh()
+                zz = plane[by * stride + bx]
+                if ah == 0:
+                    _arith_enc_ac(enc, ac_sts[t], fixed_st, zz,
+                                  ss, se, al, 5)
+                else:
+                    _arith_enc_ac_refine(enc, ac_sts[t], fixed_st, zz,
+                                         ss, se, ah, al)
+                blk += 1
+        parts.append(enc.flush())
+        return bytes(buf) + b"".join(parts)
+
+    out += dc_scan(0, 1)                         # DC first, Al=1
+    for ci in range(ncomp):
+        out += ac_scan(ci, 1, 5, 0, 1)
+        out += ac_scan(ci, 6, 63, 0, 1)
+    out += dc_scan(1, 0)                         # DC refinement
+    for ci in range(ncomp):
+        out += ac_scan(ci, 1, 5, 1, 0)
+        out += ac_scan(ci, 6, 63, 1, 0)
+    return bytes(out) + b"\xff\xd9"
 
 
 def _decode_scan_arith(payload, pos, frame, sel, qt, dac, restart):
@@ -2545,12 +2777,18 @@ def _split_entropy(payload: bytes, pos: int):
     return segments, pos
 
 
-def _decode_progressive(payload, pos, frame, qt, huff, restart):
+def _decode_progressive(payload, pos, frame, qt, huff, restart,
+                        arithmetic=False, dac=None):
     """T.81 Annex G.2 progressive decode: accumulate coefficients
     across every scan (DC/AC first and refinement, interleaved or
     single-component, EOB runs, restart intervals, tables and DRI
     redefinable between scans), then reuse the sequential decoder's
-    batch dequant/IDCT/upsample tail."""
+    batch dequant/IDCT/upsample tail.  ``arithmetic`` (SOF10, r9)
+    swaps the huffman bit reader for the QM-coder + G.1.3 progressive
+    conditioning — statistics and coder reset per scan and per restart
+    segment; ``dac`` carries the DAC conditioning (Table F.5 defaults
+    when absent)."""
+    dac = dac or {}
     fh, fw, comps = frame
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
@@ -2576,6 +2814,8 @@ def _decode_progressive(payload, pos, frame, qt, huff, restart):
         tabs = {}
         for i in scomps:
             td, ta = sel[comps[i]["id"]]
+            if arithmetic:
+                continue                         # ids = conditioning tables
             if ss == 0 and ah == 0:
                 t = huff.get((0, td))
                 if t is None:
@@ -2614,6 +2854,48 @@ def _decode_progressive(payload, pos, frame, qt, huff, restart):
             for by in range(bh):
                 for bx in range(bw):
                     units.append([(i, by * stride + bx)])
+
+        if arithmetic:
+            cond = {}
+            for i in scomps:
+                td, ta = sel[comps[i]["id"]]
+                dl, du = dac.get((0, td), (0, 1))
+                kx = dac.get((1, ta), 5)
+                cond[i] = (td, ta, dl, du, kx)
+
+            def fresh(seg):
+                return (_QMDecoder(seg),
+                        [bytearray(_DC_STAT_BINS) for _ in range(16)],
+                        [bytearray(_AC_STAT_BINS) for _ in range(16)],
+                        bytearray([_FIXED_BIN]),
+                        {i: 0 for i in scomps}, [0] * len(comps))
+
+            dec, dc_sts, ac_sts, fixed_st, dcp, dcc = fresh(segments[0])
+            seg_i = 0
+            for u, blocks in enumerate(units):
+                if restart[0] and u and u % restart[0] == 0:
+                    seg_i += 1
+                    if seg_i >= len(segments):
+                        raise ValueError("missing JPEG restart segment")
+                    dec, dc_sts, ac_sts, fixed_st, dcp, dcc = \
+                        fresh(segments[seg_i])
+                for i, bidx in blocks:
+                    zz = per_comp[i]["zz"][bidx]
+                    td, ta, dl, du, kx = cond[i]
+                    if ss == 0:
+                        if ah == 0:
+                            dcp[i] = _arith_dec_dc(
+                                dec, dc_sts[td], dcp[i], dcc, i, dl, du)
+                            zz[0] = dcp[i] << al
+                        elif dec.decode(fixed_st, 0):
+                            zz[0] |= 1 << al     # DC correction bit
+                    elif ah == 0:
+                        _arith_dec_ac(dec, ac_sts[ta], fixed_st, zz,
+                                      ss, se, al, kx)
+                    else:
+                        _arith_dec_ac_refine(dec, ac_sts[ta], fixed_st,
+                                             zz, ss, se, al)
+            return endpos
 
         seg_i = 0
         val16, nbits = _segment_val16(segments[0])
@@ -2777,6 +3059,21 @@ def _decode_progressive(payload, pos, frame, qt, huff, restart):
                 qt[tq] = full
         elif marker == 0xDD:                     # DRI between scans
             restart[0] = struct.unpack(">H", body[:2])[0]
+        elif marker == 0xCC and arithmetic:      # DAC between scans
+            if len(body) % 2:
+                raise ValueError("malformed DAC segment length")
+            for b in range(0, len(body), 2):
+                tc, tb, cs = body[b] >> 4, body[b] & 0xF, body[b + 1]
+                if tc == 0:
+                    dl, du = cs & 0xF, cs >> 4
+                    if dl > du:
+                        raise ValueError("invalid DAC DC conditioning"
+                                         f" (L={dl} > U={du})")
+                    dac[(0, tb)] = (dl, du)
+                else:
+                    if not 1 <= cs <= 63:
+                        raise ValueError(f"invalid DAC AC Kx {cs}")
+                    dac[(1, tb)] = cs
         elif marker == 0xDA:                     # SOS
             ns = body[0]
             sel = {}

@@ -127,11 +127,11 @@ def test_decode_media_deadletter_routing(spark):
 
     img = np.zeros((2, 3, 3), dtype=np.uint8)
     wav = encode_wav(np.array([1, 2], dtype=np.int16), 8000)
-    # a real baseline JPEG with its SOF0 marker flipped to SOF10:
-    # arithmetic-PROGRESSIVE coding is gated -> NotImplementedError
-    # dead letter (sequential SOF9 decodes for real since r9)
+    # a real baseline JPEG with its SOF0 marker flipped to SOF3
+    # (lossless): gated -> NotImplementedError dead letter (both
+    # arithmetic flavors decode for real since r9)
     arith = encode_jpeg(np.full((8, 8), 7, np.uint8)).replace(
-        b"\xff\xc0", b"\xff\xca", 1)
+        b"\xff\xc0", b"\xff\xc3", 1)
     rows = [(1, bytearray(encode_bmp(img))),
             (2, bytearray(wav)),
             (3, bytearray(b"\xff\xd8\xffjpeg-ish")),   # corrupt stream
@@ -152,7 +152,7 @@ def test_decode_media_deadletter_routing(spark):
     assert set(errs) == {3, 4, 5}
     assert errs[3][0] == "jpeg" and "ValueError" in errs[3][1]
     assert "unrecognized" in errs[4][1]
-    assert "NotImplementedError" in errs[5][1] and "0xFFCA" in errs[5][1]
+    assert "NotImplementedError" in errs[5][1] and "0xFFC3" in errs[5][1]
 
 
 # ------------------------------------------------------------------ PNG
@@ -363,9 +363,9 @@ def test_jpeg_malformed_inputs_raise_cleanly():
     with pytest.raises(ValueError, match="spectral selection"):
         decode_jpeg(good.replace(b"\xff\xc0", b"\xff\xc2", 1))
     with pytest.raises(NotImplementedError, match="non-baseline"):
-        # arithmetic-progressive (SOF10) is still gated; sequential
-        # SOF9 decodes for real since r9 (test_jpeg_arith_*)
-        decode_jpeg(good.replace(b"\xff\xc0", b"\xff\xca", 1))
+        # lossless (SOF3) is gated; both arithmetic flavors decode
+        # for real since r9 (test_jpeg_arith_*)
+        decode_jpeg(good.replace(b"\xff\xc0", b"\xff\xc3", 1))
     with pytest.raises(NotImplementedError, match="12-bit"):
         # SOF0 precision byte 8 -> 12 (first byte of the SOF body)
         i = good.index(b"\xff\xc0")
@@ -695,6 +695,64 @@ def test_jpeg_arith_dac_validation():
     with pytest.raises(ValueError, match="DAC segment length"):
         decode_jpeg(blob[:i] + seg[:2] + b"\x00\x05" + seg[4:7]
                     + blob[i + 8:])
+
+
+def test_jpeg_arith_progressive_matches_baseline_exactly():
+    """SOF10: the progressive scan script QM-coded — pixels identical
+    to baseline (same quantized coefficients all the way through)."""
+    from apache_beam_spark.multimodal.codecs import (
+        decode_jpeg, encode_jpeg, encode_jpeg_arith_progressive)
+
+    rng = np.random.RandomState(11)
+    gray = rng.randint(0, 256, (11, 14)).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_arith_progressive(gray)),
+        decode_jpeg(encode_jpeg(gray)))
+    rgb = rng.randint(0, 256, (9, 12, 3)).astype(np.uint8)
+    for sub in ("444", "422", "420"):
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg_arith_progressive(rgb,
+                                                      subsampling=sub)),
+            decode_jpeg(encode_jpeg(rgb, subsampling=sub))), sub
+
+
+def test_jpeg_arith_progressive_fuzz_vs_baseline():
+    """Seeded fuzz across dims/content/subsampling/restarts — pins the
+    QM progressive conditioning (DC first/refine, AC first/refine with
+    previous-EOB indexing) against the baseline pixels."""
+    from apache_beam_spark.multimodal.codecs import (
+        decode_jpeg, encode_jpeg, encode_jpeg_arith_progressive)
+
+    rng = np.random.RandomState(29)
+    for trial in range(30):
+        h, w = rng.randint(1, 26), rng.randint(1, 26)
+        gray = rng.rand() < 0.4
+        img = rng.randint(0, 256,
+                          (h, w) if gray else (h, w, 3)).astype(np.uint8)
+        sub = "444" if gray else ["444", "422", "420"][trial % 3]
+        ri = [0, 1, 2, 5][trial % 4]
+        base = decode_jpeg(encode_jpeg(img, subsampling=sub,
+                                       restart_interval=ri))
+        ap = decode_jpeg(encode_jpeg_arith_progressive(
+            img, subsampling=sub, restart_interval=ri))
+        assert np.array_equal(base, ap), (trial, h, w, gray, sub, ri)
+
+
+def test_jpeg_all_four_flavors_agree():
+    """One image, four entropy/scan layers (huffman/arith x
+    sequential/progressive) — identical pixels everywhere, because the
+    quantized coefficients are shared and every entropy layer is
+    lossless."""
+    from apache_beam_spark.multimodal.codecs import (
+        decode_jpeg, encode_jpeg, encode_jpeg_arith,
+        encode_jpeg_arith_progressive, encode_jpeg_progressive)
+
+    img = np.random.RandomState(41).randint(
+        0, 256, (15, 10, 3)).astype(np.uint8)
+    ref = decode_jpeg(encode_jpeg(img))
+    for enc in (encode_jpeg_progressive, encode_jpeg_arith,
+                encode_jpeg_arith_progressive):
+        assert np.array_equal(decode_jpeg(enc(img)), ref), enc.__name__
 
 
 def test_jpeg_arith_through_decode_image_stage(spark):
