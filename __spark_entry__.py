@@ -3464,6 +3464,43 @@ def _wav_roundtrip(spark, sf_dir):
         "doc_id", "sample_rate", "num_samples", "peak_abs")
 
 
+def _flac_roundtrip(spark, sf_dir):
+    """REAL FLAC codec round trip (multimodal/codecs.py, r9 — the
+    lossless fixed-predictor subset: constant/fixed/verbatim
+    subframes, rice residual coding, UTF-8 frame numbers, CRC-8/16 +
+    raw-audio MD5): per doc on the ``doc_id % 11 == 3`` subset (the
+    codec fixture discipline), int16 samples from the wav_roundtrip
+    integer formula are FLAC-encoded and decoded back by the
+    distributed decode_audio stage; (rate, count, peak) value-checked
+    against the same formula in SQL — LOSSLESSNESS makes the oracle
+    exact, the wav_roundtrip standard.  Stereo decorrelation and depth
+    variants are pinned bit-exactly in tests/test_codecs.py."""
+    from apache_beam_spark.multimodal.columns import decode_audio
+
+    docs = (load_table(spark, "documents", sf_dir)
+            .select("doc_id", "n_chars")
+            .where(F.col("doc_id") % 11 == 3))
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from apache_beam_spark.multimodal.codecs import encode_flac
+
+        for pdf in batches:
+            rows = []
+            for d, n in zip(pdf["doc_id"], pdf["n_chars"]):
+                i = np.arange(int(n), dtype=np.int64)
+                x = ((int(d) * 31 + i) * 2654435761) % 65536 - 32768
+                rows.append({"doc_id": int(d),
+                             "payload": encode_flac(x, 8000)})
+            yield pd.DataFrame(rows)
+
+    enc = docs.mapInPandas(gen, "doc_id bigint, payload binary")
+    return decode_audio(enc).select(
+        "doc_id", "sample_rate", "num_samples", "peak_abs")
+
+
 def _rt_rgb_image(d: int):
     """The shared roundtrip pixel formula: a (3-6) x (4-8) RGB image
     whose bytes are ((d*7 + k*13) % 256) — at most 48 distinct colors
@@ -3970,6 +4007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": _dedup_keep_best,
         "dq_report": _dq_report,
         "wav_roundtrip": _wav_roundtrip,
+        "flac_roundtrip": _flac_roundtrip,
         "png_roundtrip": _png_roundtrip,
         "png_adam7_roundtrip": _png_adam7_roundtrip,
         "gif_roundtrip": _gif_roundtrip,
@@ -6488,6 +6526,10 @@ def oracle_sql() -> dict[str, str]:
                                   + "\n            WHERE doc_id % 11 = 3")
     out["gif_roundtrip"] = out["png_adam7_roundtrip"]
     out["tiff_roundtrip"] = out["png_adam7_roundtrip"]
+    # FLAC is lossless over the same sample formula as WAV; the query
+    # runs the doc_id % 11 == 3 codec subset
+    out["flac_roundtrip"] = (out["wav_roundtrip"]
+                             + "\n            WHERE doc_id % 11 = 3")
     out["jpeg_progressive_roundtrip"] = (
         out["jpeg_progressive_roundtrip"]
         + "\n            WHERE doc_id % 11 = 3")

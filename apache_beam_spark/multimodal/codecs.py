@@ -1,10 +1,11 @@
 """REAL codecs for common media containers — pure Python/stdlib-zlib/
 numpy, no external media libraries.
 
-MP3/H.264 stay gated behind ``NotImplementedError`` (real audio/video
-entropy codecs are out of scope), but the two dominant image formats
-of a web crawl — PNG and baseline JPEG — plus the uncompressed
-containers are fully decodable:
+MP3/H.264 stay gated behind ``NotImplementedError`` (perceptual
+audio/video codecs are out of scope), but the two dominant image
+formats of a web crawl — PNG and JPEG in all four entropy/scan
+flavors — plus FLAC and the uncompressed containers are fully
+decodable:
 
 * **PNG** (RFC 2083): chunk walk with CRC verification, zlib inflate,
   None/Sub/Up/Average/Paeth unfiltering; 8- and 16-bit gray/RGB/
@@ -24,6 +25,14 @@ containers are fully decodable:
   A-law/mu-law (r8: spec-algorithm companding, exact byte-level
   encode<->decode inverses) -> (sample_rate, channels, samples) with
   samples as an (n, channels) numpy array.
+* **FLAC** (xiph.org lossless audio, r9): the fixed-predictor subset —
+  STREAMINFO + metadata walk, constant/verbatim/fixed order 0-4
+  subframes, rice residual partitions (incl. 5-bit params and
+  escapes), UTF-8 frame numbers, wasted bits, all four stereo
+  decorrelation assignments, CRC-8/CRC-16/raw-MD5 verification;
+  encoder picks predictors and rice parameters by exact cost.
+  Round trips are BIT-exact (lossless).  General LPC subframes raise
+  with the gap named.
 * **BMP** (BITMAPINFOHEADER, 24bpp uncompressed): bottom-up BGR rows
   with 4-byte row padding -> (h, w, 3) RGB array.
 * **PPM** (P6, maxval 255): whitespace/comment-tolerant header -> raw
@@ -180,6 +189,477 @@ def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
         raise NotImplementedError(f"non-PCM WAV (format {audio_format})")
     samples = samples[: (len(samples) // channels) * channels]
     return sample_rate, channels, samples.reshape(-1, channels)
+
+
+# ----------------------------------------------------------------- FLAC
+# Lossless audio (the xiph.org FLAC format, public spec, r9): the
+# fixed-predictor subset — constant / verbatim / fixed-LPC order 0-4
+# subframes, 4-bit rice residual coding, UTF-8-coded frame numbers,
+# CRC-8 header + CRC-16 frame checks, STREAMINFO with the raw-audio
+# MD5.  Losslessness is the point: round trips are BIT-exact, so the
+# whole path is value-oracle-able the way wav_roundtrip is (the
+# `flac_roundtrip` query).  The decoder additionally understands all
+# three stereo decorrelation assignments (left/side, right/side,
+# mid/side) and wasted-bits shifts; general LPC subframes raise
+# NotImplementedError naming the gap (the encoder never emits them).
+
+_FLAC_BLOCK = 4096
+
+#: CRC tables — CRC-8 poly 0x07 and CRC-16 poly 0x8005, both init 0,
+#: MSB-first (the FLAC frame checks)
+_FLAC_CRC8 = []
+for _b in range(256):
+    _c = _b
+    for _ in range(8):
+        _c = ((_c << 1) ^ 0x07 if _c & 0x80 else _c << 1) & 0xFF
+    _FLAC_CRC8.append(_c)
+_FLAC_CRC16 = []
+for _b in range(256):
+    _c = _b << 8
+    for _ in range(8):
+        _c = ((_c << 1) ^ 0x8005 if _c & 0x8000 else _c << 1) & 0xFFFF
+    _FLAC_CRC16.append(_c)
+
+
+def _crc8(data: bytes) -> int:
+    c = 0
+    for b in data:
+        c = _FLAC_CRC8[c ^ b]
+    return c
+
+
+def _crc16(data: bytes) -> int:
+    c = 0
+    for b in data:
+        c = _FLAC_CRC16[((c >> 8) ^ b) & 0xFF] ^ ((c << 8) & 0xFFFF)
+    return c
+
+
+class _FlacBitWriter:
+    """MSB-first bit accumulator (no byte stuffing — FLAC frames are
+    CRC-protected, not marker-delimited)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, length: int) -> None:
+        if length:
+            self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+            self.n += length
+            while self.n >= 8:
+                self.n -= 8
+                self.out.append((self.acc >> self.n) & 0xFF)
+            self.acc &= (1 << self.n) - 1
+
+    def write_unary(self, q: int) -> None:
+        while q >= 32:
+            self.write(0, 32)
+            q -= 32
+        self.write(1, q + 1)                 # q zeros then a one
+
+    def align(self) -> None:
+        if self.n:
+            self.write(0, 8 - self.n)
+
+
+class _FlacBitReader:
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.byte = pos
+        self.bit = 0
+
+    def read(self, length: int) -> int:
+        v = 0
+        for _ in range(length):
+            if self.byte >= len(self.data):
+                raise ValueError("truncated FLAC frame")
+            v = (v << 1) | ((self.data[self.byte] >> (7 - self.bit)) & 1)
+            self.bit += 1
+            if self.bit == 8:
+                self.bit = 0
+                self.byte += 1
+        return v
+
+    def read_signed(self, length: int) -> int:
+        v = self.read(length)
+        return v - (1 << length) if v >> (length - 1) else v
+
+    def read_unary(self) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+            if q > 1 << 24:
+                raise ValueError("runaway FLAC unary code")
+        return q
+
+    def align(self) -> None:
+        if self.bit:
+            self.bit = 0
+            self.byte += 1
+
+
+def _flac_utf8(n: int) -> bytes:
+    """UTF-8-style coding of the frame number (FLAC frame header)."""
+    if n < 0x80:
+        return bytes([n])
+    for extra, lead, limit in ((1, 0xC0, 1 << 11), (2, 0xE0, 1 << 16),
+                               (3, 0xF0, 1 << 21), (4, 0xF8, 1 << 26),
+                               (5, 0xFC, 1 << 31)):
+        if n < limit:
+            shift = 6 * extra
+            out = [lead | (n >> shift)]
+            for _ in range(extra):
+                shift -= 6
+                out.append(0x80 | ((n >> shift) & 0x3F))
+            return bytes(out)
+    raise ValueError("FLAC frame number out of range")
+
+
+def _flac_read_utf8(r: "_FlacBitReader") -> int:
+    b0 = r.read(8)
+    if b0 < 0x80:
+        return b0
+    extra = 0
+    for lead, width in ((0xC0, 0xE0), (0xE0, 0xF0), (0xF0, 0xF8),
+                        (0xF8, 0xFC), (0xFC, 0xFE)):
+        extra += 1
+        if lead <= b0 < width:
+            break
+    else:
+        raise ValueError("malformed FLAC frame number")
+    n = b0 & (0x3F >> extra)
+    for _ in range(extra):
+        b = r.read(8)
+        if b & 0xC0 != 0x80:
+            raise ValueError("malformed FLAC frame number")
+        n = (n << 6) | (b & 0x3F)
+    return n
+
+
+#: fixed-predictor residual: coefficient rows for orders 0..4
+_FLAC_FIXED = [np.array(c, np.int64) for c in
+               ([], [1], [2, -1], [3, -3, 1], [4, -6, 4, -1])]
+
+
+def _flac_residual(x: np.ndarray, order: int) -> np.ndarray:
+    r = x.astype(np.int64)
+    for _ in range(order):
+        r = np.diff(r)
+    return r
+
+
+def _rice_cost(u: np.ndarray, k: int) -> int:
+    return int((u >> k).sum()) + u.size * (k + 1)
+
+
+def encode_flac(samples: np.ndarray, sample_rate: int,
+                bits: int = 16, assign: str = "indep") -> bytes:
+    """FLAC writer (fixed-predictor subset): ``samples`` is (n,) or
+    (n, channels<=2) integers within the ``bits``-bit signed range
+    (8 or 16).  Per 4096-sample frame and channel the encoder picks
+    constant / best fixed order 0-4 by rice cost / verbatim, rice
+    parameter by exact cost minimization.  ``assign`` selects the
+    stereo decorrelation ("indep", "left_side", "right_side",
+    "mid_side" — side channels carry bits+1, all lossless).  Bit-exact
+    round trip with ``decode_flac``; STREAMINFO carries the raw-audio
+    MD5 the decoder verifies."""
+    import hashlib
+
+    s = np.asarray(samples)
+    if s.ndim == 1:
+        s = s[:, None]
+    if s.ndim != 2 or not 1 <= s.shape[1] <= 2:
+        raise ValueError(f"unsupported FLAC channel shape {s.shape}")
+    if bits not in (8, 16):
+        raise ValueError(f"unsupported FLAC bit depth {bits}")
+    if assign not in ("indep", "left_side", "right_side", "mid_side"):
+        raise ValueError(f"unknown FLAC channel assignment {assign!r}")
+    if assign != "indep" and s.shape[1] != 2:
+        raise ValueError("stereo decorrelation needs 2 channels")
+    lo, hi = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
+    s = s.astype(np.int64)
+    if s.size and (s.min() < lo or s.max() > hi):
+        raise ValueError(f"samples exceed the {bits}-bit signed range")
+    n, channels = s.shape
+
+    # raw-audio MD5: interleaved little-endian at the declared width
+    inter = s.astype({8: np.int8, 16: "<i2"}[bits]).tobytes()
+    md5 = hashlib.md5(inter).digest()
+
+    si = _FlacBitWriter()
+    si.write(_FLAC_BLOCK, 16)
+    si.write(_FLAC_BLOCK, 16)
+    si.write(0, 24)                      # min frame size unknown
+    si.write(0, 24)                      # max frame size unknown
+    si.write(sample_rate, 20)
+    si.write(channels - 1, 3)
+    si.write(bits - 1, 5)
+    si.write(n, 36)
+    streaminfo = bytes(si.out) + md5
+    out = bytearray(b"fLaC")
+    out += bytes([0x80, 0, 0, len(streaminfo)])   # last-block, type 0
+    out += streaminfo
+
+    ch_code = {"indep": channels - 1, "left_side": 0b1000,
+               "right_side": 0b1001, "mid_side": 0b1010}[assign]
+    for fidx in range(max(1, (n + _FLAC_BLOCK - 1) // _FLAC_BLOCK)):
+        blk = s[fidx * _FLAC_BLOCK:(fidx + 1) * _FLAC_BLOCK]
+        bs = max(1, blk.shape[0])
+        full = bs == _FLAC_BLOCK
+        hdr = bytearray(b"\xff\xf8")
+        hdr.append(((0b1100 if full else 0b0111) << 4) | 0b0000)
+        hdr.append(ch_code << 4 | ({8: 0b001, 16: 0b100}[bits] << 1))
+        hdr += _flac_utf8(fidx)
+        if not full:
+            hdr += struct.pack(">H", bs - 1)
+        hdr.append(_crc8(bytes(hdr)))
+
+        if blk.size == 0:
+            subframes = [(np.zeros(1, np.int64), bits)] * channels
+        elif assign == "indep":
+            subframes = [(blk[:, ch], bits) for ch in range(channels)]
+        elif assign == "left_side":
+            subframes = [(blk[:, 0], bits),
+                         (blk[:, 0] - blk[:, 1], bits + 1)]
+        elif assign == "right_side":
+            subframes = [(blk[:, 0] - blk[:, 1], bits + 1),
+                         (blk[:, 1], bits)]
+        else:                            # mid_side
+            subframes = [((blk[:, 0] + blk[:, 1]) >> 1, bits),
+                         (blk[:, 0] - blk[:, 1], bits + 1)]
+
+        w = _FlacBitWriter()
+        for x, sb in subframes:
+            if np.all(x == x[0]):
+                w.write(0, 1)
+                w.write(0b000000, 6)     # constant
+                w.write(0, 1)
+                w.write(int(x[0]) & ((1 << sb) - 1), sb)
+                continue
+            # best fixed order by exact rice cost
+            best = None
+            for order in range(min(5, len(x))):
+                res = _flac_residual(x, order)
+                u = (np.abs(res) * 2 - (res < 0)).astype(np.int64)
+                k = min(range(15), key=lambda kk: _rice_cost(u, kk))
+                cost = order * sb + 6 + _rice_cost(u, k)
+                if best is None or cost < best[0]:
+                    best = (cost, order, k, res)
+            cost, order, k, res = best
+            if cost >= len(x) * sb:      # rice blew up -> verbatim
+                w.write(0, 1)
+                w.write(0b000001, 6)
+                w.write(0, 1)
+                for v in x:
+                    w.write(int(v) & ((1 << sb) - 1), sb)
+                continue
+            w.write(0, 1)
+            w.write(0b001000 | order, 6)
+            w.write(0, 1)                # no wasted bits
+            for v in x[:order]:          # warmup
+                w.write(int(v) & ((1 << sb) - 1), sb)
+            w.write(0b00, 2)             # 4-bit rice parameters
+            w.write(0, 4)                # partition order 0
+            w.write(k, 4)
+            for v in res:
+                u = int(v) * 2 if v >= 0 else -int(v) * 2 - 1
+                w.write_unary(u >> k)
+                w.write(u, k)
+        w.align()
+        frame = bytes(hdr) + bytes(w.out)
+        out += frame + struct.pack(">H", _crc16(frame))
+    return bytes(out)
+
+
+#: frame-header lookup tables (the subset the encoder emits plus the
+#: spec codes a foreign fixed-subset stream could carry)
+_FLAC_BS_CODE = {1: 192, **{n: 576 << (n - 2) for n in range(2, 6)},
+                 **{n: 256 << (n - 8) for n in range(8, 16)}}
+_FLAC_SSIZE = {0b001: 8, 0b010: 12, 0b100: 16, 0b101: 20, 0b110: 24}
+
+
+def decode_flac(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """(sample_rate, channels, samples[n, channels] int32) from a FLAC
+    stream — the ``decode_wav`` contract.  Fixed-predictor subset:
+    constant / verbatim / fixed 0-4 subframes, rice partitions (any
+    partition order), wasted bits, all four channel assignments;
+    general LPC subframes raise NotImplementedError naming the gap.
+    CRC-8/CRC-16/MD5 mismatches raise ValueError (dead-letter
+    contract)."""
+    import hashlib
+
+    if payload[:4] != b"fLaC":
+        raise ValueError("not a FLAC payload")
+    pos = 4
+    streaminfo = None
+    while pos + 4 <= len(payload):       # metadata block walk
+        hdr = payload[pos]
+        size = int.from_bytes(payload[pos + 1:pos + 4], "big")
+        body = payload[pos + 4:pos + 4 + size]
+        if len(body) != size:
+            raise ValueError("truncated FLAC metadata block")
+        if hdr & 0x7F == 0:
+            streaminfo = body
+        pos += 4 + size
+        if hdr & 0x80:
+            break
+    if streaminfo is None or len(streaminfo) < 34:
+        raise ValueError("missing FLAC STREAMINFO")
+    r = _FlacBitReader(streaminfo)
+    r.read(16)                           # min blocksize
+    r.read(16)                           # max blocksize
+    r.read(24)
+    r.read(24)
+    rate = r.read(20)
+    channels = r.read(3) + 1
+    bits = r.read(5) + 1
+    total = r.read(36)
+    md5 = streaminfo[18:34]
+
+    chans: list[list[int]] = [[] for _ in range(channels)]
+    got = 0
+    while got < total:
+        if pos + 2 > len(payload):
+            raise ValueError("truncated FLAC stream")
+        if payload[pos] != 0xFF or payload[pos + 1] & 0xFC != 0xF8:
+            raise ValueError("lost FLAC frame sync")
+        fstart = pos
+        r = _FlacBitReader(payload, pos + 2)
+        bs_code = r.read(4)
+        sr_code = r.read(4)
+        ch_code = r.read(4)
+        ss_code = r.read(3)
+        r.read(1)                        # reserved
+        _flac_read_utf8(r)               # frame/sample number
+        if bs_code == 0b0110:
+            bs = r.read(8) + 1
+        elif bs_code == 0b0111:
+            bs = r.read(16) + 1
+        elif bs_code in _FLAC_BS_CODE:
+            bs = _FLAC_BS_CODE[bs_code]
+        else:
+            raise ValueError(f"reserved FLAC block size code {bs_code}")
+        if sr_code == 0b0110:
+            r.read(8)
+        elif sr_code in (0b0111, 0b1000):
+            r.read(16)
+        elif sr_code == 0b1111:
+            raise ValueError("invalid FLAC sample rate code")
+        ssize = bits if ss_code == 0 else _FLAC_SSIZE.get(ss_code)
+        if ssize is None:
+            raise ValueError(f"reserved FLAC sample size code {ss_code}")
+        r.align()
+        crc_pos = r.byte                 # CRC-8 byte follows the header
+        if crc_pos >= len(payload) \
+                or _crc8(payload[fstart:crc_pos]) != payload[crc_pos]:
+            raise ValueError("FLAC frame header CRC-8 mismatch")
+        r.byte = crc_pos + 1
+
+        if ch_code < 8:
+            nch, assign = ch_code + 1, "indep"
+        elif ch_code == 0b1000:
+            nch, assign = 2, "left_side"
+        elif ch_code == 0b1001:
+            nch, assign = 2, "right_side"
+        elif ch_code == 0b1010:
+            nch, assign = 2, "mid_side"
+        else:
+            raise ValueError(f"reserved FLAC channel code {ch_code}")
+        if nch != channels:
+            raise ValueError("FLAC frame channel count != STREAMINFO")
+
+        sub = []
+        for ch in range(nch):
+            # side channels carry one extra bit of precision
+            sb = ssize + (1 if (assign == "left_side" and ch == 1)
+                          or (assign == "right_side" and ch == 0)
+                          or (assign == "mid_side" and ch == 1) else 0)
+            if r.read(1):
+                raise ValueError("bad FLAC subframe padding bit")
+            stype = r.read(6)
+            wasted = 0
+            if r.read(1):                # wasted-bits flag
+                wasted = 1 + r.read_unary()
+                sb -= wasted
+            if stype == 0b000000:        # constant
+                x = np.full(bs, r.read_signed(sb), np.int64)
+            elif stype == 0b000001:      # verbatim
+                x = np.array([r.read_signed(sb) for _ in range(bs)],
+                             np.int64)
+            elif 0b001000 <= stype <= 0b001100:     # fixed order 0-4
+                order = stype & 0x7
+                warm = [r.read_signed(sb) for _ in range(order)]
+                method = r.read(2)
+                if method > 1:
+                    raise ValueError("reserved FLAC residual method")
+                pbits = 4 if method == 0 else 5
+                esc = (1 << pbits) - 1
+                porder = r.read(4)
+                res: list[int] = []
+                nparts = 1 << porder
+                if bs % nparts:
+                    raise ValueError("FLAC partition order mismatch")
+                for p in range(nparts):
+                    cnt = bs // nparts - (order if p == 0 else 0)
+                    if cnt < 0:
+                        raise ValueError("FLAC partition underflow")
+                    k = r.read(pbits)
+                    if k == esc:
+                        raw = r.read(5)
+                        res += [r.read_signed(raw) if raw else 0
+                                for _ in range(cnt)]
+                    else:
+                        for _ in range(cnt):
+                            u = (r.read_unary() << k) | r.read(k)
+                            res.append(u >> 1 if u & 1 == 0
+                                       else -((u + 1) >> 1))
+                if order:
+                    coef = [int(c) for c in _FLAC_FIXED[order]]
+                    xs = [int(v) for v in warm]
+                    for v in res:
+                        acc = int(v)
+                        for j in range(order):
+                            acc += coef[j] * xs[-1 - j]
+                        xs.append(acc)
+                    x = np.array(xs, np.int64)
+                else:
+                    x = np.array(res, np.int64)
+            elif stype >= 0b100000:
+                raise NotImplementedError(
+                    "general LPC FLAC subframes (fixed subset only)")
+            else:
+                raise ValueError(f"reserved FLAC subframe type {stype}")
+            if wasted:
+                x = x << wasted
+            sub.append(x)
+
+        if assign == "left_side":                # [L, side=L-R]
+            sub = [sub[0], sub[0] - sub[1]]
+        elif assign == "right_side":             # [side=L-R, R]
+            sub = [sub[1] + sub[0], sub[1]]
+        elif assign == "mid_side":               # [mid=(L+R)>>1, side]
+            mid, side = sub
+            lr_sum = (mid << 1) | (side & 1)     # restore the mid LSB
+            sub = [(lr_sum + side) >> 1, (lr_sum - side) >> 1]
+        r.align()
+        if _crc16(payload[fstart:r.byte]) != int.from_bytes(
+                payload[r.byte:r.byte + 2], "big"):
+            raise ValueError("FLAC frame CRC-16 mismatch")
+        pos = r.byte + 2
+        for ch in range(channels):
+            chans[ch].extend(int(v) for v in sub[ch])
+        got += bs
+
+    out = np.stack([np.array(c[:total], np.int64)
+                    for c in chans], axis=1).astype(np.int32)
+    if md5 != b"\x00" * 16:
+        inter = out.astype({8: np.int8, 16: "<i2"}.get(bits, "<i4")) \
+            .tobytes()
+        if hashlib.md5(inter).digest() != md5:
+            raise ValueError("FLAC MD5 signature mismatch")
+    return rate, channels, out
 
 
 # ------------------------------------------------------------------ BMP
@@ -968,6 +1448,8 @@ def sniff_format(payload: bytes) -> str:
     """Magic-byte container detection for the decode stages."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:4] == b"fLaC":
+        return "flac"
     if payload[:2] == b"BM":
         return "bmp"
     if payload[:2] == b"P6":

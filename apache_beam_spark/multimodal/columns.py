@@ -198,10 +198,10 @@ def repartition_for_media(df: DataFrame, payload_col: str = "payload",
 
 def decode_audio(df: DataFrame, payload_col: str = "payload",
                  id_col: str = "doc_id") -> DataFrame:
-    """REAL audio decode stage for PCM WAV payloads (codecs.py — pure
-    struct/numpy): (id, sample_rate, channels, num_samples,
-    duration_s, peak_abs, rms).  Compressed audio raises with the
-    needed library (gated-loader pattern)."""
+    """REAL audio decode stage for PCM WAV and FLAC payloads
+    (codecs.py — pure struct/numpy): (id, sample_rate, channels,
+    num_samples, duration_s, peak_abs, rms).  Other compressed audio
+    raises with the needed library (gated-loader pattern)."""
     schema = (f"{id_col} bigint, sample_rate int, channels int, "
               "num_samples bigint, duration_s double, peak_abs bigint, "
               "rms double")
@@ -210,17 +210,22 @@ def decode_audio(df: DataFrame, payload_col: str = "payload",
         import numpy as np
 
         from apache_beam_spark.multimodal.codecs import (
-            decode_wav, sniff_format)
+            decode_flac, decode_wav, sniff_format)
 
         for pdf in batches:
             rows = []
             for i, payload in zip(pdf[id_col], pdf[payload_col]):
                 b = bytes(payload)
-                if sniff_format(b) != "wav":
+                fmt = sniff_format(b)
+                if fmt == "wav":
+                    rate, channels, samples = decode_wav(b)
+                elif fmt == "flac":
+                    rate, channels, samples = decode_flac(b)
+                else:
                     raise NotImplementedError(
-                        "compressed audio requires ffmpeg/librosa (not in "
-                        "this container); PCM WAV decodes natively")
-                rate, channels, samples = decode_wav(b)
+                        "compressed audio beyond FLAC requires "
+                        "ffmpeg/librosa (not in this container); PCM "
+                        "WAV and FLAC decode natively")
                 s = samples.astype(np.float64)
                 # abs in int64: np.abs(int16 -32768) overflows back to
                 # -32768 in the narrow dtype (caught by the oracle)
@@ -249,7 +254,7 @@ def decode_media_with_deadletter(df: DataFrame, payload_col: str = "payload",
     Arrow-batched; both outputs derive from the same tagged frame, the
     multi-output-ParDo shape (reference additionalOutputs)."""
     from apache_beam_spark.multimodal.codecs import (
-        decode_image_real, decode_wav, sniff_format)
+        decode_flac, decode_image_real, decode_wav, sniff_format)
 
     schema = (f"{id_col} bigint, ok boolean, format string, width int, "
               "height int, sample_rate int, num_samples bigint, "
@@ -266,8 +271,9 @@ def decode_media_with_deadletter(df: DataFrame, payload_col: str = "payload",
                        "sample_rate": None, "num_samples": None,
                        "error": None}
                 try:
-                    if fmt == "wav":
-                        rate, _, samples = decode_wav(b)
+                    if fmt in ("wav", "flac"):
+                        dec = decode_wav if fmt == "wav" else decode_flac
+                        rate, _, samples = dec(b)
                         row["sample_rate"] = rate
                         row["num_samples"] = samples.shape[0]
                     else:

@@ -110,8 +110,9 @@ HEADLINE = [
     "gif_roundtrip",
     "tiff_roundtrip",
     "dsir_scores",
-    # round-9: arithmetic-coded JPEG (SOF9 QM-coder)
+    # round-9: arithmetic-coded JPEG (SOF9 QM-coder) + lossless FLAC
     "jpeg_arith_roundtrip",
+    "flac_roundtrip",
 ]
 
 

@@ -755,6 +755,51 @@ def test_jpeg_all_four_flavors_agree():
         assert np.array_equal(decode_jpeg(enc(img)), ref), enc.__name__
 
 
+def test_qm_coder_roundtrip_property():
+    """The Annex D QM-coder itself, independent of the JPEG model:
+    ANY bit sequence against ANY context-id sequence round-trips
+    exactly (encoder and decoder adapt the same shared-state bins in
+    lockstep).  Exercises carry resolution, 0xFF stacking and the
+    trailing-zero flush across 200 random programs."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from apache_beam_spark.multimodal.codecs import (_QMDecoder,
+                                                     _QMEncoder)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.tuples(st.integers(0, 7), st.integers(0, 1)),
+                    min_size=1, max_size=400))
+    def check(prog):
+        enc = _QMEncoder()
+        st_bins = bytearray(8)
+        for ctx, bit in prog:
+            enc.encode(st_bins, ctx, bit)
+        data = enc.flush()
+        dec = _QMDecoder(data)
+        st2 = bytearray(8)
+        got = [dec.decode(st2, ctx) for ctx, _ in prog]
+        assert got == [b for _, b in prog]
+        # adapted state must match too (same estimation trajectory)
+        assert st2 == st_bins
+
+    check()
+
+
+def test_qm_coder_biased_streams_compress():
+    """A heavily-biased decision stream must code well below 1 bit per
+    decision — the estimator walked toward a skewed Qe."""
+    from apache_beam_spark.multimodal.codecs import _QMEncoder
+
+    enc = _QMEncoder()
+    st_bins = bytearray(1)
+    n = 10_000
+    for i in range(n):
+        enc.encode(st_bins, 0, 1 if i % 100 == 0 else 0)
+    data = enc.flush()
+    assert len(data) * 8 < n / 4          # < 0.25 bits/decision
+
+
 def test_jpeg_arith_through_decode_image_stage(spark):
     from apache_beam_spark.multimodal.codecs import encode_jpeg_arith
     from apache_beam_spark.multimodal.columns import decode_image
@@ -863,6 +908,96 @@ def test_png_palette_trns_decodes_to_rgba():
     assert np.array_equal(dec[:, :, :3], palette[idx])
     want_alpha = np.array([128, 17, 255], np.uint8)[idx]
     assert np.array_equal(dec[:, :, 3], want_alpha)
+
+
+# ----------------------------------------------------------------- FLAC
+
+def test_flac_roundtrip_bit_exact_all_modes():
+    """Losslessness is the contract: every (content, channels, depth,
+    stereo assignment) combination round-trips BIT-exactly, including
+    the 4096-boundary and sub-block tails."""
+    from apache_beam_spark.multimodal.codecs import decode_flac, encode_flac
+
+    rng = np.random.RandomState(7)
+    for n in (1, 7, 100, 4096, 4097):
+        for ch in (1, 2):
+            for bits in (8, 16):
+                lo, hi = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
+                s = rng.randint(lo, hi + 1, (n, ch))
+                assigns = ["indep"] if ch == 1 else \
+                    ["indep", "left_side", "right_side", "mid_side"]
+                for assign in assigns:
+                    rate, c2, back = decode_flac(
+                        encode_flac(s, 44100, bits=bits, assign=assign))
+                    assert (rate, c2) == (44100, ch)
+                    assert np.array_equal(back, s.astype(np.int32)), \
+                        (n, ch, bits, assign)
+
+
+def test_flac_fixed_predictors_compress_smooth_content():
+    """The fixed predictors' reason to exist: a smooth ramp + sine mix
+    must code far below raw PCM (residuals collapse under order 1-2),
+    while white noise stays near raw."""
+    from apache_beam_spark.multimodal.codecs import encode_flac
+
+    t = np.arange(20000)
+    smooth = np.round(5000 * np.sin(t / 50) + t % 97).astype(np.int64)
+    raw_bytes = smooth.size * 2
+    enc = encode_flac(smooth, 44100)
+    assert len(enc) < raw_bytes * 0.45
+    noise = np.random.RandomState(1).randint(-32768, 32768, 20000)
+    assert len(encode_flac(noise, 44100)) > raw_bytes * 0.95
+
+
+def test_flac_crc_and_md5_guard_corruption():
+    """Flipped bytes hit the named CRC/MD5 checks, truncation raises —
+    the dead-letter contract."""
+    from apache_beam_spark.multimodal.codecs import decode_flac, encode_flac
+
+    s = np.arange(-500, 500, dtype=np.int64)
+    blob = bytearray(encode_flac(s, 8000))
+    with pytest.raises(ValueError, match="not a FLAC"):
+        decode_flac(b"garbage")
+    with pytest.raises(ValueError, match="STREAMINFO|metadata"):
+        decode_flac(bytes(blob[:20]))
+    bad = bytearray(blob)
+    bad[-3] ^= 0x40                       # inside the last frame body
+    with pytest.raises(ValueError, match="CRC|MD5|FLAC"):
+        decode_flac(bytes(bad))
+    bad = bytearray(blob)
+    bad[45] ^= 0x01                       # early frame byte
+    with pytest.raises(ValueError, match="CRC|sync|FLAC"):
+        decode_flac(bytes(bad))
+    with pytest.raises(ValueError, match="truncated|sync|FLAC"):
+        decode_flac(bytes(blob[:len(blob) // 2]))
+
+
+def test_flac_input_validation():
+    from apache_beam_spark.multimodal.codecs import encode_flac
+
+    with pytest.raises(ValueError, match="bit depth"):
+        encode_flac(np.zeros(4, np.int64), 8000, bits=24)
+    with pytest.raises(ValueError, match="signed range"):
+        encode_flac(np.array([40000]), 8000, bits=16)
+    with pytest.raises(ValueError, match="channel shape"):
+        encode_flac(np.zeros((4, 3), np.int64), 8000)
+    with pytest.raises(ValueError, match="assignment"):
+        encode_flac(np.zeros((4, 2), np.int64), 8000, assign="bogus")
+    with pytest.raises(ValueError, match="2 channels"):
+        encode_flac(np.zeros(4, np.int64), 8000, assign="mid_side")
+
+
+def test_flac_through_decode_audio_stage(spark):
+    from apache_beam_spark.multimodal.codecs import encode_flac
+    from apache_beam_spark.multimodal.columns import decode_audio
+
+    s = np.array([100, -200, 300, -32768], dtype=np.int64)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_flac(s, 8000)))], "doc_id long, payload binary")
+    row = decode_audio(df).first()
+    assert row["sample_rate"] == 8000
+    assert row["num_samples"] == 4
+    assert row["peak_abs"] == 32768
 
 
 # ------------------------------------------------- WAV float / G.711
