@@ -265,21 +265,26 @@ class _FlacBitWriter:
 
 
 class _FlacBitReader:
+    """MSB-first bit reader over one payload: multi-bit reads slice
+    bytes directly (no per-bit loop) and unary reads scan a byte at a
+    time — the two hot paths of rice decoding."""
+
     def __init__(self, data: bytes, pos: int = 0):
         self.data = data
         self.byte = pos
         self.bit = 0
 
     def read(self, length: int) -> int:
-        v = 0
-        for _ in range(length):
-            if self.byte >= len(self.data):
-                raise ValueError("truncated FLAC frame")
-            v = (v << 1) | ((self.data[self.byte] >> (7 - self.bit)) & 1)
-            self.bit += 1
-            if self.bit == 8:
-                self.bit = 0
-                self.byte += 1
+        if length == 0:
+            return 0
+        end = self.byte * 8 + self.bit + length
+        nbytes = (self.bit + length + 7) // 8
+        chunk = self.data[self.byte:self.byte + nbytes]
+        if len(chunk) != nbytes:
+            raise ValueError("truncated FLAC frame")
+        v = int.from_bytes(chunk, "big")
+        v = (v >> (nbytes * 8 - self.bit - length)) & ((1 << length) - 1)
+        self.byte, self.bit = divmod(end, 8)
         return v
 
     def read_signed(self, length: int) -> int:
@@ -288,11 +293,22 @@ class _FlacBitReader:
 
     def read_unary(self) -> int:
         q = 0
-        while self.read(1) == 0:
-            q += 1
-            if q > 1 << 24:
-                raise ValueError("runaway FLAC unary code")
-        return q
+        data = self.data
+        while True:
+            if self.byte >= len(data):
+                raise ValueError("truncated FLAC frame")
+            cur = data[self.byte] & (0xFF >> self.bit)
+            if cur:
+                one = 8 - cur.bit_length()   # bit index of the 1
+                q += one - self.bit
+                self.bit = one + 1
+                if self.bit == 8:
+                    self.bit = 0
+                    self.byte += 1
+                return q
+            q += 8 - self.bit
+            self.bit = 0
+            self.byte += 1
 
     def align(self) -> None:
         if self.bit:
