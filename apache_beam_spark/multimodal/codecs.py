@@ -536,7 +536,11 @@ def decode_flac(payload: bytes) -> tuple[int, int, np.ndarray]:
 
     chans: list[list[int]] = [[] for _ in range(channels)]
     got = 0
-    while got < total:
+    # STREAMINFO total_samples == 0 means UNKNOWN (a streaming
+    # encoder): decode frames until the payload ends instead of
+    # treating the stream as empty (r9 review)
+    known_total = total > 0
+    while (got < total) if known_total else (pos + 2 <= len(payload)):
         if pos + 2 > len(payload):
             raise ValueError("truncated FLAC stream")
         if payload[pos] != 0xFF or payload[pos + 1] & 0xFC != 0xF8:
@@ -557,9 +561,13 @@ def decode_flac(payload: bytes) -> tuple[int, int, np.ndarray]:
             bs = _FLAC_BS_CODE[bs_code]
         else:
             raise ValueError(f"reserved FLAC block size code {bs_code}")
-        if sr_code == 0b0110:
+        # codes 0b0001-0b1011 are fixed spec rates (no trailing bytes);
+        # only the uncommon-rate codes carry a rate field after the
+        # frame number: 8-bit kHz / 16-bit Hz / 16-bit daHz (r9 review:
+        # the trailing bytes were misattached to the fixed codes)
+        if sr_code == 0b1100:
             r.read(8)
-        elif sr_code in (0b0111, 0b1000):
+        elif sr_code in (0b1101, 0b1110):
             r.read(16)
         elif sr_code == 0b1111:
             raise ValueError("invalid FLAC sample rate code")
@@ -668,11 +676,20 @@ def decode_flac(payload: bytes) -> tuple[int, int, np.ndarray]:
             chans[ch].extend(int(v) for v in sub[ch])
         got += bs
 
-    out = np.stack([np.array(c[:total], np.int64)
+    trim = total if known_total else got
+    out = np.stack([np.array(c[:trim], np.int64)
                     for c in chans], axis=1).astype(np.int32)
     if md5 != b"\x00" * 16:
-        inter = out.astype({8: np.int8, 16: "<i2"}.get(bits, "<i4")) \
-            .tobytes()
+        # the spec MD5 covers ceil(bits/8)-byte little-endian samples
+        # (r9 review: 12-bit packs 2 bytes, 20/24-bit pack 3)
+        nb = (bits + 7) // 8
+        if nb == 1:
+            inter = out.astype(np.int8).tobytes()
+        elif nb == 2:
+            inter = out.astype("<i2").tobytes()
+        else:
+            inter = out.astype("<i4").tobytes()
+            inter = bytes(b for i, b in enumerate(inter) if i % 4 < 3)
         if hashlib.md5(inter).digest() != md5:
             raise ValueError("FLAC MD5 signature mismatch")
     return rate, channels, out

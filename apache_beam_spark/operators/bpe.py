@@ -98,15 +98,20 @@ _WSEP = "\x1e"
 
 def _apply_merge_chain(s: Column, merges) -> Column:
     """Apply merges to a delimiter-anchored symbol string: each merge
-    (a, b) -> ab is ONE codegen ``replace`` of ``\\x1f a \\x1f\\x1f b
-    \\x1f`` with ``\\x1f ab \\x1f``.  String replace is left-to-right
-    non-overlapping, which IS the greedy BPE rule, and the shared
-    anchor byte between adjacent pairs makes back-to-back occurrences
-    merge correctly (``aaa`` -> ``aa, a``).  Shared by the encoder and
-    the trainer's batched apply — one code path, one semantics."""
-    for a, b in merges:
+    is ``(a, b)`` -> ``a + b`` or ``(a, b, merged)`` for callers whose
+    merged-symbol spelling differs (WordPiece drops b's ``##``
+    marker); one codegen ``replace`` of ``\\x1f a \\x1f\\x1f b \\x1f``
+    with ``\\x1f merged \\x1f`` per merge.  String replace is
+    left-to-right non-overlapping, which IS the greedy rule, and the
+    shared anchor byte between adjacent pairs makes back-to-back
+    occurrences merge correctly (``aaa`` -> ``aa, a``).  Shared by the
+    encoders and BOTH trainers' batched apply — one code path, one
+    semantics."""
+    for m in merges:
+        a, b = m[0], m[1]
+        merged = m[2] if len(m) > 2 else a + b
         s = F.replace(s, F.lit(_SEP + a + _SEP + _SEP + b + _SEP),
-                      F.lit(_SEP + a + b + _SEP))
+                      F.lit(_SEP + merged + _SEP))
     return s
 
 

@@ -318,28 +318,17 @@ def _merge_symbol(a: str, b: str) -> str:
     return a + (b[len(_CONT):] if b.startswith(_CONT) else b)
 
 
-#: delimiter byte for the replace-chain batch apply — cannot occur
-#: inside a symbol (word chars are ``[\w']``; the only characters the
-#: symbolization adds are the ``##`` markers)
-_SEP = "\x1f"
-
-
 def _apply_merges(syms: Column, merges) -> Column:
-    """Apply a merge batch to the symbol ARRAY via the delimiter-
-    anchored string form (the ``operators/bpe.py`` replace-chain with
-    WordPiece merged-symbol spelling): anchor every symbol between
-    ``\\x1f`` bytes, apply each merge (a, b) as ONE codegen ``replace``
-    of ``\\x1f a \\x1f\\x1f b \\x1f`` with ``\\x1f merged \\x1f``
-    (string replace is left-to-right non-overlapping — exactly the
-    greedy sequential merge rule, and the shared anchor byte makes
-    back-to-back occurrences compose correctly), then split back.
-    Plan cost: one ``replace`` per merge in the batch — flat, no
-    per-element fold."""
-    s = F.concat(F.lit(_SEP), F.array_join(syms, _SEP + _SEP), F.lit(_SEP))
-    for a, b in merges:
-        s = F.replace(s, F.lit(_SEP + a + _SEP + _SEP + b + _SEP),
-                      F.lit(_SEP + _merge_symbol(a, b) + _SEP))
-    return F.split(F.substring(s, 2, F.length(s) - 2), _SEP + _SEP)
+    """Apply a merge batch to the symbol ARRAY via operators/bpe.py's
+    SHARED delimiter-anchored replace-chain (one codegen ``replace``
+    per merge, left-to-right non-overlapping == the greedy sequential
+    rule; ``\\x1f`` cannot occur inside a symbol — word chars are
+    ``[\\w']`` and the only added characters are the ``##`` markers).
+    Passes explicit merged spellings since WordPiece drops b's
+    continuation marker.  Plan cost: flat, no per-element fold."""
+    from apache_beam_spark.operators.bpe import _apply_merges as _chain
+
+    return _chain(syms, [(a, b, _merge_symbol(a, b)) for a, b in merges])
 
 
 def _select_batch_relaxed(rows, max_batch: int, complete: bool):
@@ -493,7 +482,13 @@ def wordpiece_train(df: DataFrame, *, n_merges: int = 10,
         ).localCheckpoint()
         release_local_checkpoint(prev)
     release_local_checkpoint(wv)
+    # score_den = ca*cb can exceed int64 at web-corpus symbol counts
+    # (the same overflow the ranking float avoids); decimal(38,0)
+    # holds the full int64 x int64 product range (max ~8.5e37)
+    from decimal import Decimal
+
     return spark.createDataFrame(
-        merges,
+        [(r, a, b, m, num, Decimal(den))
+         for r, a, b, m, num, den in merges],
         "rank int, a string, b string, merged string, "
-        "score_num long, score_den long")
+        "score_num long, score_den decimal(38,0)")

@@ -236,11 +236,17 @@ def main() -> None:
     # reads one number instead of re-deriving the output-bound argument
     violations = []
     for name in OUTPUT_NORMALIZED:
-        if name not in report or name not in rows_base:
-            continue
-        r = report[name]
+        if name not in report:
+            continue               # not selected this run (SCALE_QUERIES)
+        # a selected family with MISSING or zero counts is a broken
+        # gate, not a pass — fail loudly (r9 review)
+        if name not in rows_base or name not in rows_scaled:
+            raise SystemExit(f"output-normalized family {name} ran "
+                             "without row counts — gate broken")
         if not rows_base[name] or not rows_scaled[name]:
-            continue
+            raise SystemExit(f"output-normalized family {name} emitted "
+                             "zero rows — gate can't normalize")
+        r = report[name]
         out_ratio = rows_scaled[name] / rows_base[name]
         eff = round(r["time_ratio"] / max(k, out_ratio), 3)
         r.update(rows_sf01=rows_base[name], rows_scaled=rows_scaled[name],
