@@ -987,6 +987,47 @@ def test_flac_input_validation():
         encode_flac(np.zeros(4, np.int64), 8000, assign="mid_side")
 
 
+def test_flac_utf8_frame_numbers_roundtrip_boundaries():
+    from apache_beam_spark.multimodal.codecs import (_flac_read_utf8,
+                                                     _flac_utf8,
+                                                     _FlacBitReader)
+
+    for n in (0, 1, 0x7F, 0x80, 0x7FF, 0x800, 0xFFFF, 0x10000,
+              0x1FFFFF, 0x200000, (1 << 26) - 1, 1 << 26, (1 << 31) - 1):
+        enc = _flac_utf8(n)
+        assert _flac_read_utf8(_FlacBitReader(enc)) == n, n
+    with pytest.raises(ValueError, match="out of range"):
+        _flac_utf8(1 << 31)
+
+
+def test_flac_skips_foreign_metadata_and_unknown_total():
+    """Spec shapes our encoder never emits: a foreign metadata block
+    between STREAMINFO and the frames, and a streaming-encoder file
+    with total_samples=0 (UNKNOWN) + zeroed MD5 — both must decode the
+    frames, not return empty."""
+    from apache_beam_spark.multimodal.codecs import decode_flac, encode_flac
+
+    s = np.arange(-300, 300, dtype=np.int64)
+    blob = bytearray(encode_flac(s, 8000))
+    si_len = blob[7]
+    si = bytes(blob[4:8 + si_len])
+    frames = bytes(blob[8 + si_len:])
+    # re-mark STREAMINFO non-last, splice a 3-byte APPLICATION block
+    foreign = bytes([0x82, 0, 0, 3]) + b"xyz"
+    spliced = b"fLaC" + bytes([si[0] & 0x7F]) + si[1:] + foreign + frames
+    _, _, back = decode_flac(spliced)
+    assert np.array_equal(back[:, 0], s)
+    # zero the 36-bit total (bit 108 = low nibble of body byte 13,
+    # then bytes 14..17) and the MD5: an unknown-length streaming file
+    body = bytearray(si[4:])
+    body[13] &= 0xF0
+    body[14:18] = b"\x00" * 4
+    body[18:34] = b"\x00" * 16            # MD5 unknown
+    unknown = b"fLaC" + si[:4] + bytes(body) + frames
+    _, _, back2 = decode_flac(unknown)
+    assert np.array_equal(back2[:, 0], s)
+
+
 def test_flac_through_decode_audio_stage(spark):
     from apache_beam_spark.multimodal.codecs import encode_flac
     from apache_beam_spark.multimodal.columns import decode_audio
