@@ -3660,6 +3660,25 @@ def _jpeg_progressive_roundtrip(spark, sf_dir):
     return _image_roundtrip(spark, sf_dir, payload, every=11)
 
 
+def _jpeg_lossless_roundtrip(spark, sf_dir):
+    """REAL lossless JPEG (T.81 SOF3, Annex H, r9) round trip:
+    per-sample DPCM with the Table H.1 predictors (rotating by doc) +
+    huffman difference coding — NO DCT, NO quantization, components
+    coded directly, so decode returns the EXACT input pixels and the
+    oracle is the raw pixel-formula sum (the png_roundtrip standard,
+    not the baseline JPEG closed form).  doc_id % 11 == 3 codec
+    subset; all seven predictors + point-transform closed form pinned
+    in tests/test_codecs.py."""
+    def payload(d):
+        from apache_beam_spark.multimodal.codecs import (
+            encode_jpeg_lossless)
+
+        return encode_jpeg_lossless(_rt_rgb_image(d),
+                                    predictor=1 + d % 7)
+
+    return _image_roundtrip(spark, sf_dir, payload, every=11)
+
+
 def _jpeg_arith_roundtrip(spark, sf_dir):
     """REAL arithmetic-coded JPEG (T.81 SOF9, Annex D QM-coder +
     F.1.4 model, r9 — the entropy layer libjpeg gates behind
@@ -4015,6 +4034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_roundtrip": _jpeg_roundtrip,
         "jpeg_progressive_roundtrip": _jpeg_progressive_roundtrip,
         "jpeg_arith_roundtrip": _jpeg_arith_roundtrip,
+        "jpeg_lossless_roundtrip": _jpeg_lossless_roundtrip,
         "rag_chunks": _rag_chunks,
         "dau_mau_stickiness": _dau_mau_stickiness,
         "zorder_curve": _zorder_curve,
@@ -6530,6 +6550,9 @@ def oracle_sql() -> dict[str, str]:
     # runs the doc_id % 11 == 3 codec subset
     out["flac_roundtrip"] = (out["wav_roundtrip"]
                              + "\n            WHERE doc_id % 11 = 3")
+    # lossless JPEG returns the exact input pixels: same oracle as the
+    # lossless image codecs, not the baseline-JPEG closed form
+    out["jpeg_lossless_roundtrip"] = out["png_adam7_roundtrip"]
     out["jpeg_progressive_roundtrip"] = (
         out["jpeg_progressive_roundtrip"]
         + "\n            WHERE doc_id % 11 = 3")

@@ -15,9 +15,10 @@ decodable:
   tables, huffman entropy decode with restart intervals, dequantize +
   batched numpy IDCT, 1-2x chroma sampling with replication upsample,
   YCbCr->RGB.  Baseline sequential (SOF0/1), progressive (SOF2,
-  Annex G spectral selection + successive approximation) and
+  Annex G spectral selection + successive approximation),
   arithmetic-coded (SOF9 sequential AND SOF10 progressive — the
-  Annex D QM-coder, r9) frames all decode; lossless frames raise
+  Annex D QM-coder, r9) and LOSSLESS (SOF3, Annex H DPCM, r9) frames
+  all decode; hierarchical/differential frames raise
   NotImplementedError naming the exact gap.
 
 * **WAV** (RIFF little-endian): chunk walk honoring chunk sizes and
@@ -1525,10 +1526,11 @@ def decode_image_real(payload: bytes) -> np.ndarray:
 # IDCT, chroma upsampling, YCbCr->RGB.  Same "real codec" standard as
 # the PNG path: the encoders exist so round trips are testable
 # in-sandbox (no JPEG files ship in the container); baseline (SOF0/1),
-# progressive (SOF2) and arithmetic-coded (SOF9 sequential, SOF10
-# progressive — Annex D QM-coder) frames all decode; lossless and
-# hierarchical frames raise NotImplementedError naming the gap;
-# malformed streams raise ValueError (the dead-letter contract).
+# progressive (SOF2), arithmetic-coded (SOF9 sequential, SOF10
+# progressive — Annex D QM-coder) and lossless (SOF3, Annex H DPCM)
+# frames all decode; hierarchical/differential frames raise
+# NotImplementedError naming the gap; malformed streams raise
+# ValueError (the dead-letter contract).
 
 _ZIGZAG = []
 for _s in range(15):
@@ -1915,11 +1917,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     (h, w, 3) RGB otherwise.  Supports baseline sequential (SOF0/1)
     AND progressive (SOF2, Annex G) AND arithmetic-coded (SOF9
     sequential, SOF10 progressive — Annex D QM-coder + DAC
-    conditioning) frames, multiple DQT/DHT segments, 8-bit quant
-    tables, restart intervals, and any 1-2x sampling factors
-    (4:4:4 / 4:2:2 / 4:2:0 — chroma is replicated on upsample).
-    Lossless/hierarchical frames raise NotImplementedError naming the
-    gap; malformed input raises ValueError (dead-letter contract).
+    conditioning) AND lossless (SOF3, Annex H DPCM) frames, multiple
+    DQT/DHT segments, 8-bit quant tables, restart intervals, and any
+    1-2x sampling factors (4:4:4 / 4:2:2 / 4:2:0 — chroma is
+    replicated on upsample).  Hierarchical/differential frames raise
+    NotImplementedError naming the gap; malformed input raises
+    ValueError (dead-letter contract).
 
     Reference anchor: payloads ride Beam pipelines as opaque bytes
     (sdks/java/core/.../coders/ByteArrayCoder.java); the decode itself
@@ -1933,6 +1936,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     frame = None
     progressive = False
     arithmetic = False
+    lossless = False
     restart = 0
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
@@ -1974,8 +1978,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 vals = list(body[b + 17:b + 17 + n])
                 huff[(tc, th)] = _huff_lut(bits, vals)
                 b += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
-            # SOF0/1 baseline, SOF2 progressive, SOF9/10 arithmetic
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):
+            # SOF0/1 baseline, SOF2 progressive, SOF3 lossless,
+            # SOF9/10 arithmetic
             prec, fh, fw, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG")
@@ -1987,7 +1992,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             frame = (fh, fw, comps)
             progressive = marker in (0xC2, 0xCA)
             arithmetic = marker in (0xC9, 0xCA)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB,
+            lossless = marker == 0xC3
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"non-baseline JPEG frame (SOF marker 0xFF{marker:02X})")
@@ -2027,6 +2033,21 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cs, tt = body[1 + 2 * i:3 + 2 * i]
                 sel[cs] = (tt >> 4, tt & 0xF)
             scan_start = pos + 2 + ln
+            if lossless:
+                ss_sel = body[1 + 2 * ns]
+                al_pt = body[3 + 2 * ns] & 0xF
+                if not 1 <= ss_sel <= 7:
+                    raise ValueError(
+                        f"invalid lossless predictor {ss_sel}")
+                luts = {}
+                for cs, (td, _ta) in sel.items():
+                    t = huff.get((0, td))
+                    if t is None:
+                        raise ValueError(
+                            "JPEG scan references missing table")
+                    luts[cs] = t
+                return _decode_scan_lossless(payload, scan_start,
+                                             frame, luts, ss_sel, al_pt)
             if arithmetic:
                 return _decode_scan_arith(payload, scan_start, frame,
                                           sel, qt, dac, restart)
@@ -2198,6 +2219,156 @@ def _coef_to_pixels(fh, fw, hmax, vmax, comps, per_comp) -> np.ndarray:
     b = y + 1.772 * cb
     return np.clip(np.round(np.stack([r, g, b], axis=-1)),
                    0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Lossless JPEG (T.81 SOF3, Annex H, r9): per-sample DPCM with the
+# seven spec predictors + huffman coding of difference categories —
+# no DCT, no quantization, BIT-exact round trips.  The scan header
+# reuses Ss as the predictor selector and Al as the point transform
+# (H.1); modulo-65536 difference arithmetic per H.1.2.1.  8-bit
+# precision, non-subsampled components (the overwhelmingly common
+# lossless configuration); other precisions raise the named gap.
+# ---------------------------------------------------------------------------
+
+
+def _lossless_predict(a: int, b: int, c: int, sel: int) -> int:
+    """T.81 Table H.1 predictors (a=left, b=above, c=above-left)."""
+    if sel == 1:
+        return a
+    if sel == 2:
+        return b
+    if sel == 3:
+        return c
+    if sel == 4:
+        return a + b - c
+    if sel == 5:
+        return a + ((b - c) >> 1)
+    if sel == 6:
+        return b + ((a - c) >> 1)
+    return (a + b) >> 1                  # sel == 7
+
+
+def encode_jpeg_lossless(img: np.ndarray, predictor: int = 4,
+                         point_transform: int = 0) -> bytes:
+    """Lossless JFIF writer (T.81 SOF3): (h, w) gray or (h, w, 3) RGB
+    uint8 — components are coded DIRECTLY (no color transform, no
+    subsampling, no quantization), so ``decode_jpeg`` returns the
+    exact input pixels.  ``predictor`` selects Table H.1 (1-7);
+    ``point_transform`` (Al) drops that many low bits before
+    prediction — the one deliberately lossy knob, with the exact
+    closed form ``(v >> Al) << Al`` on decode."""
+    a = np.asarray(img, dtype=np.uint8)
+    gray = a.ndim == 2
+    if not gray and (a.ndim != 3 or a.shape[2] != 3):
+        raise ValueError(f"unsupported array shape {a.shape}")
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"lossless predictor must be 1-7, got {predictor}")
+    if not 0 <= point_transform <= 7:
+        raise ValueError(f"point transform must be 0-7, got "
+                         f"{point_transform}")
+    h, w = a.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("zero-dimension image")
+    planes = [a.astype(np.int64)] if gray else \
+        [a[..., i].astype(np.int64) for i in range(3)]
+    al = point_transform
+    planes = [p >> al for p in planes]
+    ncomp = len(planes)
+
+    out = (b"\xff\xd8"
+           + _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"))
+    sof_comps = b"".join(bytes([i + 1, 0x11, 0]) for i in range(ncomp))
+    out += _seg(0xFFC3, struct.pack(">BHHB", 8, h, w, ncomp) + sof_comps)
+    out += _seg(0xFFC4, _dht_body(0, 0, _HUFF_DC_LUMA))
+    sos_comps = b"".join(bytes([i + 1, 0]) for i in range(ncomp))
+    out += _seg(0xFFDA, bytes([ncomp]) + sos_comps
+                + bytes([predictor, 0, al]))
+
+    tbl = _huff_canonical(*_HUFF_DC_LUMA)
+    wtr = _BitWriter()
+    default = 1 << (8 - 1 - al)          # H.1.2.2 initial prediction
+    for y in range(h):
+        for x in range(w):
+            for p in planes:
+                v = int(p[y, x])
+                if y == 0 and x == 0:
+                    pred = default
+                elif y == 0:
+                    pred = int(p[0, x - 1])
+                elif x == 0:
+                    pred = int(p[y - 1, 0])
+                else:
+                    pred = _lossless_predict(
+                        int(p[y, x - 1]), int(p[y - 1, x]),
+                        int(p[y - 1, x - 1]), predictor)
+                diff = (v - pred) & 0xFFFF          # modulo 65536
+                if diff >= 0x8000:
+                    diff -= 0x10000
+                size = abs(diff).bit_length()
+                code, ln = tbl[size]
+                wtr.write(code, ln)
+                if size:
+                    wtr.write(diff if diff > 0
+                              else diff + (1 << size) - 1, size)
+    return out + wtr.flush() + b"\xff\xd9"
+
+
+def _decode_scan_lossless(payload, pos, frame, sel, predictor, al):
+    """Annex H lossless scan decode: huffman difference categories per
+    sample, Table H.1 prediction with the first-row/column fallbacks,
+    modulo-65536 reconstruction, ``<< Al`` output scaling."""
+    fh, fw, comps = frame
+    if not all(c["h"] == 1 and c["v"] == 1 for c in comps):
+        raise NotImplementedError("subsampled lossless JPEG")
+    huffs = []
+    for c in comps:
+        t = sel.get(c["id"])
+        if t is None:
+            raise ValueError("scan references unknown component")
+        huffs.append(t)
+    segments, _ = _split_entropy(payload, pos)
+    if len(segments) != 1:
+        raise NotImplementedError("lossless JPEG restart intervals")
+    val16, nbits = _segment_val16(segments[0])
+    bpos = 0
+    planes = [np.zeros((fh, fw), np.int64) for _ in comps]
+    default = 1 << (8 - 1 - al)
+    for y in range(fh):
+        for x in range(fw):
+            for ci, p in enumerate(planes):
+                dsym, dlen = huffs[ci]
+                idx = val16(bpos)
+                ln = dlen[idx]
+                if not ln:
+                    raise ValueError("invalid JPEG huffman code")
+                size = dsym[idx]
+                bpos += ln
+                diff = 0
+                if size:
+                    v = val16(bpos) >> (16 - size)
+                    bpos += size
+                    diff = v if v >= (1 << (size - 1)) \
+                        else v - (1 << size) + 1
+                if y == 0 and x == 0:
+                    pred = default
+                elif y == 0:
+                    pred = int(p[0, x - 1])
+                elif x == 0:
+                    pred = int(p[y - 1, 0])
+                else:
+                    pred = _lossless_predict(
+                        int(p[y, x - 1]), int(p[y - 1, x]),
+                        int(p[y - 1, x - 1]), predictor)
+                p[y, x] = (pred + diff) & 0xFFFF
+            if bpos > nbits:
+                raise ValueError("truncated JPEG entropy stream")
+    planes = [np.clip(p << al, 0, 255).astype(np.uint8) for p in planes]
+    if len(planes) == 1:
+        return planes[0]
+    if len(planes) != 3:
+        raise NotImplementedError(f"{len(planes)}-component JPEG")
+    return np.stack(planes, axis=-1)
 
 
 # ---------------------------------------------------------------------------

@@ -110,8 +110,10 @@ HEADLINE = [
     "gif_roundtrip",
     "tiff_roundtrip",
     "dsir_scores",
-    # round-9: arithmetic-coded JPEG (SOF9 QM-coder) + lossless FLAC
+    # round-9: arithmetic-coded JPEG (SOF9 QM-coder), lossless JPEG
+    # (SOF3 DPCM), lossless FLAC
     "jpeg_arith_roundtrip",
+    "jpeg_lossless_roundtrip",
     "flac_roundtrip",
 ]
 

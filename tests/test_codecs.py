@@ -127,11 +127,11 @@ def test_decode_media_deadletter_routing(spark):
 
     img = np.zeros((2, 3, 3), dtype=np.uint8)
     wav = encode_wav(np.array([1, 2], dtype=np.int16), 8000)
-    # a real baseline JPEG with its SOF0 marker flipped to SOF3
-    # (lossless): gated -> NotImplementedError dead letter (both
-    # arithmetic flavors decode for real since r9)
+    # a real baseline JPEG with its SOF0 marker flipped to SOF5
+    # (differential/hierarchical): gated -> NotImplementedError dead
+    # letter (arithmetic AND lossless frames decode for real since r9)
     arith = encode_jpeg(np.full((8, 8), 7, np.uint8)).replace(
-        b"\xff\xc0", b"\xff\xc3", 1)
+        b"\xff\xc0", b"\xff\xc5", 1)
     rows = [(1, bytearray(encode_bmp(img))),
             (2, bytearray(wav)),
             (3, bytearray(b"\xff\xd8\xffjpeg-ish")),   # corrupt stream
@@ -152,7 +152,7 @@ def test_decode_media_deadletter_routing(spark):
     assert set(errs) == {3, 4, 5}
     assert errs[3][0] == "jpeg" and "ValueError" in errs[3][1]
     assert "unrecognized" in errs[4][1]
-    assert "NotImplementedError" in errs[5][1] and "0xFFC3" in errs[5][1]
+    assert "NotImplementedError" in errs[5][1] and "0xFFC5" in errs[5][1]
 
 
 # ------------------------------------------------------------------ PNG
@@ -363,9 +363,9 @@ def test_jpeg_malformed_inputs_raise_cleanly():
     with pytest.raises(ValueError, match="spectral selection"):
         decode_jpeg(good.replace(b"\xff\xc0", b"\xff\xc2", 1))
     with pytest.raises(NotImplementedError, match="non-baseline"):
-        # lossless (SOF3) is gated; both arithmetic flavors decode
-        # for real since r9 (test_jpeg_arith_*)
-        decode_jpeg(good.replace(b"\xff\xc0", b"\xff\xc3", 1))
+        # hierarchical (SOF5) is gated; arithmetic and lossless frames
+        # decode for real since r9 (test_jpeg_arith_* / _lossless_*)
+        decode_jpeg(good.replace(b"\xff\xc0", b"\xff\xc5", 1))
     with pytest.raises(NotImplementedError, match="12-bit"):
         # SOF0 precision byte 8 -> 12 (first byte of the SOF body)
         i = good.index(b"\xff\xc0")
@@ -753,6 +753,72 @@ def test_jpeg_all_four_flavors_agree():
     for enc in (encode_jpeg_progressive, encode_jpeg_arith,
                 encode_jpeg_arith_progressive):
         assert np.array_equal(decode_jpeg(enc(img)), ref), enc.__name__
+
+
+def test_jpeg_lossless_roundtrip_all_predictors():
+    """SOF3 is LOSSLESS: exact pixel equality for every Table H.1
+    predictor, gray and RGB (components coded directly — no color
+    transform)."""
+    from apache_beam_spark.multimodal.codecs import (decode_jpeg,
+                                                     encode_jpeg_lossless)
+
+    rng = np.random.RandomState(13)
+    gray = rng.randint(0, 256, (9, 14)).astype(np.uint8)
+    rgb = rng.randint(0, 256, (7, 11, 3)).astype(np.uint8)
+    for pred in range(1, 8):
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg_lossless(gray, predictor=pred)),
+            gray), pred
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg_lossless(rgb, predictor=pred)),
+            rgb), pred
+
+
+def test_jpeg_lossless_point_transform_closed_form():
+    """Al > 0 is the one lossy knob, with the exact closed form
+    (v >> Al) << Al."""
+    from apache_beam_spark.multimodal.codecs import (decode_jpeg,
+                                                     encode_jpeg_lossless)
+
+    img = np.arange(240, dtype=np.uint8).reshape(12, 20)
+    for al in (1, 2, 3):
+        got = decode_jpeg(encode_jpeg_lossless(img, point_transform=al))
+        assert np.array_equal(
+            got, ((img.astype(np.int64) >> al) << al).astype(np.uint8))
+
+
+def test_jpeg_lossless_fuzz():
+    from apache_beam_spark.multimodal.codecs import (decode_jpeg,
+                                                     encode_jpeg_lossless)
+
+    rng = np.random.RandomState(31)
+    for trial in range(30):
+        h, w = rng.randint(1, 30), rng.randint(1, 30)
+        gray = rng.rand() < 0.5
+        img = rng.randint(0, 256,
+                          (h, w) if gray else (h, w, 3)).astype(np.uint8)
+        pred = trial % 7 + 1
+        back = decode_jpeg(encode_jpeg_lossless(img, predictor=pred))
+        assert np.array_equal(back, img), (trial, h, w, gray, pred)
+
+
+def test_jpeg_lossless_validation():
+    from apache_beam_spark.multimodal.codecs import (decode_jpeg,
+                                                     encode_jpeg_lossless)
+
+    img = np.zeros((3, 3), np.uint8)
+    with pytest.raises(ValueError, match="predictor"):
+        encode_jpeg_lossless(img, predictor=0)
+    with pytest.raises(ValueError, match="point transform"):
+        encode_jpeg_lossless(img, point_transform=8)
+    # an out-of-range predictor in the scan header raises on decode
+    blob = bytearray(encode_jpeg_lossless(img, predictor=7))
+    i = blob.index(b"\xff\xda")
+    # SOS body: len(2) ns(1) comps(2) Ss Se AhAl -> Ss at i+2+2+1+2
+    assert blob[i + 7] == 7
+    blob[i + 7] = 0
+    with pytest.raises(ValueError, match="lossless predictor"):
+        decode_jpeg(bytes(blob))
 
 
 def test_qm_coder_roundtrip_property():
