@@ -26,14 +26,14 @@ decodable:
   A-law/mu-law (r8: spec-algorithm companding, exact byte-level
   encode<->decode inverses) -> (sample_rate, channels, samples) with
   samples as an (n, channels) numpy array.
-* **FLAC** (xiph.org lossless audio, r9): the fixed-predictor subset —
-  STREAMINFO + metadata walk, constant/verbatim/fixed order 0-4
-  subframes, rice residual partitions (incl. 5-bit params and
-  escapes), UTF-8 frame numbers, wasted bits, all four stereo
-  decorrelation assignments, CRC-8/CRC-16/raw-MD5 verification;
-  encoder picks predictors and rice parameters by exact cost.
-  Round trips are BIT-exact (lossless).  General LPC subframes raise
-  with the gap named.
+* **FLAC** (xiph.org lossless audio, r9; LPC r10): STREAMINFO +
+  metadata walk, constant/verbatim/fixed order 0-4 AND general LPC
+  order 1-32 subframes (quantized coefficients, signed shift), rice
+  residual partitions (incl. 5-bit params and escapes), UTF-8 frame
+  numbers, wasted bits, all four stereo decorrelation assignments,
+  CRC-8/CRC-16/raw-MD5 verification; encoder picks predictors and
+  rice parameters by exact cost, with opt-in Levinson-Durbin LPC
+  (``use_lpc=True``).  Round trips are BIT-exact (lossless).
 * **BMP** (BITMAPINFOHEADER, 24bpp uncompressed): bottom-up BGR rows
   with 4-byte row padding -> (h, w, 3) RGB array.
 * **PPM** (P6, maxval 255): whitespace/comment-tolerant header -> raw
@@ -193,16 +193,23 @@ def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
 
 
 # ----------------------------------------------------------------- FLAC
-# Lossless audio (the xiph.org FLAC format, public spec, r9): the
-# fixed-predictor subset — constant / verbatim / fixed-LPC order 0-4
-# subframes, 4-bit rice residual coding, UTF-8-coded frame numbers,
-# CRC-8 header + CRC-16 frame checks, STREAMINFO with the raw-audio
-# MD5.  Losslessness is the point: round trips are BIT-exact, so the
-# whole path is value-oracle-able the way wav_roundtrip is (the
+# Lossless audio (the xiph.org FLAC format, public spec, r9; LPC
+# subframes r10): constant / verbatim / fixed order 0-4 / general LPC
+# order 1-32 subframes, rice residual coding (4- and 5-bit params,
+# escapes, any partition order), UTF-8-coded frame numbers, CRC-8
+# header + CRC-16 frame checks, STREAMINFO with the raw-audio MD5.
+# Losslessness is the point: round trips are BIT-exact, so the whole
+# path is value-oracle-able the way wav_roundtrip is (the
 # `flac_roundtrip` query).  The decoder additionally understands all
 # three stereo decorrelation assignments (left/side, right/side,
-# mid/side) and wasted-bits shifts; general LPC subframes raise
-# NotImplementedError naming the gap (the encoder never emits them).
+# mid/side) and wasted-bits shifts.  LPC decode follows the spec
+# prediction exactly — residual[i] + ((sum qcoef[j]*x[i-1-j]) >>
+# shift) in arbitrary-precision integers with an arithmetic shift —
+# so ANY valid quantized-coefficient stream (libFLAC/ffmpeg defaults
+# are LPC-coded) reconstructs bit-exactly; the encoder gains opt-in
+# LPC via windowed autocorrelation + Levinson-Durbin +
+# precision-15 quantization (use_lpc=True), kept opt-in so the
+# oracled fixed-subset byte streams are unchanged.
 
 _FLAC_BLOCK = 4096
 
@@ -371,17 +378,91 @@ def _rice_cost(u: np.ndarray, k: int) -> int:
     return int((u >> k).sum()) + u.size * (k + 1)
 
 
+def _levinson_durbin(ac: np.ndarray, order: int) -> np.ndarray:
+    """LPC coefficients from an autocorrelation vector (standard
+    Levinson-Durbin recursion; prediction convention
+    ``x[i] ~= sum(c[j] * x[i-1-j])``).  Stops early if the prediction
+    error hits zero (perfectly predictable input)."""
+    err = float(ac[0])
+    lpc = np.zeros(order, np.float64)
+    for i in range(order):
+        if err <= 0:
+            return lpc[:i]
+        acc = float(ac[i + 1])
+        for j in range(i):
+            acc -= lpc[j] * float(ac[i - j])
+        k = acc / err
+        half = i >> 1
+        for j in range(half):
+            t = lpc[j]
+            lpc[j] = t - k * lpc[i - 1 - j]
+            lpc[i - 1 - j] -= k * t
+        if i & 1:
+            lpc[half] -= k * lpc[half]
+        lpc[i] = k
+        err *= 1.0 - k * k
+    return lpc
+
+
+def _flac_quantize_lpc(lpc: np.ndarray,
+                       precision: int = 15) -> tuple | None:
+    """(qcoefs, precision, shift) — fixed-point quantization with
+    error feedback (the libFLAC scheme): shift chosen so the largest
+    coefficient fills ``precision`` signed bits, clamped to the 5-bit
+    non-negative shift range the subframe header can carry."""
+    import math
+
+    cmax = float(np.abs(lpc).max()) if len(lpc) else 0.0
+    if not np.isfinite(cmax) or cmax <= 0:
+        return None
+    shift = precision - 1 - (math.frexp(cmax)[1] - 1) - 1
+    shift = max(0, min(15, shift))
+    qmax = (1 << (precision - 1)) - 1
+    qmin = -(1 << (precision - 1))
+    err = 0.0
+    qc = []
+    for c in lpc:
+        v = float(c) * (1 << shift) + err
+        q = min(qmax, max(qmin, int(round(v))))
+        err = v - q
+        qc.append(q)
+    if all(q == 0 for q in qc):
+        return None
+    return qc, precision, shift
+
+
+def _flac_lpc_residual(x: np.ndarray, qc: list[int],
+                       shift: int) -> np.ndarray:
+    """Exact integer LPC residual — the same arithmetic the decoder
+    inverts (int64 accumulate, arithmetic right shift)."""
+    order = len(qc)
+    n = len(x)
+    acc = np.zeros(n - order, np.int64)
+    for j, c in enumerate(qc):
+        acc += np.int64(c) * x[order - 1 - j:n - 1 - j]
+    return x[order:] - (acc >> shift)
+
+
 def encode_flac(samples: np.ndarray, sample_rate: int,
-                bits: int = 16, assign: str = "indep") -> bytes:
-    """FLAC writer (fixed-predictor subset): ``samples`` is (n,) or
-    (n, channels<=2) integers within the ``bits``-bit signed range
-    (8 or 16).  Per 4096-sample frame and channel the encoder picks
-    constant / best fixed order 0-4 by rice cost / verbatim, rice
-    parameter by exact cost minimization.  ``assign`` selects the
-    stereo decorrelation ("indep", "left_side", "right_side",
-    "mid_side" — side channels carry bits+1, all lossless).  Bit-exact
-    round trip with ``decode_flac``; STREAMINFO carries the raw-audio
-    MD5 the decoder verifies."""
+                bits: int = 16, assign: str = "indep",
+                use_lpc: bool = False) -> bytes:
+    """FLAC writer: ``samples`` is (n,) or (n, channels<=2) integers
+    within the ``bits``-bit signed range (8 or 16).  Per 4096-sample
+    frame and channel the encoder picks constant / best fixed order
+    0-4 by rice cost / verbatim, rice parameter by exact cost
+    minimization; with ``use_lpc=True`` it additionally tries general
+    LPC subframes (Hann-windowed autocorrelation -> Levinson-Durbin ->
+    precision-15 quantization, orders up to 12) and keeps whichever
+    coding is cheapest — still bit-exact lossless, since the residual
+    is computed with the same quantized integer arithmetic the decoder
+    inverts.  ``use_lpc`` defaults off so the oracled fixed-subset
+    streams (flac_roundtrip) are byte-identical to r9.  ``assign``
+    selects the stereo decorrelation ("indep", "left_side",
+    "right_side", "mid_side" — side channels carry bits+1, all
+    lossless).  Bit-exact round trip with ``decode_flac``; STREAMINFO
+    carries the raw-audio MD5 the decoder verifies.  n==0 emits a
+    frameless stream (STREAMINFO total 0 + empty-audio MD5) rather
+    than a padding frame (r9 ADVICE)."""
     import hashlib
 
     s = np.asarray(samples)
@@ -421,9 +502,12 @@ def encode_flac(samples: np.ndarray, sample_rate: int,
 
     ch_code = {"indep": channels - 1, "left_side": 0b1000,
                "right_side": 0b1001, "mid_side": 0b1010}[assign]
-    for fidx in range(max(1, (n + _FLAC_BLOCK - 1) // _FLAC_BLOCK)):
+    # n == 0: no frames at all — the decoder's unknown/zero-total loop
+    # decodes nothing and the MD5 over empty audio matches (r9 ADVICE:
+    # the old 1-sample padding frame made empty payloads dead-letter)
+    for fidx in range((n + _FLAC_BLOCK - 1) // _FLAC_BLOCK):
         blk = s[fidx * _FLAC_BLOCK:(fidx + 1) * _FLAC_BLOCK]
-        bs = max(1, blk.shape[0])
+        bs = blk.shape[0]
         full = bs == _FLAC_BLOCK
         hdr = bytearray(b"\xff\xf8")
         hdr.append(((0b1100 if full else 0b0111) << 4) | 0b0000)
@@ -433,9 +517,7 @@ def encode_flac(samples: np.ndarray, sample_rate: int,
             hdr += struct.pack(">H", bs - 1)
         hdr.append(_crc8(bytes(hdr)))
 
-        if blk.size == 0:
-            subframes = [(np.zeros(1, np.int64), bits)] * channels
-        elif assign == "indep":
+        if assign == "indep":
             subframes = [(blk[:, ch], bits) for ch in range(channels)]
         elif assign == "left_side":
             subframes = [(blk[:, 0], bits),
@@ -456,15 +538,39 @@ def encode_flac(samples: np.ndarray, sample_rate: int,
                 w.write(int(x[0]) & ((1 << sb) - 1), sb)
                 continue
             # best fixed order by exact rice cost
-            best = None
+            best = None                  # (cost, kind, order, k, res, lpc)
             for order in range(min(5, len(x))):
                 res = _flac_residual(x, order)
                 u = (np.abs(res) * 2 - (res < 0)).astype(np.int64)
                 k = min(range(15), key=lambda kk: _rice_cost(u, kk))
                 cost = order * sb + 6 + _rice_cost(u, k)
                 if best is None or cost < best[0]:
-                    best = (cost, order, k, res)
-            cost, order, k, res = best
+                    best = (cost, "fixed", order, k, res, None)
+            if use_lpc and len(x) > 16:
+                # Hann-windowed autocorrelation; every candidate's cost
+                # is EXACT (header + coef + rice bits of the true
+                # quantized-integer residual), so LPC only wins when it
+                # genuinely beats the best fixed predictor
+                xf = x.astype(np.float64) * np.hanning(len(x))
+                max_order = min(12, len(x) - 1)
+                ac = np.array([float(np.dot(xf[:len(xf) - lag], xf[lag:]))
+                               for lag in range(max_order + 1)])
+                for order in sorted({2, 4, 8, max_order}):
+                    if order > max_order or ac[0] <= 0:
+                        continue
+                    q = _flac_quantize_lpc(_levinson_durbin(ac, order))
+                    if q is None:
+                        continue
+                    qc, prec, shift = q
+                    res = _flac_lpc_residual(x, qc, shift)
+                    u = (np.abs(res) * 2 - (res < 0)).astype(np.int64)
+                    k = min(range(15), key=lambda kk: _rice_cost(u, kk))
+                    cost = (len(qc) * (sb + prec) + 4 + 5
+                            + 6 + _rice_cost(u, k))
+                    if cost < best[0]:
+                        best = (cost, "lpc", len(qc), k, res,
+                                (qc, prec, shift))
+            cost, kind, order, k, res, lpc = best
             if cost >= len(x) * sb:      # rice blew up -> verbatim
                 w.write(0, 1)
                 w.write(0b000001, 6)
@@ -473,10 +579,17 @@ def encode_flac(samples: np.ndarray, sample_rate: int,
                     w.write(int(v) & ((1 << sb) - 1), sb)
                 continue
             w.write(0, 1)
-            w.write(0b001000 | order, 6)
+            w.write((0b001000 | order) if kind == "fixed"
+                    else (0b100000 | (order - 1)), 6)
             w.write(0, 1)                # no wasted bits
             for v in x[:order]:          # warmup
                 w.write(int(v) & ((1 << sb) - 1), sb)
+            if kind == "lpc":
+                qc, prec, shift = lpc
+                w.write(prec - 1, 4)
+                w.write(shift, 5)        # 5-bit signed, always >= 0 here
+                for c in qc:
+                    w.write(int(c) & ((1 << prec) - 1), prec)
             w.write(0b00, 2)             # 4-bit rice parameters
             w.write(0, 4)                # partition order 0
             w.write(k, 4)
@@ -497,14 +610,47 @@ _FLAC_BS_CODE = {1: 192, **{n: 576 << (n - 2) for n in range(2, 6)},
 _FLAC_SSIZE = {0b001: 8, 0b010: 12, 0b100: 16, 0b101: 20, 0b110: 24}
 
 
+def _flac_read_residual(r: "_FlacBitReader", bs: int,
+                        order: int) -> list[int]:
+    """Rice-coded residual section shared by the fixed and LPC
+    subframe types: 2-bit method (4-/5-bit params), 4-bit partition
+    order, escape partitions, first partition short by ``order``
+    warmup samples."""
+    method = r.read(2)
+    if method > 1:
+        raise ValueError("reserved FLAC residual method")
+    pbits = 4 if method == 0 else 5
+    esc = (1 << pbits) - 1
+    porder = r.read(4)
+    res: list[int] = []
+    nparts = 1 << porder
+    if bs % nparts:
+        raise ValueError("FLAC partition order mismatch")
+    for p in range(nparts):
+        cnt = bs // nparts - (order if p == 0 else 0)
+        if cnt < 0:
+            raise ValueError("FLAC partition underflow")
+        k = r.read(pbits)
+        if k == esc:
+            raw = r.read(5)
+            res += [r.read_signed(raw) if raw else 0
+                    for _ in range(cnt)]
+        else:
+            for _ in range(cnt):
+                u = (r.read_unary() << k) | r.read(k)
+                res.append(u >> 1 if u & 1 == 0
+                           else -((u + 1) >> 1))
+    return res
+
+
 def decode_flac(payload: bytes) -> tuple[int, int, np.ndarray]:
     """(sample_rate, channels, samples[n, channels] int32) from a FLAC
-    stream — the ``decode_wav`` contract.  Fixed-predictor subset:
-    constant / verbatim / fixed 0-4 subframes, rice partitions (any
-    partition order), wasted bits, all four channel assignments;
-    general LPC subframes raise NotImplementedError naming the gap.
-    CRC-8/CRC-16/MD5 mismatches raise ValueError (dead-letter
-    contract)."""
+    stream — the ``decode_wav`` contract.  Subframe coverage: constant
+    / verbatim / fixed 0-4 / general LPC order 1-32 (4-bit quantized
+    precision, signed shift, signed coefficients — the libFLAC/ffmpeg
+    default coding), rice partitions (any partition order), wasted
+    bits, all four channel assignments.  CRC-8/CRC-16/MD5 mismatches
+    raise ValueError (dead-letter contract)."""
     import hashlib
 
     if payload[:4] != b"fLaC":
@@ -616,30 +762,7 @@ def decode_flac(payload: bytes) -> tuple[int, int, np.ndarray]:
             elif 0b001000 <= stype <= 0b001100:     # fixed order 0-4
                 order = stype & 0x7
                 warm = [r.read_signed(sb) for _ in range(order)]
-                method = r.read(2)
-                if method > 1:
-                    raise ValueError("reserved FLAC residual method")
-                pbits = 4 if method == 0 else 5
-                esc = (1 << pbits) - 1
-                porder = r.read(4)
-                res: list[int] = []
-                nparts = 1 << porder
-                if bs % nparts:
-                    raise ValueError("FLAC partition order mismatch")
-                for p in range(nparts):
-                    cnt = bs // nparts - (order if p == 0 else 0)
-                    if cnt < 0:
-                        raise ValueError("FLAC partition underflow")
-                    k = r.read(pbits)
-                    if k == esc:
-                        raw = r.read(5)
-                        res += [r.read_signed(raw) if raw else 0
-                                for _ in range(cnt)]
-                    else:
-                        for _ in range(cnt):
-                            u = (r.read_unary() << k) | r.read(k)
-                            res.append(u >> 1 if u & 1 == 0
-                                       else -((u + 1) >> 1))
+                res = _flac_read_residual(r, bs, order)
                 if order:
                     coef = [int(c) for c in _FLAC_FIXED[order]]
                     xs = [int(v) for v in warm]
@@ -651,9 +774,30 @@ def decode_flac(payload: bytes) -> tuple[int, int, np.ndarray]:
                     x = np.array(xs, np.int64)
                 else:
                     x = np.array(res, np.int64)
-            elif stype >= 0b100000:
-                raise NotImplementedError(
-                    "general LPC FLAC subframes (fixed subset only)")
+            elif stype >= 0b100000:                 # LPC order 1-32
+                order = (stype & 0x1F) + 1
+                if order > bs:
+                    raise ValueError("FLAC LPC order exceeds block size")
+                warm = [r.read_signed(sb) for _ in range(order)]
+                prec = r.read(4)
+                if prec == 0b1111:
+                    raise ValueError("invalid FLAC LPC precision code")
+                prec += 1
+                shift = r.read_signed(5)
+                if shift < 0:      # spec: negative shifts are reserved
+                    raise ValueError("negative FLAC LPC shift")
+                coefs = [r.read_signed(prec) for _ in range(order)]
+                res = _flac_read_residual(r, bs, order)
+                # spec prediction: residual + (sum(qcoef*history) >>
+                # shift), exact integers, ARITHMETIC right shift
+                # (python // floor semantics on negatives)
+                xs = [int(v) for v in warm]
+                for v in res:
+                    acc = 0
+                    for j in range(order):
+                        acc += coefs[j] * xs[-1 - j]
+                    xs.append(int(v) + (acc >> shift))
+                x = np.array(xs, np.int64)
             else:
                 raise ValueError(f"reserved FLAC subframe type {stype}")
             if wasted:

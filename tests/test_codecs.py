@@ -1107,6 +1107,186 @@ def test_flac_through_decode_audio_stage(spark):
     assert row["peak_abs"] == 32768
 
 
+# ------------------------------------------------ FLAC LPC (round 10)
+
+def test_flac_foreign_lpc_stream_hand_built():
+    """The r9 gap closed: an LPC-coded FLAC stream built BY HAND with
+    the bit-writer primitives (never encode_flac — foreign precision 6,
+    the 5-bit rice-parameter residual method, order 3) must decode
+    bit-exactly to the closed-form recurrence
+    ``x[i] = r[i] + ((c0*x[i-1] + c1*x[i-2] + c2*x[i-3]) >> shift)``,
+    with the header CRC-8, frame CRC-16 and STREAMINFO MD5 all
+    verified on the way."""
+    import hashlib
+
+    from apache_beam_spark.multimodal.codecs import (_crc8, _crc16,
+                                                     _flac_utf8,
+                                                     _FlacBitWriter,
+                                                     decode_flac)
+
+    bs, order, shift = 64, 3, 1
+    qc = [3, -2, 1]                     # 6-bit signed quantized coefs
+    warm = [100, -50, 25]
+    rng = np.random.RandomState(3)
+    res = rng.randint(-40, 41, bs - order).tolist()
+    # closed-form expected samples (the spec prediction, arbitrary-
+    # precision ints, arithmetic shift)
+    x = list(warm)
+    for r in res:
+        acc = qc[0] * x[-1] + qc[1] * x[-2] + qc[2] * x[-3]
+        x.append(r + (acc >> shift))
+    assert max(abs(v) for v in x) < 32768   # stays 16-bit
+
+    si = _FlacBitWriter()
+    si.write(bs, 16)
+    si.write(bs, 16)
+    si.write(0, 24)
+    si.write(0, 24)
+    si.write(8000, 20)
+    si.write(0, 3)                      # 1 channel
+    si.write(15, 5)                     # 16 bits
+    si.write(bs, 36)
+    md5 = hashlib.md5(np.array(x, "<i2").tobytes()).digest()
+    streaminfo = bytes(si.out) + md5
+    blob = bytearray(b"fLaC")
+    blob += bytes([0x80, 0, 0, len(streaminfo)])
+    blob += streaminfo
+
+    hdr = bytearray(b"\xff\xf8")
+    hdr.append((0b0110 << 4) | 0b0000)  # 8-bit bs-1 follows; SI rate
+    hdr.append((0 << 4) | (0b100 << 1))  # mono, 16-bit
+    hdr += _flac_utf8(0)
+    hdr.append(bs - 1)
+    hdr.append(_crc8(bytes(hdr)))
+
+    w = _FlacBitWriter()
+    w.write(0, 1)                       # subframe pad
+    w.write(0b100000 | (order - 1), 6)  # LPC order 3
+    w.write(0, 1)                       # no wasted bits
+    for v in warm:
+        w.write(v & 0xFFFF, 16)
+    w.write(6 - 1, 4)                   # precision 6 (foreign: ours is 15)
+    w.write(shift, 5)
+    for c in qc:
+        w.write(c & 0x3F, 6)
+    w.write(0b01, 2)                    # 5-bit rice params (method 1)
+    w.write(0, 4)                       # partition order 0
+    k = 5
+    w.write(k, 5)
+    for v in res:
+        u = v * 2 if v >= 0 else -v * 2 - 1
+        w.write_unary(u >> k)
+        w.write(u, k)
+    w.align()
+    frame = bytes(hdr) + bytes(w.out)
+    blob += frame + _crc16(frame).to_bytes(2, "big")
+
+    rate, ch, back = decode_flac(bytes(blob))
+    assert (rate, ch) == (8000, 1)
+    assert np.array_equal(back[:, 0], np.array(x, np.int32))
+    # tamper one residual byte: the frame CRC-16 must catch it
+    bad = bytearray(blob)
+    bad[-10] ^= 0x10
+    with pytest.raises(ValueError, match="CRC|MD5"):
+        decode_flac(bytes(bad))
+
+
+def test_flac_lpc_rejects_reserved_shapes():
+    """Invalid LPC fields dead-letter with named errors: precision
+    code 0b1111 and a negative (reserved) shift."""
+    import hashlib
+
+    from apache_beam_spark.multimodal.codecs import (_crc8, _flac_utf8,
+                                                     _FlacBitWriter,
+                                                     decode_flac)
+
+    def stream(prec_code, shift_bits):
+        bs = 8
+        si = _FlacBitWriter()
+        si.write(bs, 16)
+        si.write(bs, 16)
+        si.write(0, 24)
+        si.write(0, 24)
+        si.write(8000, 20)
+        si.write(0, 3)
+        si.write(15, 5)
+        si.write(bs, 36)
+        blob = bytearray(b"fLaC")
+        body = bytes(si.out) + hashlib.md5(b"").digest()
+        blob += bytes([0x80, 0, 0, len(body)]) + body
+        hdr = bytearray(b"\xff\xf8")
+        hdr.append((0b0110 << 4))
+        hdr.append(0b100 << 1)
+        hdr += _flac_utf8(0)
+        hdr.append(bs - 1)
+        hdr.append(_crc8(bytes(hdr)))
+        w = _FlacBitWriter()
+        w.write(0, 1)
+        w.write(0b100000, 6)            # LPC order 1
+        w.write(0, 1)
+        w.write(1, 16)                  # warmup
+        w.write(prec_code, 4)
+        w.write(shift_bits, 5)
+        w.write(0x3F, 15)               # enough bits to parse past
+        w.align()
+        return bytes(blob) + bytes(hdr) + bytes(w.out) + b"\x00\x00"
+
+    with pytest.raises(ValueError, match="precision"):
+        decode_flac(stream(0b1111, 1))
+    with pytest.raises(ValueError, match="shift"):
+        decode_flac(stream(6 - 1, 0b11111))   # 5-bit signed -1
+
+
+def test_flac_lpc_encoder_roundtrip_and_compression():
+    """use_lpc=True stays bit-exact lossless on every shape the fixed
+    path covers AND beats the fixed predictors on tonal content; the
+    default use_lpc=False byte stream is UNCHANGED from r9 (the
+    flac_roundtrip oracle's inputs)."""
+    from apache_beam_spark.multimodal.codecs import decode_flac, encode_flac
+
+    rng = np.random.RandomState(11)
+    t = np.arange(20000)
+    tonal = np.clip(9000 * np.sin(2 * np.pi * t / 97)
+                    + 4000 * np.sin(2 * np.pi * t / 31)
+                    + rng.normal(0, 30, t.size), -32768, 32767) \
+        .astype(np.int64)
+    e_fixed = encode_flac(tonal, 44100)
+    e_lpc = encode_flac(tonal, 44100, use_lpc=True)
+    assert len(e_lpc) < len(e_fixed) * 0.95   # LPC genuinely won
+    _, _, back = decode_flac(e_lpc)
+    assert np.array_equal(back[:, 0], tonal)
+    # every roundtrip shape, stereo assigns included
+    for n in (17, 100, 4097):
+        for bits in (8, 16):
+            lo, hi = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
+            mono = np.clip((np.sin(np.arange(n) / 9) * hi * 0.7)
+                           + rng.randint(-3, 4, n), lo, hi).astype(np.int64)
+            st = np.stack([mono, np.roll(mono, 1)], axis=1)
+            for assign in ("indep", "left_side", "right_side", "mid_side"):
+                got = decode_flac(encode_flac(
+                    st, 8000, bits=bits, assign=assign, use_lpc=True))[2]
+                assert np.array_equal(got, st.astype(np.int32)), \
+                    (n, bits, assign)
+    # noise must NOT regress: LPC candidates lose on cost and the
+    # stream falls back to the r9 fixed/verbatim choice
+    noise = rng.randint(-32768, 32768, 8192)
+    assert encode_flac(noise, 44100, use_lpc=True) == \
+        encode_flac(noise, 44100)
+
+
+def test_flac_empty_stream_roundtrips():
+    """n==0 emits a frameless stream whose empty-audio MD5 verifies
+    (r9 ADVICE: the old padding frame made empty payloads
+    dead-letter)."""
+    from apache_beam_spark.multimodal.codecs import decode_flac, encode_flac
+
+    for shape, ch in (((0,), 1), ((0, 1), 1), ((0, 2), 2)):
+        blob = encode_flac(np.zeros(shape, np.int64), 8000)
+        rate, c2, back = decode_flac(blob)
+        assert (rate, c2) == (8000, ch)
+        assert back.shape == (0, ch)
+
+
 # ------------------------------------------------- WAV float / G.711
 
 def test_wav_float_roundtrip():
