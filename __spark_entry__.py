@@ -952,7 +952,11 @@ def _dedup_exact(spark, sf_dir):
 
 
 def _dedup_minhash(spark, sf_dir):
-    """MinHash LSH near-dedup — rows-only (engine-specific hashes)."""
+    """MinHash LSH near-dedup — rows-only (engine-specific xxhash64;
+    survives as the production fast path because xxhash64 is one
+    JVM-codegen call where md5 is hash+hex+substring+conv; correctness
+    rides the oracled `dedup_minhash_md5` twin plus the kept-set-size
+    pin in tests/test_twin_parity.py)."""
     return minhash_lsh_dedup(
         load_table(spark, "documents", sf_dir),
         num_hashes=64, num_bands=16, shingle_k=3,
@@ -1149,7 +1153,12 @@ def _stream_session_exact(spark, sf_dir):
     value-oracle gate, covering the one stateful-streaming family
     (merging session state) the first three don't.  Batch twin:
     `window_session` (same gap, Sessions windowing); parity pinned in
-    tests/test_streaming_session.py."""
+    tests/test_streaming_session.py.  NOTE the documented boundary
+    divergence from the Beam reference (windowing.Sessions docstring):
+    Spark merges sessions at EXACT-gap adjacency where Beam's
+    IntervalWindow.isDisjoint keeps them separate — this query, its
+    batch twin, and the oracle's strict '>' all follow the Spark
+    convention."""
     import tempfile
 
     from apache_beam_spark.streaming.sources import (TestStream,
@@ -1184,7 +1193,12 @@ def _stream_session_exact(spark, sf_dir):
 
 
 def _dedup_simhash(spark, sf_dir):
-    """SimHash near-dedup — rows-only (engine-specific hashes)."""
+    """SimHash near-dedup — rows-only (engine-specific xxhash64 bit
+    derivation; survives as the production fast path — correctness
+    rides the oracled `dedup_simhash_md5` twin plus the exact-count
+    pin in tests/test_twin_parity.py, which bounds the legitimate
+    borderline-hamming divergence between the two bit derivations at
+    5 docs of 500)."""
     return simhash_dedup(load_table(spark, "documents", sf_dir), max_hamming=3) \
         .select("doc_id")
 
@@ -2200,7 +2214,9 @@ def _dedup_incremental_minhash(spark, sf_dir):
     in-batch bucket-min, the corpus never rewritten.  Engine-specific
     hashes, so rows-only — the md5 twin
     `dedup_incremental_minhash_md5` value-oracles the identical keep
-    rule (the `dedup_minhash`/`dedup_minhash_md5` convention)."""
+    rule (the `dedup_minhash`/`dedup_minhash_md5` convention), and
+    tests/test_twin_parity.py pins this path's kept-set size equal to
+    that twin's on the fixed corpus."""
     from apache_beam_spark.dedup.minhash import (
         minhash_band_index, minhash_dedup_incremental)
 

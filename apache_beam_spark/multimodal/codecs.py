@@ -1,11 +1,12 @@
 """REAL codecs for common media containers — pure Python/stdlib-zlib/
 numpy, no external media libraries.
 
-MP3/H.264 stay gated behind ``NotImplementedError`` (perceptual
-audio/video codecs are out of scope), but the two dominant image
-formats of a web crawl — PNG and JPEG in all four entropy/scan
-flavors — plus FLAC and the uncompressed containers are fully
-decodable:
+MP3/H.264 are DESCOPED (SURVEY §8: perceptual audio/video codecs with
+no in-container oracle — their decode belongs to an ffmpeg-equipped
+cluster image, and the ``NotImplementedError`` gates say so), but the
+two dominant image formats of a web crawl — PNG and JPEG in all four
+entropy/scan flavors — plus FLAC and the uncompressed containers are
+fully decodable:
 
 * **PNG** (RFC 2083): chunk walk with CRC verification, zlib inflate,
   None/Sub/Up/Average/Paeth unfiltering; 8- and 16-bit gray/RGB/
@@ -18,8 +19,9 @@ decodable:
   Annex G spectral selection + successive approximation),
   arithmetic-coded (SOF9 sequential AND SOF10 progressive — the
   Annex D QM-coder, r9) and LOSSLESS (SOF3, Annex H DPCM, r9) frames
-  all decode; hierarchical/differential frames raise
-  NotImplementedError naming the exact gap.
+  all decode; hierarchical/differential frames (SOF5-7/13-15, DHP)
+  are DESCOPED — effectively extinct in real corpora (SURVEY §8) —
+  and raise NotImplementedError saying so.
 
 * **WAV** (RIFF little-endian): chunk walk honoring chunk sizes and
   padding; integer PCM 8/16/32-bit, IEEE float 32/64 (r8), and G.711
@@ -1672,9 +1674,9 @@ def decode_image_real(payload: bytes) -> np.ndarray:
 # in-sandbox (no JPEG files ship in the container); baseline (SOF0/1),
 # progressive (SOF2), arithmetic-coded (SOF9 sequential, SOF10
 # progressive — Annex D QM-coder) and lossless (SOF3, Annex H DPCM)
-# frames all decode; hierarchical/differential frames raise
-# NotImplementedError naming the gap; malformed streams raise
-# ValueError (the dead-letter contract).
+# frames all decode; hierarchical/differential frames are DESCOPED
+# (SURVEY §8) and raise NotImplementedError saying so; malformed
+# streams raise ValueError (the dead-letter contract).
 
 _ZIGZAG = []
 for _s in range(15):
@@ -2140,7 +2142,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         elif marker in (0xC5, 0xC6, 0xC7, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"non-baseline JPEG frame (SOF marker 0xFF{marker:02X})")
+                f"hierarchical/differential JPEG frame (SOF marker "
+                f"0xFF{marker:02X}) — DESCOPED (SURVEY §8: effectively "
+                f"extinct in real corpora; dead-letter these payloads)")
         elif marker == 0xCC:                    # DAC conditioning
             if len(body) % 2:
                 raise ValueError("malformed DAC segment length")
@@ -2531,6 +2535,18 @@ def _decode_scan_lossless(payload, pos, frame, sel, predictor, al):
 # legally decodes its final MCUs from zero data instead of raising;
 # structural corruption (impossible magnitudes, AC run overflow,
 # malformed DAC) still raises ValueError (dead-letter contract).
+#
+# VERIFICATION SCOPE (r9 review, explicitly unverified gap): the
+# arithmetic path is pinned by (a) hypothesis round-trips of the raw
+# QM-coder, (b) cross-flavor pixel-equality fuzz vs the huffman path,
+# and (c) the value-oracled bench queries — all against THIS repo's
+# own encoder.  No externally generated arithmetic JPEG exists in the
+# container (stock libjpeg ships without D_ARITH_CODING_SUPPORT), so
+# a conditioning-model deviation from T.81 F.1.4/G.1.3 that is
+# self-consistent between our encoder and decoder would mis-decode
+# FOREIGN SOF9/SOF10 streams while every in-repo gate stays green.
+# Treat foreign arithmetic-JPEG fidelity as unverified until a
+# known-good external fixture is pinned.
 # ---------------------------------------------------------------------------
 
 #: T.81 Table D.3: (Qe, next-index-LPS, next-index-MPS, switch-MPS)

@@ -8,13 +8,14 @@ not bytes, so ``repartition_for_media`` sizes partitions by payload
 bytes instead).
 
 Containers decode FOR REAL via ``codecs.py`` (pure struct/zlib/numpy
-— WAV PCM/float/G.711 audio; BMP, PPM, PNG incl. Adam7/16-bit, GIF,
-TIFF, JPEG baseline+progressive images).  Still-gated formats
-(arithmetic JPEG, MP3, H.264) raise ``NotImplementedError`` naming
-the needed library; a deterministic fake decoder remains for plumbing
-tests of those paths — it derives (width, height, channels) and pixel
-statistics purely from the payload bytes, so tests have stable
-expected values.
+— WAV PCM/float/G.711 and FLAC audio; BMP, PPM, PNG incl.
+Adam7/16-bit, GIF, TIFF, JPEG in all SOF0/1/2/3/9/10 flavors).
+MP3 and H.264 are DESCOPED (SURVEY §8: perceptual codecs with no
+in-container oracle — decode belongs to an ffmpeg-equipped cluster
+image) and raise ``NotImplementedError`` saying so; a deterministic
+fake decoder remains for plumbing tests of those paths — it derives
+(width, height, channels) and pixel statistics purely from the
+payload bytes, so tests have stable expected values.
 """
 
 from __future__ import annotations
@@ -168,7 +169,10 @@ def sample_frames(df: DataFrame, every_n: int = 10, payload_col: str = "payload"
             for i, payload in zip(pdf[id_col], pdf[payload_col]):
                 if not fake:
                     raise NotImplementedError(
-                        "video decoding requires ffmpeg (not in this container)")
+                        "H.264/video decode is DESCOPED (SURVEY §8: "
+                        "perceptual codec; needs ffmpeg on the cluster "
+                        "image) — pass fake=True for the deterministic "
+                        "plumbing-test decoder")
                 b = bytes(payload)
                 n_frames = max(len(b) // frame_bytes, 1)
                 for fi in range(0, n_frames, every_n):
@@ -223,9 +227,10 @@ def decode_audio(df: DataFrame, payload_col: str = "payload",
                     rate, channels, samples = decode_flac(b)
                 else:
                     raise NotImplementedError(
-                        "compressed audio beyond FLAC requires "
-                        "ffmpeg/librosa (not in this container); PCM "
-                        "WAV and FLAC decode natively")
+                        "MP3 and other perceptual audio codecs are "
+                        "DESCOPED (SURVEY §8: no in-container oracle; "
+                        "needs ffmpeg/librosa on the cluster image); "
+                        "PCM WAV and FLAC decode natively")
                 s = samples.astype(np.float64)
                 # abs in int64: np.abs(int16 -32768) overflows back to
                 # -32768 in the narrow dtype (caught by the oracle)

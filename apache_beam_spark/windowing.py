@@ -99,10 +99,19 @@ class SlidingWindows(WindowFn):
 class Sessions(WindowFn):
     """Session windows with a gap (reference ``Sessions.java:40,49``).
 
-    Spark's ``session_window`` performs the same merge of overlapping
-    per-element proto-windows the reference does in
-    ``MergeOverlappingIntervalWindows.java``, but inside the native
-    streaming/batch session aggregation operator.
+    Spark's ``session_window`` merges overlapping per-element
+    proto-windows inside the native streaming/batch session
+    aggregation operator, the same idea as the reference's
+    ``MergeOverlappingIntervalWindows.java`` — with ONE boundary
+    divergence (r9 review): at exact-gap adjacency the reference's
+    ``IntervalWindow.isDisjoint`` treats ``end == other.start`` as
+    disjoint (two events exactly one gap apart stay in SEPARATE
+    sessions), while Spark merges them into one session.  Every
+    consumer in this repo (``window_session``, ``user_sessions``,
+    ``stream_session_exact`` and its oracle, which uses strict ``>``
+    accordingly) follows the SPARK convention; port reference
+    pipelines that depend on the exact-gap split with a gap of
+    ``gap - 1ms``.
     """
 
     gap: str

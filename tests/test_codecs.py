@@ -362,7 +362,7 @@ def test_jpeg_malformed_inputs_raise_cleanly():
     # quietly DC-only
     with pytest.raises(ValueError, match="spectral selection"):
         decode_jpeg(good.replace(b"\xff\xc0", b"\xff\xc2", 1))
-    with pytest.raises(NotImplementedError, match="non-baseline"):
+    with pytest.raises(NotImplementedError, match="DESCOPED"):
         # hierarchical (SOF5) is gated; arithmetic and lossless frames
         # decode for real since r9 (test_jpeg_arith_* / _lossless_*)
         decode_jpeg(good.replace(b"\xff\xc0", b"\xff\xc5", 1))
