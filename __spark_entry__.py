@@ -3517,6 +3517,54 @@ def _flac_roundtrip(spark, sf_dir):
         "doc_id", "sample_rate", "num_samples", "peak_abs")
 
 
+def _flac_lpc_roundtrip(spark, sf_dir):
+    """FLAC round trip through the LPC coding path (r10:
+    multimodal/codecs.py gains general LPC subframes — order 1-32
+    quantized-coefficient decode, the coding real libFLAC/ffmpeg files
+    use, plus an opt-in Levinson-Durbin encoder).  The fixed twin's
+    hash-noise formula would never trigger LPC (it only wins on
+    correlated content), so this fixture is TONAL — two sines with a
+    per-doc phase — where the Levinson-Durbin candidates genuinely
+    beat the fixed predictors and the streams carry real LPC subframes
+    (asserted in tests/test_codecs.py::
+    test_flac_lpc_bench_fixture_actually_uses_lpc).  Sine samples are
+    float-library-dependent, so the oracle pins the SQL-exact outputs
+    only: sample count, rate, and a planted x[0]=32000 spike above the
+    13,000 sine amplitude that makes peak_abs closed-form.  Sample
+    EXACTNESS is still fully enforced — decode_flac verifies the
+    STREAMINFO MD5 over all decoded samples (plus per-frame CRCs), so
+    any LPC mis-decode fails the query rather than drifting values."""
+    from apache_beam_spark.multimodal.columns import decode_audio
+
+    docs = (load_table(spark, "documents", sf_dir)
+            .select("doc_id", "n_chars")
+            .where(F.col("doc_id") % 11 == 3))
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from apache_beam_spark.multimodal.codecs import encode_flac
+
+        for pdf in batches:
+            rows = []
+            for d, n in zip(pdf["doc_id"], pdf["n_chars"]):
+                i = np.arange(int(n), dtype=np.int64)
+                x = np.round(
+                    9000 * np.sin(2 * np.pi * i / 97 + int(d) % 7)
+                    + 4000 * np.sin(2 * np.pi * i / 31)).astype(np.int64)
+                if len(x):
+                    x[0] = 32000          # closed-form peak witness
+                rows.append({"doc_id": int(d),
+                             "payload": encode_flac(x, 8000,
+                                                    use_lpc=True)})
+            yield pd.DataFrame(rows)
+
+    enc = docs.mapInPandas(gen, "doc_id bigint, payload binary")
+    return decode_audio(enc).select(
+        "doc_id", "sample_rate", "num_samples", "peak_abs")
+
+
 def _rt_rgb_image(d: int):
     """The shared roundtrip pixel formula: a (3-6) x (4-8) RGB image
     whose bytes are ((d*7 + k*13) % 256) — at most 48 distinct colors
@@ -4043,6 +4091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_report": _dq_report,
         "wav_roundtrip": _wav_roundtrip,
         "flac_roundtrip": _flac_roundtrip,
+        "flac_lpc_roundtrip": _flac_lpc_roundtrip,
         "png_roundtrip": _png_roundtrip,
         "png_adam7_roundtrip": _png_adam7_roundtrip,
         "gif_roundtrip": _gif_roundtrip,
@@ -6566,6 +6615,17 @@ def oracle_sql() -> dict[str, str]:
     # runs the doc_id % 11 == 3 codec subset
     out["flac_roundtrip"] = (out["wav_roundtrip"]
                              + "\n            WHERE doc_id % 11 = 3")
+    # LPC twin: tonal fixture (sines are libm-dependent, so only the
+    # SQL-exact outputs are oracled — count/rate plus the planted
+    # x[0]=32000 peak witness; sample exactness rides the in-codec
+    # MD5/CRC verification, which raises on any mis-decode)
+    out["flac_lpc_roundtrip"] = """
+            SELECT doc_id, 8000 AS sample_rate,
+                   CAST(n_chars AS BIGINT) AS num_samples,
+                   CAST(CASE WHEN n_chars = 0 THEN 0 ELSE 32000 END
+                        AS BIGINT) AS peak_abs
+            FROM documents
+            WHERE doc_id % 11 = 3"""
     # lossless JPEG returns the exact input pixels: same oracle as the
     # lossless image codecs, not the baseline-JPEG closed form
     out["jpeg_lossless_roundtrip"] = out["png_adam7_roundtrip"]

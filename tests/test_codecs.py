@@ -1274,6 +1274,54 @@ def test_flac_lpc_encoder_roundtrip_and_compression():
         encode_flac(noise, 44100)
 
 
+def test_flac_lpc_bench_fixture_actually_uses_lpc():
+    """The flac_lpc_roundtrip query's tonal fixture must genuinely
+    trigger LPC subframes (the fixed twin's hash-noise formula never
+    does): for representative (doc_id, n_chars) shapes the use_lpc
+    stream is strictly smaller than the fixed-predictor stream, and an
+    0b10xxxx LPC subframe type is present on the wire."""
+    from apache_beam_spark.multimodal.codecs import (_FlacBitReader,
+                                                     _flac_read_utf8,
+                                                     decode_flac,
+                                                     encode_flac)
+
+    def fixture_samples(d, n):
+        i = np.arange(n, dtype=np.int64)
+        x = np.round(9000 * np.sin(2 * np.pi * i / 97 + d % 7)
+                     + 4000 * np.sin(2 * np.pi * i / 31)).astype(np.int64)
+        if len(x):
+            x[0] = 32000
+        return x
+
+    for d, n in ((3, 733), (14, 1205), (25, 301)):
+        x = fixture_samples(d, n)
+        lpc = encode_flac(x, 8000, use_lpc=True)
+        fixed = encode_flac(x, 8000)
+        assert len(lpc) < len(fixed), (d, n)
+        _, _, back = decode_flac(lpc)
+        assert np.array_equal(back[:, 0], x)
+        assert int(np.abs(back).max()) == 32000
+        # walk to the first frame's first subframe type on the wire
+        pos = 4
+        while True:                     # metadata blocks
+            last = lpc[pos] & 0x80
+            pos += 4 + int.from_bytes(lpc[pos + 1:pos + 4], "big")
+            if last:
+                break
+        r = _FlacBitReader(lpc, pos + 2)
+        r.read(16)                      # bs/sr/ch/ss codes + reserved
+        _flac_read_utf8(r)
+        if (lpc[pos + 2] >> 4) == 0b0110:
+            r.read(8)
+        elif (lpc[pos + 2] >> 4) == 0b0111:
+            r.read(16)
+        r.align()
+        r.byte += 1                     # header CRC-8
+        r.read(1)
+        stype = r.read(6)
+        assert stype >= 0b100000, f"first subframe not LPC: {stype:#08b}"
+
+
 def test_flac_empty_stream_roundtrips():
     """n==0 emits a frameless stream whose empty-audio MD5 verifies
     (r9 ADVICE: the old padding frame made empty payloads
