@@ -445,6 +445,104 @@ def _flac_lpc_residual(x: np.ndarray, qc: list[int],
     return x[order:] - (acc >> shift)
 
 
+def _flac_plan_subframe(x: np.ndarray, sb: int, use_lpc: bool) -> tuple:
+    """(exact_bits, plan) for the cheapest coding of one subframe —
+    constant / best fixed order 0-4 / (opt-in) best LPC / verbatim.
+    Costs are true bit counts (8 header bits + warmup + coef fields +
+    rice partition), so plans are comparable ACROSS stereo
+    decorrelation candidates, which is what ``assign="auto"`` sums."""
+    if np.all(x == x[0]):
+        return 8 + sb, ("constant", int(x[0]))
+    best = None
+    for order in range(min(5, len(x))):
+        res = _flac_residual(x, order)
+        u = (np.abs(res) * 2 - (res < 0)).astype(np.int64)
+        k = min(range(15), key=lambda kk: _rice_cost(u, kk))
+        cost = 8 + order * sb + 10 + _rice_cost(u, k)
+        if best is None or cost < best[0]:
+            best = (cost, ("fixed", order, k, res))
+    if use_lpc and len(x) > 16:
+        # Hann-windowed autocorrelation; every candidate's cost is
+        # EXACT (header + coef + rice bits of the true quantized-
+        # integer residual), so LPC only wins when it genuinely beats
+        # the best fixed predictor
+        xf = x.astype(np.float64) * np.hanning(len(x))
+        max_order = min(12, len(x) - 1)
+        ac = np.array([float(np.dot(xf[:len(xf) - lag], xf[lag:]))
+                       for lag in range(max_order + 1)])
+        for order in sorted({2, 4, 8, max_order}):
+            if order > max_order or ac[0] <= 0:
+                continue
+            q = _flac_quantize_lpc(_levinson_durbin(ac, order))
+            if q is None:
+                continue
+            qc, prec, shift = q
+            res = _flac_lpc_residual(x, qc, shift)
+            u = (np.abs(res) * 2 - (res < 0)).astype(np.int64)
+            k = min(range(15), key=lambda kk: _rice_cost(u, kk))
+            cost = (8 + len(qc) * (sb + prec) + 4 + 5 + 10
+                    + _rice_cost(u, k))
+            if cost < best[0]:
+                best = (cost, ("lpc", qc, prec, shift, k, res))
+    verbatim = 8 + len(x) * sb
+    if verbatim <= best[0]:              # rice blew up -> raw samples
+        return verbatim, ("verbatim",)
+    return best
+
+
+def _flac_write_subframe(w: "_FlacBitWriter", x: np.ndarray, sb: int,
+                         plan: tuple) -> None:
+    kind = plan[0]
+    w.write(0, 1)                        # subframe pad bit
+    if kind == "constant":
+        w.write(0b000000, 6)
+        w.write(0, 1)
+        w.write(plan[1] & ((1 << sb) - 1), sb)
+        return
+    if kind == "verbatim":
+        w.write(0b000001, 6)
+        w.write(0, 1)
+        for v in x:
+            w.write(int(v) & ((1 << sb) - 1), sb)
+        return
+    if kind == "fixed":
+        _, order, k, res = plan
+        w.write(0b001000 | order, 6)
+    else:                                # lpc
+        _, qc, prec, shift, k, res = plan
+        order = len(qc)
+        w.write(0b100000 | (order - 1), 6)
+    w.write(0, 1)                        # no wasted bits
+    for v in x[:order]:                  # warmup
+        w.write(int(v) & ((1 << sb) - 1), sb)
+    if kind == "lpc":
+        w.write(prec - 1, 4)
+        w.write(shift, 5)                # 5-bit signed, always >= 0 here
+        for c in qc:
+            w.write(int(c) & ((1 << prec) - 1), prec)
+    w.write(0b00, 2)                     # 4-bit rice parameters
+    w.write(0, 4)                        # partition order 0
+    w.write(k, 4)
+    for v in res:
+        u = int(v) * 2 if v >= 0 else -int(v) * 2 - 1
+        w.write_unary(u >> k)
+        w.write(u, k)
+
+
+def _flac_subframe_arrays(blk: np.ndarray, bits: int,
+                          assign: str) -> list:
+    """[(samples, sample_bits)] per subframe under one stereo
+    decorrelation (side channels carry bits+1 — all four lossless)."""
+    if assign == "indep":
+        return [(blk[:, ch], bits) for ch in range(blk.shape[1])]
+    if assign == "left_side":
+        return [(blk[:, 0], bits), (blk[:, 0] - blk[:, 1], bits + 1)]
+    if assign == "right_side":
+        return [(blk[:, 0] - blk[:, 1], bits + 1), (blk[:, 1], bits)]
+    return [((blk[:, 0] + blk[:, 1]) >> 1, bits),       # mid_side
+            (blk[:, 0] - blk[:, 1], bits + 1)]
+
+
 def encode_flac(samples: np.ndarray, sample_rate: int,
                 bits: int = 16, assign: str = "indep",
                 use_lpc: bool = False) -> bytes:
@@ -458,11 +556,16 @@ def encode_flac(samples: np.ndarray, sample_rate: int,
     coding is cheapest — still bit-exact lossless, since the residual
     is computed with the same quantized integer arithmetic the decoder
     inverts.  ``use_lpc`` defaults off so the oracled fixed-subset
-    streams (flac_roundtrip) are byte-identical to r9.  ``assign``
-    selects the stereo decorrelation ("indep", "left_side",
-    "right_side", "mid_side" — side channels carry bits+1, all
-    lossless).  Bit-exact round trip with ``decode_flac``; STREAMINFO
-    carries the raw-audio MD5 the decoder verifies.  n==0 emits a
+    streams (flac_roundtrip) keep the r9 coding.  ``assign`` selects
+    the stereo decorrelation ("indep", "left_side", "right_side",
+    "mid_side" — side channels carry bits+1, all lossless) or
+    ``"auto"`` (r10): PER FRAME, all four candidates' exact subframe
+    bit costs are summed and the cheapest assignment is written into
+    that frame's header — the libFLAC behavior, legal because the
+    assignment is a frame-header field (not STREAMINFO) and the
+    decoder already reads it per frame.  Bit-exact round trip with
+    ``decode_flac``; STREAMINFO carries the raw-audio MD5 the decoder
+    verifies.  n==0 emits a
     frameless stream (STREAMINFO total 0 + empty-audio MD5) rather
     than a padding frame (r9 ADVICE)."""
     import hashlib
@@ -474,10 +577,13 @@ def encode_flac(samples: np.ndarray, sample_rate: int,
         raise ValueError(f"unsupported FLAC channel shape {s.shape}")
     if bits not in (8, 16):
         raise ValueError(f"unsupported FLAC bit depth {bits}")
-    if assign not in ("indep", "left_side", "right_side", "mid_side"):
+    if assign not in ("indep", "left_side", "right_side", "mid_side",
+                      "auto"):
         raise ValueError(f"unknown FLAC channel assignment {assign!r}")
-    if assign != "indep" and s.shape[1] != 2:
+    if assign not in ("indep", "auto") and s.shape[1] != 2:
         raise ValueError("stereo decorrelation needs 2 channels")
+    if assign == "auto" and s.shape[1] == 1:
+        assign = "indep"                 # auto on mono is independent
     lo, hi = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
     s = s.astype(np.int64)
     if s.size and (s.min() < lo or s.max() > hi):
@@ -502,8 +608,10 @@ def encode_flac(samples: np.ndarray, sample_rate: int,
     out += bytes([0x80, 0, 0, len(streaminfo)])   # last-block, type 0
     out += streaminfo
 
-    ch_code = {"indep": channels - 1, "left_side": 0b1000,
-               "right_side": 0b1001, "mid_side": 0b1010}[assign]
+    ch_codes = {"indep": channels - 1, "left_side": 0b1000,
+                "right_side": 0b1001, "mid_side": 0b1010}
+    candidates = (("indep", "left_side", "right_side", "mid_side")
+                  if assign == "auto" else (assign,))
     # n == 0: no frames at all — the decoder's unknown/zero-total loop
     # decodes nothing and the MD5 over empty audio matches (r9 ADVICE:
     # the old 1-sample padding frame made empty payloads dead-letter)
@@ -511,94 +619,30 @@ def encode_flac(samples: np.ndarray, sample_rate: int,
         blk = s[fidx * _FLAC_BLOCK:(fidx + 1) * _FLAC_BLOCK]
         bs = blk.shape[0]
         full = bs == _FLAC_BLOCK
+
+        best = None                # (total_bits, assign, [(x, sb, plan)])
+        for a in candidates:
+            planned, cost = [], 0
+            for x, sb in _flac_subframe_arrays(blk, bits, a):
+                c, plan = _flac_plan_subframe(x, sb, use_lpc)
+                planned.append((x, sb, plan))
+                cost += c
+            if best is None or cost < best[0]:
+                best = (cost, a, planned)
+        _, frame_assign, planned = best
+
         hdr = bytearray(b"\xff\xf8")
         hdr.append(((0b1100 if full else 0b0111) << 4) | 0b0000)
-        hdr.append(ch_code << 4 | ({8: 0b001, 16: 0b100}[bits] << 1))
+        hdr.append(ch_codes[frame_assign] << 4
+                   | ({8: 0b001, 16: 0b100}[bits] << 1))
         hdr += _flac_utf8(fidx)
         if not full:
             hdr += struct.pack(">H", bs - 1)
         hdr.append(_crc8(bytes(hdr)))
 
-        if assign == "indep":
-            subframes = [(blk[:, ch], bits) for ch in range(channels)]
-        elif assign == "left_side":
-            subframes = [(blk[:, 0], bits),
-                         (blk[:, 0] - blk[:, 1], bits + 1)]
-        elif assign == "right_side":
-            subframes = [(blk[:, 0] - blk[:, 1], bits + 1),
-                         (blk[:, 1], bits)]
-        else:                            # mid_side
-            subframes = [((blk[:, 0] + blk[:, 1]) >> 1, bits),
-                         (blk[:, 0] - blk[:, 1], bits + 1)]
-
         w = _FlacBitWriter()
-        for x, sb in subframes:
-            if np.all(x == x[0]):
-                w.write(0, 1)
-                w.write(0b000000, 6)     # constant
-                w.write(0, 1)
-                w.write(int(x[0]) & ((1 << sb) - 1), sb)
-                continue
-            # best fixed order by exact rice cost
-            best = None                  # (cost, kind, order, k, res, lpc)
-            for order in range(min(5, len(x))):
-                res = _flac_residual(x, order)
-                u = (np.abs(res) * 2 - (res < 0)).astype(np.int64)
-                k = min(range(15), key=lambda kk: _rice_cost(u, kk))
-                cost = order * sb + 6 + _rice_cost(u, k)
-                if best is None or cost < best[0]:
-                    best = (cost, "fixed", order, k, res, None)
-            if use_lpc and len(x) > 16:
-                # Hann-windowed autocorrelation; every candidate's cost
-                # is EXACT (header + coef + rice bits of the true
-                # quantized-integer residual), so LPC only wins when it
-                # genuinely beats the best fixed predictor
-                xf = x.astype(np.float64) * np.hanning(len(x))
-                max_order = min(12, len(x) - 1)
-                ac = np.array([float(np.dot(xf[:len(xf) - lag], xf[lag:]))
-                               for lag in range(max_order + 1)])
-                for order in sorted({2, 4, 8, max_order}):
-                    if order > max_order or ac[0] <= 0:
-                        continue
-                    q = _flac_quantize_lpc(_levinson_durbin(ac, order))
-                    if q is None:
-                        continue
-                    qc, prec, shift = q
-                    res = _flac_lpc_residual(x, qc, shift)
-                    u = (np.abs(res) * 2 - (res < 0)).astype(np.int64)
-                    k = min(range(15), key=lambda kk: _rice_cost(u, kk))
-                    cost = (len(qc) * (sb + prec) + 4 + 5
-                            + 6 + _rice_cost(u, k))
-                    if cost < best[0]:
-                        best = (cost, "lpc", len(qc), k, res,
-                                (qc, prec, shift))
-            cost, kind, order, k, res, lpc = best
-            if cost >= len(x) * sb:      # rice blew up -> verbatim
-                w.write(0, 1)
-                w.write(0b000001, 6)
-                w.write(0, 1)
-                for v in x:
-                    w.write(int(v) & ((1 << sb) - 1), sb)
-                continue
-            w.write(0, 1)
-            w.write((0b001000 | order) if kind == "fixed"
-                    else (0b100000 | (order - 1)), 6)
-            w.write(0, 1)                # no wasted bits
-            for v in x[:order]:          # warmup
-                w.write(int(v) & ((1 << sb) - 1), sb)
-            if kind == "lpc":
-                qc, prec, shift = lpc
-                w.write(prec - 1, 4)
-                w.write(shift, 5)        # 5-bit signed, always >= 0 here
-                for c in qc:
-                    w.write(int(c) & ((1 << prec) - 1), prec)
-            w.write(0b00, 2)             # 4-bit rice parameters
-            w.write(0, 4)                # partition order 0
-            w.write(k, 4)
-            for v in res:
-                u = int(v) * 2 if v >= 0 else -int(v) * 2 - 1
-                w.write_unary(u >> k)
-                w.write(u, k)
+        for x, sb, plan in planned:
+            _flac_write_subframe(w, x, sb, plan)
         w.align()
         frame = bytes(hdr) + bytes(w.out)
         out += frame + struct.pack(">H", _crc16(frame))

@@ -1322,6 +1322,35 @@ def test_flac_lpc_bench_fixture_actually_uses_lpc():
         assert stype >= 0b100000, f"first subframe not LPC: {stype:#08b}"
 
 
+def test_flac_auto_stereo_assignment_per_frame():
+    """assign="auto" (r10): per-frame exact-cost selection over all
+    four decorrelations must round-trip bit-exactly AND never be
+    larger than the best single fixed assignment (it can only be
+    smaller, since each frame picks its own winner)."""
+    from apache_beam_spark.multimodal.codecs import decode_flac, encode_flac
+
+    rng = np.random.RandomState(5)
+    t = np.arange(12000)
+    left = np.clip(8000 * np.sin(2 * np.pi * t / 97)
+                   + rng.normal(0, 25, t.size), -32768, 32767) \
+        .astype(np.int64)
+    right = np.clip(left * 0.98 + rng.normal(0, 12, t.size),
+                    -32768, 32767).astype(np.int64)
+    st = np.stack([left, right], axis=1)
+    sizes = {}
+    for a in ("indep", "left_side", "right_side", "mid_side", "auto"):
+        blob = encode_flac(st, 44100, assign=a, use_lpc=True)
+        _, ch, back = decode_flac(blob)
+        assert ch == 2 and np.array_equal(back, st.astype(np.int32)), a
+        sizes[a] = len(blob)
+    fixed_best = min(v for k, v in sizes.items() if k != "auto")
+    assert sizes["auto"] <= fixed_best
+    assert sizes["auto"] < sizes["indep"]      # decorrelation won
+    # auto on mono degrades to indep; auto without LPC also lossless
+    mono = encode_flac(left, 44100, assign="auto")
+    assert np.array_equal(decode_flac(mono)[2][:, 0], left)
+
+
 def test_flac_empty_stream_roundtrips():
     """n==0 emits a frameless stream whose empty-audio MD5 verifies
     (r9 ADVICE: the old padding frame made empty payloads
