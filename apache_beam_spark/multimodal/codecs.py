@@ -445,29 +445,71 @@ def _flac_lpc_residual(x: np.ndarray, qc: list[int],
     return x[order:] - (acc >> shift)
 
 
+def _flac_part_sizes(bs: int, order: int, porder: int) -> list[int]:
+    """Per-partition residual counts at one rice partition order (the
+    spec layout: first partition short by the warmup samples)."""
+    nparts = 1 << porder
+    return [bs // nparts - order] + [bs // nparts] * (nparts - 1)
+
+
+def _flac_plan_residual(res: np.ndarray, bs: int, order: int) -> tuple:
+    """(exact_bits, porder, ks) — best rice partitioning of one
+    residual section: exact search over partition orders 0..6 with a
+    per-partition optimal 4-bit parameter (method 0), honoring the
+    spec constraints (bs divisible by 2^porder, first partition short
+    by the warmup).  The decoder has understood arbitrary partition
+    orders since r9; r10 makes the encoder EMIT them, which pays on
+    non-stationary frames (quiet->loud transitions get per-region
+    parameters instead of one compromise k)."""
+    u = (np.abs(res) * 2 - (res < 0)).astype(np.int64)
+    best = None
+    for porder in range(7):
+        nparts = 1 << porder
+        if bs % nparts or bs // nparts < order:
+            continue
+        sizes = _flac_part_sizes(bs, order, porder)
+        bits = 2 + 4                     # method + porder fields
+        ks = []
+        pos = 0
+        for sz in sizes:
+            part = u[pos:pos + sz]
+            pos += sz
+            if sz == 0:
+                ks.append(0)
+                bits += 4
+                continue
+            k = min(range(15), key=lambda kk: _rice_cost(part, kk))
+            ks.append(k)
+            bits += 4 + _rice_cost(part, k)
+        if best is None or bits < best[0]:
+            best = (bits, porder, ks)
+    return best
+
+
 def _flac_plan_subframe(x: np.ndarray, sb: int, use_lpc: bool) -> tuple:
     """(exact_bits, plan) for the cheapest coding of one subframe —
     constant / best fixed order 0-4 / (opt-in) best LPC / verbatim.
     Costs are true bit counts (8 header bits + warmup + coef fields +
-    rice partition), so plans are comparable ACROSS stereo
-    decorrelation candidates, which is what ``assign="auto"`` sums."""
+    the partitioned rice section), so plans are comparable ACROSS
+    stereo decorrelation candidates, which is what ``assign="auto"``
+    sums."""
     if np.all(x == x[0]):
         return 8 + sb, ("constant", int(x[0]))
+    bs = len(x)
     best = None
-    for order in range(min(5, len(x))):
+    for order in range(min(5, bs)):
         res = _flac_residual(x, order)
-        u = (np.abs(res) * 2 - (res < 0)).astype(np.int64)
-        k = min(range(15), key=lambda kk: _rice_cost(u, kk))
-        cost = 8 + order * sb + 10 + _rice_cost(u, k)
+        rbits, porder, ks = _flac_plan_residual(res, bs, order)
+        cost = 8 + order * sb + rbits
         if best is None or cost < best[0]:
-            best = (cost, ("fixed", order, k, res))
-    if use_lpc and len(x) > 16:
+            best = (cost, ("fixed", order, porder, ks, res))
+    if use_lpc and bs > 16:
         # Hann-windowed autocorrelation; every candidate's cost is
         # EXACT (header + coef + rice bits of the true quantized-
         # integer residual), so LPC only wins when it genuinely beats
         # the best fixed predictor
-        xf = x.astype(np.float64) * np.hanning(len(x))
-        max_order = min(12, len(x) - 1)
+        xf = x.astype(np.float64) * np.hanning(bs)
+        max_order = min(12, bs - 1)
         ac = np.array([float(np.dot(xf[:len(xf) - lag], xf[lag:]))
                        for lag in range(max_order + 1)])
         for order in sorted({2, 4, 8, max_order}):
@@ -478,13 +520,11 @@ def _flac_plan_subframe(x: np.ndarray, sb: int, use_lpc: bool) -> tuple:
                 continue
             qc, prec, shift = q
             res = _flac_lpc_residual(x, qc, shift)
-            u = (np.abs(res) * 2 - (res < 0)).astype(np.int64)
-            k = min(range(15), key=lambda kk: _rice_cost(u, kk))
-            cost = (8 + len(qc) * (sb + prec) + 4 + 5 + 10
-                    + _rice_cost(u, k))
+            rbits, porder, ks = _flac_plan_residual(res, bs, len(qc))
+            cost = 8 + len(qc) * (sb + prec) + 4 + 5 + rbits
             if cost < best[0]:
-                best = (cost, ("lpc", qc, prec, shift, k, res))
-    verbatim = 8 + len(x) * sb
+                best = (cost, ("lpc", qc, prec, shift, porder, ks, res))
+    verbatim = 8 + bs * sb
     if verbatim <= best[0]:              # rice blew up -> raw samples
         return verbatim, ("verbatim",)
     return best
@@ -506,10 +546,10 @@ def _flac_write_subframe(w: "_FlacBitWriter", x: np.ndarray, sb: int,
             w.write(int(v) & ((1 << sb) - 1), sb)
         return
     if kind == "fixed":
-        _, order, k, res = plan
+        _, order, porder, ks, res = plan
         w.write(0b001000 | order, 6)
     else:                                # lpc
-        _, qc, prec, shift, k, res = plan
+        _, qc, prec, shift, porder, ks, res = plan
         order = len(qc)
         w.write(0b100000 | (order - 1), 6)
     w.write(0, 1)                        # no wasted bits
@@ -521,12 +561,15 @@ def _flac_write_subframe(w: "_FlacBitWriter", x: np.ndarray, sb: int,
         for c in qc:
             w.write(int(c) & ((1 << prec) - 1), prec)
     w.write(0b00, 2)                     # 4-bit rice parameters
-    w.write(0, 4)                        # partition order 0
-    w.write(k, 4)
-    for v in res:
-        u = int(v) * 2 if v >= 0 else -int(v) * 2 - 1
-        w.write_unary(u >> k)
-        w.write(u, k)
+    w.write(porder, 4)
+    pos = 0
+    for k, sz in zip(ks, _flac_part_sizes(len(x), order, porder)):
+        w.write(k, 4)
+        for v in res[pos:pos + sz]:
+            u = int(v) * 2 if v >= 0 else -int(v) * 2 - 1
+            w.write_unary(u >> k)
+            w.write(u, k)
+        pos += sz
 
 
 def _flac_subframe_arrays(blk: np.ndarray, bits: int,
