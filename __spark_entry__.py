@@ -1192,6 +1192,120 @@ def _stream_session_exact(spark, sf_dir):
                     "n_events"))
 
 
+def _stream_join_exact(spark, sf_dir):
+    """Stream-stream TIME-INTERVAL JOIN run END-TO-END inside the
+    query — Spark's symmetric-hash streaming join (watermarked on BOTH
+    sides, time-range condition bounding the buffered state) over a
+    TestStream replay of the real event stream: every view joined to
+    every purchase by the same user within the following day.  An
+    INNER interval join has no "first match" semantics — the complete
+    pair set is emitted no matter how arrival interleaves with the
+    watermark — so the output is deterministic and answers to a plain
+    SQL range join, making this the FIFTH real streaming query under
+    the value-oracle gate and the first to oracle the stream-stream
+    JOIN state family (the bench gate `stream_join_events_per_sec`
+    measures the same operator's throughput).  One data wave (the
+    watermark is 0 during it, so nothing is dropped as late) plus a
+    tail that lets state evict; the tail rows join only each other
+    and are filtered out by user_id.  Reference parity: the join-
+    library CoGBK-based inner join (`sdks/java/extensions/join-library
+    /.../Join.java`) on windowed unbounded inputs."""
+    import tempfile
+
+    from apache_beam_spark.streaming.sources import (TestStream,
+                                                     read_bounded)
+
+    ev = (load_table(spark, "events", sf_dir)
+          .filter(F.col("user_id") < 150)
+          .filter(F.col("event_type").isin("view", "purchase"))
+          .select("event_id", "user_id",
+                  F.unix_micros(F.col("ts").cast("timestamp"))
+                  .alias("tus"), "event_type"))
+    rows = [r.asDict() for r in ev.collect()]
+    ts = TestStream(tempfile.mkdtemp(prefix="entry_sjoin_"))
+    ts.add_elements(rows)
+    tail = max(r["tus"] for r in rows) + 30 * 24 * 3600 * 1_000_000
+    ts.add_elements([
+        {"event_id": 900000001, "user_id": 999999, "tus": tail,
+         "event_type": "view"},
+        {"event_id": 900000002, "user_id": 999999, "tus": tail,
+         "event_type": "purchase"}])
+    src = (ts.stream(spark, "event_id bigint, user_id bigint,"
+                            " tus bigint, event_type string")
+           .select("event_id", "user_id",
+                   F.timestamp_micros("tus").alias("ts"), "event_type"))
+    v = (src.filter(F.col("event_type") == "view")
+         .select(F.col("user_id").alias("v_user"),
+                 F.col("event_id").alias("view_id"),
+                 F.col("ts").alias("vts"))
+         .withWatermark("vts", "10 minutes"))
+    p = (src.filter(F.col("event_type") == "purchase")
+         .select(F.col("user_id").alias("p_user"),
+                 F.col("event_id").alias("purchase_id"),
+                 F.col("ts").alias("pts"))
+         .withWatermark("pts", "10 minutes"))
+    j = v.join(
+        p, (F.col("v_user") == F.col("p_user"))
+        & (F.col("pts") >= F.col("vts"))
+        & (F.col("pts") <= F.col("vts") + F.expr("interval 1 day")),
+        "inner")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        out = read_bounded(j)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (out.filter(F.col("v_user") < 150)
+            .select(F.col("v_user").alias("user_id"), "view_id",
+                    "purchase_id",
+                    F.unix_micros("vts").alias("view_us"),
+                    F.unix_micros("pts").alias("purchase_us")))
+
+
+def _stream_dedup_exact(spark, sf_dir):
+    """Streaming EXACT dedup run END-TO-END inside the query —
+    ``streaming_distinct`` (streaming/stateful.py, Spark's
+    ``dropDuplicatesWithinWatermark`` state) over a TestStream replay
+    in which EVERY event row is spooled twice in the data wave, so the
+    operator genuinely drops half its input.  Only the dedup key
+    (event_id) is projected, so which physical duplicate survives
+    cannot perturb the result: the emitted set is exactly the distinct
+    event_ids, a plain SELECT DISTINCT — the SIXTH real streaming
+    query under the value-oracle gate, covering the watermark-bounded
+    exact-dedup state family (the bench gate
+    `stream_dedup_events_per_sec` measures the same operator's
+    throughput; reference parity: ``transforms/Distinct.java`` on an
+    unbounded input)."""
+    import tempfile
+
+    from apache_beam_spark.streaming.sources import (TestStream,
+                                                     read_bounded)
+    from apache_beam_spark.streaming.stateful import streaming_distinct
+
+    ev = (load_table(spark, "events", sf_dir)
+          .filter(F.col("user_id") < 400)
+          .select("event_id",
+                  F.unix_micros(F.col("ts").cast("timestamp"))
+                  .alias("tus")))
+    rows = [r.asDict() for r in ev.collect()]
+    ts = TestStream(tempfile.mkdtemp(prefix="entry_sdedup_"))
+    ts.add_elements(rows + rows)      # every id arrives twice
+    tail = max(r["tus"] for r in rows) + 30 * 24 * 3600 * 1_000_000
+    ts.add_elements([{"event_id": 900000001, "tus": tail}])
+    sdf = streaming_distinct(
+        ts.stream(spark, "event_id bigint, tus bigint")
+        .select("event_id", F.timestamp_micros("tus").alias("ts")),
+        ["event_id"], "ts", within="10 minutes")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        out = read_bounded(sdf)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (out.filter(F.col("event_id") < 900000000)
+            .select("event_id"))
+
+
 def _dedup_simhash(spark, sf_dir):
     """SimHash near-dedup — rows-only (engine-specific xxhash64 bit
     derivation; survives as the production fast path — correctness
@@ -3980,6 +4094,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_heavy_hitters_exact": _stream_heavy_hitters_exact,
         "stream_funnel_exact": _stream_funnel_exact,
         "stream_session_exact": _stream_session_exact,
+        "stream_join_exact": _stream_join_exact,
+        "stream_dedup_exact": _stream_dedup_exact,
         "dedup_simhash": _dedup_simhash,
         "dedup_simhash_md5": _dedup_simhash_md5,
         "ngram_jaccard": _ngram_jaccard,
@@ -4523,6 +4639,26 @@ def oracle_sql() -> dict[str, str]:
                    MAX(ts) + INTERVAL '10 minutes' AS session_end,
                    CAST(COUNT(*) AS BIGINT) AS n_events
             FROM sessions GROUP BY user_id, sid""",
+        "stream_join_exact": """
+            WITH ev AS (SELECT event_id, user_id,
+                               epoch_us(CAST(ts AS TIMESTAMP)) AS ts,
+                               event_type
+                        FROM events WHERE user_id < 150
+                          AND event_type IN ('view', 'purchase'))
+            SELECT v.user_id,
+                   v.event_id AS view_id,
+                   p.event_id AS purchase_id,
+                   CAST(v.ts AS BIGINT) AS view_us,
+                   CAST(p.ts AS BIGINT) AS purchase_us
+            FROM ev v JOIN ev p
+              ON p.user_id = v.user_id
+             AND p.ts >= v.ts
+             AND p.ts <= v.ts + 86400000000
+            WHERE v.event_type = 'view'
+              AND p.event_type = 'purchase'""",
+        "stream_dedup_exact": """
+            SELECT DISTINCT event_id FROM events
+            WHERE user_id < 400""",
         # streaming funnel: the batch funnel CTE over the same event
         # subset, timestamps as epoch microseconds
         "stream_funnel_exact": """
