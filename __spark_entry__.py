@@ -2253,6 +2253,26 @@ def _rolling_features(spark, sf_dir):
                 .cast("double"), 6).alias("sum_1h"))
 
 
+def _timeseries_gapfill(spark, sf_dir):
+    """Dense hourly per-user series with linearly interpolated gaps
+    (operators/timeseries.py::gap_fill_linear): sparse hourly event
+    counts densified over each user's own [first, last] hour, gap
+    buckets filled with the integer lerp — the series-regularization
+    step every forecasting / feature pipeline needs before modeling.
+    All integer arithmetic (floor of exact small-int products), so the
+    whole dense result value-oracles against the identical SQL."""
+    from apache_beam_spark.operators.timeseries import gap_fill_linear
+
+    ev = load_table(spark, "events", sf_dir).filter(F.col("user_id") < 30)
+    hourly = (ev.select(
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp)) div 3600000000")
+        .alias("bucket_h"))
+        .groupBy("user_id", "bucket_h")
+        .agg(F.count(F.lit(1)).alias("n")))
+    return gap_fill_linear(hourly, "user_id", "bucket_h", "n", step=1)
+
+
 def _inverted_index(spark, sf_dir):
     """Posting-list materialization: word -> (df, first 20 doc ids in
     order) for words of >= 4 chars — the search-index build step.  The
@@ -3594,6 +3614,41 @@ def _wav_roundtrip(spark, sf_dir):
         "doc_id", "sample_rate", "num_samples", "peak_abs")
 
 
+def _audio_features(spark, sf_dir):
+    """Audio quality features over the REAL decoded-sample path
+    (multimodal/columns.py::audio_frame_features): per doc, the
+    wav_roundtrip integer-formula signal is WAV-encoded, decoded back
+    inside the distributed stage, and reduced to integer per-frame
+    features (64-sample frames, whole-signal zero crossings, silence
+    frames under peak 512).  Every feature is an integer function of
+    the decoded samples, so the oracle recomputes all of them from the
+    same closed-form formula in SQL — the audio analogue of the text
+    quality scores, verified end-to-end through the mapInPandas
+    plumbing (training-data pipelines gate audio on exactly these:
+    energy, ZCR, silence ratio)."""
+    from apache_beam_spark.multimodal.columns import audio_frame_features
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "n_chars")
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from apache_beam_spark.multimodal.codecs import encode_wav
+
+        for pdf in batches:
+            rows = []
+            for d, n in zip(pdf["doc_id"], pdf["n_chars"]):
+                i = np.arange(int(n), dtype=np.int64)
+                x = ((int(d) * 31 + i) * 2654435761) % 65536 - 32768
+                rows.append({"doc_id": int(d),
+                             "payload": encode_wav(x.astype(np.int16), 8000)})
+            yield pd.DataFrame(rows)
+
+    enc = docs.mapInPandas(gen, "doc_id bigint, payload binary")
+    return audio_frame_features(enc, frame=64, silence_peak=512)
+
+
 def _flac_roundtrip(spark, sf_dir):
     """REAL FLAC codec round trip (multimodal/codecs.py, r9 — the
     lossless fixed-predictor subset: constant/fixed/verbatim
@@ -4138,6 +4193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental_minhash_md5": _dedup_incremental_minhash_md5,
         "quantiles_per_key": _quantiles_per_key,
         "rolling_features": _rolling_features,
+        "timeseries_gapfill": _timeseries_gapfill,
         "inverted_index": _inverted_index,
         "props_flatten": _props_flatten,
         "table_profile": _table_profile,
@@ -4206,6 +4262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": _dedup_keep_best,
         "dq_report": _dq_report,
         "wav_roundtrip": _wav_roundtrip,
+        "audio_features": _audio_features,
         "flac_roundtrip": _flac_roundtrip,
         "flac_lpc_roundtrip": _flac_lpc_roundtrip,
         "png_roundtrip": _png_roundtrip,
@@ -5579,6 +5636,40 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY user_id
                          ORDER BY (epoch_us(ts) // 1000000)
                          RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""",
+        "timeseries_gapfill": """
+            WITH o AS (
+                SELECT user_id,
+                       epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h,
+                       COUNT(*) AS n
+                FROM events WHERE user_id < 30 GROUP BY 1, 2),
+            b AS (SELECT user_id, MIN(h) AS mn, MAX(h) AS mx
+                  FROM o GROUP BY 1),
+            g AS (SELECT user_id, unnest(range(mn, mx + 1)) AS h FROM b),
+            j AS (SELECT g.user_id, g.h, o.n
+                  FROM g LEFT JOIN o ON o.user_id = g.user_id
+                                    AND o.h = g.h),
+            w AS (
+                SELECT user_id, h, n,
+                       last_value(n IGNORE NULLS) OVER wp AS pv,
+                       last_value(CASE WHEN n IS NOT NULL THEN h END
+                                  IGNORE NULLS) OVER wp AS pt,
+                       first_value(n IGNORE NULLS) OVER wn AS nv,
+                       first_value(CASE WHEN n IS NOT NULL THEN h END
+                                   IGNORE NULLS) OVER wn AS nt
+                FROM j
+                WINDOW wp AS (PARTITION BY user_id ORDER BY h
+                              ROWS UNBOUNDED PRECEDING),
+                       wn AS (PARTITION BY user_id ORDER BY h
+                              ROWS BETWEEN CURRENT ROW
+                              AND UNBOUNDED FOLLOWING))
+            SELECT user_id, CAST(h AS BIGINT) AS bucket_h,
+                   CAST(CASE WHEN n IS NOT NULL THEN n
+                        ELSE pv + CAST(FLOOR(
+                            CAST((nv - pv) * (h - pt) AS DOUBLE)
+                            / (nt - pt)) AS BIGINT)
+                        END AS BIGINT) AS n,
+                   CAST(n IS NULL AS INT) AS is_gap
+            FROM w""",
         "inverted_index": f"""
             WITH wt AS (
                 SELECT DISTINCT doc_id, w FROM (
@@ -6561,6 +6652,45 @@ def oracle_sql() -> dict[str, str]:
                                     % 65536 - 32768)))
                    END AS BIGINT) AS peak_abs
             FROM documents""",
+        "audio_features": """
+            WITH x AS (
+                SELECT doc_id, i,
+                       (doc_id * 31 + i) * 2654435761 % 65536 - 32768 AS v
+                FROM (SELECT doc_id, unnest(range(0, n_chars)) AS i
+                      FROM documents)),
+            zc AS (
+                SELECT doc_id,
+                       SUM(CASE WHEN prev IS NOT NULL
+                                 AND ((prev >= 0) <> (v >= 0))
+                                THEN 1 ELSE 0 END) AS z
+                FROM (SELECT doc_id, v,
+                             LAG(v) OVER (PARTITION BY doc_id
+                                          ORDER BY i) AS prev
+                      FROM x)
+                GROUP BY doc_id),
+            f AS (
+                SELECT doc_id, i // 64 AS fr, SUM(v * v) AS fe,
+                       MAX(ABS(v)) AS fm
+                FROM x GROUP BY doc_id, i // 64),
+            agg AS (
+                SELECT doc_id, COUNT(*) AS n_frames,
+                       SUM(fe) AS total_energy,
+                       MAX(fe) AS max_frame_energy,
+                       SUM(CASE WHEN fm < 512 THEN 1 ELSE 0 END)
+                           AS silent_frames
+                FROM f GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(COALESCE(a.n_frames, 0) AS INT) AS n_frames,
+                   CAST(COALESCE(z.z, 0) AS BIGINT) AS zero_crossings,
+                   CAST(COALESCE(a.total_energy, 0) AS BIGINT)
+                       AS total_energy,
+                   CAST(COALESCE(a.max_frame_energy, 0) AS BIGINT)
+                       AS max_frame_energy,
+                   CAST(COALESCE(a.silent_frames, 0) AS INT)
+                       AS silent_frames
+            FROM documents d
+            LEFT JOIN agg a USING (doc_id)
+            LEFT JOIN zc z USING (doc_id)""",
         "png_roundtrip": """
             SELECT doc_id,
                    CAST(4 + doc_id % 5 AS INT) AS width,

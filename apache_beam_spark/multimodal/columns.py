@@ -247,6 +247,75 @@ def decode_audio(df: DataFrame, payload_col: str = "payload",
     return df.select(id_col, payload_col).mapInPandas(fn, schema)
 
 
+def audio_frame_features(df: DataFrame, frame: int = 64,
+                         silence_peak: int = 512,
+                         payload_col: str = "payload",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Per-document audio features from REAL decoded PCM/FLAC payloads
+    — the audio-quality-filtering stage of a training-data pipeline
+    (the audio analogue of the text quality scores): non-overlapping
+    ``frame``-sample frames, integer frame energy, whole-signal
+    zero-crossing count, and silence-frame detection (frame peak <
+    ``silence_peak``).  All features are INTEGER functions of the
+    decoded samples, so the stage is value-oracle-able end-to-end
+    through the same mapInPandas plumbing as ``decode_audio``.
+
+    Definitions (pinned by the `audio_features` oracle):
+      * a partial tail frame counts as a frame;
+      * zero crossing at i in [1, n): sign change of (x >= 0);
+      * energies in int64 (peak 32768² ≈ 2³⁰ per sample — a frame
+        overflows int64 only beyond 2³³ samples, far past any frame).
+
+    100 TB: payload-parallel (repartition_for_media), no shuffle — one
+    Arrow-batched map stage; frames never materialize as rows."""
+    schema = (f"{id_col} bigint, n_frames int, zero_crossings bigint, "
+              "total_energy bigint, max_frame_energy bigint, "
+              "silent_frames int")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from apache_beam_spark.multimodal.codecs import (
+            decode_flac, decode_wav, sniff_format)
+
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload)
+                fmt = sniff_format(b)
+                if fmt == "wav":
+                    _, _, samples = decode_wav(b)
+                elif fmt == "flac":
+                    _, _, samples = decode_flac(b)
+                else:
+                    raise NotImplementedError(
+                        "MP3 and other perceptual audio codecs are "
+                        "DESCOPED (SURVEY §8); PCM WAV and FLAC decode "
+                        "natively")
+                s = samples.astype(np.int64)
+                n = s.shape[0]
+                if n == 0:
+                    rows.append({id_col: i, "n_frames": 0,
+                                 "zero_crossings": 0, "total_energy": 0,
+                                 "max_frame_energy": 0, "silent_frames": 0})
+                    continue
+                zc = int(np.count_nonzero((s[:-1] >= 0) != (s[1:] >= 0)))
+                e = s * s
+                starts = np.arange(0, n, frame)
+                fe = np.add.reduceat(e, starts)
+                fm = np.maximum.reduceat(np.abs(s), starts)
+                rows.append({
+                    id_col: i, "n_frames": int(starts.shape[0]),
+                    "zero_crossings": zc,
+                    "total_energy": int(e.sum()),
+                    "max_frame_energy": int(fe.max()),
+                    "silent_frames": int((fm < silence_peak).sum()),
+                })
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(fn, schema)
+
+
 def decode_media_with_deadletter(df: DataFrame, payload_col: str = "payload",
                                  id_col: str = "doc_id") -> tuple[DataFrame, DataFrame]:
     """Decode a MIXED media column, routing failures to a dead-letter

@@ -87,3 +87,45 @@ def test_fake_decoder_pure_function():
     w1 = _decode_image_impl(b"hello world", fake=True)
     w2 = _decode_image_impl(b"hello world", fake=True)
     assert w1 == w2
+
+
+def test_audio_frame_features_reference(spark):
+    """audio_frame_features vs a straight numpy reference, including a
+    partial tail frame, an all-silent doc, an empty doc, and a FLAC
+    payload (the stage sniffs the container)."""
+    import numpy as np
+
+    from apache_beam_spark.multimodal.codecs import encode_flac, encode_wav
+    from apache_beam_spark.multimodal.columns import audio_frame_features
+
+    sigs = {
+        1: np.array([100, -100] * 50, dtype=np.int16),       # max ZCR
+        2: np.arange(-5, 95, dtype=np.int16),                # one crossing
+        3: np.zeros(130, dtype=np.int16),                    # silent, tail
+        4: np.array([], dtype=np.int16),                     # empty
+        5: (np.arange(70) * 997 % 65536 - 32768).astype(np.int16),
+    }
+    rows = [(k, bytearray(encode_wav(v, 8000)) if k != 5
+             else bytearray(encode_flac(v.astype(np.int64), 8000)))
+            for k, v in sigs.items()]
+    df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    got = {r["doc_id"]: r for r in
+           audio_frame_features(df, frame=64, silence_peak=512).collect()}
+    for k, v in sigs.items():
+        s = v.astype(np.int64)
+        n = len(s)
+        r = got[k]
+        if n == 0:
+            assert (r["n_frames"], r["zero_crossings"], r["total_energy"],
+                    r["max_frame_energy"], r["silent_frames"]) == (0,) * 5
+            continue
+        starts = np.arange(0, n, 64)
+        fe = np.add.reduceat(s * s, starts)
+        fm = np.maximum.reduceat(np.abs(s), starts)
+        assert r["n_frames"] == len(starts)          # tail frame counted
+        assert r["zero_crossings"] == int(
+            np.count_nonzero((s[:-1] >= 0) != (s[1:] >= 0)))
+        assert r["total_energy"] == int((s * s).sum())
+        assert r["max_frame_energy"] == int(fe.max())
+        assert r["silent_frames"] == int((fm < 512).sum())
+    assert got[3]["silent_frames"] == got[3]["n_frames"] == 3  # 130/64
