@@ -3614,6 +3614,48 @@ def _wav_roundtrip(spark, sf_dir):
         "doc_id", "sample_rate", "num_samples", "peak_abs")
 
 
+def _image_dhash_dedup(spark, sf_dir):
+    """Perceptual image dedup over the REAL decode path
+    (multimodal/columns.py::image_dhash): per doc, the png_roundtrip
+    pixel-formula image is PPM-encoded, decoded back inside the
+    distributed stage, dHashed (integer grayscale -> nearest-neighbor
+    9x8 grid -> 64 adjacency bits), and exact-hash clusters take the
+    min doc_id as representative — the image analogue of SimHash text
+    dedup, value-oracled bit-for-bit because every step (NN sampling
+    ``(dst*size)//grid``, gray ``(r+g+b)//3``, strict-> bits) is
+    integer arithmetic the oracle recomputes in SQL.  Hamming-distance
+    near-dup pairing (pigeonhole-banded `dhash_near_dup`) is pinned
+    against brute force in tests/test_multimodal.py."""
+    from pyspark.sql.window import Window as W
+
+    from apache_beam_spark.multimodal.columns import image_dhash
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from apache_beam_spark.multimodal.codecs import encode_ppm
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 4 + d % 5, 3 + d % 4
+                k = np.arange(w * h * 3, dtype=np.int64)
+                px = ((d * 7 + k * 13) % 256).astype(np.uint8)
+                rows.append({"doc_id": d,
+                             "payload": encode_ppm(px.reshape(h, w, 3))})
+            yield pd.DataFrame(rows)
+
+    enc = docs.mapInPandas(gen, "doc_id bigint, payload binary")
+    hashed = image_dhash(enc, grid_w=9, grid_h=8)
+    return hashed.select(
+        "doc_id", "dhash",
+        F.min("doc_id").over(W.partitionBy("dhash")).alias("cluster_id"))
+
+
 def _audio_features(spark, sf_dir):
     """Audio quality features over the REAL decoded-sample path
     (multimodal/columns.py::audio_frame_features): per doc, the
@@ -4263,6 +4305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_report": _dq_report,
         "wav_roundtrip": _wav_roundtrip,
         "audio_features": _audio_features,
+        "image_dhash_dedup": _image_dhash_dedup,
         "flac_roundtrip": _flac_roundtrip,
         "flac_lpc_roundtrip": _flac_lpc_roundtrip,
         "png_roundtrip": _png_roundtrip,
@@ -6691,6 +6734,32 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN agg a USING (doc_id)
             LEFT JOIN zc z USING (doc_id)""",
+        "image_dhash_dedup": """
+            WITH d AS (
+                SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+                FROM documents),
+            g AS (
+                SELECT doc_id,
+                       list_transform(range(0, 72), j ->
+                           (((doc_id*7 + ((((j//9)*h//8)*w
+                                           + ((j%9)*w//9))*3)*13) % 256)
+                            + ((doc_id*7 + ((((j//9)*h//8)*w
+                                             + ((j%9)*w//9))*3 + 1)*13)
+                               % 256)
+                            + ((doc_id*7 + ((((j//9)*h//8)*w
+                                             + ((j%9)*w//9))*3 + 2)*13)
+                               % 256)) // 3) AS grid
+                FROM d),
+            b AS (
+                SELECT doc_id,
+                       array_to_string(list_transform(range(0, 64), i ->
+                           CASE WHEN grid[(i//8)*9 + (i%8) + 1]
+                                     > grid[(i//8)*9 + (i%8) + 2]
+                                THEN '1' ELSE '0' END), '') AS dhash
+                FROM g)
+            SELECT doc_id, dhash,
+                   MIN(doc_id) OVER (PARTITION BY dhash) AS cluster_id
+            FROM b""",
         "png_roundtrip": """
             SELECT doc_id,
                    CAST(4 + doc_id % 5 AS INT) AS width,

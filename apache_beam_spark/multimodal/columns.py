@@ -247,6 +247,91 @@ def decode_audio(df: DataFrame, payload_col: str = "payload",
     return df.select(id_col, payload_col).mapInPandas(fn, schema)
 
 
+def image_dhash(df: DataFrame, grid_w: int = 9, grid_h: int = 8,
+                payload_col: str = "payload", id_col: str = "doc_id",
+                fake: bool = False) -> DataFrame:
+    """Perceptual difference-hash (dHash) over REAL decoded pixels —
+    the image near-dup fingerprint of a multimodal training-data
+    pipeline (the image analogue of SimHash on text).
+
+    Per image: decode (any native container), integer grayscale
+    ``(r+g+b)//3``, nearest-neighbor sample to a ``grid_w x grid_h``
+    grid (``src = (dst*size)//grid`` — pure integer, so the hash is
+    engine-reproducible), then one bit per horizontally-adjacent cell
+    pair (strict ``>``), row-major: ``(grid_w-1)*grid_h`` bits as a
+    '0'/'1' string (64 at the default 9x8 — the classic dHash shape).
+
+    Integer end-to-end, so the whole stage value-oracles against the
+    same arithmetic in SQL (`image_dhash_dedup`).  Near-duplicate
+    pairing at hamming distance goes through ``dhash_near_dup``
+    (pigeonhole-banded, no all-pairs)."""
+    schema = f"{id_col} bigint, dhash string"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, hs = [], []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                w, h, c, px = _decode_image_impl(bytes(payload), fake)
+                a = np.frombuffer(px, dtype=np.uint8).astype(np.int64)
+                if c == 1:
+                    gray = a.reshape(h, w)
+                else:
+                    gray = a.reshape(h, w, c)[:, :, :3].sum(axis=2) // 3
+                rr = (np.arange(grid_h) * h) // grid_h
+                cc = (np.arange(grid_w) * w) // grid_w
+                g = gray[np.ix_(rr, cc)]
+                bits = (g[:, :-1] > g[:, 1:]).ravel()
+                ids.append(i)
+                hs.append("".join("1" if b else "0" for b in bits))
+            yield pd.DataFrame({id_col: ids, "dhash": hs})
+
+    return df.select(id_col, payload_col).mapInPandas(fn, schema)
+
+
+def dhash_near_dup(hashed: DataFrame, max_hamming: int = 4,
+                   n_bits: int = 64, id_col: str = "doc_id",
+                   hash_col: str = "dhash") -> DataFrame:
+    """Near-duplicate image pairs at hamming <= ``max_hamming`` over
+    dHash bit strings — PIGEONHOLE-banded like the SimHash dedup: the
+    hash splits into ``max_hamming + 1`` chunks, any pair within the
+    distance must agree exactly on at least one chunk, so candidates
+    come from per-chunk equality joins (never all-pairs) and only
+    candidates pay the exact hamming verify (a codegen `aggregate`
+    over the bit positions, no UDF).  Returns (id_a, id_b, hamming)
+    with id_a < id_b.
+
+    100 TB: chunk buckets shuffle (chunk_idx, chunk_value) pairs only;
+    hot buckets are bounded by the corpus's near-dup density, the same
+    over-cap discipline as dedup/simhash.py."""
+    chunks = max_hamming + 1
+    width = (n_bits + chunks - 1) // chunks
+    pieces = F.array(*[
+        F.struct(F.lit(ci).alias("ci"),
+                 F.substring(F.col(hash_col), ci * width + 1, width)
+                 .alias("cv"))
+        for ci in range(chunks)])
+    banded = (hashed.select(id_col, hash_col,
+                            F.explode(pieces).alias("b"))
+              .select(id_col, hash_col, "b.ci", "b.cv"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (a.join(b, (F.col("a.ci") == F.col("b.ci"))
+                   & (F.col("a.cv") == F.col("b.cv"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"),
+                    F.col(f"a.{hash_col}").alias("ha"),
+                    F.col(f"b.{hash_col}").alias("hb"))
+            .distinct())
+    hamming = F.expr(
+        f"aggregate(sequence(1, {n_bits}), 0, (acc, i) -> acc + "
+        "if(substring(ha, i, 1) = substring(hb, i, 1), 0, 1))")
+    return (cand.withColumn("hamming", hamming)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))
+
+
 def audio_frame_features(df: DataFrame, frame: int = 64,
                          silence_peak: int = 512,
                          payload_col: str = "payload",

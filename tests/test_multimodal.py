@@ -129,3 +129,58 @@ def test_audio_frame_features_reference(spark):
         assert r["max_frame_energy"] == int(fe.max())
         assert r["silent_frames"] == int((fm < 512).sum())
     assert got[3]["silent_frames"] == got[3]["n_frames"] == 3  # 130/64
+
+
+def test_image_dhash_invariant_under_pixel_doubling(spark):
+    """dHash's nearest-neighbor grid makes a 2x pixel-doubled image
+    hash IDENTICALLY ((r*2h)//8 // 2 == (r*h)//8) — the perceptual
+    property that makes it a near-dup fingerprint, not a byte hash."""
+    import numpy as np
+
+    from apache_beam_spark.multimodal.codecs import encode_ppm
+    from apache_beam_spark.multimodal.columns import image_dhash
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (6, 10, 3), dtype=np.uint8)
+    big = img.repeat(2, axis=0).repeat(2, axis=1)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_ppm(img))), (2, bytearray(encode_ppm(big)))],
+        "doc_id bigint, payload binary")
+    got = {r["doc_id"]: r["dhash"] for r in image_dhash(df).collect()}
+    assert len(got[1]) == 64 and set(got[1]) <= {"0", "1"}
+    assert got[1] == got[2]
+
+
+def test_dhash_near_dup_matches_brute_force(spark):
+    """Pigeonhole-banded near-dup pairs == brute-force hamming pairs
+    (all pairs within max_hamming found — the pigeonhole guarantee —
+    and none beyond it)."""
+    import itertools
+    import random
+
+    from apache_beam_spark.multimodal.columns import dhash_near_dup
+
+    random.seed(11)
+    base = "".join(random.choice("01") for _ in range(64))
+
+    def flip(s, ks):
+        l = list(s)
+        for k in ks:
+            l[k] = "1" if l[k] == "0" else "0"
+        return "".join(l)
+
+    hashes = {0: base,
+              1: flip(base, [3]),                      # d=1 from 0
+              2: flip(base, [3, 17, 40, 63]),          # d=4 from 0
+              3: flip(base, list(range(0, 30))),       # far from all
+              4: flip(base, [9, 22])}                  # d=2 from 0
+    df = spark.createDataFrame(list(hashes.items()),
+                               "doc_id bigint, dhash string")
+    got = sorted((r["id_a"], r["id_b"], r["hamming"])
+                 for r in dhash_near_dup(df, max_hamming=4).collect())
+    want = []
+    for a, b in itertools.combinations(sorted(hashes), 2):
+        d = sum(x != y for x, y in zip(hashes[a], hashes[b]))
+        if d <= 4:
+            want.append((a, b, d))
+    assert got == sorted(want) and len(got) >= 3
