@@ -3614,6 +3614,45 @@ def _wav_roundtrip(spark, sf_dir):
         "doc_id", "sample_rate", "num_samples", "peak_abs")
 
 
+def _video_mjpeg_roundtrip(spark, sf_dir):
+    """REAL video codec round trip (codecs.py AVI/MJPEG — RIFF
+    container walk + the real baseline JPEG decoder per frame): per
+    doc on the ``doc_id % 17 == 5`` fixture subset, ``2 + doc % 3``
+    constant-gray frames (frame f's value ``(doc*7 + f*37) % 256``,
+    the jpeg_roundtrip closed-form family) are MJPEG-AVI-encoded and
+    decoded back by the distributed decode_video_frames stage sampling
+    every 2nd frame; (frame_idx, dims, fps, pixel_sum) value-check
+    against the quantization closed form in SQL.  This makes the VIDEO
+    modality real end-to-end — container + frames — with inter-frame
+    codecs (H.264) staying DESCOPED per SURVEY §8."""
+    from apache_beam_spark.multimodal.columns import decode_video_frames
+
+    docs = (load_table(spark, "documents", sf_dir)
+            .select("doc_id").where(F.col("doc_id") % 17 == 5))
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from apache_beam_spark.multimodal.codecs import encode_avi_mjpeg
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h, nf = 4 + d % 5, 3 + d % 4, 2 + d % 3
+                frames = [np.full((h, w), (d * 7 + f * 37) % 256,
+                                  dtype=np.uint8) for f in range(nf)]
+                rows.append({"doc_id": d,
+                             "payload": encode_avi_mjpeg(frames, fps=10)})
+            yield pd.DataFrame(rows)
+
+    enc = docs.mapInPandas(gen, "doc_id bigint, payload binary")
+    return (decode_video_frames(enc, every_n=2)
+            .select("doc_id", "frame_idx", "width", "height",
+                    "channels", "fps", "pixel_sum"))
+
+
 def _image_dhash_dedup(spark, sf_dir):
     """Perceptual image dedup over the REAL decode path
     (multimodal/columns.py::image_dhash): per doc, the png_roundtrip
@@ -4306,6 +4345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wav_roundtrip": _wav_roundtrip,
         "audio_features": _audio_features,
         "image_dhash_dedup": _image_dhash_dedup,
+        "video_mjpeg_roundtrip": _video_mjpeg_roundtrip,
         "flac_roundtrip": _flac_roundtrip,
         "flac_lpc_roundtrip": _flac_lpc_roundtrip,
         "png_roundtrip": _png_roundtrip,
@@ -6734,6 +6774,21 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN agg a USING (doc_id)
             LEFT JOIN zc z USING (doc_id)""",
+        "video_mjpeg_roundtrip": """
+            WITH d AS (
+                SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+                       2 + doc_id % 3 AS nf
+                FROM documents WHERE doc_id % 17 = 5),
+            f AS (SELECT doc_id, w, h, unnest(range(0, nf, 2)) AS fi
+                  FROM d)
+            SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+                   CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+                   1 AS channels, 10.0 AS fps,
+                   CAST(w * h * LEAST(GREATEST(
+                       2 * FLOOR((((doc_id * 7 + fi * 37) % 256) - 128)
+                                 / 2.0 + 0.5) + 128,
+                       0), 255) AS BIGINT) AS pixel_sum
+            FROM f""",
         "image_dhash_dedup": """
             WITH d AS (
                 SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h

@@ -1715,6 +1715,8 @@ def sniff_format(payload: bytes) -> str:
     """Magic-byte container detection for the decode stages."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return "avi"
     if payload[:4] == b"fLaC":
         return "flac"
     if payload[:2] == b"BM":
@@ -4035,3 +4037,132 @@ def _decode_progressive(payload, pos, frame, qt, huff, restart,
             raise ValueError("JPEG frame references missing quant table")
         pc["q"] = q
     return _coef_to_pixels(fh, fw, hmax, vmax, comps, per_comp)
+
+
+# ------------------------------------------------------------ AVI/MJPEG
+#
+# Classic AVI 1.0 RIFF container (public spec: MSDN "AVI RIFF File
+# Reference" / OpenDML) carrying Motion-JPEG: every frame is an
+# independent baseline JFIF image, so the REAL JPEG codec above does
+# all the pixel work and the container layer is pure struct — the
+# same no-media-libs standard as WAV/FLAC/PNG.  This makes the video
+# modality real end-to-end (container walk + per-frame decode);
+# inter-frame codecs (H.264 etc.) stay DESCOPED per SURVEY §8.
+
+def _riff_chunk(fourcc: bytes, body: bytes) -> bytes:
+    """Chunk header + data + the spec's even-byte pad."""
+    pad = b"\x00" if len(body) % 2 else b""
+    return fourcc + struct.pack("<I", len(body)) + body + pad
+
+
+def encode_avi_mjpeg(frames: "list[np.ndarray]", fps: int = 10,
+                     subsampling: str = "444") -> bytes:
+    """MJPEG AVI writer: each frame ((h, w) gray or (h, w, 3) RGB
+    uint8, all the same size) is JPEG-encoded (the deterministic
+    baseline writer above — constant tiles keep their closed-form
+    oracle) and wrapped in '00dc' chunks inside RIFF/hdrl/movi with a
+    standard idx1 index (AVIIF_KEYFRAME on every frame — MJPEG has no
+    inter frames)."""
+    if not frames:
+        raise ValueError("AVI needs at least one frame")
+    h, w = frames[0].shape[:2]
+    if any(f.shape[:2] != (h, w) for f in frames):
+        raise ValueError("all AVI frames must share one size")
+    jpegs = [encode_jpeg(f, subsampling=subsampling) for f in frames]
+    n = len(jpegs)
+
+    avih = struct.pack(
+        "<14I", 1_000_000 // fps, 0, 0, 0x10,  # AVIF_HASINDEX
+        n, 0, 1, max(map(len, jpegs)), w, h, 0, 0, 0, 0)
+    strh = (b"vids" + b"MJPG"
+            + struct.pack("<IHH8I", 0, 0, 0, 0, 1, fps, 0, n,
+                          max(map(len, jpegs)), 0xFFFFFFFF, 0)
+            + struct.pack("<4h", 0, 0, w, h))
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+                       w * h * 3, 0, 0, 0, 0)
+    hdrl = _riff_chunk(b"LIST", b"hdrl"
+                       + _riff_chunk(b"avih", avih)
+                       + _riff_chunk(b"LIST", b"strl"
+                                     + _riff_chunk(b"strh", strh)
+                                     + _riff_chunk(b"strf", strf)))
+
+    movi_body = b"movi"
+    idx = b""
+    for j in jpegs:
+        # idx1 offsets are relative to the first byte of 'movi'
+        # (the fourcc itself sits at offset 0 -> first chunk at 4)
+        idx += b"00dc" + struct.pack("<III", 0x10, len(movi_body), len(j))
+        movi_body += _riff_chunk(b"00dc", j)
+    movi = _riff_chunk(b"LIST", movi_body)
+    idx1 = _riff_chunk(b"idx1", idx)
+
+    return _riff_chunk(b"RIFF", b"AVI " + hdrl + movi + idx1)
+
+
+def decode_avi_mjpeg(payload: bytes) -> "tuple[float, list[np.ndarray]]":
+    """MJPEG AVI reader: RIFF walk (JUNK and unknown chunks skipped,
+    'rec ' groupings flattened — both appear in real interleaved
+    files), strh validation, per-frame JPEG decode.  Returns
+    (fps, frames).  A 'vids' stream with any non-MJPG handler raises
+    NotImplementedError naming the DESCOPED gap (H.264 and other
+    inter-frame codecs: no in-container oracle; decode belongs to an
+    ffmpeg-equipped cluster image)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI RIFF file")
+
+    def walk(buf, pos, end):
+        """Yield (fourcc, list_type_or_None, body_start, body_end)."""
+        while pos + 8 <= end:
+            fourcc = buf[pos:pos + 4]
+            size = struct.unpack_from("<I", buf, pos + 4)[0]
+            body = pos + 8
+            if fourcc == b"LIST":
+                yield fourcc, buf[body:body + 4], body + 4, body + size
+            else:
+                yield fourcc, None, body, body + size
+            pos = body + size + (size % 2)
+
+    fps = 0.0
+    handler_ok = False
+    frames: list[np.ndarray] = []
+
+    def scan_movi(start, end):
+        for fcc, lt, b0, b1 in walk(payload, start, end):
+            if fcc == b"LIST" and lt == b"rec ":
+                scan_movi(b0, b1)
+            elif fcc[2:4] in (b"dc", b"db"):
+                frames.append(decode_jpeg(payload[b0:b1]))
+
+    for fcc, lt, b0, b1 in walk(payload, 12, len(payload)):
+        if fcc == b"LIST" and lt == b"hdrl":
+            for f2, l2, c0, c1 in walk(payload, b0, b1):
+                if f2 == b"avih":
+                    uspf = struct.unpack_from("<I", payload, c0)[0]
+                    if uspf:
+                        fps = 1_000_000 / uspf
+                elif f2 == b"LIST" and l2 == b"strl":
+                    for f3, _, d0, d1 in walk(payload, c0, c1):
+                        if f3 != b"strh":
+                            continue
+                        ftype = payload[d0:d0 + 4]
+                        hdl = payload[d0 + 4:d0 + 8]
+                        if ftype != b"vids":
+                            continue
+                        if hdl.upper() not in (b"MJPG", b"\x00\x00\x00\x00"):
+                            raise NotImplementedError(
+                                f"AVI video handler {hdl!r}: inter-frame"
+                                " codecs (H.264 etc.) are DESCOPED"
+                                " (SURVEY §8 — no in-container oracle;"
+                                " needs ffmpeg on the cluster image);"
+                                " MJPG decodes natively")
+                        handler_ok = True
+                        scale, rate = struct.unpack_from(
+                            "<II", payload, d0 + 20)
+                        if scale:
+                            fps = rate / scale
+        elif fcc == b"LIST" and lt == b"movi":
+            scan_movi(b0, b1)
+
+    if not handler_ok:
+        raise ValueError("AVI has no 'vids' stream header")
+    return fps, frames

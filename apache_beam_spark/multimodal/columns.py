@@ -247,6 +247,57 @@ def decode_audio(df: DataFrame, payload_col: str = "payload",
     return df.select(id_col, payload_col).mapInPandas(fn, schema)
 
 
+def decode_video_frames(df: DataFrame, every_n: int = 1,
+                        payload_col: str = "payload",
+                        id_col: str = "doc_id") -> DataFrame:
+    """REAL video decode stage for MJPEG AVI payloads (codecs.py —
+    RIFF container walk + the real per-frame JPEG decoder, no media
+    libs): 1 -> N fan-out of every ``every_n``-th frame as
+    (id, frame_idx, width, height, channels, fps, pixel_sum, pixels).
+    ``pixel_sum`` is the integer checksum the `video_mjpeg_roundtrip`
+    oracle recomputes closed-form; downstream image stages
+    (image_dhash, image_features, resize) consume ``pixels`` as-is.
+    Inter-frame codecs (H.264 etc.) raise the DESCOPED gap from
+    ``decode_avi_mjpeg``.
+
+    100 TB: payload-parallel like decode_audio; the fan-out multiplies
+    rows, not shuffles — repartition_for_media upstream sizes splits
+    by payload bytes so one worker never holds more than a batch of
+    videos."""
+    schema = (f"{id_col} bigint, frame_idx int, width int, height int, "
+              "channels int, fps double, pixel_sum bigint, pixels binary")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from apache_beam_spark.multimodal.codecs import (
+            decode_avi_mjpeg, sniff_format)
+
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload)
+                if sniff_format(b) != "avi":
+                    raise NotImplementedError(
+                        "only MJPEG AVI decodes natively; other video "
+                        "containers are DESCOPED (SURVEY §8)")
+                fps, frames = decode_avi_mjpeg(b)
+                for fi in range(0, len(frames), every_n):
+                    fr = frames[fi]
+                    ch = 1 if fr.ndim == 2 else fr.shape[2]
+                    rows.append({
+                        id_col: i, "frame_idx": fi,
+                        "width": int(fr.shape[1]),
+                        "height": int(fr.shape[0]), "channels": ch,
+                        "fps": float(fps),
+                        "pixel_sum": int(fr.astype(np.int64).sum()),
+                        "pixels": fr.tobytes(),
+                    })
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(fn, schema)
+
+
 def image_dhash(df: DataFrame, grid_w: int = 9, grid_h: int = 8,
                 payload_col: str = "payload", id_col: str = "doc_id",
                 fake: bool = False) -> DataFrame:

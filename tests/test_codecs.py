@@ -1604,3 +1604,110 @@ def test_tiff_through_decode_image_stage(spark):
     row = decode_image(df).first()
     assert (row["width"], row["height"], row["channels"]) == (5, 6, 3)
     assert bytes(row["pixels"]) == img.tobytes()
+
+
+# ------------------------------------------------------------ AVI/MJPEG
+
+
+def _avi_frames(n=3, h=6, w=8, rgb=False):
+    import numpy as np
+
+    if rgb:
+        return [np.stack([np.full((h, w), (37 * f + c * 11 + 64) % 256,
+                                  dtype=np.uint8) for c in range(3)],
+                         axis=2) for f in range(n)]
+    return [np.full((h, w), (37 * f + 100) % 256, dtype=np.uint8)
+            for f in range(n)]
+
+
+def test_avi_mjpeg_roundtrip_gray_and_rgb():
+    import numpy as np
+
+    from apache_beam_spark.multimodal.codecs import (decode_avi_mjpeg,
+                                                     decode_jpeg,
+                                                     encode_avi_mjpeg,
+                                                     encode_jpeg)
+
+    for rgb in (False, True):
+        frames = _avi_frames(rgb=rgb)
+        fps, out = decode_avi_mjpeg(encode_avi_mjpeg(frames, fps=25))
+        assert fps == 25.0 and len(out) == 3
+        for f_in, f_out in zip(frames, out):
+            # each frame must be EXACTLY what the jpeg codec produces
+            assert np.array_equal(f_out,
+                                  decode_jpeg(encode_jpeg(f_in)))
+
+
+def test_avi_foreign_layout_pin():
+    """Hand-built AVI with shapes our encoder never emits: a JUNK
+    chunk before hdrl, frames split across a 'rec ' grouping, a '00db'
+    (uncompressed-id) chunk carrying JPEG, an odd-size frame payload
+    forcing the RIFF pad byte, and NO idx1 — the reader must walk all
+    of it (the foreign-stream discipline of the FLAC/UTF-8 pins)."""
+    import struct
+
+    import numpy as np
+
+    from apache_beam_spark.multimodal.codecs import (_riff_chunk,
+                                                     decode_avi_mjpeg,
+                                                     decode_jpeg,
+                                                     encode_jpeg)
+
+    f0 = encode_jpeg(np.full((4, 4), 77, dtype=np.uint8))
+    f1 = encode_jpeg(np.full((4, 4), 200, dtype=np.uint8))
+    if len(f0) % 2 == 0:          # force the odd-size pad path
+        f0 += b""                 # jpeg ends at EOI; pad comes from RIFF
+    avih = struct.pack("<14I", 40000, 0, 0, 0, 2, 0, 1, 0, 4, 4,
+                       0, 0, 0, 0)
+    strh = (b"vids" + b"mjpg"     # lowercase handler must be accepted
+            + struct.pack("<IHH8I", 0, 0, 0, 0, 2, 50, 0, 2, 0, 0, 0)
+            + struct.pack("<4h", 0, 0, 4, 4))
+    strf = struct.pack("<IiiHH4sIiiII", 40, 4, 4, 1, 24, b"MJPG",
+                       48, 0, 0, 0, 0)
+    hdrl = _riff_chunk(b"LIST", b"hdrl" + _riff_chunk(b"avih", avih)
+                       + _riff_chunk(b"LIST", b"strl"
+                                     + _riff_chunk(b"strh", strh)
+                                     + _riff_chunk(b"strf", strf)))
+    movi = _riff_chunk(
+        b"LIST", b"movi"
+        + _riff_chunk(b"LIST", b"rec " + _riff_chunk(b"00dc", f0))
+        + _riff_chunk(b"00db", f1))
+    payload = _riff_chunk(b"RIFF", b"AVI "
+                          + _riff_chunk(b"JUNK", b"\x00" * 11)
+                          + hdrl + movi)
+    fps, frames = decode_avi_mjpeg(payload)
+    assert fps == 25.0            # rate/scale = 50/2 beats avih uspf
+    assert len(frames) == 2
+    assert np.array_equal(frames[0], decode_jpeg(f0))
+    assert np.array_equal(frames[1], decode_jpeg(f1))
+
+
+def test_avi_non_mjpg_handler_dead_letters():
+    import struct
+
+    import pytest
+
+    from apache_beam_spark.multimodal.codecs import (_riff_chunk,
+                                                     decode_avi_mjpeg)
+
+    strh = (b"vids" + b"H264"
+            + struct.pack("<IHH8I", 0, 0, 0, 0, 1, 30, 0, 1, 0, 0, 0)
+            + struct.pack("<4h", 0, 0, 4, 4))
+    hdrl = _riff_chunk(b"LIST", b"hdrl"
+                       + _riff_chunk(b"LIST", b"strl"
+                                     + _riff_chunk(b"strh", strh)))
+    payload = _riff_chunk(b"RIFF", b"AVI " + hdrl)
+    with pytest.raises(NotImplementedError, match="DESCOPED"):
+        decode_avi_mjpeg(payload)
+
+
+def test_avi_rejects_non_avi_and_empty():
+    import pytest
+
+    from apache_beam_spark.multimodal.codecs import (decode_avi_mjpeg,
+                                                     encode_avi_mjpeg)
+
+    with pytest.raises(ValueError, match="not an AVI"):
+        decode_avi_mjpeg(b"RIFF\x04\x00\x00\x00WAVE")
+    with pytest.raises(ValueError, match="at least one frame"):
+        encode_avi_mjpeg([], fps=10)
