@@ -2253,6 +2253,22 @@ def _rolling_features(spark, sf_dir):
                 .cast("double"), 6).alias("sum_1h"))
 
 
+def _fuzzy_join_customers(spark, sf_dir):
+    """Entity resolution at edit distance 1 (dedup/fuzzy.py): all
+    customer-name pairs within Levenshtein 1 via the symmetric-delete
+    candidate scheme (SymSpell family — deletion-variant hash join,
+    provably complete at k <= max_dist, never all-pairs) + exact
+    levenshtein verify.  The oracle brute-forces the same predicate in
+    DuckDB (both engines implement classic Levenshtein), proving the
+    banded path loses no pair — the fuzzy-match analogue of the
+    MinHash-vs-exact twin discipline."""
+    from apache_beam_spark.dedup.fuzzy import fuzzy_self_join
+
+    c = load_table(spark, "customer", sf_dir) \
+        .select("c_custkey", "c_name")
+    return fuzzy_self_join(c, "c_custkey", "c_name", max_dist=1)
+
+
 def _timeseries_gapfill(spark, sf_dir):
     """Dense hourly per-user series with linearly interpolated gaps
     (operators/timeseries.py::gap_fill_linear): sparse hourly event
@@ -4275,6 +4291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles_per_key": _quantiles_per_key,
         "rolling_features": _rolling_features,
         "timeseries_gapfill": _timeseries_gapfill,
+        "fuzzy_join_customers": _fuzzy_join_customers,
         "inverted_index": _inverted_index,
         "props_flatten": _props_flatten,
         "table_profile": _table_profile,
@@ -5719,6 +5736,13 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY user_id
                          ORDER BY (epoch_us(ts) // 1000000)
                          RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""",
+        "fuzzy_join_customers": """
+            SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                   a.c_name AS name_a, b.c_name AS name_b,
+                   CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+            FROM customer a JOIN customer b
+              ON a.c_custkey < b.c_custkey
+             AND levenshtein(a.c_name, b.c_name) <= 1""",
         "timeseries_gapfill": """
             WITH o AS (
                 SELECT user_id,

@@ -1,0 +1,74 @@
+"""Fuzzy string matching (entity resolution) at bounded edit distance.
+
+The scalable candidate scheme is the SYMMETRIC-DELETE neighborhood
+(the SymSpell family, public algorithm): every string generates all
+variants reachable by deleting up to ``max_dist`` characters; two
+strings within Levenshtein distance ``k <= max_dist`` are guaranteed
+to share at least one variant (each edit is covered by deleting the
+touched character on one or both sides), so candidates come from an
+equality join on variant hashes and only candidates pay the exact
+``levenshtein`` verify — never all-pairs.
+
+100 TB design: the only shuffle is (variant_hash, id) pairs —
+``(len+1)^d`` per string, so ~20 rows per short string at k=1; hash
+collisions can only ADD candidates (the verify filters), never lose
+pairs.  Hot variants (shared prefixes) bound bucket width by the
+corpus's true near-match density, the same discipline as the MinHash
+band buckets.  Everything is Column expressions (codegen) — no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _delete_one(col: Column) -> Column:
+    """array<string>: the string plus every single-character deletion
+    (expression-only; safe on empty strings)."""
+    one = F.transform(
+        F.sequence(F.lit(1), F.length(col)),
+        lambda i: F.concat(
+            F.substring(col, F.lit(1), i - 1),
+            col.substr(i + 1, F.length(col))))
+    return F.when(F.length(col) > 0,
+                  F.array_union(F.array(col), one)) \
+        .otherwise(F.array(col))
+
+
+def deletion_neighborhood(col: Column, max_dist: int) -> Column:
+    """All distinct variants of ``col`` with up to ``max_dist``
+    characters deleted (includes the string itself)."""
+    if max_dist < 1 or max_dist > 2:
+        raise ValueError("deletion_neighborhood supports max_dist 1..2 "
+                         "(the variant count grows len^d — beyond 2, "
+                         "band on q-grams instead)")
+    out = _delete_one(col)
+    for _ in range(max_dist - 1):
+        out = F.array_distinct(
+            F.flatten(F.transform(out, _delete_one)))
+    return out
+
+
+def fuzzy_self_join(df: DataFrame, id_col: str, str_col: str,
+                    max_dist: int = 1) -> DataFrame:
+    """All pairs (id_a < id_b) with ``levenshtein(str_a, str_b) <=
+    max_dist``: symmetric-delete candidates -> exact verify.  Returns
+    (id_a, id_b, name_a, name_b, dist)."""
+    vs = (df.select(F.col(id_col).alias("_id"),
+                    F.col(str_col).alias("_s"))
+          .select("_id", "_s",
+                  F.explode(deletion_neighborhood(F.col("_s"), max_dist))
+                  .alias("_v"))
+          .select("_id", "_s", F.xxhash64("_v").alias("_vh")))
+    a, b = vs.alias("a"), vs.alias("b")
+    cand = (a.join(b, (F.col("a._vh") == F.col("b._vh"))
+                   & (F.col("a._id") < F.col("b._id")))
+            .select(F.col("a._id").alias("id_a"),
+                    F.col("b._id").alias("id_b"),
+                    F.col("a._s").alias("name_a"),
+                    F.col("b._s").alias("name_b"))
+            .distinct())
+    return (cand
+            .withColumn("dist", F.levenshtein("name_a", "name_b"))
+            .filter(F.col("dist") <= max_dist))
