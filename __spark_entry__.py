@@ -2253,6 +2253,35 @@ def _rolling_features(spark, sf_dir):
                 .cast("double"), 6).alias("sum_1h"))
 
 
+def _rollup_ohlc(spark, sf_dir):
+    """Hourly OHLC downsampling per event_type (the classic
+    time-series bar aggregation): open/close are the first/last value
+    in (event-time, event_id) order — the deterministic tie-break the
+    reference's Latest combine uses — high/low/n are plain aggregates.
+    No value arithmetic (OHLC SELECTS values), so doubles hash
+    exactly; one keyed window + one group-by shuffle."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type", "event_id", "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"))
+    ev = ev.withColumn(
+        "bucket_h", F.expr("tus div 3600000000"))
+    wa = W.partitionBy("event_type", "bucket_h").orderBy("tus", "event_id")
+    wd = W.partitionBy("event_type", "bucket_h") \
+        .orderBy(F.col("tus").desc(), F.col("event_id").desc())
+    r = ev.withColumn("rn_a", F.row_number().over(wa)) \
+          .withColumn("rn_d", F.row_number().over(wd))
+    return (r.groupBy("event_type", "bucket_h")
+            .agg(F.round(F.max(F.when(F.col("rn_a") == 1,
+                                      F.col("value"))), 6).alias("open"),
+                 F.round(F.max("value"), 6).alias("high"),
+                 F.round(F.min("value"), 6).alias("low"),
+                 F.round(F.max(F.when(F.col("rn_d") == 1,
+                                      F.col("value"))), 6).alias("close"),
+                 F.count(F.lit(1)).alias("n")))
+
+
 def _fuzzy_join_customers(spark, sf_dir):
     """Entity resolution at edit distance 1 (dedup/fuzzy.py): all
     customer-name pairs within Levenshtein 1 via the symmetric-delete
@@ -4292,6 +4321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_features": _rolling_features,
         "timeseries_gapfill": _timeseries_gapfill,
         "fuzzy_join_customers": _fuzzy_join_customers,
+        "rollup_ohlc": _rollup_ohlc,
         "inverted_index": _inverted_index,
         "props_flatten": _props_flatten,
         "table_profile": _table_profile,
@@ -5736,6 +5766,30 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY user_id
                          ORDER BY (epoch_us(ts) // 1000000)
                          RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""",
+        "rollup_ohlc": """
+            WITH e AS (
+                SELECT event_type, event_id, value,
+                       epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+                       epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000
+                           AS bucket_h
+                FROM events),
+            r AS (
+                SELECT *,
+                       ROW_NUMBER() OVER (PARTITION BY event_type,
+                           bucket_h ORDER BY tus, event_id) AS rn_a,
+                       ROW_NUMBER() OVER (PARTITION BY event_type,
+                           bucket_h ORDER BY tus DESC, event_id DESC)
+                           AS rn_d
+                FROM e)
+            SELECT event_type, CAST(bucket_h AS BIGINT) AS bucket_h,
+                   ROUND(MAX(CASE WHEN rn_a = 1 THEN value END), 6)
+                       AS open,
+                   ROUND(MAX(value), 6) AS high,
+                   ROUND(MIN(value), 6) AS low,
+                   ROUND(MAX(CASE WHEN rn_d = 1 THEN value END), 6)
+                       AS close,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM r GROUP BY 1, 2""",
         "fuzzy_join_customers": """
             SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
                    a.c_name AS name_a, b.c_name AS name_b,

@@ -117,6 +117,14 @@ HEADLINE = [
     "flac_roundtrip",
     # round-10: general LPC subframes (the real-world FLAC coding)
     "flac_lpc_roundtrip",
+    # round-10 second pass: fuzzy entity resolution, series gap fill,
+    # perceptual image dedup, audio frame features, real MJPEG video
+    "fuzzy_join_customers",
+    "timeseries_gapfill",
+    "image_dhash_dedup",
+    "audio_features",
+    "video_mjpeg_roundtrip",
+    "rollup_ohlc",
 ]
 
 
