@@ -3740,6 +3740,40 @@ def _image_dhash_dedup(spark, sf_dir):
         F.min("doc_id").over(W.partitionBy("dhash")).alias("cluster_id"))
 
 
+def _image_near_dup(spark, sf_dir):
+    """Perceptual image NEAR-dup pairs (hamming <= 4 over dHash bits)
+    through the full banded path: real decode -> image_dhash ->
+    dhash_near_dup (pigeonhole chunks, per-chunk equality joins, exact
+    hamming verify — never all-pairs).  The oracle brute-forces every
+    pair's hamming in DuckDB from the same integer pixel formula,
+    proving the banding loses no pair — the image analogue of
+    fuzzy_join_customers' completeness gate."""
+    from apache_beam_spark.multimodal.columns import (dhash_near_dup,
+                                                      image_dhash)
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from apache_beam_spark.multimodal.codecs import encode_ppm
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 4 + d % 5, 3 + d % 4
+                k = np.arange(w * h * 3, dtype=np.int64)
+                px = ((d * 7 + k * 13) % 256).astype(np.uint8)
+                rows.append({"doc_id": d,
+                             "payload": encode_ppm(px.reshape(h, w, 3))})
+            yield pd.DataFrame(rows)
+
+    enc = docs.mapInPandas(gen, "doc_id bigint, payload binary")
+    return dhash_near_dup(image_dhash(enc), max_hamming=4)
+
+
 def _audio_features(spark, sf_dir):
     """Audio quality features over the REAL decoded-sample path
     (multimodal/columns.py::audio_frame_features): per doc, the
@@ -4393,6 +4427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": _audio_features,
         "image_dhash_dedup": _image_dhash_dedup,
         "video_mjpeg_roundtrip": _video_mjpeg_roundtrip,
+        "image_near_dup": _image_near_dup,
         "flac_roundtrip": _flac_roundtrip,
         "flac_lpc_roundtrip": _flac_lpc_roundtrip,
         "png_roundtrip": _png_roundtrip,
@@ -6893,6 +6928,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, dhash,
                    MIN(doc_id) OVER (PARTITION BY dhash) AS cluster_id
             FROM b""",
+        "image_near_dup": """
+            WITH d AS (
+                SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+                FROM documents),
+            g AS (
+                SELECT doc_id,
+                       list_transform(range(0, 72), j ->
+                           (((doc_id*7 + ((((j//9)*h//8)*w
+                                           + ((j%9)*w//9))*3)*13) % 256)
+                            + ((doc_id*7 + ((((j//9)*h//8)*w
+                                             + ((j%9)*w//9))*3 + 1)*13)
+                               % 256)
+                            + ((doc_id*7 + ((((j//9)*h//8)*w
+                                             + ((j%9)*w//9))*3 + 2)*13)
+                               % 256)) // 3) AS grid
+                FROM d),
+            b AS (
+                SELECT doc_id,
+                       list_transform(range(0, 64), i ->
+                           CASE WHEN grid[(i//8)*9 + (i%8) + 1]
+                                     > grid[(i//8)*9 + (i%8) + 2]
+                                THEN 1 ELSE 0 END) AS bits
+                FROM g)
+            SELECT id_a, id_b, CAST(hamming AS INT) AS hamming FROM (
+                SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+                       list_sum(list_transform(range(1, 65), i ->
+                           CASE WHEN x.bits[i] <> y.bits[i]
+                                THEN 1 ELSE 0 END)) AS hamming
+                FROM b x JOIN b y ON x.doc_id < y.doc_id)
+            WHERE hamming <= 4""",
         "png_roundtrip": """
             SELECT doc_id,
                    CAST(4 + doc_id % 5 AS INT) AS width,

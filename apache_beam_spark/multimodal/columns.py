@@ -358,29 +358,37 @@ def dhash_near_dup(hashed: DataFrame, max_hamming: int = 4,
     over-cap discipline as dedup/simhash.py."""
     chunks = max_hamming + 1
     width = (n_bits + chunks - 1) // chunks
+    # pack the bit string into 32-bit words ONCE per row: the hamming
+    # verify becomes bit_count(xor) on integers — the string-walking
+    # aggregate version cost ~64 substring allocations per CANDIDATE
+    # and blew up on hot buckets (measured: sf0.1 ran minutes; this
+    # runs seconds)
+    n_words = (n_bits + 31) // 32
+    words = [F.conv(F.substring(F.col(hash_col), wi * 32 + 1, 32),
+                    2, 10).cast("long").alias(f"w{wi}")
+             for wi in range(n_words)]
     pieces = F.array(*[
         F.struct(F.lit(ci).alias("ci"),
                  F.substring(F.col(hash_col), ci * width + 1, width)
                  .alias("cv"))
         for ci in range(chunks)])
-    banded = (hashed.select(id_col, hash_col,
+    banded = (hashed.select(id_col, *words,
                             F.explode(pieces).alias("b"))
-              .select(id_col, hash_col, "b.ci", "b.cv"))
+              .select(id_col, *[f"w{wi}" for wi in range(n_words)],
+                      F.col("b.ci").alias("ci"),
+                      F.xxhash64("b.ci", "b.cv").alias("cv")))
     a, b = banded.alias("a"), banded.alias("b")
-    cand = (a.join(b, (F.col("a.ci") == F.col("b.ci"))
+    hamming = sum(
+        F.bit_count(F.col(f"a.w{wi}").bitwiseXOR(F.col(f"b.w{wi}")))
+        for wi in range(n_words))
+    return (a.join(b, (F.col("a.ci") == F.col("b.ci"))
                    & (F.col("a.cv") == F.col("b.cv"))
                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
             .select(F.col(f"a.{id_col}").alias("id_a"),
                     F.col(f"b.{id_col}").alias("id_b"),
-                    F.col(f"a.{hash_col}").alias("ha"),
-                    F.col(f"b.{hash_col}").alias("hb"))
-            .distinct())
-    hamming = F.expr(
-        f"aggregate(sequence(1, {n_bits}), 0, (acc, i) -> acc + "
-        "if(substring(ha, i, 1) = substring(hb, i, 1), 0, 1))")
-    return (cand.withColumn("hamming", hamming)
+                    hamming.cast("int").alias("hamming"))
             .filter(F.col("hamming") <= max_hamming)
-            .select("id_a", "id_b", "hamming"))
+            .distinct())
 
 
 def audio_frame_features(df: DataFrame, frame: int = 64,

@@ -125,6 +125,7 @@ HEADLINE = [
     "audio_features",
     "video_mjpeg_roundtrip",
     "rollup_ohlc",
+    "image_near_dup",
 ]
 
 

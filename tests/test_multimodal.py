@@ -184,3 +184,44 @@ def test_dhash_near_dup_matches_brute_force(spark):
         if d <= 4:
             want.append((a, b, d))
     assert got == sorted(want) and len(got) >= 3
+
+
+def test_video_frames_compose_into_image_stages(spark):
+    """Composability: decode_video_frames' pixels column feeds
+    image_dhash directly (the multimodal pipeline shape — video ->
+    frames -> perceptual dedup) via a PPM re-wrap of the raw frame."""
+    import numpy as np
+
+    from apache_beam_spark.multimodal.codecs import encode_avi_mjpeg
+    from apache_beam_spark.multimodal.columns import (decode_video_frames,
+                                                      image_dhash)
+
+    rng = np.random.default_rng(5)
+    frames = [rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+              for _ in range(4)]
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_avi_mjpeg(frames, fps=5)))],
+        "doc_id bigint, payload binary")
+    fr = decode_video_frames(df, every_n=2)
+    rows = fr.collect()
+    assert [r["frame_idx"] for r in rows] == [0, 2]
+    assert all(r["fps"] == 5.0 and r["channels"] == 3 for r in rows)
+
+    import pandas as pd
+
+    def rewrap(batches):
+        from apache_beam_spark.multimodal.codecs import encode_ppm
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                px = np.frombuffer(r["pixels"], dtype=np.uint8).reshape(
+                    r["height"], r["width"], r["channels"])
+                out.append({"doc_id": int(r["doc_id"]) * 10
+                            + int(r["frame_idx"]),
+                            "payload": encode_ppm(px)})
+            yield pd.DataFrame(out)
+
+    wrapped = fr.mapInPandas(rewrap, "doc_id bigint, payload binary")
+    hashes = image_dhash(wrapped).collect()
+    assert len(hashes) == 2
+    assert all(len(r["dhash"]) == 64 for r in hashes)
