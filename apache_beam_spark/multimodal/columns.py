@@ -167,13 +167,28 @@ def sample_frames(df: DataFrame, every_n: int = 10, payload_col: str = "payload"
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for i, payload in zip(pdf[id_col], pdf[payload_col]):
-                if not fake:
-                    raise NotImplementedError(
-                        "H.264/video decode is DESCOPED (SURVEY §8: "
-                        "perceptual codec; needs ffmpeg on the cluster "
-                        "image) — pass fake=True for the deterministic "
-                        "plumbing-test decoder")
                 b = bytes(payload)
+                if not fake:
+                    from apache_beam_spark.multimodal.codecs import (
+                        decode_avi_mjpeg, encode_ppm, sniff_format)
+
+                    if sniff_format(b) != "avi":
+                        raise NotImplementedError(
+                            "H.264 and other inter-frame video codecs "
+                            "are DESCOPED (SURVEY §8: perceptual codec;"
+                            " needs ffmpeg on the cluster image) — "
+                            "MJPEG AVI decodes natively, or pass "
+                            "fake=True for the plumbing-test decoder")
+                    _, avi_frames = decode_avi_mjpeg(b)
+                    for fi in range(0, len(avi_frames), every_n):
+                        fr = avi_frames[fi]
+                        if fr.ndim == 2:
+                            import numpy as np
+                            fr = np.repeat(fr[:, :, None], 3, axis=2)
+                        ids.append(i)
+                        idxs.append(fi)
+                        frames.append(encode_ppm(fr))
+                    continue
                 n_frames = max(len(b) // frame_bytes, 1)
                 for fi in range(0, n_frames, every_n):
                     ids.append(i); idxs.append(fi)

@@ -225,3 +225,36 @@ def test_video_frames_compose_into_image_stages(spark):
     hashes = image_dhash(wrapped).collect()
     assert len(hashes) == 2
     assert all(len(r["dhash"]) == 64 for r in hashes)
+
+
+def test_sample_frames_real_avi(spark):
+    """sample_frames fake=False is REAL for MJPEG AVI: every_n-th
+    frame re-emitted as a decodable PPM; other containers still raise
+    the DESCOPED gap."""
+    import numpy as np
+    import pytest
+
+    from apache_beam_spark.multimodal.codecs import (decode_ppm,
+                                                     encode_avi_mjpeg)
+    from apache_beam_spark.multimodal.columns import sample_frames
+
+    frames = [np.full((4, 5, 3), 40 * f + 10, dtype=np.uint8)
+              for f in range(5)]
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_avi_mjpeg(frames, fps=5)))],
+        "doc_id bigint, payload binary")
+    rows = sample_frames(df, every_n=2, fake=False).collect()
+    assert [r["frame_idx"] for r in rows] == [0, 2, 4]
+    for r in rows:
+        px = decode_ppm(bytes(r["frame"]))
+        assert px.shape == (4, 5, 3)
+        # constant tiles survive the MJPEG round trip at the closed-
+        # form value (2*floor((v-128)/2+.5)+128 clipped)
+        v = 40 * r["frame_idx"] + 10
+        want = min(max(2 * int(np.floor((v - 128) / 2 + 0.5)) + 128, 0), 255)
+        assert (px == want).all()
+
+    bad = spark.createDataFrame([(2, bytearray(b"\x00\x01\x02"))],
+                                "doc_id bigint, payload binary")
+    with pytest.raises(Exception, match="DESCOPED"):
+        sample_frames(bad, every_n=2, fake=False).collect()
