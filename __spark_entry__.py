@@ -1306,6 +1306,52 @@ def _stream_dedup_exact(spark, sf_dir):
             .select("event_id"))
 
 
+def _stream_rate_limit_exact(spark, sf_dir):
+    """Streaming per-key rate limiting run END-TO-END inside the query
+    (streaming/stateful.py::streaming_rate_limit, the sharded
+    applyInPandasWithState token bucket): the real event stream
+    (user_id < 300) replays through TestStream in one data wave;
+    admission within a batch is (event-time, event_id)-ordered per
+    key, so the admitted set is exactly ROW_NUMBER() <= max per
+    (key, window) — plain SQL; the day window admits ~2 of ~2.2
+    events per user-day, so the limiter genuinely DROPS load — making
+    this the SEVENTH real streaming
+    query under the value-oracle gate and the first over the custom
+    applyInPandasWithState state family (the others oracle native
+    joins/aggregations/dedup; the bench gate
+    `stream_rate_limit_events_per_sec` measures this operator's
+    throughput).  Batch twin: rate_limit_batch (parity-tested in
+    tests/test_rate_limit.py)."""
+    import tempfile
+
+    from apache_beam_spark.streaming.sources import (TestStream,
+                                                     read_bounded)
+    from apache_beam_spark.streaming.stateful import streaming_rate_limit
+
+    ev = (load_table(spark, "events", sf_dir)
+          .filter(F.col("user_id") < 300)
+          .select("event_id", "user_id",
+                  F.unix_micros(F.col("ts").cast("timestamp"))
+                  .alias("tus")))
+    rows = [r.asDict() for r in ev.collect()]
+    ts = TestStream(tempfile.mkdtemp(prefix="entry_sratelimit_"))
+    ts.add_elements(rows)
+    sdf = streaming_rate_limit(
+        ts.stream(spark, "event_id bigint, user_id bigint, tus bigint")
+        .select("event_id", "user_id",
+                F.timestamp_micros("tus").alias("ts")),
+        key="user_id", event_time="ts", id_col="event_id",
+        window_ms=86_400_000, max_per_window=2, n_shards=8)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        out = read_bounded(sdf)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return out.select("user_id", "event_id", "ts_ms",
+                      "win_start_ms", "seq")
+
+
 def _dedup_simhash(spark, sf_dir):
     """SimHash near-dedup — rows-only (engine-specific xxhash64 bit
     derivation; survives as the production fast path — correctness
@@ -3673,7 +3719,8 @@ def _video_mjpeg_roundtrip(spark, sf_dir):
     from apache_beam_spark.multimodal.columns import decode_video_frames
 
     docs = (load_table(spark, "documents", sf_dir)
-            .select("doc_id").where(F.col("doc_id") % 17 == 5))
+            .select("doc_id").where(F.col("doc_id") % 17 == 5)
+            .repartition(spark.sparkContext.defaultParallelism))
 
     def gen(batches):
         import numpy as np
@@ -3709,12 +3756,16 @@ def _image_dhash_dedup(spark, sf_dir):
     ``(dst*size)//grid``, gray ``(r+g+b)//3``, strict-> bits) is
     integer arithmetic the oracle recomputes in SQL.  Hamming-distance
     near-dup pairing (pigeonhole-banded `dhash_near_dup`) is pinned
-    against brute force in tests/test_multimodal.py."""
-    from pyspark.sql.window import Window as W
+    against brute force in tests/test_multimodal.py.
 
+    Scale shape: the doc frame repartitions BEFORE the decode stage
+    (a single parquet split would serialize the Python codec loop —
+    the 10x gate caught exactly that), and cluster reps come from a
+    groupBy + equi-join on the hash instead of a sort-window."""
     from apache_beam_spark.multimodal.columns import image_dhash
 
-    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    docs = (load_table(spark, "documents", sf_dir).select("doc_id")
+            .repartition(spark.sparkContext.defaultParallelism))
 
     def gen(batches):
         import numpy as np
@@ -3735,9 +3786,9 @@ def _image_dhash_dedup(spark, sf_dir):
 
     enc = docs.mapInPandas(gen, "doc_id bigint, payload binary")
     hashed = image_dhash(enc, grid_w=9, grid_h=8)
-    return hashed.select(
-        "doc_id", "dhash",
-        F.min("doc_id").over(W.partitionBy("dhash")).alias("cluster_id"))
+    reps = hashed.groupBy("dhash").agg(F.min("doc_id").alias("cluster_id"))
+    return hashed.join(reps, "dhash").select("doc_id", "dhash",
+                                             "cluster_id")
 
 
 def _image_near_dup(spark, sf_dir):
@@ -3751,7 +3802,8 @@ def _image_near_dup(spark, sf_dir):
     from apache_beam_spark.multimodal.columns import (dhash_near_dup,
                                                       image_dhash)
 
-    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    docs = (load_table(spark, "documents", sf_dir).select("doc_id")
+            .repartition(spark.sparkContext.defaultParallelism))
 
     def gen(batches):
         import numpy as np
@@ -3788,7 +3840,9 @@ def _audio_features(spark, sf_dir):
     energy, ZCR, silence ratio)."""
     from apache_beam_spark.multimodal.columns import audio_frame_features
 
-    docs = load_table(spark, "documents", sf_dir).select("doc_id", "n_chars")
+    docs = (load_table(spark, "documents", sf_dir)
+            .select("doc_id", "n_chars")
+            .repartition(spark.sparkContext.defaultParallelism))
 
     def gen(batches):
         import numpy as np
@@ -4311,6 +4365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_session_exact": _stream_session_exact,
         "stream_join_exact": _stream_join_exact,
         "stream_dedup_exact": _stream_dedup_exact,
+        "stream_rate_limit_exact": _stream_rate_limit_exact,
         "dedup_simhash": _dedup_simhash,
         "dedup_simhash_md5": _dedup_simhash_md5,
         "ngram_jaccard": _ngram_jaccard,
@@ -4881,6 +4936,22 @@ def oracle_sql() -> dict[str, str]:
         "stream_dedup_exact": """
             SELECT DISTINCT event_id FROM events
             WHERE user_id < 400""",
+        "stream_rate_limit_exact": """
+            WITH e AS (
+                SELECT CAST(user_id AS VARCHAR) AS user_id, event_id,
+                       epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ts_ms
+                FROM events WHERE user_id < 300),
+            r AS (
+                SELECT user_id, event_id, ts_ms,
+                       ts_ms // 86400000 * 86400000 AS win_start_ms,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY user_id, ts_ms // 86400000
+                           ORDER BY ts_ms, event_id) AS seq
+                FROM e)
+            SELECT user_id, event_id, CAST(ts_ms AS BIGINT) AS ts_ms,
+                   CAST(win_start_ms AS BIGINT) AS win_start_ms,
+                   CAST(seq AS INT) AS seq
+            FROM r WHERE seq <= 2""",
         # streaming funnel: the batch funnel CTE over the same event
         # subset, timestamps as epoch microseconds
         "stream_funnel_exact": """
