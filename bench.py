@@ -175,8 +175,13 @@ def main() -> None:
             # twice burned a round of regression analysis; extra runs
             # happen inside the suite's cache scope, so the min is the
             # steady-state wall of the exact plan the suite runs.
+            # thresholds r10: the 4.5-8 s heavies (ngram_jaccard,
+            # dedup_simhash, llm_corpus_prep) measured 1.3-1.9x their
+            # quiet walls on single shots in back-to-back quiet runs —
+            # a second run costs ~30 s of bench wall and removes the
+            # worst per-query noise term in the artifact
             wall = run_once(name)
-            n = 3 if wall <= 1.2 else (2 if wall <= 4.5 else 1)
+            n = 3 if wall <= 1.2 else (2 if wall <= 8.0 else 1)
             for _ in range(n - 1):
                 wall = min(wall, run_once(name))
             timings[name] = wall
@@ -192,8 +197,13 @@ def main() -> None:
     # loadavg 7-17 during the run; min-of-N can't fully absorb that,
     # so the artifact itself says when its numbers are not comparable
     # to quiet-host runs instead of leaving the judge to re-run.
+    # ONLY load_before can witness foreign load: by the time the suite
+    # ends, the bench's own 32-thread streaming gates have pushed the
+    # 1-min loadavg past 15 on every run (self-load, not
+    # contamination — the first flag checked load_after too and
+    # labeled a loadavg-0.02 quiet run contaminated).
     load_after = os.getloadavg()
-    contaminated = max(load_before[0], load_after[0]) > 4.0
+    contaminated = load_before[0] > 4.0
     print(json.dumps({
         "metric": "headline_suite_seconds",
         "value": total,
