@@ -1306,6 +1306,49 @@ def _stream_dedup_exact(spark, sf_dir):
             .select("event_id"))
 
 
+def _stream_window_count_exact(spark, sf_dir):
+    """Streaming FIXED-WINDOW aggregation run END-TO-END inside the
+    query (streaming/windowed.py::windowed_aggregate — the batch AND
+    streaming code path behind window_fixed and the
+    `streaming_events_per_sec` gate): hourly per-type counts over a
+    TestStream replay, one data wave plus a watermark tail that closes
+    every window.  Counts are additive and window assignment is a pure
+    function of event time, so the emitted (window, event_type, n)
+    rows answer to a plain GROUP BY — the EIGHTH real streaming query
+    under the value-oracle gate, closing the last bench gate family
+    (windowed count) that had no oracled exact twin."""
+    import tempfile
+
+    from apache_beam_spark.streaming.sources import (TestStream,
+                                                     read_bounded)
+    from apache_beam_spark.streaming.windowed import windowed_aggregate
+    from apache_beam_spark.windowing import FixedWindows
+
+    ev = (load_table(spark, "events", sf_dir)
+          .select(F.unix_micros(F.col("ts").cast("timestamp"))
+                  .alias("tus"), "event_type"))
+    rows = [r.asDict() for r in ev.collect()]
+    ts = TestStream(tempfile.mkdtemp(prefix="entry_swindow_"))
+    ts.add_elements(rows)
+    tail = max(r["tus"] for r in rows) + 30 * 24 * 3600 * 1_000_000
+    ts.add_elements([{"tus": tail, "event_type": "zz_watermark_tail"}])
+    sdf = windowed_aggregate(
+        ts.stream(spark, "tus bigint, event_type string")
+        .select(F.timestamp_micros("tus").alias("ts"), "event_type"),
+        FixedWindows("1 hour"), "ts",
+        aggs=[F.count(F.lit(1)).alias("n")], keys=["event_type"],
+        allowed_lateness="10 minutes")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        out = read_bounded(sdf)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (out.filter(F.col("event_type") != "zz_watermark_tail")
+            .select(F.col("window.start").alias("window_start"),
+                    "event_type", "n"))
+
+
 def _stream_rate_limit_exact(spark, sf_dir):
     """Streaming per-key rate limiting run END-TO-END inside the query
     (streaming/stateful.py::streaming_rate_limit, the sharded
@@ -4366,6 +4409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_join_exact": _stream_join_exact,
         "stream_dedup_exact": _stream_dedup_exact,
         "stream_rate_limit_exact": _stream_rate_limit_exact,
+        "stream_window_count_exact": _stream_window_count_exact,
         "dedup_simhash": _dedup_simhash,
         "dedup_simhash_md5": _dedup_simhash_md5,
         "ngram_jaccard": _ngram_jaccard,
@@ -4936,6 +4980,11 @@ def oracle_sql() -> dict[str, str]:
         "stream_dedup_exact": """
             SELECT DISTINCT event_id FROM events
             WHERE user_id < 400""",
+        "stream_window_count_exact": """
+            SELECT date_trunc('hour', CAST(ts AS TIMESTAMP))
+                       AS window_start,
+                   event_type, CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2""",
         "stream_rate_limit_exact": """
             WITH e AS (
                 SELECT CAST(user_id AS VARCHAR) AS user_id, event_id,
