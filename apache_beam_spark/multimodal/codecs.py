@@ -4131,6 +4131,13 @@ def decode_avi_mjpeg(payload: bytes) -> "tuple[float, list[np.ndarray]]":
             if fcc == b"LIST" and lt == b"rec ":
                 scan_movi(b0, b1)
             elif fcc[2:4] in (b"dc", b"db"):
+                if payload[b0:b0 + 3] != b"\xff\xd8\xff":
+                    # a real '00db' can carry an uncompressed DIB —
+                    # that's a different pixel format, not MJPEG
+                    raise NotImplementedError(
+                        "AVI frame chunk is not a JPEG stream "
+                        "(uncompressed-DIB frames are not MJPEG; "
+                        "convert on an ffmpeg-equipped image)")
                 frames.append(decode_jpeg(payload[b0:b1]))
 
     for fcc, lt, b0, b1 in walk(payload, 12, len(payload)):

@@ -1711,3 +1711,26 @@ def test_avi_rejects_non_avi_and_empty():
         decode_avi_mjpeg(b"RIFF\x04\x00\x00\x00WAVE")
     with pytest.raises(ValueError, match="at least one frame"):
         encode_avi_mjpeg([], fps=10)
+
+
+def test_avi_uncompressed_dib_frame_dead_letters():
+    """A '00db' chunk that is NOT a JPEG stream (a real uncompressed
+    DIB) must dead-letter by name, not feed garbage to decode_jpeg."""
+    import struct
+
+    import pytest
+
+    from apache_beam_spark.multimodal.codecs import (_riff_chunk,
+                                                     decode_avi_mjpeg)
+
+    strh = (b"vids" + b"MJPG"
+            + struct.pack("<IHH8I", 0, 0, 0, 0, 1, 30, 0, 1, 0, 0, 0)
+            + struct.pack("<4h", 0, 0, 4, 4))
+    hdrl = _riff_chunk(b"LIST", b"hdrl"
+                       + _riff_chunk(b"LIST", b"strl"
+                                     + _riff_chunk(b"strh", strh)))
+    movi = _riff_chunk(b"LIST", b"movi"
+                       + _riff_chunk(b"00db", b"\x00" * 48))
+    payload = _riff_chunk(b"RIFF", b"AVI " + hdrl + movi)
+    with pytest.raises(NotImplementedError, match="not a JPEG"):
+        decode_avi_mjpeg(payload)
