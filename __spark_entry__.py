@@ -3788,6 +3788,41 @@ def _video_mjpeg_roundtrip(spark, sf_dir):
                     "channels", "fps", "pixel_sum"))
 
 
+def _audio_resample(spark, sf_dir):
+    """Audio decimation through the FULL distributed chain
+    (multimodal/columns.py::resample_audio): synthesize WAV from the
+    integer sample formula, decode -> keep every 4th sample ->
+    re-encode at 2 kHz -> decode again; (rate, count, peak) value-
+    check against the strided formula in SQL.  Two real codec passes
+    plus the decimation — the downsampling step an audio training
+    pipeline runs before feature extraction."""
+    from apache_beam_spark.multimodal.columns import (decode_audio,
+                                                      resample_audio)
+
+    docs = (load_table(spark, "documents", sf_dir)
+            .select("doc_id", "n_chars")
+            .repartition(spark.sparkContext.defaultParallelism))
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from apache_beam_spark.multimodal.codecs import encode_wav
+
+        for pdf in batches:
+            rows = []
+            for d, n in zip(pdf["doc_id"], pdf["n_chars"]):
+                i = np.arange(int(n), dtype=np.int64)
+                x = ((int(d) * 31 + i) * 2654435761) % 65536 - 32768
+                rows.append({"doc_id": int(d),
+                             "payload": encode_wav(x.astype(np.int16), 8000)})
+            yield pd.DataFrame(rows)
+
+    enc = docs.mapInPandas(gen, "doc_id bigint, payload binary")
+    return decode_audio(resample_audio(enc, factor=4)).select(
+        "doc_id", "sample_rate", "num_samples", "peak_abs")
+
+
 def _image_dhash_dedup(spark, sf_dir):
     """Perceptual image dedup over the REAL decode path
     (multimodal/columns.py::image_dhash): per doc, the png_roundtrip
@@ -4524,6 +4559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_report": _dq_report,
         "wav_roundtrip": _wav_roundtrip,
         "audio_features": _audio_features,
+        "audio_resample": _audio_resample,
         "image_dhash_dedup": _image_dhash_dedup,
         "video_mjpeg_roundtrip": _video_mjpeg_roundtrip,
         "image_near_dup": _image_near_dup,
@@ -6964,6 +7000,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_chars AS BIGINT) AS num_samples,
                    CAST(CASE WHEN n_chars = 0 THEN 0 ELSE
                        list_max(list_transform(range(0, n_chars),
+                           i -> abs((doc_id * 31 + i) * 2654435761
+                                    % 65536 - 32768)))
+                   END AS BIGINT) AS peak_abs
+            FROM documents""",
+        "audio_resample": """
+            SELECT doc_id, 2000 AS sample_rate,
+                   CAST(CASE WHEN n_chars = 0 THEN 0
+                        ELSE (n_chars - 1) // 4 + 1 END AS BIGINT)
+                       AS num_samples,
+                   CAST(CASE WHEN n_chars = 0 THEN 0 ELSE
+                       list_max(list_transform(range(0, n_chars, 4),
                            i -> abs((doc_id * 31 + i) * 2654435761
                                     % 65536 - 32768)))
                    END AS BIGINT) AS peak_abs

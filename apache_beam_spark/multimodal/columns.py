@@ -406,6 +406,47 @@ def dhash_near_dup(hashed: DataFrame, max_hamming: int = 4,
             .distinct())
 
 
+def resample_audio(df: DataFrame, factor: int,
+                   payload_col: str = "payload",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Integer audio decimation: decode any native payload (WAV/FLAC),
+    keep every ``factor``-th sample, re-encode PCM WAV at
+    ``rate // factor``.  Plain stride decimation WITHOUT an anti-alias
+    low-pass — bit-exact and engine-reproducible (the
+    `audio_resample` oracle recomputes the strided formula in SQL);
+    a filtered polyphase resampler is float-library-dependent and
+    belongs next to the perceptual codecs on an ffmpeg-equipped
+    image.  Payload-parallel like the other decode stages."""
+    schema = f"{id_col} bigint, payload binary"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from apache_beam_spark.multimodal.codecs import (
+            decode_flac, decode_wav, encode_wav, sniff_format)
+
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload)
+                fmt = sniff_format(b)
+                if fmt == "wav":
+                    rate, _, samples = decode_wav(b)
+                elif fmt == "flac":
+                    rate, _, samples = decode_flac(b)
+                else:
+                    raise NotImplementedError(
+                        "MP3 and other perceptual audio codecs are "
+                        "DESCOPED (SURVEY §8); PCM WAV and FLAC decode "
+                        "natively")
+                out = samples[::factor].astype(np.int16)
+                rows.append({id_col: i,
+                             "payload": encode_wav(out, rate // factor)})
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(fn, schema)
+
+
 def audio_frame_features(df: DataFrame, frame: int = 64,
                          silence_peak: int = 512,
                          payload_col: str = "payload",

@@ -126,6 +126,7 @@ HEADLINE = [
     "video_mjpeg_roundtrip",
     "rollup_ohlc",
     "image_near_dup",
+    "audio_resample",
 ]
 
 

@@ -1734,3 +1734,24 @@ def test_avi_uncompressed_dib_frame_dead_letters():
     payload = _riff_chunk(b"RIFF", b"AVI " + hdrl + movi)
     with pytest.raises(NotImplementedError, match="not a JPEG"):
         decode_avi_mjpeg(payload)
+
+
+def test_avi_420_subsampled_constant_frames_closed_form():
+    """MJPEG AVI with 420 chroma subsampling: constant frames still
+    round-trip to the quantization closed form (subsampling averages
+    a constant), so the video fixture family is subsampling-robust."""
+    import numpy as np
+
+    from apache_beam_spark.multimodal.codecs import (decode_avi_mjpeg,
+                                                     encode_avi_mjpeg)
+
+    vals = [10, 77, 200]
+    frames = [np.stack([np.full((6, 10), v, dtype=np.uint8)] * 3, axis=2)
+              for v in vals]
+    fps, out = decode_avi_mjpeg(encode_avi_mjpeg(frames, fps=12,
+                                                 subsampling="420"))
+    assert fps == 12.0 and len(out) == 3
+    for v, fr in zip(vals, out):
+        want = min(max(2 * int(np.floor((v - 128) / 2 + 0.5)) + 128, 0),
+                   255)
+        assert (fr == want).all()

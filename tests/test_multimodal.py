@@ -258,3 +258,29 @@ def test_sample_frames_real_avi(spark):
                                 "doc_id bigint, payload binary")
     with pytest.raises(Exception, match="DESCOPED"):
         sample_frames(bad, every_n=2, fake=False).collect()
+
+
+def test_resample_audio_reference(spark):
+    """resample_audio: strided decimation vs numpy, WAV and FLAC
+    inputs, empty payload."""
+    import numpy as np
+
+    from apache_beam_spark.multimodal.codecs import encode_flac, encode_wav
+    from apache_beam_spark.multimodal.columns import (decode_audio,
+                                                      resample_audio)
+
+    sigs = {1: (np.arange(100) * 997 % 65536 - 32768).astype(np.int16),
+            2: np.array([], dtype=np.int16),
+            3: (np.arange(33) * 7919 % 65536 - 32768).astype(np.int16)}
+    rows = [(1, bytearray(encode_wav(sigs[1], 8000))),
+            (2, bytearray(encode_wav(sigs[2], 8000))),
+            (3, bytearray(encode_flac(sigs[3].astype(np.int64), 8000)))]
+    df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    got = {r["doc_id"]: r for r in
+           decode_audio(resample_audio(df, factor=4)).collect()}
+    for k, s in sigs.items():
+        dec = s[::4].astype(np.int64)
+        r = got[k]
+        assert r["sample_rate"] == 2000
+        assert r["num_samples"] == len(dec)
+        assert r["peak_abs"] == (int(np.abs(dec).max()) if len(dec) else 0)
