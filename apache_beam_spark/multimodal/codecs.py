@@ -4155,13 +4155,19 @@ def decode_avi_mjpeg(payload: bytes) -> "tuple[float, list[np.ndarray]]":
                         hdl = payload[d0 + 4:d0 + 8]
                         if ftype != b"vids":
                             continue
-                        if hdl.upper() not in (b"MJPG", b"\x00\x00\x00\x00"):
+                        # MJPG plus its common fourcc aliases (dmb1 is
+                        # Matrox/QuickTime MJPEG-A in AVI, MJPA the
+                        # QuickTime name); zeros = unset, sniff frames.
+                        if hdl.upper() not in (b"MJPG", b"DMB1", b"MJPA",
+                                               b"\x00\x00\x00\x00"):
                             raise NotImplementedError(
-                                f"AVI video handler {hdl!r}: inter-frame"
-                                " codecs (H.264 etc.) are DESCOPED"
-                                " (SURVEY §8 — no in-container oracle;"
-                                " needs ffmpeg on the cluster image);"
-                                " MJPG decodes natively")
+                                f"AVI video handler {hdl!r} is not an"
+                                " MJPEG variant; only intra-frame MJPEG"
+                                " (MJPG/dmb1/MJPA) decodes natively —"
+                                " other codecs (H.264, DIB, ...) are"
+                                " DESCOPED (SURVEY §8 — no in-container"
+                                " oracle; needs ffmpeg on the cluster"
+                                " image)")
                         handler_ok = True
                         scale, rate = struct.unpack_from(
                             "<II", payload, d0 + 20)

@@ -39,7 +39,22 @@ def gap_fill_linear(df: DataFrame, key: str, bucket_col: str,
 
     Edge buckets are observations by construction (the grid spans
     min..max of the key's own data), so every gap has both neighbors.
+
+    Contract guard: every observed bucket must sit ON the step grid
+    anchored at the key's min bucket — a misaligned row would miss the
+    grid equi-join and be silently interpolated across, so it raises
+    instead (checked in the data path via ``raise_error``).
     """
+    w_key = W.partitionBy(key)
+    aligned = ((F.col(bucket_col) - F.min(bucket_col).over(w_key))
+               % step == 0)
+    guard = F.when(aligned, F.col(value_col)).otherwise(F.raise_error(
+        F.concat(F.lit("gap_fill_linear: bucket "),
+                 F.col(bucket_col).cast("string"),
+                 F.lit(f" is not aligned to the step-{step} grid of its"
+                       " key (misaligned observations would be silently"
+                       " lost; re-bucket the input)"))))
+    df = df.select(key, bucket_col, guard.cast("bigint").alias(value_col))
     bounds = df.groupBy(key).agg(F.min(bucket_col).alias("_mn"),
                                  F.max(bucket_col).alias("_mx"))
     grid = bounds.select(

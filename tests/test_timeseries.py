@@ -41,3 +41,18 @@ def test_step_grid(spark):
     got = _fill(spark, [("a", 0, 0), ("a", 30, 3)], step=10)
     assert got == [("a", 0, 0, 0), ("a", 10, 1, 1),
                    ("a", 20, 2, 1), ("a", 30, 3, 0)]
+
+
+def test_misaligned_bucket_raises(spark):
+    # t=15 is off the step-10 grid anchored at t=0: previously it was
+    # silently dropped (grid join missed it) and neighbors
+    # interpolated across; now the contract violation raises.
+    import pytest
+    with pytest.raises(Exception, match="not aligned"):
+        _fill(spark, [("a", 0, 0), ("a", 15, 7), ("a", 30, 3)],
+              step=10)
+    # aligned multi-key data still fine (guard is per-key anchored)
+    got = _fill(spark, [("a", 5, 1), ("a", 25, 3), ("b", 2, 4)],
+                step=10)
+    assert got == [("a", 5, 1, 0), ("a", 15, 2, 1), ("a", 25, 3, 0),
+                   ("b", 2, 4, 0)]
