@@ -834,6 +834,31 @@ def _window_session(spark, sf_dir):
     ).df
 
 
+def _window_session_strict(spark, sf_dir):
+    """Sessions with EXACT reference boundary semantics
+    (Sessions.java:40 + IntervalWindow.isDisjoint: end == other.start
+    is DISJOINT, so two events exactly one gap apart stay in SEPARATE
+    sessions) — the opt-in Beam-parity twin of `window_session`, which
+    follows Spark's session_window convention of merging the exact-gap
+    pair.  Batch realization: windowing.Sessions(gap,
+    strict_gap=True).apply (merge_intervals with a strict island
+    split); streaming twin streaming_sessions_strict is
+    boundary+parity-pinned in tests/test_strict_sessions.py.  The
+    oracle is the same gaps-and-islands SQL as window_session with >=
+    in place of > at the split."""
+    from apache_beam_spark.windowing import (Sessions as _S,
+                                             ensure_event_time)
+
+    ev = ensure_event_time(
+        load_table(spark, "events", sf_dir).select("user_id", "ts"), "ts")
+    w = _S("10 minutes", strict_gap=True).apply(ev, ["user_id"], "ts")
+    return (w.groupBy("user_id", "window")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select("user_id",
+                    F.col("window.start").alias("session_start"),
+                    "n_events"))
+
+
 def _window_calendar_month(spark, sf_dir):
     """CalendarWindows.months (CalendarWindows.java) via date_trunc."""
     p = Pipeline(spark)
@@ -1300,6 +1325,60 @@ def _stream_dedup_exact(spark, sf_dir):
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         out = read_bounded(sdf)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (out.filter(F.col("event_id") < 900000000)
+            .select("event_id"))
+
+
+def _stream_dedup_late_exact(spark, sf_dir):
+    """Streaming dedup with a SEQUENCED two-wave replay that puts the
+    LATE-DATA-DROP contract itself under the value-oracle gate
+    (VERDICT r10 item 5 — the single-wave `stream_dedup_exact` proves
+    the distinct set; this proves what the watermark REJECTS).  Wave 1
+    spools the on-time events (user_id < 200, every row twice so the
+    dedup state genuinely drops half) and then a watermark-advancing
+    tail 30 days ahead; wave 2 re-sends every wave-1 row PLUS a
+    DISJOINT set of never-seen events (user_id % 5 == 0 — a modulo
+    split so both waves are non-empty at EVERY scale factor) — by
+    then the watermark sits 30 days past every real event time, so
+    Spark's pre-state late filter drops the ENTIRE second wave.  Run
+    with the default trigger (one spooled file per micro-batch, the
+    TestStream contract) so the watermark genuinely advances BETWEEN
+    waves — availableNow would coalesce them (the documented
+    read_bounded caveat).  The emitted set is therefore exactly
+    SELECT DISTINCT event_id over the wave-1 rows; any wave-2-only
+    id (user_id % 5 == 0) appearing in the output would be a
+    late-drop violation the hash check catches."""
+    import tempfile
+
+    from apache_beam_spark.streaming.sources import TestStream
+    from apache_beam_spark.streaming.stateful import streaming_distinct
+    from apache_beam_spark.streaming.windowed import run_to_memory
+
+    ev = (load_table(spark, "events", sf_dir)
+          .filter(F.col("user_id") < 500)
+          .select("user_id", "event_id",
+                  F.unix_micros(F.col("ts").cast("timestamp"))
+                  .alias("tus")))
+    rows = [r.asDict() for r in ev.collect()]
+    ontime = [{"event_id": r["event_id"], "tus": r["tus"]}
+              for r in rows if r["user_id"] % 5 != 0]
+    late_only = [{"event_id": r["event_id"], "tus": r["tus"]}
+                 for r in rows if r["user_id"] % 5 == 0]
+    ts = TestStream(tempfile.mkdtemp(prefix="entry_sdeduplate_"))
+    ts.add_elements(ontime + ontime)
+    tail = max(r["tus"] for r in rows) + 30 * 24 * 3600 * 1_000_000
+    ts.add_elements([{"event_id": 900000001, "tus": tail}])
+    ts.add_elements(late_only + ontime)   # ALL late by now
+    sdf = streaming_distinct(
+        ts.stream(spark, "event_id bigint, tus bigint")
+        .select("event_id", F.timestamp_micros("tus").alias("ts")),
+        ["event_id"], "ts", within="10 minutes")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        out = run_to_memory(sdf)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return (out.filter(F.col("event_id") < 900000000)
@@ -4431,6 +4510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_fixed": _window_fixed,
         "window_sliding": _window_sliding,
         "window_session": _window_session,
+        "window_session_strict": _window_session_strict,
         "window_calendar_month": _window_calendar_month,
         "group_into_batches": _group_into_batches,
         "text_stats": _text_stats,
@@ -4448,6 +4528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_join_exact": _stream_join_exact,
         "stream_dedup_exact": _stream_dedup_exact,
         "stream_rate_limit_exact": _stream_rate_limit_exact,
+        "stream_dedup_late_exact": _stream_dedup_late_exact,
         "stream_window_count_exact": _stream_window_count_exact,
         "dedup_simhash": _dedup_simhash,
         "dedup_simhash_md5": _dedup_simhash_md5,
@@ -5020,6 +5101,9 @@ def oracle_sql() -> dict[str, str]:
         "stream_dedup_exact": """
             SELECT DISTINCT event_id FROM events
             WHERE user_id < 400""",
+        "stream_dedup_late_exact": """
+            SELECT DISTINCT event_id FROM events
+            WHERE user_id < 500 AND user_id % 5 <> 0""",
         "stream_window_count_exact": """
             SELECT date_trunc('hour', CAST(ts AS TIMESTAMP))
                        AS window_start,
@@ -5292,6 +5376,21 @@ def oracle_sql() -> dict[str, str]:
                 SELECT user_id, ts,
                        CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
                                  > INTERVAL '10 minutes'
+                            OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events),
+            sessions AS (
+                SELECT user_id, ts,
+                       SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+                FROM gaps)
+            SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+            FROM sessions GROUP BY user_id, sid""",
+        "window_session_strict": """
+            WITH gaps AS (
+                SELECT user_id, ts,
+                       CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                 >= INTERVAL '10 minutes'
                             OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                             THEN 1 ELSE 0 END AS new_session
                 FROM events),

@@ -58,14 +58,22 @@ def fuzzy_self_join(df: DataFrame, id_col: str, str_col: str,
     from apache_beam_spark.plans.caching import cache_scoped
 
     # cached: BOTH sides of the self-join read this frame — without
-    # the cache the explode + hash runs twice
+    # the cache the explode + hash runs twice.  Hash-repartitioned by
+    # the variant hash BEFORE caching: the self-join below keys on
+    # _vh, so the cached co-partitioning serves both sides (one
+    # shuffle total) AND parallelizes the levenshtein verify — a
+    # small input otherwise arrives as one parquet split and AQE
+    # happily coalesces the tiny candidate join onto one core, where
+    # the candidate-pair verify (the real CPU cost) serializes.
+    n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     vs = cache_scoped(
         df.select(F.col(id_col).alias("_id"),
                   F.col(str_col).alias("_s"))
         .select("_id", "_s",
                 F.explode(deletion_neighborhood(F.col("_s"), max_dist))
                 .alias("_v"))
-        .select("_id", "_s", F.xxhash64("_v").alias("_vh")))
+        .select("_id", "_s", F.xxhash64("_v").alias("_vh"))
+        .repartition(n_parts, "_vh"))
     a, b = vs.alias("a"), vs.alias("b")
     # verify BEFORE distinct: candidate pairs (deletion-shared, i.e.
     # within distance 2*max_dist) outnumber true pairs by ~an order of

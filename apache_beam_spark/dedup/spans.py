@@ -53,8 +53,14 @@ def dup_span_scrub(df: DataFrame, text_col: str = "text",
     repeated substring.  Returns (id_col, clean_text, n_tokens,
     n_removed) — ``clean_text`` is the surviving tokens space-joined,
     ``n_removed`` how many token positions were scrubbed."""
-    toks = df.select(F.col(id_col).alias("id"),
-                     word_tokens(F.col(text_col)).alias("w"))
+    from apache_beam_spark.plans.partitioning import parallelize_narrow
+
+    # the per-window md5 transform below is the CPU-heavy stage and a
+    # small corpus arrives as ONE parquet split — parallelize first
+    # (no-op at scale, where the scan already has many splits)
+    toks = parallelize_narrow(
+        df.select(F.col(id_col).alias("id"),
+                  word_tokens(F.col(text_col)).alias("w")))
 
     # one row per overlapping min_len-gram start; sequence() counts
     # DOWN for a negative span, so short docs must short-circuit to an

@@ -2625,17 +2625,21 @@ def _decode_scan_lossless(payload, pos, frame, sel, predictor, al):
 # structural corruption (impossible magnitudes, AC run overflow,
 # malformed DAC) still raises ValueError (dead-letter contract).
 #
-# VERIFICATION SCOPE (r9 review, explicitly unverified gap): the
+# VERIFICATION SCOPE (r9 review; FOREIGN fixture added r11): the
 # arithmetic path is pinned by (a) hypothesis round-trips of the raw
 # QM-coder, (b) cross-flavor pixel-equality fuzz vs the huffman path,
-# and (c) the value-oracled bench queries — all against THIS repo's
-# own encoder.  No externally generated arithmetic JPEG exists in the
-# container (stock libjpeg ships without D_ARITH_CODING_SUPPORT), so
-# a conditioning-model deviation from T.81 F.1.4/G.1.3 that is
-# self-consistent between our encoder and decoder would mis-decode
-# FOREIGN SOF9/SOF10 streams while every in-repo gate stays green.
-# Treat foreign arithmetic-JPEG fidelity as unverified until a
-# known-good external fixture is pinned.
+# (c) the value-oracled bench queries, and (d) a HAND-BUILT FOREIGN
+# SOF9 stream (tests/test_codecs_foreign_arith.py): an independent
+# encode-side implementation written from the T.81 flowcharts with
+# its own Table D.3 copy, exercising a non-default DAC segment
+# (L=2/U=4/Kx=3 on non-zero table ids), restart-cadence stat/coder
+# resets, unsuppressed flush bytes and a stacked-0xFF-carry
+# trajectory, decoded bit-exact against spec-derived pixels (plus a
+# guard proving the DAC conditioning is load-bearing).  Remaining
+# unverified foreign shapes are those genuinely outside T.81's
+# sequential/progressive arithmetic profile for 8-bit frames (e.g.
+# 12-bit precision raises NotImplementedError above) — no in-scope
+# conditioning path is now pinned only against this repo's encoder.
 # ---------------------------------------------------------------------------
 
 #: T.81 Table D.3: (Qe, next-index-LPS, next-index-MPS, switch-MPS)

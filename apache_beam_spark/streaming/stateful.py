@@ -295,3 +295,92 @@ def streaming_minhash_dedup(df: DataFrame, text_col: str = "text",
             .filter(F.col("__n__") == num_bands)
             .select(id_col, event_time,
                     F.col("window.start").alias("win_start")))
+
+
+def streaming_sessions_strict(df: DataFrame, key: str, event_time: str,
+                              gap_ms: int) -> DataFrame:
+    """Streaming session windows with EXACT reference boundary
+    semantics (``Sessions.java:40`` + ``IntervalWindow.isDisjoint``:
+    ``end == other.start`` is disjoint, so two events exactly one gap
+    apart stay in SEPARATE sessions — the one boundary Spark's native
+    ``session_window`` merges).  The unbounded twin of
+    ``windowing.Sessions(gap, strict_gap=True).apply``.
+
+    State per key: the OPEN sessions as (start_ms, end_ms, n) triples
+    — an event t merges into a session iff its proto-window
+    [t, t+gap) OVERLAPS it (t < end and t+gap > start; equality at
+    either edge keeps them separate).  A session closes exactly when
+    the watermark reaches its end: any later on-time event has
+    ts >= watermark >= end, which under STRICT semantics can never
+    merge — so eviction at ``end <= watermark`` is lossless (the
+    corresponding native-session rule needs end < watermark AND an
+    extra touching check; strict semantics make the bound exact).
+    State is therefore bounded by each key's open sessions within the
+    watermark horizon, not by the stream.
+
+    Output (append, emitted when a session closes):
+    ``(key string, session_start_ms, session_end_ms, n_events)``.
+    Batch/stream parity is pinned in tests/test_strict_sessions.py.
+    """
+    import json
+
+    from pyspark.sql import functions as F
+
+    from apache_beam_spark.windowing import ensure_event_time
+
+    out_schema = (f"{key} string, session_start_ms long, "
+                  "session_end_ms long, n_events long")
+    state_schema = "js string"
+
+    def fn(k, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        # EventTimeTimeout (not NoTimeout): a session closes when the
+        # WATERMARK passes its end, which usually happens in a batch
+        # where this key has NO new rows — only the timeout wakes the
+        # key then, so without it closed sessions would never emit.
+        sessions = json.loads(state.get[0]) if state.exists else []
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                for t in pdf["__ts_ms__"]:
+                    t = int(t)
+                    sessions.append([t, t + gap_ms, 1])
+        # strict merge: islands split where start >= running max end
+        sessions.sort()
+        merged: list[list[int]] = []
+        for s, e, n in sessions:
+            if merged and s < merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+                merged[-1][2] += n
+            else:
+                merged.append([s, e, n])
+        wm = state.getCurrentWatermarkMs()
+        closed = [x for x in merged if x[1] <= wm]
+        open_ = [x for x in merged if x[1] > wm]
+        if open_:
+            state.update((json.dumps(open_),))
+            # wake this key when the watermark passes the earliest
+            # open session's end (> wm by construction, as required)
+            state.setTimeoutTimestamp(min(x[1] for x in open_))
+        elif state.exists:
+            state.remove()
+        if closed:
+            yield pd.DataFrame({
+                key: [str(k[0])] * len(closed),
+                "session_start_ms": [c[0] for c in closed],
+                "session_end_ms": [c[1] for c in closed],
+                "n_events": [c[2] for c in closed]})
+
+    from pyspark.sql.types import TimestampType
+
+    src = ensure_event_time(df, event_time)
+    if not isinstance(src.schema[event_time].dataType, TimestampType):
+        # integer event times are epoch MICROSECONDS (the TestStream
+        # convention in this repo, same as streaming_minhash_dedup)
+        src = src.withColumn(
+            event_time, F.timestamp_micros(F.col(event_time).cast("long")))
+    prepped = src.withWatermark(event_time, f"{gap_ms // 1000} seconds")
+    prepped = prepped.select(
+        F.col(key).cast("string").alias(key),
+        F.col(event_time),
+        F.unix_millis(F.col(event_time)).alias("__ts_ms__"))
+    return stateful_per_key(prepped, [key], fn, out_schema,
+                            state_schema, timeout="EventTimeTimeout")

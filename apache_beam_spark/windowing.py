@@ -99,25 +99,49 @@ class SlidingWindows(WindowFn):
 class Sessions(WindowFn):
     """Session windows with a gap (reference ``Sessions.java:40,49``).
 
-    Spark's ``session_window`` merges overlapping per-element
-    proto-windows inside the native streaming/batch session
-    aggregation operator, the same idea as the reference's
-    ``MergeOverlappingIntervalWindows.java`` — with ONE boundary
-    divergence (r9 review): at exact-gap adjacency the reference's
-    ``IntervalWindow.isDisjoint`` treats ``end == other.start`` as
-    disjoint (two events exactly one gap apart stay in SEPARATE
-    sessions), while Spark merges them into one session.  Every
-    consumer in this repo (``window_session``, ``user_sessions``,
-    ``stream_session_exact`` and its oracle, which uses strict ``>``
-    accordingly) follows the SPARK convention; port reference
-    pipelines that depend on the exact-gap split with a gap of
-    ``gap - 1ms``.
+    Two modes, both honest about the boundary:
+
+    * default (``strict_gap=False``): Spark's ``session_window`` merges
+      overlapping per-element proto-windows inside the native
+      streaming/batch session aggregation operator, the same idea as
+      the reference's ``MergeOverlappingIntervalWindows.java`` — with
+      ONE boundary divergence (r9 review): at exact-gap adjacency the
+      reference's ``IntervalWindow.isDisjoint`` treats
+      ``end == other.start`` as disjoint (two events exactly one gap
+      apart stay in SEPARATE sessions), while Spark merges them into
+      one session.  ``window_session``, ``user_sessions`` and
+      ``stream_session_exact`` follow the Spark convention.
+    * ``strict_gap=True``: exact reference parity at the boundary —
+      realized via ``merge_intervals(strict=True)`` on batch input
+      (``apply``; ``session_window`` can't express it) and via
+      ``streaming/stateful.py::streaming_sessions_strict`` on
+      unbounded input.  Oracled end-to-end as
+      ``window_session_strict``; boundary pinned in
+      ``tests/test_strict_sessions.py``.
     """
 
     gap: str
+    strict_gap: bool = False
 
     def window_cols(self, ts_col: str) -> list[Column]:
+        if self.strict_gap:
+            raise ValueError(
+                "strict_gap Sessions cannot be a groupBy column "
+                "(session_window merges touching windows); realize with "
+                "Sessions.apply(df, keys, ts_col) and group by the "
+                "produced 'window' struct")
         return [F.session_window(F.col(ts_col), self.gap).alias("window")]
+
+    def apply(self, df, keys: list, ts_col: str, out: str = "window"):
+        """Assign each row its merged session window as a struct column
+        (batch path; honors ``strict_gap``).  One keyed sort-window
+        shuffle — same scale shape as ``merge_intervals``."""
+        tagged = (df.withColumn("__ws__", F.col(ts_col))
+                  .withColumn("__we__", F.col(ts_col)
+                              + F.expr(f"INTERVAL {self.gap}")))
+        return merge_intervals(tagged, keys, "__ws__", "__we__", out,
+                               strict=self.strict_gap) \
+            .drop("__ws__", "__we__")
 
 
 @dataclass(frozen=True)
@@ -208,7 +232,7 @@ class WindowingStrategy:
 
 
 def merge_intervals(df, keys: list, start_col: str, end_col: str,
-                    out: str = "window"):
+                    out: str = "window", strict: bool = False):
     """Merge overlapping/touching [start, end) proto-windows per key —
     the batch realization of a custom MERGING WindowFn (reference
     ``WindowFn.mergeWindows`` / ``MergeOverlappingIntervalWindows.java``):
@@ -220,14 +244,22 @@ def merge_intervals(df, keys: list, start_col: str, end_col: str,
     exceeds the running max of previous ends, island id = running count
     of island starts; the merged window is (min start, max end) per
     island.  Scales like any keyed window function — AQE handles skew.
+
+    ``strict=True`` keeps TOUCHING intervals (start == previous end)
+    separate — the reference's ``IntervalWindow.isDisjoint`` contract
+    (``end == other.start`` is disjoint), which is what makes
+    ``Sessions(gap, strict_gap=True)`` split events exactly one gap
+    apart into separate sessions where Spark's ``session_window``
+    would merge them.
     """
     from pyspark.sql.window import Window as W
 
     w_sort = W.partitionBy(*keys).orderBy(F.col(start_col), F.col(end_col))
     prev_max_end = F.max(F.col(end_col)).over(
         w_sort.rowsBetween(W.unboundedPreceding, -1))
-    new_island = F.when(
-        prev_max_end.isNull() | (F.col(start_col) > prev_max_end), 1).otherwise(0)
+    splits = (F.col(start_col) >= prev_max_end) if strict \
+        else (F.col(start_col) > prev_max_end)
+    new_island = F.when(prev_max_end.isNull() | splits, 1).otherwise(0)
     tagged = df.withColumn("__isl__", F.sum(new_island).over(
         w_sort.rowsBetween(W.unboundedPreceding, 0)))
     w_isl = W.partitionBy(*keys, "__isl__")

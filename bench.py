@@ -127,6 +127,8 @@ HEADLINE = [
     "rollup_ohlc",
     "image_near_dup",
     "audio_resample",
+    # round-11: Beam-parity strict-gap sessions (merge_intervals path)
+    "window_session_strict",
 ]
 
 

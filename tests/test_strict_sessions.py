@@ -1,0 +1,121 @@
+"""Strict-gap sessions (reference ``IntervalWindow.isDisjoint``
+parity: ``end == other.start`` is DISJOINT, so events exactly one gap
+apart stay in separate sessions) — the one session-boundary semantic
+Spark's native ``session_window`` merges.  Pins:
+
+* ``merge_intervals(strict=True)`` keeps touching intervals separate;
+* batch ``Sessions(gap, strict_gap=True).apply`` splits at the exact
+  gap while the default mode (and Spark session_window) merges;
+* ``streaming_sessions_strict`` emits the same sessions as the batch
+  path on the same data, including the exact-gap boundary, via a
+  sequenced two-wave TestStream replay (watermark advances between
+  waves, closed sessions emit in append mode).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from apache_beam_spark.windowing import Sessions, merge_intervals
+
+M_US = 60_000_000          # one minute in µs
+T0 = 24 * 60 * M_US        # off epoch 0 (initial watermark)
+GAP_MIN = 10
+GAP_US = GAP_MIN * M_US
+
+
+def _batch_sessions(spark, rows, strict):
+    df = spark.createDataFrame(rows, "user_id string, tus long") \
+        .select("user_id", F.timestamp_micros("tus").alias("ts"))
+    if strict:
+        w = Sessions(f"{GAP_MIN} minutes", strict_gap=True) \
+            .apply(df, ["user_id"], "ts")
+        grouped = w.groupBy("user_id", "window").agg(
+            F.count(F.lit(1)).alias("n"))
+    else:
+        grouped = df.groupBy(
+            "user_id",
+            F.session_window("ts", f"{GAP_MIN} minutes").alias("window")
+        ).agg(F.count(F.lit(1)).alias("n"))
+    return sorted(
+        (r["user_id"], F"{r['window']['start']}", r["n"])
+        for r in grouped.collect())
+
+
+def test_merge_intervals_strict_touching(spark):
+    df = spark.createDataFrame(
+        [("k", 0, 10), ("k", 10, 20), ("k", 15, 30)],
+        "k string, s long, e long")
+    loose = merge_intervals(df, ["k"], "s", "e").select(
+        "window.start", "window.end").distinct().collect()
+    assert sorted((r[0], r[1]) for r in loose) == [(0, 30)]
+    strict = merge_intervals(df, ["k"], "s", "e", strict=True).select(
+        "window.start", "window.end").distinct().collect()
+    # [0,10) and [10,20) touch -> disjoint; [10,20)+[15,30) overlap
+    assert sorted((r[0], r[1]) for r in strict) == [(0, 10), (10, 30)]
+
+
+def test_batch_exact_gap_boundary(spark):
+    rows = [
+        # user a: two events EXACTLY one gap apart
+        ("a", T0), ("a", T0 + GAP_US),
+        # user b: one minute inside the gap -> one session either mode
+        ("b", T0), ("b", T0 + GAP_US - M_US),
+    ]
+    strict = _batch_sessions(spark, rows, strict=True)
+    assert [(u, n) for u, _, n in strict] == [
+        ("a", 1), ("a", 1), ("b", 2)]
+    default = _batch_sessions(spark, rows, strict=False)
+    # Spark convention merges the exact-gap pair
+    assert [(u, n) for u, _, n in default] == [("a", 2), ("b", 2)]
+
+
+def test_window_cols_raises_for_strict(spark):
+    import pytest
+    with pytest.raises(ValueError, match="strict_gap"):
+        Sessions("10 minutes", strict_gap=True).window_cols("ts")
+
+
+def test_streaming_matches_batch_strict(spark):
+    from apache_beam_spark.streaming.sources import TestStream
+    from apache_beam_spark.streaming.stateful import (
+        streaming_sessions_strict)
+    from apache_beam_spark.streaming.windowed import run_to_memory
+
+    rows = []
+    # user a: exact-gap pair (two sessions), user b: in-gap pair (one),
+    # user c: a chain t, t+gap, t+2gap-1min (sessions of 1 and 2)
+    for u, offs in (("a", [0, GAP_US]),
+                    ("b", [0, GAP_US - M_US]),
+                    ("c", [0, GAP_US, 2 * GAP_US - M_US])):
+        rows.extend({"user_id": u, "tus": T0 + o} for o in offs)
+    tail = [{"user_id": "zz", "tus": 10 ** 15}]
+
+    ts = TestStream(tempfile.mkdtemp(prefix="t_strictsess_"))
+    ts.add_elements(rows)
+    ts.add_elements(tail)
+    src = (ts.stream(spark, "user_id string, tus bigint")
+           .select("user_id", F.timestamp_micros("tus").alias("ts")))
+    sdf = streaming_sessions_strict(src, "user_id", "ts",
+                                    gap_ms=GAP_US // 1000)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        out = run_to_memory(sdf)  # sequenced: wm advances between waves
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    got = sorted((r["user_id"], r["session_start_ms"], r["n_events"])
+                 for r in out.collect())
+    # the zz tail session never closes (nothing advances wm past it)
+    expect = [("a", T0 // 1000, 1), ("a", (T0 + GAP_US) // 1000, 1),
+              ("b", T0 // 1000, 2), ("c", T0 // 1000, 1),
+              ("c", (T0 + GAP_US) // 1000, 2)]
+    assert got == expect
+
+    # batch twin on the same rows agrees (parity)
+    batch = _batch_sessions(spark, [(r["user_id"], r["tus"])
+                                    for r in rows], strict=True)
+    assert [(u, n) for u, _, n in batch] == [
+        ("a", 1), ("a", 1), ("b", 2), ("c", 1), ("c", 2)]
