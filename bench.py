@@ -156,6 +156,7 @@ def main() -> None:
     runs: dict[str, int] = {}
     load_before = os.getloadavg()
     load_mid: list[float] = []
+    steal0, t_wall0 = _steal_jiffies(), time.time()
     host = _host_index(spark)
 
     def run_once(name: str) -> float:
@@ -184,10 +185,17 @@ def main() -> None:
             # dedup_simhash, llm_corpus_prep) measured 1.3-1.9x their
             # quiet walls on single shots in back-to-back quiet runs —
             # a second run costs ~30 s of bench wall and removes the
-            # worst per-query noise term in the artifact
+            # worst per-query noise term in the artifact.
+            # r11: ceiling 8 -> 10 s: the three 8-9 s heavies
+            # (llm_corpus_prep, semantic_dedup, dup_clusters) were the
+            # only queries still reported from a single cold shot —
+            # their first run builds the scoped caches (8-9 s) while
+            # steady state is 3.3-6.5 s quiet; one extra run each
+            # (~26 s of bench wall) makes their artifact walls mean
+            # the same thing as every other query's.
             load_mid.append(round(os.getloadavg()[0], 1))
             wall = run_once(name)
-            n = 3 if wall <= 1.2 else (2 if wall <= 8.0 else 1)
+            n = 3 if wall <= 1.2 else (2 if wall <= 10.0 else 1)
             for _ in range(n - 1):
                 wall = min(wall, run_once(name))
             timings[name] = wall
@@ -210,6 +218,7 @@ def main() -> None:
     # contamination — the first flag checked load_after too and
     # labeled a loadavg-0.02 quiet run contaminated).
     load_after = os.getloadavg()
+    steal = _steal_fields(steal0, t_wall0)
     contaminated = load_before[0] > 4.0
     print(json.dumps({
         "metric": "headline_suite_seconds",
@@ -229,6 +238,12 @@ def main() -> None:
         # uncorrelated with the neighboring per-query walls.
         "loadavg_mid_per_query": load_mid,
         "contaminated": contaminated,
+        # hypervisor STEAL during the run (r11): this sandbox showed
+        # 2.7x host_index swings at loadavg < 1 — the thief is outside
+        # the VM, visible only as /proc/stat steal jiffies.  steal_ratio
+        # = stolen CPU / (wall x 32 cpus); > ~0.05 means the walls are
+        # not comparable to a clean run no matter what loadavg said.
+        **steal,
         **host,
         **recall,
         **stream_metrics,
@@ -243,6 +258,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "contaminated": contaminated,
+        **steal,
         **host,
         **recall,
         **{k: v for k, v in stream_metrics.items()
@@ -256,6 +272,21 @@ def main() -> None:
                if not v["bounded"]}
         print(f"# STATE BOUND VIOLATION: {bad}", file=sys.stderr)
         sys.exit(1)
+
+
+def _steal_jiffies() -> int:
+    """Hypervisor steal time (jiffies) from /proc/stat; 0 if absent."""
+    try:
+        return int(open("/proc/stat").readline().split()[8])
+    except (OSError, IndexError, ValueError):
+        return 0
+
+
+def _steal_fields(steal0: int, t0: float) -> dict:
+    d = (_steal_jiffies() - steal0) / 100.0      # USER_HZ seconds
+    wall = max(time.time() - t0, 1e-6)
+    return {"steal_sec_during_run": round(d, 1),
+            "steal_ratio": round(d / (wall * float(CPUS or 32)), 4)}
 
 
 def _host_index(spark) -> dict:

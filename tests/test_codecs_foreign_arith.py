@@ -451,3 +451,217 @@ def test_dac_conditioning_is_load_bearing():
     assert not np.array_equal(got, expected), (
         "decode without the DAC segment matched — the fixture does "
         "not exercise conditioning")
+
+
+# ---------------------------------------------------------------------------
+# FOREIGN SOF10 (progressive arithmetic) fixture: the G.1.3 successive-
+# approximation conditioning — DC-first at Al=1, per-band AC-first at
+# Al=1, fixed-bin DC correction bits, previously-EOB-indexed AC
+# refinement with newly-significant insertion — hand-encoded with the
+# same independent spec-side QM coder and decoded bit-exact.  The
+# coefficient set is chosen (not searched) to cover every refinement
+# decision class: |v|=1 (invisible at Al=1, NEWLY significant in the
+# refinement scan), |v|=2 (correction bit 0), |v|=3 (correction bit 1),
+# odd/even DC (the fixed-bin DC correction both ways), negatives, and
+# magnitudes that walk BOTH Kx ladders (k <= Kx and k > Kx).
+# ---------------------------------------------------------------------------
+
+
+def _mag_shift(x: int, s: int) -> int:
+    """T.81 G.1.2.1 AC point transform: shift the MAGNITUDE."""
+    return -((-x) >> s) if x < 0 else x >> s
+
+
+def _enc_ac_band(e, bins, zz, ss, se, al):
+    """F.1.4.2 AC-first model over [ss, se] at point transform al."""
+    ke = se
+    while ke >= ss and _mag_shift(int(zz[ke]), al) == 0:
+        ke -= 1
+    k = ss
+    while k <= ke:
+        st = 3 * (k - 1)
+        e.code(bins, st, 0)
+        while _mag_shift(int(zz[k]), al) == 0:
+            e.code(bins, st + 1, 0)
+            st += 3
+            k += 1
+        e.code(bins, st + 1, 1)
+        v = _mag_shift(int(zz[k]), al)
+        sign = 1 if v < 0 else 0
+        e.code_fixed(sign)
+        v = -v if v < 0 else v
+        st += 2
+        d = v - 1
+        m = 0
+        if d:
+            e.code(bins, st, 1)
+            m = 1
+            v2 = d
+            if v2 >> 1:
+                e.code(bins, st, 1)
+                m <<= 1
+                v2 >>= 1
+                st = 189 if k <= _AC_KX else 217
+                while v2 >> 1:
+                    v2 >>= 1
+                    e.code(bins, st, 1)
+                    m <<= 1
+                    st += 1
+        e.code(bins, st, 0)
+        st += 14
+        m2 = m
+        while m2 >> 1:
+            m2 >>= 1
+            e.code(bins, st, 1 if (m2 & d) else 0)
+        k += 1
+    if k <= se:
+        e.code(bins, 3 * (k - 1), 1)
+
+
+def _enc_ac_refine(e, bins, zz, ss, se, ah, al):
+    """G.1.3.3 AC successive-approximation refinement: correction bit
+    for previously-significant coefficients, fixed-bin sign for newly
+    significant ones, EOB decisions only beyond the previous scan's
+    end-of-block index."""
+    ke = se
+    while ke >= ss and _mag_shift(int(zz[ke]), al) == 0:
+        ke -= 1
+    kex = se
+    while kex >= ss and _mag_shift(int(zz[kex]), ah) == 0:
+        kex -= 1
+    k = ss
+    while k <= ke:
+        st = 3 * (k - 1)
+        if k > kex:
+            e.code(bins, st, 0)
+        while True:
+            x = int(zz[k])
+            t = (-x if x < 0 else x) >> al
+            if t:
+                if t >> 1:                       # previously nonzero
+                    e.code(bins, st + 2, t & 1)
+                else:                            # newly significant
+                    e.code(bins, st + 1, 1)
+                    e.code_fixed(1 if x < 0 else 0)
+                break
+            e.code(bins, st + 1, 0)
+            st += 3
+            k += 1
+        k += 1
+    if k <= se:
+        e.code(bins, 3 * (k - 1), 1)
+
+
+#: 4 blocks covering the refinement decision classes (see header note)
+_PROG_BLOCKS = []
+
+
+def _prog_blocks():
+    if _PROG_BLOCKS:
+        return _PROG_BLOCKS
+    b0 = [0] * 64
+    b0[0] = 37                                   # odd DC: correction 1
+    b0[1] = 1                                    # newly significant
+    b0[2] = -2                                   # correction bit 0
+    b0[3] = 9                                    # k <= Kx ladder walk
+    b0[7] = 3                                    # correction bit 1
+    b0[9] = -12                                  # k > Kx ladder walk
+    b0[63] = -1                                  # refine insertion at band end
+    b1 = [0] * 64
+    b1[0] = -22                                  # even DC, negative
+    b1[5] = -3
+    b1[6] = 2
+    b1[13] = 1                                   # 6-63 band insertion
+    b2 = [0] * 64
+    b2[0] = 4                                    # small diff class
+    b2[4] = 5
+    b3 = [0] * 64
+    b3[0] = 101                                  # large diff class
+    b3[30] = -7
+    b3[55] = 1
+    _PROG_BLOCKS.extend([b0, b1, b2, b3])
+    return _PROG_BLOCKS
+
+
+def _sof10_scan(blocks, kind, ss, se, ah, al):
+    """One progressive scan's entropy bytes: fresh coder + statistics
+    per scan, as the spec requires."""
+    e = SpecArithEncoder()
+    bins: dict = {}
+    if kind == "dc_first":
+        pred, cls = 0, 0
+        for zz in blocks:
+            pred, cls = _enc_dc(e, bins, int(zz[0]) >> al, pred, cls,
+                                None)
+    elif kind == "dc_refine":
+        for zz in blocks:
+            e.code_fixed((int(zz[0]) >> al) & 1)
+    elif kind == "ac_first":
+        for zz in blocks:
+            _enc_ac_band(e, bins, zz, ss, se, al)
+    else:                                        # ac_refine
+        for zz in blocks:
+            _enc_ac_refine(e, bins, zz, ss, se, ah, al)
+    return e.flush()
+
+
+def _build_sof10_stream(blocks) -> bytes:
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67)
+    out += bytes([0x00]) + bytes([1] * 64)
+    out += b"\xff\xca" + struct.pack(">H", 11)   # SOF10
+    out += struct.pack(">BHHB", 8, 16, 16, 1)
+    out += bytes([1, 0x11, 0])
+    out += b"\xff\xcc" + struct.pack(">H", 6)    # non-default DAC
+    out += bytes([0x01, (_DC_U << 4) | _DC_L])
+    out += bytes([0x12, _AC_KX])
+
+    def sos(ss, se, ah, al, tt):
+        return (b"\xff\xda" + struct.pack(">H", 8)
+                + bytes([1, 1, tt, ss, se, (ah << 4) | al]))
+
+    # libjpeg-style scan script: DC first (Al=1), AC bands 1-5 / 6-63
+    # first (Al=1), DC refinement, AC refinements
+    out += sos(0, 0, 0, 1, 0x10)                 # Td=1
+    out += _sof10_scan(blocks, "dc_first", 0, 0, 0, 1)
+    out += sos(1, 5, 0, 1, 0x02)                 # Ta=2
+    out += _sof10_scan(blocks, "ac_first", 1, 5, 0, 1)
+    out += sos(6, 63, 0, 1, 0x02)
+    out += _sof10_scan(blocks, "ac_first", 6, 63, 0, 1)
+    out += sos(0, 0, 1, 0, 0x10)
+    out += _sof10_scan(blocks, "dc_refine", 0, 0, 1, 0)
+    out += sos(1, 5, 1, 0, 0x02)
+    out += _sof10_scan(blocks, "ac_refine", 1, 5, 1, 0)
+    out += sos(6, 63, 1, 0, 0x02)
+    out += _sof10_scan(blocks, "ac_refine", 6, 63, 1, 0)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_foreign_sof10_progressive_decodes_bit_exact():
+    blocks = _prog_blocks()
+    expected, margin = _expected_pixels(blocks)
+    assert margin > 1e-6, "round-ambiguous fixture coefficients"
+    got = decode_jpeg(_build_sof10_stream(blocks))
+    assert got.shape == (16, 16)
+    assert np.array_equal(got, expected), (
+        "engine decode of the hand-built foreign SOF10 progressive "
+        "stream diverges from spec-derived pixels")
+
+
+def test_foreign_sof10_dac_is_load_bearing():
+    """Same vacuousness guard as SOF9: decoding the SOF10 fixture with
+    the DAC segment stripped (default L=0/U=1/Kx=5 conditioning) must
+    not reproduce the expected pixels."""
+    import pytest
+
+    blocks = _prog_blocks()
+    expected, _ = _expected_pixels(blocks)
+    stream = bytearray(_build_sof10_stream(blocks))
+    i = bytes(stream).index(b"\xff\xcc")
+    del stream[i:i + 8]                          # drop the DAC segment
+    try:
+        got = decode_jpeg(bytes(stream))
+    except ValueError:
+        return
+    assert not np.array_equal(got, expected)
