@@ -1217,6 +1217,54 @@ def _stream_session_exact(spark, sf_dir):
                     "n_events"))
 
 
+def _stream_session_strict_exact(spark, sf_dir):
+    """STRICT-GAP streaming sessions run END-TO-END inside the query —
+    streaming_sessions_strict (streaming/stateful.py: per-key open-
+    session state via applyInPandasWithState + EventTimeTimeout, the
+    r11 Beam-parity operator) over a TestStream replay of the real
+    event stream (user_id < 200), one data wave plus a watermark tail
+    that closes every session.  Under STRICT semantics
+    (IntervalWindow.isDisjoint: end == start stays disjoint) a session
+    closes exactly when the watermark reaches its end, so the emitted
+    set is total and answers to the gaps-and-islands CTE with >= at
+    the split — the TENTH real streaming query under the value-oracle
+    gate and the first to oracle a NEW-in-r11 operator end-to-end
+    (batch twin: `window_session_strict`; exact-gap boundary and
+    batch/stream parity pinned in tests/test_strict_sessions.py).
+    The tail user's own session never closes (nothing advances the
+    watermark past it) and is additionally filtered out."""
+    import tempfile
+
+    from apache_beam_spark.streaming.sources import TestStream
+    from apache_beam_spark.streaming.stateful import (
+        streaming_sessions_strict)
+    from apache_beam_spark.streaming.windowed import run_to_memory
+
+    ev = (load_table(spark, "events", sf_dir)
+          .filter(F.col("user_id") < 200)
+          .select("user_id",
+                  F.unix_micros(F.col("ts").cast("timestamp"))
+                  .alias("tus")))
+    rows = [r.asDict() for r in ev.collect()]
+    ts = TestStream(tempfile.mkdtemp(prefix="entry_sstrictsess_"))
+    ts.add_elements(rows)
+    tail = max(r["tus"] for r in rows) + 30 * 24 * 3600 * 1_000_000
+    ts.add_elements([{"user_id": 999999, "tus": tail}])
+    sdf = streaming_sessions_strict(
+        ts.stream(spark, "user_id bigint, tus bigint")
+        .select("user_id", F.timestamp_micros("tus").alias("ts")),
+        "user_id", "ts", gap_ms=10 * 60_000)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        out = run_to_memory(sdf)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (out.filter(F.col("user_id") != "999999")
+            .select("user_id", "session_start_ms", "session_end_ms",
+                    "n_events"))
+
+
 def _stream_join_exact(spark, sf_dir):
     """Stream-stream TIME-INTERVAL JOIN run END-TO-END inside the
     query — Spark's symmetric-hash streaming join (watermarked on BOTH
@@ -4538,6 +4586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_heavy_hitters_exact": _stream_heavy_hitters_exact,
         "stream_funnel_exact": _stream_funnel_exact,
         "stream_session_exact": _stream_session_exact,
+        "stream_session_strict_exact": _stream_session_strict_exact,
         "stream_join_exact": _stream_join_exact,
         "stream_dedup_exact": _stream_dedup_exact,
         "stream_rate_limit_exact": _stream_rate_limit_exact,
@@ -5094,6 +5143,30 @@ def oracle_sql() -> dict[str, str]:
                    MAX(ts) + INTERVAL '10 minutes' AS session_end,
                    CAST(COUNT(*) AS BIGINT) AS n_events
             FROM sessions GROUP BY user_id, sid""",
+        "stream_session_strict_exact": """
+            WITH e AS (
+                SELECT CAST(user_id AS VARCHAR) AS u,
+                       epoch_ms(CAST(ts AS TIMESTAMP)) AS tms
+                FROM events WHERE user_id < 200),
+            gaps AS (
+                SELECT u, tms,
+                       CASE WHEN LAG(tms) OVER (PARTITION BY u
+                                                ORDER BY tms) IS NULL
+                            OR tms - LAG(tms) OVER (PARTITION BY u
+                                                    ORDER BY tms)
+                               >= 600000
+                            THEN 1 ELSE 0 END AS new_session
+                FROM e),
+            sessions AS (
+                SELECT u, tms,
+                       SUM(new_session) OVER (PARTITION BY u
+                           ORDER BY tms ROWS UNBOUNDED PRECEDING) AS sid
+                FROM gaps)
+            SELECT u AS user_id,
+                   MIN(tms) AS session_start_ms,
+                   MAX(tms) + 600000 AS session_end_ms,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM sessions GROUP BY u, sid""",
         "stream_join_exact": """
             WITH ev AS (SELECT event_id, user_id,
                                epoch_us(CAST(ts AS TIMESTAMP)) AS ts,
