@@ -219,7 +219,10 @@ def main() -> None:
     # labeled a loadavg-0.02 quiet run contaminated).
     load_after = os.getloadavg()
     steal = _steal_fields(steal0, t_wall0)
-    contaminated = load_before[0] > 4.0
+    # non-comparable if EITHER same-VM foreign load preceded the run
+    # (loadavg) or the hypervisor stole >5% of the run's CPU (steal —
+    # the r11 noise source loadavg cannot see)
+    contaminated = load_before[0] > 4.0 or steal["steal_ratio"] > 0.05
     print(json.dumps({
         "metric": "headline_suite_seconds",
         "value": total,
