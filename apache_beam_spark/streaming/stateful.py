@@ -298,7 +298,8 @@ def streaming_minhash_dedup(df: DataFrame, text_col: str = "text",
 
 
 def streaming_sessions_strict(df: DataFrame, key: str, event_time: str,
-                              gap_ms: int) -> DataFrame:
+                              gap_ms: int,
+                              n_shards: int = 0) -> DataFrame:
     """Streaming session windows with EXACT reference boundary
     semantics (``Sessions.java:40`` + ``IntervalWindow.isDisjoint``:
     ``end == other.start`` is disjoint, so two events exactly one gap
@@ -316,7 +317,18 @@ def streaming_sessions_strict(df: DataFrame, key: str, event_time: str,
     corresponding native-session rule needs end < watermark AND an
     extra touching check; strict semantics make the bound exact).
     State is therefore bounded by each key's open sessions within the
-    watermark horizon, not by the stream.
+    watermark horizon, not by the stream.  Closed sessions emit on the
+    EventTimeTimeout wake (set to the earliest open end), so a key
+    needs no new data to flush.
+
+    ``n_shards`` > 0 multiplexes many keys through one state key
+    (hash(key) % n_shards — the Flink key-group idea shared with
+    streaming_rate_limit/streaming_funnel): per-batch Python/Arrow
+    round trips drop from #distinct-keys to n_shards, per-user session
+    lists stay independent inside the shard blob, results identical
+    (parity-pinned in tests/test_strict_sessions.py).  The bench gate
+    `stream_strict_session_events_per_sec` measures this operator on
+    the 10x replay spool with bounded-state evidence.
 
     Output (append, emitted when a session closes):
     ``(key string, session_start_ms, session_end_ms, n_events)``.
@@ -331,19 +343,11 @@ def streaming_sessions_strict(df: DataFrame, key: str, event_time: str,
     out_schema = (f"{key} string, session_start_ms long, "
                   "session_end_ms long, n_events long")
     state_schema = "js string"
+    sharded = n_shards > 0
 
-    def fn(k, pdfs: Iterable[pd.DataFrame], state: GroupState):
-        # EventTimeTimeout (not NoTimeout): a session closes when the
-        # WATERMARK passes its end, which usually happens in a batch
-        # where this key has NO new rows — only the timeout wakes the
-        # key then, so without it closed sessions would never emit.
-        sessions = json.loads(state.get[0]) if state.exists else []
-        if not state.hasTimedOut:
-            for pdf in pdfs:
-                for t in pdf["__ts_ms__"]:
-                    t = int(t)
-                    sessions.append([t, t + gap_ms, 1])
-        # strict merge: islands split where start >= running max end
+    def _merge_strict(sessions):
+        # islands split where start >= running max end (strict: a
+        # touching proto-window starts its own session)
         sessions.sort()
         merged: list[list[int]] = []
         for s, e, n in sessions:
@@ -352,22 +356,42 @@ def streaming_sessions_strict(df: DataFrame, key: str, event_time: str,
                 merged[-1][2] += n
             else:
                 merged.append([s, e, n])
+        return merged
+
+    def fn(k, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        # {user_key: [[start, end, n], ...]} — single-key mode carries
+        # exactly one entry; shard mode one per user in the key group
+        blob = json.loads(state.get[0]) if state.exists else {}
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                for uk, t in zip(pdf[key], pdf["__ts_ms__"]):
+                    t = int(t)
+                    blob.setdefault(str(uk), []).append(
+                        [t, t + gap_ms, 1])
         wm = state.getCurrentWatermarkMs()
-        closed = [x for x in merged if x[1] <= wm]
-        open_ = [x for x in merged if x[1] > wm]
-        if open_:
-            state.update((json.dumps(open_),))
-            # wake this key when the watermark passes the earliest
-            # open session's end (> wm by construction, as required)
-            state.setTimeoutTimestamp(min(x[1] for x in open_))
+        out = {key: [], "session_start_ms": [], "session_end_ms": [],
+               "n_events": []}
+        kept: dict = {}
+        nxt = None
+        for uk, sess in blob.items():
+            for s, e, n in _merge_strict(sess):
+                if e <= wm:
+                    out[key].append(uk)
+                    out["session_start_ms"].append(s)
+                    out["session_end_ms"].append(e)
+                    out["n_events"].append(n)
+                else:
+                    kept.setdefault(uk, []).append([s, e, n])
+                    nxt = e if nxt is None else min(nxt, e)
+        if kept:
+            state.update((json.dumps(kept),))
+            # wake when the watermark passes the earliest open end
+            # (> wm by construction, as Spark requires)
+            state.setTimeoutTimestamp(nxt)
         elif state.exists:
             state.remove()
-        if closed:
-            yield pd.DataFrame({
-                key: [str(k[0])] * len(closed),
-                "session_start_ms": [c[0] for c in closed],
-                "session_end_ms": [c[1] for c in closed],
-                "n_events": [c[2] for c in closed]})
+        if out[key]:
+            yield pd.DataFrame(out)
 
     from pyspark.sql.types import TimestampType
 
@@ -382,5 +406,10 @@ def streaming_sessions_strict(df: DataFrame, key: str, event_time: str,
         F.col(key).cast("string").alias(key),
         F.col(event_time),
         F.unix_millis(F.col(event_time)).alias("__ts_ms__"))
+    if sharded:
+        prepped = prepped.withColumn(
+            "__shard__", F.pmod(F.xxhash64(F.col(key)), F.lit(n_shards)))
+        return stateful_per_key(prepped, ["__shard__"], fn, out_schema,
+                                state_schema, timeout="EventTimeTimeout")
     return stateful_per_key(prepped, [key], fn, out_schema,
                             state_schema, timeout="EventTimeTimeout")

@@ -571,6 +571,17 @@ def _streaming_benchmarks(spark) -> dict:
                              F.session_window("ts", "30 minutes"))
                     .agg(F.count(F.lit(1)).alias("n")))
 
+        def stream_strict_session():
+            from apache_beam_spark.streaming.stateful import (
+                streaming_sessions_strict)
+
+            # r11: the Beam-parity strict-gap session operator
+            # (stream_session_strict_exact family) — key-group-sharded
+            # applyInPandasWithState with EventTimeTimeout flushes
+            return streaming_sessions_strict(
+                replay_source(8), key="user_id", event_time="ts",
+                gap_ms=30 * 60_000, n_shards=64)
+
         # INTERLEAVED rounds (r6): the gates' best-of-N samples used to
         # run back-to-back per gate, so a 10-second host-load beat
         # could swallow every sample of whichever gate ran inside it
@@ -590,6 +601,7 @@ def _streaming_benchmarks(spark) -> dict:
             ("rate", stream_rate_limit, 8),
             ("minhash", stream_minhash, 8),
             ("session", stream_session, 4),
+            ("strict_session", stream_strict_session, 8),
         ]
         walls: dict[str, float] = {}
         states: dict[str, dict] = {}
@@ -640,6 +652,7 @@ def _streaming_benchmarks(spark) -> dict:
         "rate": 2 * 128,
         "minhash": 20 * trail_docs + 64,  # 16 band buckets + counts/doc
         "session": 2 * trail_users,    # open sessions <= active users
+        "strict_session": 2 * 64,      # one blob row per shard group
     }
     stream_state = {
         name: {**states[name], "bound_rows": bounds[name],
@@ -656,6 +669,8 @@ def _streaming_benchmarks(spark) -> dict:
         "stream_rate_limit_events_per_sec": int(n_replay / walls["rate"]),
         "stream_minhash_docs_per_sec": int(n_docs / walls["minhash"]),
         "stream_session_events_per_sec": int(n_replay / walls["session"]),
+        "stream_strict_session_events_per_sec":
+            int(n_replay / walls["strict_session"]),
         "stream_state": stream_state,
         "state_store_provider": "rocksdb",
         "state_bounds_ok": all(v["bounded"] for v in stream_state.values()),
