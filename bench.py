@@ -174,8 +174,20 @@ def main() -> None:
     # the corpus per query; a long-lived 100 TB driver picks its scope
     # boundary the same way (RUNBOOK "Reading the LSH bucket
     # telemetry").
+    from pyspark.sql import functions as F
+
+    li_canary = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    canary_series: list[float] = []
+
+    def canary():
+        t0 = time.time()
+        li_canary.groupBy("l_returnflag", "l_linestatus").agg(
+            F.sum("l_quantity"), F.avg("l_extendedprice"),
+            F.count("*")).collect()
+        canary_series.append(round(time.time() - t0, 3))
+
     with scoped_caches():
-        for name in HEADLINE:
+        for qi, name in enumerate(HEADLINE):
             # per-query min-of-N (VERDICT r5 item 5): single-shot walls
             # on the cheap queries swing 30% with host load and have
             # twice burned a round of regression analysis; extra runs
@@ -194,6 +206,12 @@ def main() -> None:
             # (~26 s of bench wall) makes their artifact walls mean
             # the same thing as every other query's.
             load_mid.append(round(os.getloadavg()[0], 1))
+            if qi % 10 == 0:
+                # fixed-work canary sampled across the suite: under
+                # hypervisor steal (r11) a burst can hit a contiguous
+                # stretch of queries while loadavg reads ~1 — the
+                # series shows WHICH stretch (0.5 s x 10 samples)
+                canary()
             wall = run_once(name)
             n = 3 if wall <= 1.2 else (2 if wall <= 10.0 else 1)
             for _ in range(n - 1):
@@ -201,6 +219,22 @@ def main() -> None:
             timings[name] = wall
             runs[name] = n
             print(f"# {name}: {wall:.3f}s (min of {n})", file=sys.stderr)
+        # SECOND full pass, min-merged (r11): back-to-back min-of-N
+        # cannot shed a steal burst (all samples share the window —
+        # one r11 run read embed_near_dup at 6.9x its quiet wall with
+        # loadavg < 1.3 throughout), but a pass separated by the whole
+        # suite (~2 min) is temporally decorrelated; per-query min
+        # across the two passes drops burst-noise from the artifact
+        # for ~110 s of extra bench wall.  Caches are warm, so pass-2
+        # walls are true steady state.
+        canary()
+        for name in HEADLINE:
+            load_mid.append(round(os.getloadavg()[0], 1))
+            w = run_once(name)
+            if w < timings[name]:
+                timings[name] = w
+            runs[name] += 1
+        canary()
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -244,6 +278,10 @@ def main() -> None:
         # cheap-query stretches; a foreign-load spike shows as a jump
         # uncorrelated with the neighboring per-query walls.
         "loadavg_mid_per_query": load_mid,
+        # fixed-work lineitem-agg walls sampled every 10 queries plus
+        # around the second pass: a steal burst shows as a spike in
+        # the stretch it hit (loadavg stays ~flat under steal)
+        "host_canary_series": canary_series,
         "contaminated": contaminated,
         # hypervisor STEAL during the run (r11): this sandbox showed
         # 2.7x host_index swings at loadavg < 1 — the thief is outside
