@@ -1526,6 +1526,75 @@ def _stream_rate_limit_exact(spark, sf_dir):
                       "win_start_ms", "seq")
 
 
+def _stream_trigger_exact(spark, sf_dir):
+    """The TRIGGER/PANE tier run END-TO-END inside the query — the
+    last SURVEY §2 family that had only pytest evidence (VERDICT r11
+    item 1).  ``triggered_windowed_sum`` (streaming/triggers.py) drives
+    ``AfterWatermark.pastEndOfWindow().withEarlyFirings(
+    AfterPane.elementCountAtLeast(10))`` — reference
+    AfterWatermark.java:59 + AfterPane.java:31, pane metadata
+    PaneInfo.java:44-58 — as a per-(event_type, 1-day-window) sum of
+    event_ids over a sequenced TestStream replay: one data wave
+    (watermark 0 → every count-firing is EARLY), then a watermark tail
+    30 days ahead whose advance fires each window's end-of-window
+    named timer → exactly one ON_TIME pane per window, after which the
+    AfterWatermark machine finishes and the window closes
+    (is_last=true).  Element order within the wave is pinned by
+    ``order_by=[ts, event_id]`` (the reference has no intra-bundle
+    order either, so a stable order IS a valid arrival order — the
+    same replay-determinism discipline as ``stream_rate_limit_exact``),
+    which makes every pane a pure prefix function of the sorted
+    stream: EARLY pane k = elements (10k, 10k+10] with the running
+    (ACCUMULATING_FIRED_PANES) total = prefix sum at 10(k+1); the
+    ON_TIME pane carries the full window total with
+    n_in_pane = count % 10 and pane_index = count // 10.  The full
+    PaneInfo surface — pane_index, EARLY/ON_TIME timing, is_first,
+    is_last, on_time_index (-1 speculative / 0 on-time),
+    n_in_pane, end-of-window pane_ts_ms, accumulated total — answers
+    to a ROW_NUMBER/prefix-SUM oracle, so one wrong pane index,
+    timing label, or running total breaks the hash: the ELEVENTH
+    streaming query under the value-oracle gate and the first for the
+    trigger state-machine family."""
+    import tempfile
+
+    from apache_beam_spark.streaming.sources import TestStream
+    from apache_beam_spark.streaming.trigger_machine import (AfterPane,
+                                                             AfterWatermark)
+    from apache_beam_spark.streaming.triggers import triggered_windowed_sum
+    from apache_beam_spark.streaming.windowed import run_to_memory
+
+    ev = (load_table(spark, "events", sf_dir)
+          .filter(F.col("user_id") < 150)   # deterministic subset so
+          # the TestStream spool stays bounded at larger SFs
+          .select("event_type", "event_id",
+                  F.unix_micros(F.col("ts").cast("timestamp"))
+                  .alias("tus")))
+    rows = [r.asDict() for r in ev.collect()]
+    ts = TestStream(tempfile.mkdtemp(prefix="entry_strigger_"))
+    ts.add_elements(rows)
+    tail = max(r["tus"] for r in rows) + 30 * 24 * 3600 * 1_000_000
+    ts.add_elements([{"event_type": "zz_watermark_tail",
+                      "event_id": 0, "tus": tail}])
+    trigger = AfterWatermark().with_early_firings(AfterPane(10))
+    sdf = triggered_windowed_sum(
+        ts.stream(spark, "event_type string, event_id bigint, tus bigint")
+        .select("event_type", "event_id",
+                F.timestamp_micros("tus").alias("ts")),
+        key="event_type", value_col="event_id", window_size="1 day",
+        trigger=trigger, event_time="ts",
+        order_by=["ts", "event_id"])
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        out = run_to_memory(sdf)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (out.filter(F.col("key") != "zz_watermark_tail")
+            .select("key", "window_end_ms", "pane_index", "timing",
+                    "is_first", "is_last", "on_time_index",
+                    "n_in_pane", "pane_ts_ms", "total"))
+
+
 def _dedup_simhash(spark, sf_dir):
     """SimHash near-dedup — rows-only (engine-specific xxhash64 bit
     derivation; survives as the production fast path — correctness
@@ -4592,6 +4661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_rate_limit_exact": _stream_rate_limit_exact,
         "stream_dedup_late_exact": _stream_dedup_late_exact,
         "stream_window_count_exact": _stream_window_count_exact,
+        "stream_trigger_exact": _stream_trigger_exact,
         "dedup_simhash": _dedup_simhash,
         "dedup_simhash_md5": _dedup_simhash_md5,
         "ngram_jaccard": _ngram_jaccard,
@@ -5211,6 +5281,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(win_start_ms AS BIGINT) AS win_start_ms,
                    CAST(seq AS INT) AS seq
             FROM r WHERE seq <= 2""",
+        # trigger panes are a pure prefix function of the (ts, event_id)-
+        # ordered replay: EARLY pane k ends at row 10(k+1) with the
+        # running sum; the ON_TIME pane carries the window total with
+        # the remainder count (see _stream_trigger_exact docstring)
+        "stream_trigger_exact": """
+            WITH e AS (
+                SELECT event_type AS key,
+                       epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+                       event_id
+                FROM events WHERE user_id < 150),
+            w AS (
+                SELECT key, event_id, tus,
+                       (tus // 86400000000 + 1) * 86400000 AS wend
+                FROM e),
+            o AS (
+                SELECT key, wend,
+                       ROW_NUMBER() OVER (PARTITION BY key, wend
+                                          ORDER BY tus, event_id) AS rn,
+                       SUM(event_id) OVER (PARTITION BY key, wend
+                                           ORDER BY tus, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS run,
+                       COUNT(*) OVER (PARTITION BY key, wend) AS cnt,
+                       SUM(event_id) OVER (PARTITION BY key, wend) AS tot
+                FROM w)
+            SELECT key, CAST(wend AS BIGINT) AS window_end_ms,
+                   CAST(rn // 10 - 1 AS INTEGER) AS pane_index,
+                   'EARLY' AS timing,
+                   (rn = 10) AS is_first,
+                   FALSE AS is_last,
+                   CAST(-1 AS BIGINT) AS on_time_index,
+                   CAST(10 AS INTEGER) AS n_in_pane,
+                   CAST(wend AS BIGINT) AS pane_ts_ms,
+                   CAST(run AS DOUBLE) AS total
+            FROM o WHERE rn % 10 = 0
+            UNION ALL
+            SELECT key, CAST(wend AS BIGINT) AS window_end_ms,
+                   CAST(cnt // 10 AS INTEGER) AS pane_index,
+                   'ON_TIME' AS timing,
+                   (cnt < 10) AS is_first,
+                   TRUE AS is_last,
+                   CAST(0 AS BIGINT) AS on_time_index,
+                   CAST(cnt % 10 AS INTEGER) AS n_in_pane,
+                   CAST(wend AS BIGINT) AS pane_ts_ms,
+                   CAST(tot AS DOUBLE) AS total
+            FROM o WHERE rn = 1""",
         # streaming funnel: the batch funnel CTE over the same event
         # subset, timestamps as epoch microseconds
         "stream_funnel_exact": """

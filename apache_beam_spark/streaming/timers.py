@@ -82,6 +82,7 @@ def stateful_do_fn(
     time_domain: str = "event",
     event_time: str = "ts",
     allowed_lateness: str = "0 seconds",
+    sort_within_batch: Optional[list[str]] = None,
 ) -> DataFrame:
     """Stateful ParDo with multiple named timers.
 
@@ -93,6 +94,15 @@ def stateful_do_fn(
     timeout-check micro-batches even without data, so
     processAllAvailable-style harnesses won't drain), or 'none'
     (stateful but timer-less operators, e.g. count triggers).
+
+    ``sort_within_batch``: column names to stably sort each key's
+    micro-batch by before calling ``process`` (the Arrow chunks are
+    concatenated first, so the order is total per batch).  Order-
+    sensitive operators (count triggers) use this to pin a
+    deterministic element order for replay testing — the reference
+    likewise has no intra-bundle order guarantee, so any stable order
+    is a valid arrival order.  Costs one concat+sort per key/batch;
+    ``None`` (default) streams the chunks through unchanged.
     """
     timeout = {"event": GroupStateTimeout.EventTimeTimeout,
                "processing": GroupStateTimeout.ProcessingTimeTimeout,
@@ -117,9 +127,17 @@ def stateful_do_fn(
         ctx.now_ms = now_ms
 
         if not state.hasTimedOut:
-            for pdf in pdfs:
-                if len(pdf):
+            if sort_within_batch is not None:
+                chunks = [p for p in pdfs if len(p)]
+                if chunks:
+                    pdf = (pd.concat(chunks, ignore_index=True)
+                           .sort_values(sort_within_batch, kind="mergesort")
+                           .reset_index(drop=True))
                     process(key, pdf, ctx)
+            else:
+                for pdf in pdfs:
+                    if len(pdf):
+                        process(key, pdf, ctx)
         # fire every due named timer, in fire-time order — whether we
         # woke from the real timeout or from new data (the reference
         # fires timers on watermark advance regardless of input)

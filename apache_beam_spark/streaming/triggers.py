@@ -148,6 +148,7 @@ def triggered_windowed_sum(
     allowed_lateness: str = "0 seconds",
     accumulating: bool = True,
     timestamp_combiner: str = "end_of_window",
+    order_by: Optional[list] = None,
 ) -> DataFrame:
     """Per-(key, fixed-window) sum under a composite trigger state
     machine (``trigger_machine.TriggerSM`` — Repeatedly / orFinally /
@@ -167,6 +168,14 @@ def triggered_windowed_sum(
     time of the pane's elements — the value the reference keeps in
     WatermarkHold state (WatermarkHold.java) so early panes can carry
     an element-derived timestamp — or the window end (end_of_window).
+
+    ``order_by`` pins a deterministic per-(key, window) element order
+    within each micro-batch (columns of the internal frame: the
+    ``value_col``/``event_time`` names) — count-based triggers make
+    pane COMPOSITION order-sensitive, and the reference guarantees no
+    intra-bundle order either, so a stable order is a valid arrival
+    order and makes replays value-oracle-able
+    (``stream_trigger_exact``).
     """
     if timestamp_combiner not in ("end_of_window", "earliest", "latest"):
         raise ValueError(f"unknown timestamp_combiner {timestamp_combiner!r}")
@@ -267,4 +276,5 @@ def triggered_windowed_sum(
                        "total double"),
         time_domain="event", event_time=event_time,
         allowed_lateness=allowed_lateness,
+        sort_within_batch=order_by,
     )

@@ -192,3 +192,38 @@ def test_pane_output_timestamp_holds(spark, tmp_path):
     base = 1704067200000  # 2024-01-01 00:00:00 UTC in ms
     # pane 0 holds min ts of elements 1-2 (00:00:10); pane 1 of 3-4
     assert a.pane_ts_ms.tolist() == [base + 10_000, base + 30_000]
+
+
+def test_triggered_sum_order_by_pins_pane_composition(spark, tmp_path):
+    """``order_by`` (the stream_trigger_exact determinism contract):
+    elements spooled in scrambled order are re-ordered per micro-batch
+    by (ts, amount) before the machine sees them, so pane composition
+    is a pure prefix function of the sorted stream — including the
+    exactly-divisible case, where the ON_TIME pane is EMPTY
+    (n_in_pane=0) but still fires with the full accumulated total
+    (AfterWatermark fires the on-time pane unconditionally,
+    AfterWatermark.java:109)."""
+    from apache_beam_spark.streaming import TestStream, run_to_memory
+    from apache_beam_spark.streaming.triggers import triggered_windowed_sum
+
+    # 4 elements, spooled in reverse arrival order; fire_every=2
+    # divides evenly -> 2 EARLY panes + an empty ON_TIME pane
+    rows1 = [{"user": "a", "ts": f"2024-01-01 00:00:{s:02d}", "amount": a}
+             for s, a in [(40, 8.0), (30, 4.0), (20, 2.0), (10, 1.0)]]
+    rows2 = [{"user": "b", "ts": "2024-01-01 01:00:00", "amount": 9.0}]
+    ts = TestStream(str(tmp_path / "spool_ord"))
+    ts.add_elements(rows1)
+    ts.add_elements(rows2)
+    trig = AfterWatermark().with_early_firings(AfterPane(2))
+    out = triggered_windowed_sum(
+        ts.stream(spark, "user string, ts timestamp, amount double"),
+        key="user", value_col="amount", window_size="1 minute",
+        trigger=trig, order_by=["ts", "amount"])
+    got = run_to_memory(out, "append").toPandas()
+    a = got[got.key == "a"].sort_values("pane_index")
+    assert a.timing.tolist() == ["EARLY", "EARLY", "ON_TIME"]
+    # sorted by ts: 1,2,4,8 -> prefix sums 3 and 15; on-time repeats 15
+    assert a.total.tolist() == [3.0, 15.0, 15.0]
+    assert a.n_in_pane.tolist() == [2, 2, 0]
+    assert a.is_last.tolist() == [False, False, True]
+    assert a.on_time_index.tolist() == [-1, -1, 0]
