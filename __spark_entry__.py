@@ -1265,6 +1265,60 @@ def _stream_session_strict_exact(spark, sf_dir):
                     "n_events"))
 
 
+def _stream_session_late_exact(spark, sf_dir):
+    """Strict-gap streaming sessions under a SEQUENCED late wave —
+    extends the `stream_dedup_late_exact` discipline (the only family
+    whose late-DROP contract was under the driver gate, VERDICT r11
+    item 7) to the custom applyInPandasWithState state family.  Wave 1
+    spools the on-time events (user_id < 200, user_id % 5 != 0 — a
+    modulo split so both waves are non-empty at every SF), then a
+    watermark tail 30 days ahead closes every session; wave 2 re-sends
+    every wave-1 row PLUS the disjoint user_id % 5 == 0 set — by then
+    the watermark sits past every real event time, so the stateful
+    operator's pre-state late filter must drop the ENTIRE second wave.
+    A leak is doubly visible: a % 5 == 0 user appearing in the output
+    breaks the hash outright, and a re-sent % 5 != 0 row would re-open
+    an already-evicted session whose flush (the watermark is already
+    past its end, so the EventTimeTimeout fires on the next no-data
+    batch) adds rows the count check catches.  The emitted set is
+    therefore exactly the strict-gap gaps-and-islands sessions of the
+    wave-1 rows.  Run sequenced (run_to_memory, one spooled file per
+    micro-batch) so the watermark genuinely advances BETWEEN waves."""
+    import tempfile
+
+    from apache_beam_spark.streaming.sources import TestStream
+    from apache_beam_spark.streaming.stateful import (
+        streaming_sessions_strict)
+    from apache_beam_spark.streaming.windowed import run_to_memory
+
+    ev = (load_table(spark, "events", sf_dir)
+          .filter(F.col("user_id") < 200)
+          .select("user_id",
+                  F.unix_micros(F.col("ts").cast("timestamp"))
+                  .alias("tus")))
+    rows = [r.asDict() for r in ev.collect()]
+    ontime = [r for r in rows if r["user_id"] % 5 != 0]
+    late_only = [r for r in rows if r["user_id"] % 5 == 0]
+    ts = TestStream(tempfile.mkdtemp(prefix="entry_ssesslate_"))
+    ts.add_elements(ontime)
+    tail = max(r["tus"] for r in rows) + 30 * 24 * 3600 * 1_000_000
+    ts.add_elements([{"user_id": 999999, "tus": tail}])
+    ts.add_elements(late_only + ontime)   # ALL late by now
+    sdf = streaming_sessions_strict(
+        ts.stream(spark, "user_id bigint, tus bigint")
+        .select("user_id", F.timestamp_micros("tus").alias("ts")),
+        "user_id", "ts", gap_ms=10 * 60_000)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        out = run_to_memory(sdf)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (out.filter(F.col("user_id") != "999999")
+            .select("user_id", "session_start_ms", "session_end_ms",
+                    "n_events"))
+
+
 def _stream_join_exact(spark, sf_dir):
     """Stream-stream TIME-INTERVAL JOIN run END-TO-END inside the
     query — Spark's symmetric-hash streaming join (watermarked on BOTH
@@ -1326,6 +1380,82 @@ def _stream_join_exact(spark, sf_dir):
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         out = read_bounded(j)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (out.filter(F.col("v_user") < 150)
+            .select(F.col("v_user").alias("user_id"), "view_id",
+                    "purchase_id",
+                    F.unix_micros("vts").alias("view_us"),
+                    F.unix_micros("pts").alias("purchase_us")))
+
+
+def _stream_join_late_exact(spark, sf_dir):
+    """Stream-stream interval join under a SEQUENCED late wave — the
+    late-DROP contract of Spark's symmetric-hash join state family
+    under the value-oracle gate (completing VERDICT r11 item 7 for
+    BOTH suggested families).  Wave 1 spools the on-time view/purchase
+    events (user_id < 150, user_id % 5 != 0); two watermark tails 30
+    and 31 days ahead advance both sides' watermarks ACROSS two
+    micro-batches (the join's pre-buffer late filter, like the
+    stateful operators', evaluates against the previous batch's
+    watermark — the second tail makes the lagged bound itself sit past
+    every real event); wave 3 re-sends every wave-1 row PLUS the
+    disjoint user_id % 5 == 0 set.  By then both join buffers have
+    evicted their real rows and every wave-3 row is late, so ANY pair
+    involving a wave-3 row — late view x buffered purchase, or the
+    late x late pairs the re-sent wave would form with itself — would
+    add rows the hash check catches.  The emitted pair set is exactly
+    the SQL range join over the on-time subset.  Run sequenced
+    (run_to_memory) so the watermark genuinely advances between
+    waves."""
+    import tempfile
+
+    from apache_beam_spark.streaming.sources import TestStream
+    from apache_beam_spark.streaming.windowed import run_to_memory
+
+    ev = (load_table(spark, "events", sf_dir)
+          .filter(F.col("user_id") < 150)
+          .filter(F.col("event_type").isin("view", "purchase"))
+          .select("event_id", "user_id",
+                  F.unix_micros(F.col("ts").cast("timestamp"))
+                  .alias("tus"), "event_type"))
+    rows = [r.asDict() for r in ev.collect()]
+    ontime = [r for r in rows if r["user_id"] % 5 != 0]
+    late_only = [r for r in rows if r["user_id"] % 5 == 0]
+    ts = TestStream(tempfile.mkdtemp(prefix="entry_sjoinlate_"))
+    ts.add_elements(ontime)
+    day_us = 24 * 3600 * 1_000_000
+    tail = max(r["tus"] for r in rows) + 30 * day_us
+    for j, t in enumerate((tail, tail + day_us)):
+        ts.add_elements([
+            {"event_id": 900000001 + 10 * j, "user_id": 999999,
+             "tus": t, "event_type": "view"},
+            {"event_id": 900000002 + 10 * j, "user_id": 999999,
+             "tus": t, "event_type": "purchase"}])
+    ts.add_elements(late_only + ontime)   # ALL late by now
+    src = (ts.stream(spark, "event_id bigint, user_id bigint,"
+                            " tus bigint, event_type string")
+           .select("event_id", "user_id",
+                   F.timestamp_micros("tus").alias("ts"), "event_type"))
+    v = (src.filter(F.col("event_type") == "view")
+         .select(F.col("user_id").alias("v_user"),
+                 F.col("event_id").alias("view_id"),
+                 F.col("ts").alias("vts"))
+         .withWatermark("vts", "10 minutes"))
+    p = (src.filter(F.col("event_type") == "purchase")
+         .select(F.col("user_id").alias("p_user"),
+                 F.col("event_id").alias("purchase_id"),
+                 F.col("ts").alias("pts"))
+         .withWatermark("pts", "10 minutes"))
+    j = v.join(
+        p, (F.col("v_user") == F.col("p_user"))
+        & (F.col("pts") >= F.col("vts"))
+        & (F.col("pts") <= F.col("vts") + F.expr("interval 1 day")),
+        "inner")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        out = run_to_memory(j)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return (out.filter(F.col("v_user") < 150)
@@ -4656,7 +4786,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_funnel_exact": _stream_funnel_exact,
         "stream_session_exact": _stream_session_exact,
         "stream_session_strict_exact": _stream_session_strict_exact,
+        "stream_session_late_exact": _stream_session_late_exact,
         "stream_join_exact": _stream_join_exact,
+        "stream_join_late_exact": _stream_join_late_exact,
         "stream_dedup_exact": _stream_dedup_exact,
         "stream_rate_limit_exact": _stream_rate_limit_exact,
         "stream_dedup_late_exact": _stream_dedup_late_exact,
@@ -5237,11 +5369,57 @@ def oracle_sql() -> dict[str, str]:
                    MAX(tms) + 600000 AS session_end_ms,
                    CAST(COUNT(*) AS BIGINT) AS n_events
             FROM sessions GROUP BY u, sid""",
+        # late-wave twin: the oracle sees ONLY the on-time wave
+        # (user_id % 5 <> 0) — one leaked late row breaks the hash
+        "stream_session_late_exact": """
+            WITH e AS (
+                SELECT CAST(user_id AS VARCHAR) AS u,
+                       epoch_ms(CAST(ts AS TIMESTAMP)) AS tms
+                FROM events WHERE user_id < 200 AND user_id % 5 <> 0),
+            gaps AS (
+                SELECT u, tms,
+                       CASE WHEN LAG(tms) OVER (PARTITION BY u
+                                                ORDER BY tms) IS NULL
+                            OR tms - LAG(tms) OVER (PARTITION BY u
+                                                    ORDER BY tms)
+                               >= 600000
+                            THEN 1 ELSE 0 END AS new_session
+                FROM e),
+            sessions AS (
+                SELECT u, tms,
+                       SUM(new_session) OVER (PARTITION BY u
+                           ORDER BY tms ROWS UNBOUNDED PRECEDING) AS sid
+                FROM gaps)
+            SELECT u AS user_id,
+                   MIN(tms) AS session_start_ms,
+                   MAX(tms) + 600000 AS session_end_ms,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM sessions GROUP BY u, sid""",
         "stream_join_exact": """
             WITH ev AS (SELECT event_id, user_id,
                                epoch_us(CAST(ts AS TIMESTAMP)) AS ts,
                                event_type
                         FROM events WHERE user_id < 150
+                          AND event_type IN ('view', 'purchase'))
+            SELECT v.user_id,
+                   v.event_id AS view_id,
+                   p.event_id AS purchase_id,
+                   CAST(v.ts AS BIGINT) AS view_us,
+                   CAST(p.ts AS BIGINT) AS purchase_us
+            FROM ev v JOIN ev p
+              ON p.user_id = v.user_id
+             AND p.ts >= v.ts
+             AND p.ts <= v.ts + 86400000000
+            WHERE v.event_type = 'view'
+              AND p.event_type = 'purchase'""",
+        # late-wave twin: only the on-time wave's pairs exist — one
+        # leaked late row on either side breaks the hash
+        "stream_join_late_exact": """
+            WITH ev AS (SELECT event_id, user_id,
+                               epoch_us(CAST(ts AS TIMESTAMP)) AS ts,
+                               event_type
+                        FROM events WHERE user_id < 150
+                          AND user_id % 5 <> 0
                           AND event_type IN ('view', 'purchase'))
             SELECT v.user_id,
                    v.event_id AS view_id,

@@ -202,7 +202,7 @@ def streaming_rate_limit(df: DataFrame, key: str, event_time: str,
             yield pd.DataFrame(out)
 
     prepped = (ensure_event_time(df, event_time)
-               .withWatermark(event_time, f"{window_ms // 1000} seconds"))
+               .withWatermark(event_time, f"{window_ms} milliseconds"))
     # the watermarked column must survive into applyInPandasWithState
     # (dropping it would detach the watermark and break
     # getCurrentWatermarkMs) — keep it alongside the ms projection
@@ -362,13 +362,24 @@ def streaming_sessions_strict(df: DataFrame, key: str, event_time: str,
         # {user_key: [[start, end, n], ...]} — single-key mode carries
         # exactly one entry; shard mode one per user in the key group
         blob = json.loads(state.get[0]) if state.exists else {}
+        wm = state.getCurrentWatermarkMs()
         if not state.hasTimedOut:
             for pdf in pdfs:
                 for uk, t in zip(pdf[key], pdf["__ts_ms__"]):
                     t = int(t)
+                    # reference late-drop against the CURRENT watermark
+                    # (LateDataDroppingDoFnRunner: an element whose
+                    # window end <= input watermark is droppable at
+                    # allowed-lateness 0).  Spark's own pre-state late
+                    # filter uses the PREVIOUS batch's watermark, which
+                    # lets an element within one gap of the stream head
+                    # leak into a still-open session one batch after the
+                    # watermark already passed it — observably different
+                    # sessions (caught by stream_session_late_exact).
+                    if t + gap_ms <= wm:
+                        continue
                     blob.setdefault(str(uk), []).append(
                         [t, t + gap_ms, 1])
-        wm = state.getCurrentWatermarkMs()
         out = {key: [], "session_start_ms": [], "session_end_ms": [],
                "n_events": []}
         kept: dict = {}
@@ -401,7 +412,12 @@ def streaming_sessions_strict(df: DataFrame, key: str, event_time: str,
         # convention in this repo, same as streaming_minhash_dedup)
         src = src.withColumn(
             event_time, F.timestamp_micros(F.col(event_time).cast("long")))
-    prepped = src.withWatermark(event_time, f"{gap_ms // 1000} seconds")
+    # millisecond granularity (VERDICT r11 item 2 / ADVICE): the
+    # old f"{gap_ms // 1000} seconds" floored sub-second gaps to a
+    # 0 s watermark delay, silently late-dropping ANY out-of-order
+    # arrival; ms granularity keeps the delay exactly one gap at
+    # every gap size
+    prepped = src.withWatermark(event_time, f"{gap_ms} milliseconds")
     prepped = prepped.select(
         F.col(key).cast("string").alias(key),
         F.col(event_time),

