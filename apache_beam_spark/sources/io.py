@@ -172,3 +172,125 @@ def compact_parquet(spark: SparkSession, src: str, dest: str,
     n = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
     spark.read.parquet(src).repartition(n).write.mode("overwrite").parquet(dest)
     return n
+
+
+def windowed_sharded_write(df: DataFrame, out_dir: str, prefix: str,
+                           window_size: str, event_time: str,
+                           text_col: str, num_shards: int,
+                           shard_col: str = None,
+                           suffix: str = ".txt",
+                           dest_col: str = None) -> DataFrame:
+    """Windowed, fixed-shard text write with the reference's TWO-PHASE
+    FINALIZE-RENAME commit (``WriteFiles.java`` + ``FileBasedSink.java``
+    — ``withNumShards``/``FixedNumShards`` sharding, per-window shard
+    files named ``{prefix}-{windowStartMs}-{windowEndMs}-{ssss}-of-
+    {NNNN}{suffix}``, writers emit to a hidden temp dir, finalize
+    renames every temp file to its final name and removes the temp dir
+    — a partially-failed job leaves NO final files).
+
+    Spark-first shape: one ``applyInPandas`` over the (window, shard)
+    groups — each group writes ITS OWN file exactly like a reference
+    ``Writer`` bundle, lines sorted for deterministic content — then a
+    driver-side finalize over the manifest (one ``os.replace`` per
+    shard: atomic on a same-filesystem rename, the reference's
+    ``moveToOutputFiles``).  ``out_dir`` must be a shared filesystem
+    visible to executors and driver (same requirement as the
+    reference's temp/final locations).  Sharding: ``shard_col`` names
+    an integer column; its value mod ``num_shards`` picks the shard —
+    deterministic, so the whole write (names AND contents) is
+    value-oracle-able; the reference's round-robin assignment is
+    likewise arbitrary-but-fixed per element.  Empty (window, shard)
+    pairs produce no file (the reference writes empty shards only for
+    the global window on empty PCollections).
+
+    ``dest_col`` enables the reference's DYNAMIC DESTINATIONS
+    (``DynamicFileDestinations.java`` / ``DefaultFilenamePolicy``):
+    each row's destination string replaces ``prefix`` in its own
+    file's name, so one write fans out to per-destination shard sets —
+    the grouping key simply gains the destination column (no extra
+    shuffle beyond the one the sink already does).
+
+    Returns the finalize manifest as a DataFrame:
+    ``(window_start_ms, window_end_ms, shard, filename, n_rows)``.
+    """
+    import os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    if shard_col is None:
+        raise ValueError("shard_col is required (deterministic sharding)")
+    tmp_dir = os.path.join(out_dir, ".temp-beam-write")
+    os.makedirs(tmp_dir, exist_ok=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    win = F.window(F.col(event_time), window_size)
+    dest = (F.col(dest_col).cast("string") if dest_col
+            else F.lit(prefix))
+    tagged = (df
+              .withColumn("__ws__", F.unix_millis(win["start"]))
+              .withColumn("__we__", F.unix_millis(win["end"]))
+              .withColumn("__shard__",
+                          F.pmod(F.col(shard_col).cast("long"),
+                                 F.lit(num_shards)).cast("int"))
+              .withColumn("__dest__", dest)
+              .select("__dest__", "__ws__", "__we__", "__shard__",
+                      F.col(text_col).cast("string").alias("__line__")))
+
+    def write_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        dst, ws, we, sh = (str(key[0]), int(key[1]), int(key[2]),
+                           int(key[3]))
+        name = f"{dst}-{ws}-{we}-{sh:05d}-of-{num_shards:05d}{suffix}"
+        lines = sorted(pdf["__line__"].astype(str).tolist())
+        with open(os.path.join(tmp_dir, name), "w") as f:
+            f.write("\n".join(lines) + "\n")
+        return pd.DataFrame([{
+            "window_start_ms": ws, "window_end_ms": we, "shard": sh,
+            "filename": name, "n_rows": len(pdf)}])
+
+    manifest = (tagged.groupBy("__dest__", "__ws__", "__we__", "__shard__")
+                .applyInPandas(write_group,
+                               "window_start_ms long, window_end_ms long,"
+                               " shard int, filename string, n_rows long")
+                .collect())
+    # finalize (FileBasedSink.moveToOutputFiles): every shard rename is
+    # atomic; nothing appears under out_dir until its writer succeeded
+    for r in manifest:
+        os.replace(os.path.join(tmp_dir, r["filename"]),
+                   os.path.join(out_dir, r["filename"]))
+    try:
+        os.rmdir(tmp_dir)
+    except OSError:
+        pass                         # leftovers from a failed writer
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(r["window_start_ms"], r["window_end_ms"], r["shard"],
+          r["filename"], r["n_rows"]) for r in manifest],
+        "window_start_ms long, window_end_ms long, shard int,"
+        " filename string, n_rows long")
+
+
+def windowed_sharded_write_stream(sdf: DataFrame, out_dir: str,
+                                  prefix: str, window_size: str,
+                                  event_time: str, text_col: str,
+                                  num_shards: int, shard_col: str,
+                                  checkpoint: str,
+                                  suffix: str = ".txt"):
+    """Streaming twin via foreachBatch: each micro-batch finalizes its
+    own windowed shard files, pane-stamped ``-pane{batchId}`` before
+    the suffix (the reference names triggered windowed writes with
+    PaneInfo the same way, FileBasedSink.java windowedWrites).  Exactly
+    -once per batch rides Spark's checkpointed batch ids plus the
+    finalize-rename (a replayed batch overwrites its own pane files
+    deterministically — same content, same names)."""
+
+    def write_batch(bdf: DataFrame, batch_id: int) -> None:
+        if bdf.isEmpty():
+            return
+        windowed_sharded_write(
+            bdf, out_dir, prefix, window_size, event_time, text_col,
+            num_shards, shard_col=shard_col,
+            suffix=f"-pane{batch_id}{suffix}")
+
+    return (sdf.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint))

@@ -81,7 +81,8 @@ QUERIES = [
     # (both replay 10x more events on the replica through the same
     # one-data-micro-batch plan)
     "stream_trigger_exact", "stream_session_late_exact",
-    "stream_join_late_exact",
+    "stream_join_late_exact", "stream_trigger_discarding_exact",
+    "windowed_file_write", "windowed_file_write_dynamic",
 ]
 
 #: As of r10 EVERY query records emitted rows at both scales and
