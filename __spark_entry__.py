@@ -1656,7 +1656,8 @@ def _stream_rate_limit_exact(spark, sf_dir):
                       "win_start_ms", "seq")
 
 
-def _stream_trigger_exact(spark, sf_dir, accumulating=True):
+def _stream_trigger_exact(spark, sf_dir, accumulating=True,
+                          trigger_fn=None):
     """The TRIGGER/PANE tier run END-TO-END inside the query — the
     last SURVEY §2 family that had only pytest evidence (VERDICT r11
     item 1).  ``triggered_windowed_sum`` (streaming/triggers.py) drives
@@ -1705,7 +1706,8 @@ def _stream_trigger_exact(spark, sf_dir, accumulating=True):
     tail = max(r["tus"] for r in rows) + 30 * 24 * 3600 * 1_000_000
     ts.add_elements([{"event_type": "zz_watermark_tail",
                       "event_id": 0, "tus": tail}])
-    trigger = AfterWatermark().with_early_firings(AfterPane(10))
+    trigger = (trigger_fn() if trigger_fn is not None
+               else AfterWatermark().with_early_firings(AfterPane(10)))
     sdf = triggered_windowed_sum(
         ts.stream(spark, "event_type string, event_id bigint, tus bigint")
         .select("event_type", "event_id",
@@ -1723,6 +1725,28 @@ def _stream_trigger_exact(spark, sf_dir, accumulating=True):
             .select("key", "window_end_ms", "pane_index", "timing",
                     "is_first", "is_last", "on_time_index",
                     "n_in_pane", "pane_ts_ms", "total"))
+
+
+def _stream_trigger_orfinally_exact(spark, sf_dir):
+    """The OrFinally + Repeatedly combinator path end-to-end under the
+    oracle gate (OrFinallyTrigger.java:31 + Repeatedly.java:37 —
+    previously pytest-transcript-only): ``Repeatedly.forever(
+    AfterPane.elementCountAtLeast(7)).orFinally(AfterWatermark.
+    pastEndOfWindow())`` over the same sequenced replay as
+    `stream_trigger_exact`.  Repeatedly re-arms the count trigger
+    after every EARLY pane (pane k = elements (7k, 7(k+1)]); the
+    orFinally `until` fires the FINAL pane when the watermark passes
+    the window end (timing ON_TIME, is_last=true) and closes the
+    window — a different machine composition whose panes answer to
+    the same prefix-sum oracle shape at fire-every-7."""
+    from apache_beam_spark.streaming.trigger_machine import (AfterPane,
+                                                             AfterWatermark,
+                                                             Repeatedly)
+
+    return _stream_trigger_exact(
+        spark, sf_dir,
+        trigger_fn=lambda: Repeatedly(AfterPane(7)).or_finally(
+            AfterWatermark()))
 
 
 def _stream_trigger_discarding_exact(spark, sf_dir):
@@ -4879,6 +4903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_window_count_exact": _stream_window_count_exact,
         "stream_trigger_exact": _stream_trigger_exact,
         "stream_trigger_discarding_exact": _stream_trigger_discarding_exact,
+        "stream_trigger_orfinally_exact": _stream_trigger_orfinally_exact,
         "windowed_file_write": _windowed_file_write,
         "windowed_file_write_dynamic": _windowed_file_write_dynamic,
         "dedup_simhash": _dedup_simhash,
@@ -5617,6 +5642,49 @@ def oracle_sql() -> dict[str, str]:
                            // 86400000000) * 86400000 + 86400000,
                           CAST(event_id % 2 AS INTEGER), 2) AS filename
             FROM events WHERE user_id < 300""",
+        # orFinally(Repeatedly(AfterPane(7))): same prefix-sum shape at
+        # fire-every-7 — a different machine composition, same algebra
+        "stream_trigger_orfinally_exact": """
+            WITH e AS (
+                SELECT event_type AS key,
+                       epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+                       event_id
+                FROM events WHERE user_id < 150),
+            w AS (
+                SELECT key, event_id, tus,
+                       (tus // 86400000000 + 1) * 86400000 AS wend
+                FROM e),
+            o AS (
+                SELECT key, wend,
+                       ROW_NUMBER() OVER (PARTITION BY key, wend
+                                          ORDER BY tus, event_id) AS rn,
+                       SUM(event_id) OVER (PARTITION BY key, wend
+                                           ORDER BY tus, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS run,
+                       COUNT(*) OVER (PARTITION BY key, wend) AS cnt,
+                       SUM(event_id) OVER (PARTITION BY key, wend) AS tot
+                FROM w)
+            SELECT key, CAST(wend AS BIGINT) AS window_end_ms,
+                   CAST(rn // 7 - 1 AS INTEGER) AS pane_index,
+                   'EARLY' AS timing,
+                   (rn = 7) AS is_first,
+                   FALSE AS is_last,
+                   CAST(-1 AS BIGINT) AS on_time_index,
+                   CAST(7 AS INTEGER) AS n_in_pane,
+                   CAST(wend AS BIGINT) AS pane_ts_ms,
+                   CAST(run AS DOUBLE) AS total
+            FROM o WHERE rn % 7 = 0
+            UNION ALL
+            SELECT key, CAST(wend AS BIGINT) AS window_end_ms,
+                   CAST(cnt // 7 AS INTEGER) AS pane_index,
+                   'ON_TIME' AS timing,
+                   (cnt < 7) AS is_first,
+                   TRUE AS is_last,
+                   CAST(0 AS BIGINT) AS on_time_index,
+                   CAST(cnt % 7 AS INTEGER) AS n_in_pane,
+                   CAST(wend AS BIGINT) AS pane_ts_ms,
+                   CAST(tot AS DOUBLE) AS total
+            FROM o WHERE rn = 1""",
         # discarding mode: prefix-sum DIFFERENCES — EARLY pane k is the
         # sum of its own 10 elements, ON_TIME the post-last-fire tail
         "stream_trigger_discarding_exact": """
