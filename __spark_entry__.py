@@ -1749,6 +1749,30 @@ def _stream_trigger_orfinally_exact(spark, sf_dir):
             AfterWatermark()))
 
 
+def _stream_trigger_aftereach_exact(spark, sf_dir):
+    """The FINISHED-TRIGGER WINDOW-CLOSURE contract under the oracle
+    gate (AfterEach.java:45; "a finished trigger closes the window and
+    later elements are dropped" — Window.java): ``AfterEach.inOrder(
+    AfterPane.elementCountAtLeast(5), AfterPane.elementCountAtLeast(9))``
+    runs each sub-trigger to completion in order and FINISHES after
+    the last, so a window emits exactly two panes — at its 5th and
+    14th (ts, event_id)-ordered elements — then CLOSES mid-stream:
+    every later element is dropped (no ON_TIME pane ever fires, and
+    windows with fewer than 5 elements emit NOTHING — the watermark
+    passing the end finds no fireable trigger).  The emitted set is a
+    pure function of the sorted replay: one row per window at rn=5
+    (pane 0) and rn=14 (pane 1, is_last=true), accumulating prefix
+    sums — a third DISTINCT machine behavior (mid-stream closure)
+    value-checked after AfterWatermark-early and
+    OrFinally/Repeatedly."""
+    from apache_beam_spark.streaming.trigger_machine import (AfterEach,
+                                                             AfterPane)
+
+    return _stream_trigger_exact(
+        spark, sf_dir,
+        trigger_fn=lambda: AfterEach(AfterPane(5), AfterPane(9)))
+
+
 def _stream_trigger_discarding_exact(spark, sf_dir):
     """DISCARDING_FIRED_PANES twin of `stream_trigger_exact`
     (Window.java:261,273 — the other accumulation mode of the
@@ -4904,6 +4928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_trigger_exact": _stream_trigger_exact,
         "stream_trigger_discarding_exact": _stream_trigger_discarding_exact,
         "stream_trigger_orfinally_exact": _stream_trigger_orfinally_exact,
+        "stream_trigger_aftereach_exact": _stream_trigger_aftereach_exact,
         "windowed_file_write": _windowed_file_write,
         "windowed_file_write_dynamic": _windowed_file_write_dynamic,
         "dedup_simhash": _dedup_simhash,
@@ -5685,6 +5710,49 @@ def oracle_sql() -> dict[str, str]:
                    CAST(wend AS BIGINT) AS pane_ts_ms,
                    CAST(tot AS DOUBLE) AS total
             FROM o WHERE rn = 1""",
+        # AfterEach(5, 9): exactly two panes per window, at ordered
+        # rows 5 and 14; the window closes after pane 1 (is_last) and
+        # everything later is dropped; windows under 5 elements emit
+        # nothing
+        "stream_trigger_aftereach_exact": '''
+            WITH e AS (
+                SELECT event_type AS key,
+                       epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+                       event_id
+                FROM events WHERE user_id < 150),
+            w AS (
+                SELECT key, event_id, tus,
+                       (tus // 86400000000 + 1) * 86400000 AS wend
+                FROM e),
+            o AS (
+                SELECT key, wend,
+                       ROW_NUMBER() OVER (PARTITION BY key, wend
+                                          ORDER BY tus, event_id) AS rn,
+                       SUM(event_id) OVER (PARTITION BY key, wend
+                                           ORDER BY tus, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS run
+                FROM w)
+            SELECT key, CAST(wend AS BIGINT) AS window_end_ms,
+                   CAST(0 AS INTEGER) AS pane_index,
+                   'EARLY' AS timing,
+                   TRUE AS is_first,
+                   FALSE AS is_last,
+                   CAST(-1 AS BIGINT) AS on_time_index,
+                   CAST(5 AS INTEGER) AS n_in_pane,
+                   CAST(wend AS BIGINT) AS pane_ts_ms,
+                   CAST(run AS DOUBLE) AS total
+            FROM o WHERE rn = 5
+            UNION ALL
+            SELECT key, CAST(wend AS BIGINT) AS window_end_ms,
+                   CAST(1 AS INTEGER) AS pane_index,
+                   'EARLY' AS timing,
+                   FALSE AS is_first,
+                   TRUE AS is_last,
+                   CAST(-1 AS BIGINT) AS on_time_index,
+                   CAST(9 AS INTEGER) AS n_in_pane,
+                   CAST(wend AS BIGINT) AS pane_ts_ms,
+                   CAST(run AS DOUBLE) AS total
+            FROM o WHERE rn = 14''',
         # discarding mode: prefix-sum DIFFERENCES — EARLY pane k is the
         # sum of its own 10 elements, ON_TIME the post-last-fire tail
         "stream_trigger_discarding_exact": """

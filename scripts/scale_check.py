@@ -82,7 +82,7 @@ QUERIES = [
     # one-data-micro-batch plan)
     "stream_trigger_exact", "stream_session_late_exact",
     "stream_join_late_exact", "stream_trigger_discarding_exact",
-    "stream_trigger_orfinally_exact",
+    "stream_trigger_orfinally_exact", "stream_trigger_aftereach_exact",
     "windowed_file_write", "windowed_file_write_dynamic",
 ]
 
