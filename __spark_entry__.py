@@ -1755,15 +1755,22 @@ def _stream_trigger_aftereach_exact(spark, sf_dir):
     later elements are dropped" — Window.java): ``AfterEach.inOrder(
     AfterPane.elementCountAtLeast(5), AfterPane.elementCountAtLeast(9))``
     runs each sub-trigger to completion in order and FINISHES after
-    the last, so a window emits exactly two panes — at its 5th and
-    14th (ts, event_id)-ordered elements — then CLOSES mid-stream:
-    every later element is dropped (no ON_TIME pane ever fires, and
-    windows with fewer than 5 elements emit NOTHING — the watermark
-    passing the end finds no fireable trigger).  The emitted set is a
-    pure function of the sorted replay: one row per window at rn=5
-    (pane 0) and rn=14 (pane 1, is_last=true), accumulating prefix
-    sums — a third DISTINCT machine behavior (mid-stream closure)
-    value-checked after AfterWatermark-early and
+    the last.  A window with >= 14 (ts, event_id)-ordered elements
+    emits EARLY panes at its 5th and 14th elements, then CLOSES
+    mid-stream: every later element is dropped.  A window whose
+    trigger is still UNFINISHED when the watermark passes its end
+    emits its buffered remainder as a FINAL expiry pane —
+    ``ReduceFnRunner.onGarbageCollection`` firing ``onTrigger(
+    isFinished=true)`` under the default ``ClosingBehavior.
+    FIRE_IF_NON_EMPTY`` (ReduceFnRunner.java:775-783): windows with
+    cnt < 5 emit one ON_TIME pane 0 carrying all cnt elements;
+    windows with 5 < cnt < 14 emit an ON_TIME pane 1 with the
+    (cnt - 5)-element remainder; a window with exactly 5 elements has
+    an EMPTY pending pane at expiry and emits nothing further
+    (FIRE_IF_NON_EMPTY).  The emitted set is a pure function of the
+    sorted replay — prefix sums at rn 5/14 plus the per-window expiry
+    rows — a third DISTINCT machine behavior (mid-stream closure +
+    non-lossy expiry) value-checked after AfterWatermark-early and
     OrFinally/Repeatedly."""
     from apache_beam_spark.streaming.trigger_machine import (AfterEach,
                                                              AfterPane)
@@ -5710,10 +5717,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(wend AS BIGINT) AS pane_ts_ms,
                    CAST(tot AS DOUBLE) AS total
             FROM o WHERE rn = 1""",
-        # AfterEach(5, 9): exactly two panes per window, at ordered
-        # rows 5 and 14; the window closes after pane 1 (is_last) and
-        # everything later is dropped; windows under 5 elements emit
-        # nothing
+        # AfterEach(5, 9): EARLY panes at ordered rows 5 and 14; >= 14
+        # elements closes the window mid-stream (is_last on pane 1,
+        # everything later dropped).  A window whose trigger is still
+        # unfinished at expiry emits its non-empty pending pane as a
+        # final ON_TIME row (ReduceFnRunner.onGarbageCollection,
+        # FIRE_IF_NON_EMPTY): cnt < 5 -> pane 0 with all cnt elements;
+        # 5 < cnt < 14 -> pane 1 with the cnt-5 remainder; cnt = 5 has
+        # an empty pending pane and emits nothing further
         "stream_trigger_aftereach_exact": '''
             WITH e AS (
                 SELECT event_type AS key,
@@ -5730,7 +5741,9 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY tus, event_id) AS rn,
                        SUM(event_id) OVER (PARTITION BY key, wend
                                            ORDER BY tus, event_id
-                                           ROWS UNBOUNDED PRECEDING) AS run
+                                           ROWS UNBOUNDED PRECEDING) AS run,
+                       COUNT(*) OVER (PARTITION BY key, wend) AS cnt,
+                       SUM(event_id) OVER (PARTITION BY key, wend) AS tot
                 FROM w)
             SELECT key, CAST(wend AS BIGINT) AS window_end_ms,
                    CAST(0 AS INTEGER) AS pane_index,
@@ -5752,7 +5765,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(9 AS INTEGER) AS n_in_pane,
                    CAST(wend AS BIGINT) AS pane_ts_ms,
                    CAST(run AS DOUBLE) AS total
-            FROM o WHERE rn = 14''',
+            FROM o WHERE rn = 14
+            UNION ALL
+            SELECT key, CAST(wend AS BIGINT) AS window_end_ms,
+                   CAST(CASE WHEN cnt < 5 THEN 0 ELSE 1 END
+                        AS INTEGER) AS pane_index,
+                   'ON_TIME' AS timing,
+                   (cnt < 5) AS is_first,
+                   TRUE AS is_last,
+                   CAST(0 AS BIGINT) AS on_time_index,
+                   CAST(CASE WHEN cnt < 5 THEN cnt ELSE cnt - 5 END
+                        AS INTEGER) AS n_in_pane,
+                   CAST(wend AS BIGINT) AS pane_ts_ms,
+                   CAST(tot AS DOUBLE) AS total
+            FROM o WHERE rn = 1
+              AND (cnt < 5 OR (cnt > 5 AND cnt < 14))''',
         # discarding mode: prefix-sum DIFFERENCES — EARLY pane k is the
         # sum of its own 10 elements, ON_TIME the post-last-fire tail
         "stream_trigger_discarding_exact": """

@@ -50,6 +50,16 @@ class StatefulContext:
     def clear(self, state_id: str) -> None:
         self._user.pop(state_id, None)
 
+    def clear_all(self) -> None:
+        """Drop every state cell AND every pending timer — the
+        window-expiry GC the reference runs per (key, window) when the
+        watermark passes the window's end plus allowed lateness
+        (``ReduceFnRunner.onGarbageCollection``).  With nothing left,
+        the runner removes the underlying GroupState entirely, so
+        expired windows cost zero long-term state."""
+        self._user.clear()
+        self._timers.clear()
+
     # -- named timers --------------------------------------------------
     def set_timer(self, timer_id: str, fire_at_ms: int) -> None:
         """reference DoFn @TimerId set() — overwrites same-id timer."""

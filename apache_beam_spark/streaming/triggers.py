@@ -138,6 +138,25 @@ def count_trigger_aggregate(
     )
 
 
+_INTERVAL_UNITS_MS = {
+    "microsecond": 0.001, "millisecond": 1, "second": 1000,
+    "minute": 60_000, "hour": 3_600_000, "day": 86_400_000,
+    "week": 7 * 86_400_000,
+}
+
+
+def interval_ms(spec: str) -> int:
+    """Parse a Spark CalendarInterval-style ``"<n> <unit>"`` string
+    (the ``withWatermark`` delay format) to integer milliseconds."""
+    parts = spec.strip().split()
+    if len(parts) != 2:
+        raise ValueError(f"expected '<n> <unit>', got {spec!r}")
+    n, unit = float(parts[0]), parts[1].rstrip("s").lower()
+    if unit not in _INTERVAL_UNITS_MS:
+        raise ValueError(f"unknown interval unit in {spec!r}")
+    return int(n * _INTERVAL_UNITS_MS[unit])
+
+
 def triggered_windowed_sum(
     df: DataFrame,
     key: str,
@@ -163,6 +182,28 @@ def triggered_windowed_sum(
     the window is closed and later elements are dropped — exactly the
     reference's finished-trigger contract.
 
+    Window lifecycle (reference ``ReduceFnRunner.java``):
+
+    * Elements of a window whose end + ``allowed_lateness`` is at or
+      before the current watermark are DROPPED before they touch state
+      (``LateDataDroppingDoFnRunner.java:48``) — checked against the
+      CURRENT watermark inside the operator because Spark's pre-state
+      late filter lags one micro-batch.
+    * At window expiry (end + allowed lateness, a second named timer
+      ``__wgc__``) an UNFINISHED trigger emits its pending pane iff
+      non-empty — ``ReduceFnRunner.onGarbageCollection`` calling
+      ``onTrigger(isFinished=true)`` under the default
+      ``ClosingBehavior.FIRE_IF_NON_EMPTY`` (ReduceFnRunner.java:
+      775-783) — so count-only/AfterEach trigger shapes are not
+      silently lossy: buffered elements surface as a final pane with
+      ``is_last=true``.  The expired window's state and timers are then
+      cleared entirely, so long-lived streams don't accumulate state
+      for closed windows.
+    * Timers due at the current watermark fire BEFORE any data that
+      arrived in the same micro-batch is processed — the watermark
+      advanced between batches, so (e.g.) the ON_TIME pane fires ahead
+      of late elements delivered alongside the advance.
+
     ``pane_ts_ms`` is the pane's output timestamp per
     ``timestamp_combiner``: the min (earliest) / max (latest) event
     time of the pane's elements — the value the reference keeps in
@@ -184,13 +225,13 @@ def triggered_windowed_sum(
     from apache_beam_spark.streaming.trigger_machine import (
         EARLY, LATE, ON_TIME, TriggerContext)
 
-    def _fire_ready(k, ctx, s) -> None:
-        """Emit panes while the machine is ready (bounded: one call per
-        wake reason, machine state advances or finishes)."""
+    lateness_ms = interval_ms(allowed_lateness)
+
+    def _emit_pane(k, ctx, finished: bool) -> None:
+        """Emit the pending pane with full PaneInfo; ``finished=True``
+        marks it the window's last (the trigger finished on this
+        firing, or this is the expiry-time final pane)."""
         wend = int(k[1])
-        tctx = TriggerContext(ctx.now_ms, 0, wend)
-        if ctx.get("closed") or not trigger.should_fire(s, tctx):
-            return
         on_time_seen = ctx.get("ots", False)
         if ctx.now_ms >= wend and not on_time_seen:
             timing = ON_TIME
@@ -205,11 +246,6 @@ def triggered_windowed_sum(
             pane_ts = ctx.get("pane_max_ts")
         else:
             pane_ts = wend
-        # advance the machine BEFORE emitting so the pane can carry
-        # is_last (PaneInfo.java:44 — LAST is known when the trigger
-        # finishes on this firing and the window closes)
-        trigger.on_fire(s, tctx)
-        finished = trigger.finished(s)
         pane_idx = ctx.get("pane_idx", 0)
         if timing == EARLY:
             on_time_index = -1       # speculative pane (Beam convention)
@@ -234,11 +270,51 @@ def triggered_windowed_sum(
         if finished:
             ctx.put("closed", True)
 
-    def process(k, pdf: pd.DataFrame, ctx) -> None:
-        if ctx.get("closed"):
-            return  # window closed by a finished trigger: drop input
-        s = ctx.get("trig") or trigger.new_state()
+    def _fire_ready(k, ctx, s) -> None:
+        """Emit a pane if the machine is ready (bounded: one call per
+        wake reason, machine state advances or finishes)."""
         wend = int(k[1])
+        tctx = TriggerContext(ctx.now_ms, 0, wend)
+        if ctx.get("closed") or not trigger.should_fire(s, tctx):
+            return
+        # advance the machine BEFORE emitting so the pane can carry
+        # is_last (PaneInfo.java:44 — LAST is known when the trigger
+        # finishes on this firing and the window closes)
+        trigger.on_fire(s, tctx)
+        _emit_pane(k, ctx, finished=trigger.finished(s))
+
+    def on_timer(k, timer_id, ctx) -> None:
+        if timer_id == "__wgc__":
+            # window expiry (end + allowed lateness):
+            # ReduceFnRunner.onGarbageCollection fires the final pane
+            # of an UNFINISHED trigger iff non-empty (the default
+            # ClosingBehavior.FIRE_IF_NON_EMPTY, ReduceFnRunner.java:
+            # 775-783), with isFinished=true.  Then drop all window
+            # state + timers — GroupState is removed outright.
+            if not ctx.get("closed") and ctx.get("pane_n", 0) > 0:
+                _emit_pane(k, ctx, finished=True)
+            ctx.clear_all()
+            return
+        s = ctx.get("trig") or trigger.new_state()
+        _fire_ready(k, ctx, s)
+        ctx.put("trig", s)
+
+    def process(k, pdf: pd.DataFrame, ctx) -> None:
+        # timers due at the current watermark fire BEFORE this batch's
+        # data: the watermark advanced between micro-batches, so those
+        # firings (ON_TIME pane, expiry GC) semantically precede any
+        # element delivered alongside the advance
+        for _fire_at, tid in ctx._due(ctx.now_ms):
+            on_timer(k, tid, ctx)
+        wend = int(k[1])
+        if ctx.get("closed") or wend + lateness_ms <= ctx.now_ms:
+            # closed by a finished trigger, or expired: drop iff window
+            # end + allowed lateness <= watermark
+            # (LateDataDroppingDoFnRunner.java:48), checked against the
+            # CURRENT watermark — Spark's own pre-state filter lags one
+            # micro-batch
+            return
+        s = ctx.get("trig") or trigger.new_state()
         tctx = TriggerContext(ctx.now_ms, 0, wend)
         ts_ms = (pd.to_datetime(pdf[event_time]).astype("int64") // 1_000_000)
         for v, t in zip(pdf[value_col], ts_ms):
@@ -254,13 +330,11 @@ def triggered_windowed_sum(
             trigger.on_element(s, tctx)
             _fire_ready(k, ctx, s)
         ctx.put("trig", s)
-        if not ctx.get("closed"):
+        if not ctx.get("closed") and not ctx.get("ots"):
             ctx.set_timer("__wend__", wend)  # wake on watermark past end
-
-    def on_timer(k, timer_id, ctx) -> None:
-        s = ctx.get("trig") or trigger.new_state()
-        _fire_ready(k, ctx, s)
-        ctx.put("trig", s)
+        # expiry timer: fires FIRE_IF_NON_EMPTY + state GC; armed even
+        # for closed windows so their residual state is reclaimed
+        ctx.set_timer("__wgc__", wend + lateness_ms)
 
     win = F.window(F.col(event_time), window_size)
     tagged = (df

@@ -166,6 +166,52 @@ def test_triggered_windowed_sum_end_to_end(spark, tmp_path):
     assert a.on_time_index.tolist() == [-1, 0]
 
 
+def test_window_expiry_fires_pending_pane(spark, tmp_path):
+    """ReduceFnRunner.onGarbageCollection (ReduceFnRunner.java:775-783):
+    at window expiry an UNFINISHED trigger emits its pending pane iff
+    non-empty (default ClosingBehavior.FIRE_IF_NON_EMPTY) with
+    is_last=true — count-only triggers are not silently lossy.
+
+    AfterEach(AfterPane(2), AfterPane(3)) over three windows:
+      * key a, 4 elements: EARLY pane at element 2, then the 2-element
+        remainder surfaces as the expiry pane (index 1, ON_TIME);
+      * key c, 1 element: never fireable — the expiry pane carries it;
+      * key d, exactly 2 elements: pane 0 fires, the pending pane is
+        EMPTY at expiry -> nothing further (FIRE_IF_NON_EMPTY).
+    """
+    from apache_beam_spark.streaming import TestStream, run_to_memory
+    from apache_beam_spark.streaming.triggers import triggered_windowed_sum
+
+    rows1 = ([{"user": "a", "ts": f"2024-01-01 00:00:{s:02d}",
+               "amount": float(v)} for s, v in
+              [(10, 1), (20, 2), (30, 4), (40, 8)]]
+             + [{"user": "c", "ts": "2024-01-01 00:00:15", "amount": 5.0}]
+             + [{"user": "d", "ts": "2024-01-01 00:00:25", "amount": 6.0},
+                {"user": "d", "ts": "2024-01-01 00:00:35", "amount": 7.0}])
+    rows2 = [{"user": "zz", "ts": "2024-01-01 01:00:00", "amount": 0.0}]
+    ts = TestStream(str(tmp_path / "spool_gc"))
+    ts.add_elements(rows1)
+    ts.add_elements(rows2)
+    trig = AfterEach(AfterPane(2), AfterPane(3))
+    out = triggered_windowed_sum(
+        ts.stream(spark, "user string, ts timestamp, amount double"),
+        key="user", value_col="amount", window_size="1 minute",
+        trigger=trig, order_by=["ts", "amount"])
+    got = run_to_memory(out, "append").toPandas()
+    a = got[got.key == "a"].sort_values("pane_index")
+    assert a.timing.tolist() == ["EARLY", "ON_TIME"]
+    assert a.total.tolist() == [3.0, 15.0]
+    assert a.n_in_pane.tolist() == [2, 2]
+    assert a.is_last.tolist() == [False, True]
+    assert a.on_time_index.tolist() == [-1, 0]
+    c = got[got.key == "c"]
+    assert (c.timing.tolist() == ["ON_TIME"] and c.total.tolist() == [5.0]
+            and c.is_first.tolist() == [True] and c.is_last.tolist() == [True]
+            and c.n_in_pane.tolist() == [1])
+    d = got[got.key == "d"]
+    assert d.timing.tolist() == ["EARLY"] and d.total.tolist() == [13.0]
+
+
 def test_pane_output_timestamp_holds(spark, tmp_path):
     """WatermarkHold-style pane timestamps: with
     timestamp_combiner='earliest' each pane carries the min event time
