@@ -1780,6 +1780,108 @@ def _stream_trigger_aftereach_exact(spark, sf_dir):
         trigger_fn=lambda: AfterEach(AfterPane(5), AfterPane(9)))
 
 
+def _stream_trigger_late_exact(spark, sf_dir):
+    """The LATE pane path under the oracle gate — the last PaneInfo
+    surface that had only pytest evidence (VERDICT r12 item 1):
+    ``AfterWatermark.pastEndOfWindow().withEarlyFirings(
+    AfterPane.elementCountAtLeast(10)).withLateFirings(
+    AfterPane.elementCountAtLeast(4))`` with ``allowed_lateness`` = 32
+    days (AfterWatermark.java:59 late firings, PaneInfo.java:44-58
+    LATE timing, Window.withAllowedLateness:292) over a SEQUENCED
+    four-batch replay:
+
+    1. wave 1 (event_id % 3 != 0) at watermark 0 — EARLY panes every
+       10 elements, accumulating prefix sums;
+    2. a watermark tail placed so the watermark lands EXACTLY between
+       the two halves' expiry times: past every window's END (every
+       window fires its ON_TIME pane, remainder count, full wave-1
+       total, on_time_index 0, is_last=false — late firings keep the
+       trigger alive) but past only the FIRST-half windows' end +
+       lateness, so those expire (GC finds an empty pending pane —
+       nothing further) while second-half windows stay open;
+    3. wave 2 (event_id % 3 == 0, windows seen in wave 1 only) — all
+       late: for EXPIRED windows (end <= the mid-range split M) the
+       operator must DROP every element against the CURRENT watermark
+       (LateDataDroppingDoFnRunner.java:48 — Spark's own pre-state
+       filter is a batch behind and admits them); for OPEN windows the
+       late machine fires a LATE pane every 4 sorted elements —
+       pane_index continues past the on-time pane, on_time_index
+       1, 2, ..., accumulating totals SPAN the watermark crossing
+       (wave-1 total + late prefix);
+    4. a final tail past every expiry — each open window's non-empty
+       late remainder surfaces as the expiry final pane
+       (ReduceFnRunner.onGarbageCollection, FIRE_IF_NON_EMPTY):
+       timing LATE, is_last=true, cross-watermark total.
+
+    The watermark delay doubles as the allowed lateness (Spark's
+    single-watermark model), so the split M = the mid-range window-end
+    boundary is the one free parameter; both sides (Spark waves,
+    DuckDB oracle) derive it as ((min_day + max_day) // 2 + 1).  Every
+    pane — admitted and dropped sets included — is a pure function of
+    the two sorted waves, answering to a per-wave ROW_NUMBER /
+    prefix-SUM oracle: the SEVENTEENTH streaming value-oracle entry
+    and the first to pin LATE panes and allowed-lateness > 0."""
+    import tempfile
+
+    from apache_beam_spark.streaming.sources import TestStream
+    from apache_beam_spark.streaming.trigger_machine import (AfterPane,
+                                                             AfterWatermark)
+    from apache_beam_spark.streaming.triggers import triggered_windowed_sum
+    from apache_beam_spark.streaming.windowed import run_to_memory
+
+    DAY_US = 86_400_000_000
+    LATENESS_DAYS = 32   # > the events table's ~30-day span, so the
+    # delayed watermark sits before wave 2's oldest element when it
+    # arrives (Spark's pre-state filter admits the whole late wave;
+    # the in-operator expiry rule then decides per Beam semantics)
+    ev = (load_table(spark, "events", sf_dir)
+          .filter(F.col("user_id") < 150)   # bounded spool (see
+          # _stream_trigger_exact)
+          .select("event_type", "event_id",
+                  F.unix_micros(F.col("ts").cast("timestamp"))
+                  .alias("tus")))
+    rows = [r.asDict() for r in ev.collect()]
+    d0 = min(r["tus"] for r in rows) // DAY_US
+    d1 = max(r["tus"] for r in rows) // DAY_US
+    m_us = ((d0 + d1) // 2 + 1) * DAY_US   # expiry split M (a
+    # window-end boundary: windows ending at or before M are expired
+    # when the late wave arrives)
+    wave1 = [r for r in rows if r["event_id"] % 3 != 0]
+    seen = {(r["event_type"], r["tus"] // DAY_US) for r in wave1}
+    wave2 = [r for r in rows if r["event_id"] % 3 == 0
+             and (r["event_type"], r["tus"] // DAY_US) in seen]
+    lateness_us = LATENESS_DAYS * DAY_US
+    t1 = m_us + 2 * lateness_us   # watermark after tail 1 = M + lateness
+    t2 = t1 + 2 * lateness_us     # past every open window's expiry
+    ts = TestStream(tempfile.mkdtemp(prefix="entry_striglate_"))
+    ts.add_elements(wave1)
+    ts.add_elements([{"event_type": "zz_watermark_tail",
+                      "event_id": 0, "tus": t1}])
+    ts.add_elements(wave2)
+    ts.add_elements([{"event_type": "zz_watermark_tail",
+                      "event_id": 0, "tus": t2}])
+    trigger = (AfterWatermark().with_early_firings(AfterPane(10))
+               .with_late_firings(AfterPane(4)))
+    sdf = triggered_windowed_sum(
+        ts.stream(spark, "event_type string, event_id bigint, tus bigint")
+        .select("event_type", "event_id",
+                F.timestamp_micros("tus").alias("ts")),
+        key="event_type", value_col="event_id", window_size="1 day",
+        trigger=trigger, event_time="ts",
+        allowed_lateness=f"{LATENESS_DAYS} days",
+        order_by=["ts", "event_id"])
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        out = run_to_memory(sdf)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (out.filter(F.col("key") != "zz_watermark_tail")
+            .select("key", "window_end_ms", "pane_index", "timing",
+                    "is_first", "is_last", "on_time_index",
+                    "n_in_pane", "pane_ts_ms", "total"))
+
+
 def _stream_trigger_discarding_exact(spark, sf_dir):
     """DISCARDING_FIRED_PANES twin of `stream_trigger_exact`
     (Window.java:261,273 — the other accumulation mode of the
@@ -4936,6 +5038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_trigger_discarding_exact": _stream_trigger_discarding_exact,
         "stream_trigger_orfinally_exact": _stream_trigger_orfinally_exact,
         "stream_trigger_aftereach_exact": _stream_trigger_aftereach_exact,
+        "stream_trigger_late_exact": _stream_trigger_late_exact,
         "windowed_file_write": _windowed_file_write,
         "windowed_file_write_dynamic": _windowed_file_write_dynamic,
         "dedup_simhash": _dedup_simhash,
@@ -5780,6 +5883,106 @@ def oracle_sql() -> dict[str, str]:
                    CAST(tot AS DOUBLE) AS total
             FROM o WHERE rn = 1
               AND (cnt < 5 OR (cnt > 5 AND cnt < 14))''',
+        # LATE panes + allowed-lateness > 0: wave 1 (event_id % 3 <> 0)
+        # fires EARLY panes every 10, every window fires one ON_TIME
+        # pane, then the admitted late wave (event_id % 3 = 0, windows
+        # ending AFTER the mid-range split M, windows seen in wave 1
+        # only) fires a LATE pane every 4 with cross-watermark
+        # accumulating totals, plus the expiry final pane for a
+        # non-empty late remainder; late rows of windows ending at or
+        # before M are dropped entirely (expired per
+        # LateDataDroppingDoFnRunner: end + lateness <= watermark)
+        "stream_trigger_late_exact": """
+            WITH e AS (
+                SELECT event_type AS key,
+                       epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+                       event_id
+                FROM events WHERE user_id < 150),
+            b AS (
+                SELECT ((MIN(tus) // 86400000000
+                         + MAX(tus) // 86400000000) // 2 + 1)
+                       * 86400000 AS m_ms
+                FROM e),
+            w AS (
+                SELECT key, event_id, tus,
+                       (tus // 86400000000 + 1) * 86400000 AS wend
+                FROM e),
+            w1 AS (SELECT * FROM w WHERE event_id % 3 <> 0),
+            o1 AS (
+                SELECT key, wend,
+                       ROW_NUMBER() OVER (PARTITION BY key, wend
+                                          ORDER BY tus, event_id) AS rn,
+                       SUM(event_id) OVER (PARTITION BY key, wend
+                                           ORDER BY tus, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS run,
+                       COUNT(*) OVER (PARTITION BY key, wend) AS cnt,
+                       SUM(event_id) OVER (PARTITION BY key, wend) AS tot
+                FROM w1),
+            g1 AS (SELECT key, wend, MAX(cnt) AS cnt1, MAX(tot) AS tot1
+                   FROM o1 GROUP BY key, wend),
+            w2 AS (
+                SELECT a.* FROM w a, b
+                WHERE a.event_id % 3 = 0 AND a.wend > b.m_ms
+                  AND EXISTS (SELECT 1 FROM w1 x
+                              WHERE x.key = a.key AND x.wend = a.wend)),
+            o2 AS (
+                SELECT key, wend,
+                       ROW_NUMBER() OVER (PARTITION BY key, wend
+                                          ORDER BY tus, event_id) AS rn,
+                       SUM(event_id) OVER (PARTITION BY key, wend
+                                           ORDER BY tus, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS run
+                FROM w2),
+            g2 AS (SELECT key, wend, COUNT(*) AS cnt2,
+                          SUM(event_id) AS tot2
+                   FROM w2 GROUP BY key, wend)
+            SELECT key, CAST(wend AS BIGINT) AS window_end_ms,
+                   CAST(rn // 10 - 1 AS INTEGER) AS pane_index,
+                   'EARLY' AS timing,
+                   (rn = 10) AS is_first,
+                   FALSE AS is_last,
+                   CAST(-1 AS BIGINT) AS on_time_index,
+                   CAST(10 AS INTEGER) AS n_in_pane,
+                   CAST(wend AS BIGINT) AS pane_ts_ms,
+                   CAST(run AS DOUBLE) AS total
+            FROM o1 WHERE rn % 10 = 0
+            UNION ALL
+            SELECT key, CAST(wend AS BIGINT) AS window_end_ms,
+                   CAST(cnt1 // 10 AS INTEGER) AS pane_index,
+                   'ON_TIME' AS timing,
+                   (cnt1 < 10) AS is_first,
+                   FALSE AS is_last,
+                   CAST(0 AS BIGINT) AS on_time_index,
+                   CAST(cnt1 % 10 AS INTEGER) AS n_in_pane,
+                   CAST(wend AS BIGINT) AS pane_ts_ms,
+                   CAST(tot1 AS DOUBLE) AS total
+            FROM g1
+            UNION ALL
+            SELECT o2.key, CAST(o2.wend AS BIGINT) AS window_end_ms,
+                   CAST(g1.cnt1 // 10 + o2.rn // 4 AS INTEGER)
+                       AS pane_index,
+                   'LATE' AS timing,
+                   FALSE AS is_first,
+                   FALSE AS is_last,
+                   CAST(o2.rn // 4 AS BIGINT) AS on_time_index,
+                   CAST(4 AS INTEGER) AS n_in_pane,
+                   CAST(o2.wend AS BIGINT) AS pane_ts_ms,
+                   CAST(g1.tot1 + o2.run AS DOUBLE) AS total
+            FROM o2 JOIN g1 ON o2.key = g1.key AND o2.wend = g1.wend
+            WHERE o2.rn % 4 = 0
+            UNION ALL
+            SELECT g2.key, CAST(g2.wend AS BIGINT) AS window_end_ms,
+                   CAST(g1.cnt1 // 10 + g2.cnt2 // 4 + 1 AS INTEGER)
+                       AS pane_index,
+                   'LATE' AS timing,
+                   FALSE AS is_first,
+                   TRUE AS is_last,
+                   CAST(g2.cnt2 // 4 + 1 AS BIGINT) AS on_time_index,
+                   CAST(g2.cnt2 % 4 AS INTEGER) AS n_in_pane,
+                   CAST(g2.wend AS BIGINT) AS pane_ts_ms,
+                   CAST(g1.tot1 + g2.tot2 AS DOUBLE) AS total
+            FROM g2 JOIN g1 ON g2.key = g1.key AND g2.wend = g1.wend
+            WHERE g2.cnt2 % 4 <> 0""",
         # discarding mode: prefix-sum DIFFERENCES — EARLY pane k is the
         # sum of its own 10 elements, ON_TIME the post-last-fire tail
         "stream_trigger_discarding_exact": """
