@@ -1610,6 +1610,87 @@ def _stream_window_count_exact(spark, sf_dir):
                     "event_type", "n"))
 
 
+def _stream_window_late_exact(spark, sf_dir):
+    """ALLOWED-LATENESS > 0 on the NATIVE streaming windowed-agg path
+    (VERDICT r12 item 2 — every prior stream_*_exact contract was
+    exact-drop at lateness 0): per-(event_type, 1-day-window) counts
+    with a 32-day allowed lateness over a SEQUENCED THREE-WAVE replay.
+
+    Wave 1 (event_id % 3 != 0) arrives on time; a watermark tail then
+    lands the watermark exactly between the two halves' expiry times
+    (end + lateness), so first-half windows (end <= the mid-range
+    split M) FINALIZE with their wave-1 counts while second-half
+    windows stay open; wave 2 (event_id % 3 = 0, windows ending after
+    M) is late-but-ADMISSIBLE — within lateness, it must MERGE into
+    the still-open windows; wave 3 (event_id % 3 = 0, windows ending
+    at or before M) is BEYOND lateness — its windows' end + lateness
+    sits at or before the watermark, so every row must be dropped
+    (LateDataDroppingDoFnRunner.java:48; Window.withAllowedLateness
+    :292).  With delay = lateness, Spark's append-mode finalize time
+    (end + delay <= watermark) IS Beam's window-expiry time, so the
+    native state eviction realizes the reference lateness contract
+    exactly: admitted and dropped sets are both pinned by the count
+    hash — one leaked wave-3 row re-opens a finalized window and adds
+    a duplicate (window, key) row; one dropped wave-2 row breaks a
+    count.  The EIGHTEENTH streaming value-oracle entry and the first
+    THREE-WAVE lateness contract."""
+    import tempfile
+
+    from apache_beam_spark.streaming.sources import TestStream
+    from apache_beam_spark.streaming.windowed import (run_to_memory,
+                                                      windowed_aggregate)
+    from apache_beam_spark.windowing import FixedWindows
+
+    DAY_US = 86_400_000_000
+    LATENESS_DAYS = 32   # > the events span: the delayed watermark
+    # still sits before wave 2's oldest element when it arrives, so
+    # Spark's pre-state filter admits the whole admissible wave
+    ev = (load_table(spark, "events", sf_dir)
+          .filter(F.col("user_id") < 1000)   # bounded spool (see
+          # _stream_window_count_exact)
+          .select(F.unix_micros(F.col("ts").cast("timestamp"))
+                  .alias("tus"), "event_type", "event_id"))
+    rows = [r.asDict() for r in ev.collect()]
+    d0 = min(r["tus"] for r in rows) // DAY_US
+    d1 = max(r["tus"] for r in rows) // DAY_US
+    m_us = ((d0 + d1) // 2 + 1) * DAY_US   # expiry split M
+    lateness_us = LATENESS_DAYS * DAY_US
+
+    def wend(r):
+        return (r["tus"] // DAY_US + 1) * DAY_US
+
+    wave1 = [r for r in rows if r["event_id"] % 3 != 0]
+    late = [r for r in rows if r["event_id"] % 3 == 0]
+    wave2 = [r for r in late if wend(r) > m_us]    # within lateness
+    wave3 = [r for r in late if wend(r) <= m_us]   # beyond lateness
+    t1 = m_us + 2 * lateness_us   # watermark after tail = M + lateness
+    t2 = t1 + 2 * lateness_us     # past every open window's expiry
+    ts = TestStream(tempfile.mkdtemp(prefix="entry_swinlate_"))
+    ts.add_elements(wave1)
+    ts.add_elements([{"tus": t1, "event_type": "zz_watermark_tail",
+                      "event_id": 0}])
+    ts.add_elements(wave2)
+    ts.add_elements(wave3)
+    ts.add_elements([{"tus": t2, "event_type": "zz_watermark_tail",
+                      "event_id": 0}])
+    sdf = windowed_aggregate(
+        ts.stream(spark, "tus bigint, event_type string, event_id bigint")
+        .select(F.timestamp_micros("tus").alias("ts"), "event_type"),
+        FixedWindows("1 day"), "ts",
+        aggs=[F.count(F.lit(1)).alias("n")], keys=["event_type"],
+        allowed_lateness=f"{LATENESS_DAYS} days")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        out = run_to_memory(sdf)   # sequenced: the watermark must
+        # genuinely advance BETWEEN waves (availableNow coalesces)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (out.filter(F.col("event_type") != "zz_watermark_tail")
+            .select(F.col("window.start").alias("window_start"),
+                    "event_type", "n"))
+
+
 def _stream_rate_limit_exact(spark, sf_dir):
     """Streaming per-key rate limiting run END-TO-END inside the query
     (streaming/stateful.py::streaming_rate_limit, the sharded
@@ -5034,6 +5115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_rate_limit_exact": _stream_rate_limit_exact,
         "stream_dedup_late_exact": _stream_dedup_late_exact,
         "stream_window_count_exact": _stream_window_count_exact,
+        "stream_window_late_exact": _stream_window_late_exact,
         "stream_trigger_exact": _stream_trigger_exact,
         "stream_trigger_discarding_exact": _stream_trigger_discarding_exact,
         "stream_trigger_orfinally_exact": _stream_trigger_orfinally_exact,
@@ -5690,6 +5772,27 @@ def oracle_sql() -> dict[str, str]:
                        AS window_start,
                    event_type, CAST(COUNT(*) AS BIGINT) AS n
             FROM events WHERE user_id < 1000 GROUP BY 1, 2""",
+        # three-wave lateness contract: the count keeps on-time rows
+        # (event_id % 3 <> 0) plus late-but-within-lateness rows (the
+        # % 3 = 0 half of windows ending after the mid-range split M);
+        # beyond-lateness rows (% 3 = 0, window end <= M) are dropped
+        "stream_window_late_exact": """
+            WITH e AS (
+                SELECT event_type, event_id,
+                       CAST(ts AS TIMESTAMP) AS t,
+                       epoch_us(CAST(ts AS TIMESTAMP)) AS tus
+                FROM events WHERE user_id < 1000),
+            b AS (
+                SELECT ((MIN(tus) // 86400000000
+                         + MAX(tus) // 86400000000) // 2 + 1)
+                       * 86400000000 AS m_us
+                FROM e)
+            SELECT date_trunc('day', t) AS window_start, event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM e, b
+            WHERE event_id % 3 <> 0
+               OR (tus // 86400000000 + 1) * 86400000000 > m_us
+            GROUP BY 1, 2""",
         "stream_rate_limit_exact": """
             WITH e AS (
                 SELECT CAST(user_id AS VARCHAR) AS user_id, event_id,
