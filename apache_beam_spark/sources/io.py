@@ -184,9 +184,18 @@ def windowed_sharded_write(df: DataFrame, out_dir: str, prefix: str,
     FINALIZE-RENAME commit (``WriteFiles.java`` + ``FileBasedSink.java``
     — ``withNumShards``/``FixedNumShards`` sharding, per-window shard
     files named ``{prefix}-{windowStartMs}-{windowEndMs}-{ssss}-of-
-    {NNNN}{suffix}``, writers emit to a hidden temp dir, finalize
-    renames every temp file to its final name and removes the temp dir
-    — a partially-failed job leaves NO final files).
+    {NNNN}{suffix}``, writers emit to a hidden per-call temp dir
+    ``.temp-beam-write-{salt}`` — the reference salts its temp
+    location per write job the same way (FileBasedSink temp UUID), so
+    concurrent writes into one ``out_dir`` never interleave manifests
+    — finalize renames every temp file to its final name and removes
+    only its OWN temp dir; a stale ``.temp-beam-write-*`` from a
+    crashed job is identifiable by salt and never touched by later
+    writes.  Commit guarantee (same as the reference's
+    ``moveToOutputFiles``): no final file appears unless its writer
+    succeeded; each individual rename is atomic, but a crash DURING
+    finalize can leave a partial — though individually complete — set
+    of final files.
 
     Spark-first shape: one ``applyInPandas`` over the (window, shard)
     groups — each group writes ITS OWN file exactly like a reference
@@ -214,13 +223,25 @@ def windowed_sharded_write(df: DataFrame, out_dir: str, prefix: str,
     ``(window_start_ms, window_end_ms, shard, filename, n_rows)``.
     """
     import os
+    import uuid
 
     import pandas as pd
     from pyspark.sql import functions as F
 
     if shard_col is None:
         raise ValueError("shard_col is required (deterministic sharding)")
-    tmp_dir = os.path.join(out_dir, ".temp-beam-write")
+    if "://" in out_dir:
+        # executors open() files and the driver os.replace()s them —
+        # both need the SAME mounted filesystem path.  A URI scheme
+        # (hdfs://, s3a://, ...) would scatter temp files on
+        # executor-local disks and fail at finalize; fail fast instead.
+        raise ValueError(
+            f"windowed_sharded_write needs a shared-filesystem PATH "
+            f"visible to driver and executors (got URI {out_dir!r}); "
+            f"mount the store (e.g. NFS/fuse) or write to a local/"
+            f"shared path")
+    tmp_dir = os.path.join(out_dir,
+                           f".temp-beam-write-{uuid.uuid4().hex[:12]}")
     os.makedirs(tmp_dir, exist_ok=True)
     os.makedirs(out_dir, exist_ok=True)
 
@@ -256,8 +277,15 @@ def windowed_sharded_write(df: DataFrame, out_dir: str, prefix: str,
     # finalize (FileBasedSink.moveToOutputFiles): every shard rename is
     # atomic; nothing appears under out_dir until its writer succeeded
     for r in manifest:
-        os.replace(os.path.join(tmp_dir, r["filename"]),
-                   os.path.join(out_dir, r["filename"]))
+        try:
+            os.replace(os.path.join(tmp_dir, r["filename"]),
+                       os.path.join(out_dir, r["filename"]))
+        except FileNotFoundError:
+            raise RuntimeError(
+                f"finalize expected {r['filename']!r} in {tmp_dir!r} "
+                f"but it is missing: executors and driver must share "
+                f"one filesystem at {out_dir!r} (an executor wrote its "
+                f"temp file to a different machine's disk)") from None
     try:
         os.rmdir(tmp_dir)
     except OSError:

@@ -39,7 +39,7 @@ def test_windowed_sharded_write_names_and_contents(spark, tmp_path):
     assert names == sorted(
         f"ev-{ws}-{ws + 3_600_000}-{s:05d}-of-00003.txt"
         for ws in (w0, w1) for s in range(3))
-    assert not os.path.exists(out + "/.temp-beam-write")
+    assert glob.glob(out + "/.temp-beam-write*") == []
     # contents: exactly the ids of that (window, shard), sorted
     f = f"ev-{w0}-{w0 + 3_600_000}-00000-of-00003.txt"
     got = open(os.path.join(out, f)).read().splitlines()
@@ -56,6 +56,44 @@ def test_windowed_sharded_write_requires_shard_col(spark, tmp_path):
         windowed_sharded_write(
             _df(spark, [(1, T0)]), str(tmp_path / "x"), "ev", "1 hour",
             "ts", text_col="event_id", num_shards=2)
+
+
+def test_concurrent_writes_use_disjoint_salted_temps(spark, tmp_path):
+    """FileBasedSink salts its temp location per write job so two
+    concurrent writes into one out_dir can't interleave manifests; the
+    finalize is scoped to its own salt.  A stale temp dir left by a
+    crashed job is never touched by later writes."""
+    out = str(tmp_path / "sink")
+    stale = os.path.join(out, ".temp-beam-write-deadbeef0000")
+    os.makedirs(stale)
+    open(os.path.join(stale, "ev-0-1-00000-of-00001.txt"), "w").write("x\n")
+    rows_a = [(i, T0 + i * 1000) for i in range(1, 6)]
+    rows_b = [(i, T0 + i * 1000) for i in range(6, 11)]
+    windowed_sharded_write(
+        _df(spark, rows_a), out, "a", "1 hour", "ts",
+        text_col="event_id", num_shards=1, shard_col="event_id")
+    windowed_sharded_write(
+        _df(spark, rows_b), out, "b", "1 hour", "ts",
+        text_col="event_id", num_shards=1, shard_col="event_id")
+    # both prefixes finalized; the stale salted dir is intact; neither
+    # call's own temp dir remains
+    assert len(glob.glob(out + "/a-*")) == 1
+    assert len(glob.glob(out + "/b-*")) == 1
+    assert os.path.exists(os.path.join(stale, "ev-0-1-00000-of-00001.txt"))
+    assert glob.glob(out + "/.temp-beam-write*") == [stale]
+
+
+def test_uri_out_dir_fails_fast(spark, tmp_path):
+    """Executors open() and the driver os.replace()s the same paths, so
+    a URI-scheme out_dir (executor-local temp files, FileNotFoundError
+    at finalize on a real cluster) is rejected upfront with an error
+    naming the shared-filesystem requirement."""
+    import pytest
+    with pytest.raises(ValueError, match="shared-filesystem"):
+        windowed_sharded_write(
+            _df(spark, [(1, T0)]), "hdfs://nn/out", "ev", "1 hour",
+            "ts", text_col="event_id", num_shards=1,
+            shard_col="event_id")
 
 
 def test_windowed_sharded_write_stream_pane_stamped(spark, tmp_path):
