@@ -2047,6 +2047,60 @@ def _windowed_file_write_dynamic(spark, sf_dir):
         "filename")
 
 
+def _windowed_file_write_stream(spark, sf_dir):
+    """The STREAMING windowed sharded sink under the oracle gate
+    (VERDICT r12 item 5 — the pane-stamped foreachBatch twin was
+    pytest-only): ``windowed_sharded_write_stream`` (sources/io.py)
+    finalizes each micro-batch's windowed shard files with a
+    ``-pane{batchId}`` stamp before the suffix (the reference names
+    triggered windowed writes with PaneInfo the same way,
+    FileBasedSink.java windowedWrites; WriteFiles.java:336).  A
+    single-wave deterministic replay makes every file batch 0 →
+    ``events-{ws}-{we}-{ssss}-of-{NNNN}-pane0.txt`` — so the read-back
+    answers to the same filename-reconstruction oracle as the batch
+    twin `windowed_file_write`: every line AND its exact pane-stamped
+    filename rebuilt in SQL.  An unfinalized write, wrong pane stamp,
+    wrong shard math, or a lost/duplicated line all break the hash."""
+    import tempfile
+
+    from apache_beam_spark.sources.io import windowed_sharded_write_stream
+    from apache_beam_spark.streaming.sources import TestStream
+
+    out = tempfile.mkdtemp(prefix="entry_wfws_")
+    ev = (load_table(spark, "events", sf_dir)
+          .filter(F.col("user_id") < 300)
+          .select("event_id",
+                  F.unix_micros(F.col("ts").cast("timestamp"))
+                  .alias("tus")))
+    rows = [r.asDict() for r in ev.collect()]
+    ts = TestStream(tempfile.mkdtemp(prefix="entry_wfws_spool_"))
+    ts.add_elements(rows)     # ONE wave -> every file is -pane0
+    src = (ts.stream(spark, "event_id bigint, tus bigint")
+           .select("event_id", F.timestamp_micros("tus").alias("ts")))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    q = windowed_sharded_write_stream(
+        src, out, "events", "1 day", "ts", text_col="event_id",
+        num_shards=4, shard_col="event_id",
+        checkpoint=tempfile.mkdtemp(prefix="entry_wfws_ckpt_")).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    pat = r"events-(\d+)-(\d+)-(\d+)-of-(\d+)-pane0\.txt"
+    rb = (spark.read.text(out + "/events-*-pane0.txt")
+          .withColumn("filename",
+                      F.element_at(F.split(F.input_file_name(), "/"), -1)))
+    return rb.select(
+        F.col("value").cast("long").alias("event_id"),
+        F.regexp_extract("filename", pat, 1).cast("long")
+        .alias("window_start_ms"),
+        F.regexp_extract("filename", pat, 3).cast("int").alias("shard"),
+        "filename")
+
+
 def _dedup_simhash(spark, sf_dir):
     """SimHash near-dedup — rows-only (engine-specific xxhash64 bit
     derivation; survives as the production fast path — correctness
@@ -5123,6 +5177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_trigger_late_exact": _stream_trigger_late_exact,
         "windowed_file_write": _windowed_file_write,
         "windowed_file_write_dynamic": _windowed_file_write_dynamic,
+        "windowed_file_write_stream": _windowed_file_write_stream,
         "dedup_simhash": _dedup_simhash,
         "dedup_simhash_md5": _dedup_simhash_md5,
         "ngram_jaccard": _ngram_jaccard,
@@ -5879,6 +5934,20 @@ def oracle_sql() -> dict[str, str]:
                           (epoch_us(CAST(ts AS TIMESTAMP))
                            // 86400000000) * 86400000 + 86400000,
                           CAST(event_id % 2 AS INTEGER), 2) AS filename
+            FROM events WHERE user_id < 300""",
+        # streaming sink twin: single-wave replay -> batch 0 -> every
+        # filename carries the -pane0 stamp
+        "windowed_file_write_stream": """
+            SELECT event_id,
+                   (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000)
+                       * 86400000 AS window_start_ms,
+                   CAST(event_id % 4 AS INTEGER) AS shard,
+                   printf('events-%d-%d-%05d-of-%05d-pane0.txt',
+                          (epoch_us(CAST(ts AS TIMESTAMP))
+                           // 86400000000) * 86400000,
+                          (epoch_us(CAST(ts AS TIMESTAMP))
+                           // 86400000000) * 86400000 + 86400000,
+                          CAST(event_id % 4 AS INTEGER), 4) AS filename
             FROM events WHERE user_id < 300""",
         # orFinally(Repeatedly(AfterPane(7))): same prefix-sum shape at
         # fire-every-7 — a different machine composition, same algebra
