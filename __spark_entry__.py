@@ -834,6 +834,35 @@ def _window_session(spark, sf_dir):
     ).df
 
 
+def _window_session_dynamic(spark, sf_dir):
+    """DYNAMIC-GAP session windows — a capability UPGRADE over the
+    reference, whose ``Sessions.withGapDuration`` (Sessions.java:40)
+    is constant-gap only: Spark's native ``session_window`` accepts a
+    per-row gap EXPRESSION, so each event extends its session by a
+    gap chosen from its own attributes (here per event_type:
+    purchase 30 min, view 5 min, else 10 min — e.g. a purchase
+    signals longer engagement).  Sessions are the union-merge of the
+    per-event proto-windows [ts, ts + gap(event)) under Spark's
+    merge-touching convention (the `window_session` boundary);
+    ``session_end`` = max(ts + gap) over the session pins the dynamic
+    gap itself, not just the grouping.  Oracle: variable-gap
+    gaps-and-islands — a new island iff ts exceeds the running
+    MAX(prev ts + prev gap)."""
+    ev = (load_table(spark, "events", sf_dir)
+          .select("user_id", "event_type",
+                  F.col("ts").cast("timestamp").alias("ts")))
+    gap = (F.when(F.col("event_type") == "purchase", F.lit("30 minutes"))
+           .when(F.col("event_type") == "view", F.lit("5 minutes"))
+           .otherwise(F.lit("10 minutes")))
+    return (ev.groupBy(F.session_window(F.col("ts"), gap).alias("window"),
+                       "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select("user_id",
+                    F.col("window.start").alias("session_start"),
+                    F.col("window.end").alias("session_end"),
+                    "n_events"))
+
+
 def _window_session_strict(spark, sf_dir):
     """Sessions with EXACT reference boundary semantics
     (Sessions.java:40 + IntervalWindow.isDisjoint: end == other.start
@@ -5147,6 +5176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_sliding": _window_sliding,
         "window_session": _window_session,
         "window_session_strict": _window_session_strict,
+        "window_session_dynamic": _window_session_dynamic,
         "window_calendar_month": _window_calendar_month,
         "group_into_batches": _group_into_batches,
         "text_stats": _text_stats,
@@ -6470,6 +6500,37 @@ def oracle_sql() -> dict[str, str]:
                 FROM gaps)
             SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
             FROM sessions GROUP BY user_id, sid""",
+        # variable-gap gaps-and-islands: a new island iff ts exceeds
+        # the running MAX of previous (ts + per-event gap); session_end
+        # = MAX(ts + gap) pins the dynamic gap itself.  event_id
+        # tie-breaks the window order; the result is order-insensitive
+        # (same-ts proto-windows always overlap and merge)
+        "window_session_dynamic": """
+            WITH e AS (
+                SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t,
+                       CASE event_type
+                           WHEN 'purchase' THEN INTERVAL '30 minutes'
+                           WHEN 'view' THEN INTERVAL '5 minutes'
+                           ELSE INTERVAL '10 minutes' END AS gap
+                FROM events),
+            g AS (
+                SELECT user_id, event_id, t, gap,
+                       MAX(t + gap) OVER (
+                           PARTITION BY user_id ORDER BY t, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS prev_end
+                FROM e),
+            s AS (
+                SELECT user_id, t, gap,
+                       SUM(CASE WHEN prev_end IS NULL OR t > prev_end
+                                THEN 1 ELSE 0 END) OVER (
+                           PARTITION BY user_id ORDER BY t, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+                FROM g)
+            SELECT user_id, MIN(t) AS session_start,
+                   MAX(t + gap) AS session_end,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM s GROUP BY user_id, sid""",
         "window_session_strict": """
             WITH gaps AS (
                 SELECT user_id, ts,
