@@ -1192,6 +1192,60 @@ def _stream_funnel_exact(spark, sf_dir):
             .select("user_id", "view_ts", "click_ts", "purchase_ts"))
 
 
+def _stream_session_dynamic_exact(spark, sf_dir):
+    """STREAMING twin of `window_session_dynamic` — Spark's native
+    ``session_window`` with a PER-ROW GAP EXPRESSION (purchase 30 min /
+    view 5 min / else 10 min) running as merging session state inside
+    a streaming aggregation, over the `stream_session_exact` replay
+    shape (one data wave, user_id < 200, plus a watermark tail that
+    closes every open session).  Session bounds are the merged union
+    of per-event [ts, ts + gap(event)) proto-windows — event-time-
+    determined, so arrival order cannot perturb the result — and
+    ``session_end`` = max(ts + gap) pins the dynamic gap through the
+    streaming state path too.  Answers to the same variable-gap
+    gaps-and-islands CTE as the batch twin: the NINETEENTH streaming
+    value-oracle entry, proving the dynamic-gap capability holds on
+    unbounded input (the reference's Sessions is constant-gap —
+    capability upgrade, not parity debt)."""
+    import tempfile
+
+    from apache_beam_spark.streaming.sources import (TestStream,
+                                                     read_bounded)
+
+    ev = (load_table(spark, "events", sf_dir)
+          .filter(F.col("user_id") < 200)
+          .select("user_id", "event_type",
+                  F.unix_micros(F.col("ts").cast("timestamp"))
+                  .alias("tus")))
+    rows = [r.asDict() for r in ev.collect()]
+    ts = TestStream(tempfile.mkdtemp(prefix="entry_ssessdyn_"))
+    ts.add_elements(rows)
+    tail = max(r["tus"] for r in rows) + 30 * 24 * 3600 * 1_000_000
+    ts.add_elements([{"user_id": 999999, "event_type": "zz_tail",
+                      "tus": tail}])
+    gap = (F.when(F.col("event_type") == "purchase", F.lit("30 minutes"))
+           .when(F.col("event_type") == "view", F.lit("5 minutes"))
+           .otherwise(F.lit("10 minutes")))
+    sdf = (ts.stream(spark, "user_id bigint, event_type string, tus bigint")
+           .select("user_id", "event_type",
+                   F.timestamp_micros("tus").alias("ts"))
+           .withWatermark("ts", "10 minutes")
+           .groupBy("user_id",
+                    F.session_window("ts", gap).alias("session_window"))
+           .agg(F.count(F.lit(1)).alias("n_events")))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        out = read_bounded(sdf)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (out.filter(F.col("user_id") != 999999)
+            .select("user_id",
+                    F.col("session_window.start").alias("session_start"),
+                    F.col("session_window.end").alias("session_end"),
+                    "n_events"))
+
+
 def _stream_session_exact(spark, sf_dir):
     """Streaming SESSION-WINDOW aggregation run END-TO-END inside the
     query — Spark's native ``session_window`` (gap-merging streaming
@@ -1806,11 +1860,19 @@ def _stream_trigger_exact(spark, sf_dir, accumulating=True,
 
     ev = (load_table(spark, "events", sf_dir)
           .filter(F.col("user_id") < 150)   # deterministic subset so
-          # the TestStream spool stays bounded at larger SFs
+          # the TestStream spool stays bounded at larger SFs: the
+          # generator's user_id range scales with SF at constant
+          # ~67 events/user, so this fixed 150-user cohort measures
+          # ~10k rows at EVERY SF >= 0.01 (sf0.1: 10,014) — the
+          # driver-side collect is O(cohort), not O(table)
           .select("event_type", "event_id",
                   F.unix_micros(F.col("ts").cast("timestamp"))
                   .alias("tus")))
     rows = [r.asDict() for r in ev.collect()]
+    assert len(rows) <= 50_000, (
+        f"trigger-entry replay spool grew to {len(rows)} rows — the "
+        f"user_id < 150 cohort is expected ~10k at any SF; revisit "
+        f"the bound before spooling this through the driver")
     ts = TestStream(tempfile.mkdtemp(prefix="entry_strigger_"))
     ts.add_elements(rows)
     tail = max(r["tus"] for r in rows) + 30 * 24 * 3600 * 1_000_000
@@ -1945,12 +2007,15 @@ def _stream_trigger_late_exact(spark, sf_dir):
     # arrives (Spark's pre-state filter admits the whole late wave;
     # the in-operator expiry rule then decides per Beam semantics)
     ev = (load_table(spark, "events", sf_dir)
-          .filter(F.col("user_id") < 150)   # bounded spool (see
-          # _stream_trigger_exact)
+          .filter(F.col("user_id") < 150)   # bounded ~10k-row spool at
+          # every SF (see _stream_trigger_exact)
           .select("event_type", "event_id",
                   F.unix_micros(F.col("ts").cast("timestamp"))
                   .alias("tus")))
     rows = [r.asDict() for r in ev.collect()]
+    assert len(rows) <= 50_000, (
+        f"trigger-entry replay spool grew to {len(rows)} rows — see "
+        f"_stream_trigger_exact's bound comment")
     d0 = min(r["tus"] for r in rows) // DAY_US
     d1 = max(r["tus"] for r in rows) // DAY_US
     m_us = ((d0 + d1) // 2 + 1) * DAY_US   # expiry split M (a
@@ -1990,6 +2055,31 @@ def _stream_trigger_late_exact(spark, sf_dir):
             .select("key", "window_end_ms", "pane_index", "timing",
                     "is_first", "is_last", "on_time_index",
                     "n_in_pane", "pane_ts_ms", "total"))
+
+
+def _stream_trigger_afterfirst_exact(spark, sf_dir):
+    """The AfterFirst combinator under the oracle gate
+    (AfterFirst.java:33 — fires when ANY sub-trigger fires, then
+    finishes): ``AfterFirst.of(AfterPane.elementCountAtLeast(12),
+    AfterWatermark.pastEndOfWindow())`` over the same sequenced replay
+    as `stream_trigger_exact`.  Each window emits EXACTLY ONE pane by
+    whichever race leg wins: >= 12 elements -> an EARLY pane at the
+    12th sorted element (count leg; is_first AND is_last, window
+    closes mid-stream, later elements dropped); < 12 elements -> an
+    ON_TIME pane when the watermark passes the end (watermark leg;
+    all cnt elements).  The two legs produce DISTINCT pane shapes
+    (EARLY/partial-total vs ON_TIME/full-total), so a machine that
+    mis-races — fires both, fires the count leg at the wrong element,
+    or lets the watermark leg fire after the count leg closed — breaks
+    the hash.  Fourth machine composition under the value-oracle gate
+    (after AfterWatermark-early, OrFinally/Repeatedly, AfterEach)."""
+    from apache_beam_spark.streaming.trigger_machine import (AfterFirst,
+                                                             AfterPane,
+                                                             AfterWatermark)
+
+    return _stream_trigger_exact(
+        spark, sf_dir,
+        trigger_fn=lambda: AfterFirst(AfterPane(12), AfterWatermark()))
 
 
 def _stream_trigger_discarding_exact(spark, sf_dir):
@@ -5191,6 +5281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_heavy_hitters_exact": _stream_heavy_hitters_exact,
         "stream_funnel_exact": _stream_funnel_exact,
         "stream_session_exact": _stream_session_exact,
+        "stream_session_dynamic_exact": _stream_session_dynamic_exact,
         "stream_session_strict_exact": _stream_session_strict_exact,
         "stream_session_late_exact": _stream_session_late_exact,
         "stream_join_exact": _stream_join_exact,
@@ -5205,6 +5296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_trigger_orfinally_exact": _stream_trigger_orfinally_exact,
         "stream_trigger_aftereach_exact": _stream_trigger_aftereach_exact,
         "stream_trigger_late_exact": _stream_trigger_late_exact,
+        "stream_trigger_afterfirst_exact": _stream_trigger_afterfirst_exact,
         "windowed_file_write": _windowed_file_write,
         "windowed_file_write_dynamic": _windowed_file_write_dynamic,
         "windowed_file_write_stream": _windowed_file_write_stream,
@@ -6185,6 +6277,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(g1.tot1 + g2.tot2 AS DOUBLE) AS total
             FROM g2 JOIN g1 ON g2.key = g1.key AND g2.wend = g1.wend
             WHERE g2.cnt2 % 4 <> 0""",
+        # AfterFirst(AfterPane(12), AfterWatermark): exactly one pane
+        # per window by whichever leg wins — count leg at the 12th
+        # sorted element (EARLY, partial prefix total), else watermark
+        # leg at the end (ON_TIME, full total); both first-and-last
+        "stream_trigger_afterfirst_exact": """
+            WITH e AS (
+                SELECT event_type AS key,
+                       epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+                       event_id
+                FROM events WHERE user_id < 150),
+            w AS (
+                SELECT key, event_id, tus,
+                       (tus // 86400000000 + 1) * 86400000 AS wend
+                FROM e),
+            o AS (
+                SELECT key, wend,
+                       ROW_NUMBER() OVER (PARTITION BY key, wend
+                                          ORDER BY tus, event_id) AS rn,
+                       SUM(event_id) OVER (PARTITION BY key, wend
+                                           ORDER BY tus, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS run,
+                       COUNT(*) OVER (PARTITION BY key, wend) AS cnt,
+                       SUM(event_id) OVER (PARTITION BY key, wend) AS tot
+                FROM w)
+            SELECT key, CAST(wend AS BIGINT) AS window_end_ms,
+                   CAST(0 AS INTEGER) AS pane_index,
+                   'EARLY' AS timing,
+                   TRUE AS is_first,
+                   TRUE AS is_last,
+                   CAST(-1 AS BIGINT) AS on_time_index,
+                   CAST(12 AS INTEGER) AS n_in_pane,
+                   CAST(wend AS BIGINT) AS pane_ts_ms,
+                   CAST(run AS DOUBLE) AS total
+            FROM o WHERE rn = 12
+            UNION ALL
+            SELECT key, CAST(wend AS BIGINT) AS window_end_ms,
+                   CAST(0 AS INTEGER) AS pane_index,
+                   'ON_TIME' AS timing,
+                   TRUE AS is_first,
+                   TRUE AS is_last,
+                   CAST(0 AS BIGINT) AS on_time_index,
+                   CAST(cnt AS INTEGER) AS n_in_pane,
+                   CAST(wend AS BIGINT) AS pane_ts_ms,
+                   CAST(tot AS DOUBLE) AS total
+            FROM o WHERE rn = 1 AND cnt < 12""",
         # discarding mode: prefix-sum DIFFERENCES — EARLY pane k is the
         # sum of its own 10 elements, ON_TIME the post-last-fire tail
         "stream_trigger_discarding_exact": """
@@ -6513,6 +6650,34 @@ def oracle_sql() -> dict[str, str]:
                            WHEN 'view' THEN INTERVAL '5 minutes'
                            ELSE INTERVAL '10 minutes' END AS gap
                 FROM events),
+            g AS (
+                SELECT user_id, event_id, t, gap,
+                       MAX(t + gap) OVER (
+                           PARTITION BY user_id ORDER BY t, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS prev_end
+                FROM e),
+            s AS (
+                SELECT user_id, t, gap,
+                       SUM(CASE WHEN prev_end IS NULL OR t > prev_end
+                                THEN 1 ELSE 0 END) OVER (
+                           PARTITION BY user_id ORDER BY t, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+                FROM g)
+            SELECT user_id, MIN(t) AS session_start,
+                   MAX(t + gap) AS session_end,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM s GROUP BY user_id, sid""",
+        # streaming twin of window_session_dynamic: same variable-gap
+        # islands over the user_id < 200 replay cohort
+        "stream_session_dynamic_exact": """
+            WITH e AS (
+                SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t,
+                       CASE event_type
+                           WHEN 'purchase' THEN INTERVAL '30 minutes'
+                           WHEN 'view' THEN INTERVAL '5 minutes'
+                           ELSE INTERVAL '10 minutes' END AS gap
+                FROM events WHERE user_id < 200),
             g AS (
                 SELECT user_id, event_id, t, gap,
                        MAX(t + gap) OVER (
