@@ -2082,6 +2082,23 @@ def _stream_trigger_afterfirst_exact(spark, sf_dir):
         trigger_fn=lambda: AfterFirst(AfterPane(12), AfterWatermark()))
 
 
+def _stream_trigger_never_exact(spark, sf_dir):
+    """Never.ever() under the oracle gate (Never.java:32: "only the
+    runner's final pane, if any" — the trigger itself never fires and
+    never finishes): every element buffers until window expiry, where
+    ``ReduceFnRunner.onGarbageCollection`` fires the one-and-only
+    final pane (FIRE_IF_NON_EMPTY) — so each window emits EXACTLY ONE
+    pane carrying ALL its elements: pane 0, ON_TIME, is_first AND
+    is_last, on_time_index 0, full total.  Pre-r13 this operator
+    silently emitted NOTHING for Never (the expiry pane didn't
+    exist); the oracle pins that the GC path emits once, with
+    everything, and never double-fires."""
+    from apache_beam_spark.streaming.trigger_machine import Never
+
+    return _stream_trigger_exact(spark, sf_dir,
+                                 trigger_fn=lambda: Never())
+
+
 def _stream_trigger_discarding_exact(spark, sf_dir):
     """DISCARDING_FIRED_PANES twin of `stream_trigger_exact`
     (Window.java:261,273 — the other accumulation mode of the
@@ -5297,6 +5314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_trigger_aftereach_exact": _stream_trigger_aftereach_exact,
         "stream_trigger_late_exact": _stream_trigger_late_exact,
         "stream_trigger_afterfirst_exact": _stream_trigger_afterfirst_exact,
+        "stream_trigger_never_exact": _stream_trigger_never_exact,
         "windowed_file_write": _windowed_file_write,
         "windowed_file_write_dynamic": _windowed_file_write_dynamic,
         "windowed_file_write_stream": _windowed_file_write_stream,
@@ -6277,6 +6295,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(g1.tot1 + g2.tot2 AS DOUBLE) AS total
             FROM g2 JOIN g1 ON g2.key = g1.key AND g2.wend = g1.wend
             WHERE g2.cnt2 % 4 <> 0""",
+        # Never: the trigger never fires — each window's single pane is
+        # the expiry-time final pane (FIRE_IF_NON_EMPTY) with all its
+        # elements
+        "stream_trigger_never_exact": """
+            WITH e AS (
+                SELECT event_type AS key,
+                       epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+                       event_id
+                FROM events WHERE user_id < 150),
+            w AS (
+                SELECT key, event_id,
+                       (tus // 86400000000 + 1) * 86400000 AS wend
+                FROM e)
+            SELECT key, CAST(wend AS BIGINT) AS window_end_ms,
+                   CAST(0 AS INTEGER) AS pane_index,
+                   'ON_TIME' AS timing,
+                   TRUE AS is_first,
+                   TRUE AS is_last,
+                   CAST(0 AS BIGINT) AS on_time_index,
+                   CAST(COUNT(*) AS INTEGER) AS n_in_pane,
+                   CAST(wend AS BIGINT) AS pane_ts_ms,
+                   CAST(SUM(event_id) AS DOUBLE) AS total
+            FROM w GROUP BY key, wend""",
         # AfterFirst(AfterPane(12), AfterWatermark): exactly one pane
         # per window by whichever leg wins — count leg at the 12th
         # sorted element (EARLY, partial prefix total), else watermark

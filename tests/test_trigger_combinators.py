@@ -120,6 +120,21 @@ def test_after_processing_time_delay():
     assert panes(r) == [("EARLY", [1, 2]), ("EARLY", [1, 2, 3])]
 
 
+def test_interval_ms_parses_watermark_delay_strings():
+    from apache_beam_spark.streaming.triggers import interval_ms
+
+    assert interval_ms("0 seconds") == 0
+    assert interval_ms("500 milliseconds") == 500
+    assert interval_ms("10 minutes") == 600_000
+    assert interval_ms("32 days") == 32 * 86_400_000
+    assert interval_ms("1 week") == 7 * 86_400_000
+    assert interval_ms("1.5 hours") == 5_400_000
+    with pytest.raises(ValueError, match="unit"):
+        interval_ms("10 fortnights")
+    with pytest.raises(ValueError, match="expected"):
+        interval_ms("10")
+
+
 def test_machine_state_json_roundtrips():
     import json
 
