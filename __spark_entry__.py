@@ -1821,7 +1821,7 @@ def _stream_rate_limit_exact(spark, sf_dir):
 
 
 def _stream_trigger_exact(spark, sf_dir, accumulating=True,
-                          trigger_fn=None):
+                          trigger_fn=None, **tws_kwargs):
     """The TRIGGER/PANE tier run END-TO-END inside the query — the
     last SURVEY §2 family that had only pytest evidence (VERDICT r11
     item 1).  ``triggered_windowed_sum`` (streaming/triggers.py) drives
@@ -1886,7 +1886,7 @@ def _stream_trigger_exact(spark, sf_dir, accumulating=True,
                 F.timestamp_micros("tus").alias("ts")),
         key="event_type", value_col="event_id", window_size="1 day",
         trigger=trigger, event_time="ts", accumulating=accumulating,
-        order_by=["ts", "event_id"])
+        order_by=["ts", "event_id"], **tws_kwargs)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
@@ -2080,6 +2080,45 @@ def _stream_trigger_afterfirst_exact(spark, sf_dir):
     return _stream_trigger_exact(
         spark, sf_dir,
         trigger_fn=lambda: AfterFirst(AfterPane(12), AfterWatermark()))
+
+
+def _stream_trigger_closing_always_exact(spark, sf_dir):
+    """ClosingBehavior.FIRE_ALWAYS under the oracle gate
+    (Window.withClosingBehavior, ClosingBehavior.java — the other leg
+    of the reference's closing-behavior enum; `stream_trigger_
+    aftereach_exact` covers the FIRE_IF_NON_EMPTY default):
+    ``Repeatedly.forever(AfterPane.elementCountAtLeast(5))`` never
+    finishes, so EVERY window reaches expiry with an unfinished
+    trigger and FIRE_ALWAYS emits the final pane EVEN WHEN EMPTY —
+    windows whose element count divides 5 exactly (~1/5 of them at
+    any SF) emit an expiry pane with n_in_pane = 0 carrying the
+    accumulated total, the rest their remainder; plus the usual EARLY
+    pane every 5 sorted elements.  A FIRE_IF_NON_EMPTY implementation
+    mislabeled as FIRE_ALWAYS drops exactly the n = 0 rows and breaks
+    the hash."""
+    from apache_beam_spark.streaming.trigger_machine import (AfterPane,
+                                                             Repeatedly)
+
+    return _stream_trigger_exact(
+        spark, sf_dir,
+        trigger_fn=lambda: Repeatedly(AfterPane(5)),
+        closing_behavior="fire_always")
+
+
+def _stream_trigger_ontime_if_nonempty_exact(spark, sf_dir):
+    """OnTimeBehavior.FIRE_IF_NON_EMPTY under the oracle gate
+    (Window.withOnTimeBehavior, OnTimeBehavior.java — the reference's
+    default is FIRE_ALWAYS, covered by `stream_trigger_exact`): same
+    AfterWatermark + early-count-10 machine and replay, but an EMPTY
+    on-time pane is SUPPRESSED — windows whose element count divides
+    10 exactly (every element already fired in EARLY panes) produce NO
+    watermark-crossing row, while the trigger still finishes and the
+    window still closes.  The oracle is `stream_trigger_exact`'s
+    minus exactly those rows, so an implementation that emits the
+    empty pane anyway, or one that fails to close the suppressed
+    window, breaks the hash."""
+    return _stream_trigger_exact(spark, sf_dir,
+                                 on_time_behavior="fire_if_non_empty")
 
 
 def _stream_trigger_never_exact(spark, sf_dir):
@@ -5315,6 +5354,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_trigger_late_exact": _stream_trigger_late_exact,
         "stream_trigger_afterfirst_exact": _stream_trigger_afterfirst_exact,
         "stream_trigger_never_exact": _stream_trigger_never_exact,
+        "stream_trigger_closing_always_exact":
+            _stream_trigger_closing_always_exact,
+        "stream_trigger_ontime_if_nonempty_exact":
+            _stream_trigger_ontime_if_nonempty_exact,
         "windowed_file_write": _windowed_file_write,
         "windowed_file_write_dynamic": _windowed_file_write_dynamic,
         "windowed_file_write_stream": _windowed_file_write_stream,
@@ -6295,6 +6338,94 @@ def oracle_sql() -> dict[str, str]:
                    CAST(g1.tot1 + g2.tot2 AS DOUBLE) AS total
             FROM g2 JOIN g1 ON g2.key = g1.key AND g2.wend = g1.wend
             WHERE g2.cnt2 % 4 <> 0""",
+        # ClosingBehavior.FIRE_ALWAYS with Repeatedly(AfterPane(5)):
+        # EARLY pane every 5; Repeatedly never finishes, so EVERY
+        # window emits an expiry pane — n_in_pane = cnt % 5, INCLUDING
+        # the empty (n = 0) panes of exactly-divisible windows
+        "stream_trigger_closing_always_exact": '''
+            WITH e AS (
+                SELECT event_type AS key,
+                       epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+                       event_id
+                FROM events WHERE user_id < 150),
+            w AS (
+                SELECT key, event_id, tus,
+                       (tus // 86400000000 + 1) * 86400000 AS wend
+                FROM e),
+            o AS (
+                SELECT key, wend,
+                       ROW_NUMBER() OVER (PARTITION BY key, wend
+                                          ORDER BY tus, event_id) AS rn,
+                       SUM(event_id) OVER (PARTITION BY key, wend
+                                           ORDER BY tus, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS run,
+                       COUNT(*) OVER (PARTITION BY key, wend) AS cnt,
+                       SUM(event_id) OVER (PARTITION BY key, wend) AS tot
+                FROM w)
+            SELECT key, CAST(wend AS BIGINT) AS window_end_ms,
+                   CAST(rn // 5 - 1 AS INTEGER) AS pane_index,
+                   'EARLY' AS timing,
+                   (rn = 5) AS is_first,
+                   FALSE AS is_last,
+                   CAST(-1 AS BIGINT) AS on_time_index,
+                   CAST(5 AS INTEGER) AS n_in_pane,
+                   CAST(wend AS BIGINT) AS pane_ts_ms,
+                   CAST(run AS DOUBLE) AS total
+            FROM o WHERE rn % 5 = 0
+            UNION ALL
+            SELECT key, CAST(wend AS BIGINT) AS window_end_ms,
+                   CAST(cnt // 5 AS INTEGER) AS pane_index,
+                   'ON_TIME' AS timing,
+                   (cnt < 5) AS is_first,
+                   TRUE AS is_last,
+                   CAST(0 AS BIGINT) AS on_time_index,
+                   CAST(cnt % 5 AS INTEGER) AS n_in_pane,
+                   CAST(wend AS BIGINT) AS pane_ts_ms,
+                   CAST(tot AS DOUBLE) AS total
+            FROM o WHERE rn = 1''',
+        # OnTimeBehavior.FIRE_IF_NON_EMPTY: stream_trigger_exact minus
+        # the empty on-time rows (windows whose count divides 10)
+        "stream_trigger_ontime_if_nonempty_exact": """
+            WITH e AS (
+                SELECT event_type AS key,
+                       epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+                       event_id
+                FROM events WHERE user_id < 150),
+            w AS (
+                SELECT key, event_id, tus,
+                       (tus // 86400000000 + 1) * 86400000 AS wend
+                FROM e),
+            o AS (
+                SELECT key, wend,
+                       ROW_NUMBER() OVER (PARTITION BY key, wend
+                                          ORDER BY tus, event_id) AS rn,
+                       SUM(event_id) OVER (PARTITION BY key, wend
+                                           ORDER BY tus, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS run,
+                       COUNT(*) OVER (PARTITION BY key, wend) AS cnt,
+                       SUM(event_id) OVER (PARTITION BY key, wend) AS tot
+                FROM w)
+            SELECT key, CAST(wend AS BIGINT) AS window_end_ms,
+                   CAST(rn // 10 - 1 AS INTEGER) AS pane_index,
+                   'EARLY' AS timing,
+                   (rn = 10) AS is_first,
+                   FALSE AS is_last,
+                   CAST(-1 AS BIGINT) AS on_time_index,
+                   CAST(10 AS INTEGER) AS n_in_pane,
+                   CAST(wend AS BIGINT) AS pane_ts_ms,
+                   CAST(run AS DOUBLE) AS total
+            FROM o WHERE rn % 10 = 0
+            UNION ALL
+            SELECT key, CAST(wend AS BIGINT) AS window_end_ms,
+                   CAST(cnt // 10 AS INTEGER) AS pane_index,
+                   'ON_TIME' AS timing,
+                   (cnt < 10) AS is_first,
+                   TRUE AS is_last,
+                   CAST(0 AS BIGINT) AS on_time_index,
+                   CAST(cnt % 10 AS INTEGER) AS n_in_pane,
+                   CAST(wend AS BIGINT) AS pane_ts_ms,
+                   CAST(tot AS DOUBLE) AS total
+            FROM o WHERE rn = 1 AND cnt % 10 <> 0""",
         # Never: the trigger never fires — each window's single pane is
         # the expiry-time final pane (FIRE_IF_NON_EMPTY) with all its
         # elements

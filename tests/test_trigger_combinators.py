@@ -227,6 +227,45 @@ def test_window_expiry_fires_pending_pane(spark, tmp_path):
     assert d.timing.tolist() == ["EARLY"] and d.total.tolist() == [13.0]
 
 
+def test_closing_and_ontime_behaviors(spark, tmp_path):
+    """Window.withClosingBehavior(FIRE_ALWAYS) emits the expiry pane
+    even when EMPTY (n_in_pane=0, accumulated total);
+    Window.withOnTimeBehavior(FIRE_IF_NON_EMPTY) suppresses an empty
+    watermark-crossing pane while the trigger still finishes."""
+    from apache_beam_spark.streaming import TestStream, run_to_memory
+    from apache_beam_spark.streaming.triggers import triggered_windowed_sum
+
+    rows1 = [{"user": "a", "ts": "2024-01-01 00:00:10", "amount": 1.0},
+             {"user": "a", "ts": "2024-01-01 00:00:20", "amount": 2.0}]
+    rows2 = [{"user": "zz", "ts": "2024-01-01 01:00:00", "amount": 0.0}]
+
+    def run(trig, **kw):
+        ts = TestStream(str(tmp_path / f"spool_{len(kw)}_{kw and list(kw)[0]}"))
+        ts.add_elements(rows1)
+        ts.add_elements(rows2)
+        out = triggered_windowed_sum(
+            ts.stream(spark, "user string, ts timestamp, amount double"),
+            key="user", value_col="amount", window_size="1 minute",
+            trigger=trig, order_by=["ts", "amount"], **kw)
+        got = run_to_memory(out, "append").toPandas()
+        return got[got.key == "a"].sort_values("pane_index")
+
+    # FIRE_ALWAYS: count-2 pane empties the pending pane, yet expiry
+    # still fires an EMPTY final pane with the accumulated total
+    a = run(Repeatedly(AfterPane(2)), closing_behavior="fire_always")
+    assert a.timing.tolist() == ["EARLY", "ON_TIME"]
+    assert a.n_in_pane.tolist() == [2, 0]
+    assert a.total.tolist() == [3.0, 3.0]
+    assert a.is_last.tolist() == [False, True]
+
+    # OnTime FIRE_IF_NON_EMPTY: the empty on-time pane of an exactly-
+    # divided window is suppressed — only the EARLY pane remains
+    b = run(AfterWatermark(early=AfterPane(2)),
+            on_time_behavior="fire_if_non_empty")
+    assert b.timing.tolist() == ["EARLY"]
+    assert b.n_in_pane.tolist() == [2]
+
+
 def test_pane_output_timestamp_holds(spark, tmp_path):
     """WatermarkHold-style pane timestamps: with
     timestamp_combiner='earliest' each pane carries the min event time
