@@ -748,6 +748,24 @@ def _streaming_benchmarks(spark) -> dict:
                              F.session_window("ts", "30 minutes"))
                     .agg(F.count(F.lit(1)).alias("n")))
 
+        def stream_trigger_pane():
+            from apache_beam_spark.streaming.trigger_machine import (
+                AfterPane, AfterWatermark)
+            from apache_beam_spark.streaming.triggers import (
+                triggered_windowed_sum)
+
+            # r13: the full-PaneInfo trigger operator (the
+            # stream_trigger_*_exact family — per-element machine,
+            # window-end + expiry-GC timers, FIRE_IF_NON_EMPTY final
+            # panes) at steady state on the 10x replay spool; state is
+            # one GroupState row per open (event_type, hour-window),
+            # wiped at expiry by the __wgc__ timer
+            return triggered_windowed_sum(
+                replay_source(8), key="event_type", value_col="value",
+                window_size="1 hour",
+                trigger=AfterWatermark().with_early_firings(AfterPane(50)),
+                event_time="ts", allowed_lateness="10 minutes")
+
         def stream_strict_session():
             from apache_beam_spark.streaming.stateful import (
                 streaming_sessions_strict)
@@ -779,6 +797,7 @@ def _streaming_benchmarks(spark) -> dict:
             ("minhash", stream_minhash, 8),
             ("session", stream_session, 4),
             ("strict_session", stream_strict_session, 8),
+            ("trigger_pane", stream_trigger_pane, 8),
         ]
         walls: dict[str, float] = {}
         states: dict[str, dict] = {}
@@ -830,6 +849,11 @@ def _streaming_benchmarks(spark) -> dict:
         "minhash": 20 * trail_docs + 64,  # 16 band buckets + counts/doc
         "session": 2 * trail_users,    # open sessions <= active users
         "strict_session": 2 * 64,      # one blob row per shard group
+        # one GroupState row per (event_type, hour-window) still open
+        # or inside the 10-minute expiry grace at the final batch —
+        # expired windows are WIPED by the __wgc__ timer, so the bound
+        # is open+grace windows (<= ~3/key), not windows ever seen
+        "trigger_pane": 2 * 5 * 6,
     }
     stream_state = {
         name: {**states[name], "bound_rows": bounds[name],
@@ -848,6 +872,8 @@ def _streaming_benchmarks(spark) -> dict:
         "stream_session_events_per_sec": int(n_replay / walls["session"]),
         "stream_strict_session_events_per_sec":
             int(n_replay / walls["strict_session"]),
+        "stream_trigger_pane_events_per_sec":
+            int(n_replay / walls["trigger_pane"]),
         "stream_state": stream_state,
         "state_store_provider": "rocksdb",
         "state_bounds_ok": all(v["bounded"] for v in stream_state.values()),
