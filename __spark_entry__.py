@@ -2121,6 +2121,27 @@ def _stream_trigger_ontime_if_nonempty_exact(spark, sf_dir):
                                  on_time_behavior="fire_if_non_empty")
 
 
+def _stream_trigger_earliest_ts_exact(spark, sf_dir):
+    """WATERMARK-HOLD pane output timestamps under the oracle gate
+    (WatermarkHold.java:546 — the reference holds the watermark at the
+    earliest buffered element so an early pane can carry an
+    element-derived timestamp; TimestampCombiner.EARLIEST,
+    TimestampCombiner.java): same machine and replay as
+    `stream_trigger_exact` but with ``timestamp_combiner='earliest'``,
+    so each pane's ``pane_ts_ms`` is the MIN event time of the pane's
+    OWN elements — EARLY pane k carries the timestamp of sorted
+    element 10k+1, the ON_TIME pane that of the first remainder
+    element, and an EMPTY on-time pane (count divides 10) falls back
+    to the window end (the hold has nothing to hold —
+    WatermarkHold end-of-window extraction).  The §2.9
+    WatermarkHoldState row's realized surface — hold-DERIVED pane
+    timestamps — moves from pytest-only to value-oracled; the hash
+    breaks if any pane carries the wrong element's timestamp or the
+    empty-pane fallback is missing."""
+    return _stream_trigger_exact(spark, sf_dir,
+                                 timestamp_combiner="earliest")
+
+
 def _stream_trigger_never_exact(spark, sf_dir):
     """Never.ever() under the oracle gate (Never.java:32: "only the
     runner's final pane, if any" — the trigger itself never fires and
@@ -5354,6 +5375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_trigger_late_exact": _stream_trigger_late_exact,
         "stream_trigger_afterfirst_exact": _stream_trigger_afterfirst_exact,
         "stream_trigger_never_exact": _stream_trigger_never_exact,
+        "stream_trigger_earliest_ts_exact": _stream_trigger_earliest_ts_exact,
         "stream_trigger_closing_always_exact":
             _stream_trigger_closing_always_exact,
         "stream_trigger_ontime_if_nonempty_exact":
@@ -6426,6 +6448,60 @@ def oracle_sql() -> dict[str, str]:
                    CAST(wend AS BIGINT) AS pane_ts_ms,
                    CAST(tot AS DOUBLE) AS total
             FROM o WHERE rn = 1 AND cnt % 10 <> 0""",
+        # TimestampCombiner.EARLIEST: pane_ts_ms = min event time of
+        # the pane's OWN elements — EARLY pane k starts at sorted row
+        # 10k+1 (LAG 9 back from the firing row), the ON_TIME pane at
+        # the first remainder row, empty on-time panes fall back to
+        # the window end
+        "stream_trigger_earliest_ts_exact": """
+            WITH e AS (
+                SELECT event_type AS key,
+                       epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+                       event_id
+                FROM events WHERE user_id < 150),
+            w AS (
+                SELECT key, event_id, tus,
+                       (tus // 86400000000 + 1) * 86400000 AS wend
+                FROM e),
+            o AS (
+                SELECT key, wend, tus,
+                       ROW_NUMBER() OVER (PARTITION BY key, wend
+                                          ORDER BY tus, event_id) AS rn,
+                       SUM(event_id) OVER (PARTITION BY key, wend
+                                           ORDER BY tus, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS run,
+                       LAG(tus, 9) OVER (PARTITION BY key, wend
+                                         ORDER BY tus, event_id) AS tus9,
+                       COUNT(*) OVER (PARTITION BY key, wend) AS cnt,
+                       SUM(event_id) OVER (PARTITION BY key, wend) AS tot
+                FROM w),
+            r AS (
+                SELECT key, wend, MAX(cnt) AS cnt, MAX(tot) AS tot,
+                       MAX(CASE WHEN rn = cnt - cnt % 10 + 1
+                                THEN tus END) AS rem_tus
+                FROM o GROUP BY key, wend)
+            SELECT key, CAST(wend AS BIGINT) AS window_end_ms,
+                   CAST(rn // 10 - 1 AS INTEGER) AS pane_index,
+                   'EARLY' AS timing,
+                   (rn = 10) AS is_first,
+                   FALSE AS is_last,
+                   CAST(-1 AS BIGINT) AS on_time_index,
+                   CAST(10 AS INTEGER) AS n_in_pane,
+                   CAST(tus9 // 1000 AS BIGINT) AS pane_ts_ms,
+                   CAST(run AS DOUBLE) AS total
+            FROM o WHERE rn % 10 = 0
+            UNION ALL
+            SELECT key, CAST(wend AS BIGINT) AS window_end_ms,
+                   CAST(cnt // 10 AS INTEGER) AS pane_index,
+                   'ON_TIME' AS timing,
+                   (cnt < 10) AS is_first,
+                   TRUE AS is_last,
+                   CAST(0 AS BIGINT) AS on_time_index,
+                   CAST(cnt % 10 AS INTEGER) AS n_in_pane,
+                   CAST(COALESCE(rem_tus // 1000, wend) AS BIGINT)
+                       AS pane_ts_ms,
+                   CAST(tot AS DOUBLE) AS total
+            FROM r""",
         # Never: the trigger never fires — each window's single pane is
         # the expiry-time final pane (FIRE_IF_NON_EMPTY) with all its
         # elements

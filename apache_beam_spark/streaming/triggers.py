@@ -168,6 +168,8 @@ def triggered_windowed_sum(
     accumulating: bool = True,
     timestamp_combiner: str = "end_of_window",
     order_by: Optional[list] = None,
+    closing_behavior: str = "fire_if_non_empty",
+    on_time_behavior: str = "fire_always",
 ) -> DataFrame:
     """Per-(key, fixed-window) sum under a composite trigger state
     machine (``trigger_machine.TriggerSM`` — Repeatedly / orFinally /
@@ -210,6 +212,22 @@ def triggered_windowed_sum(
     WatermarkHold state (WatermarkHold.java) so early panes can carry
     an element-derived timestamp — or the window end (end_of_window).
 
+    ``closing_behavior`` (Window.withClosingBehavior,
+    ClosingBehavior.java): ``fire_if_non_empty`` (default) emits the
+    expiry final pane only when elements are pending;
+    ``fire_always`` emits it even empty (n_in_pane = 0, accumulated
+    total) — only for windows whose trigger hasn't already finished,
+    exactly the reference's GC firing condition.
+
+    ``on_time_behavior`` (Window.withOnTimeBehavior,
+    OnTimeBehavior.java): ``fire_always`` (default) emits the
+    watermark-crossing ON_TIME pane even when empty;
+    ``fire_if_non_empty`` suppresses an EMPTY on-time pane — the
+    trigger still advances (and may finish/close the window), but no
+    row is produced and pane indices don't consume a slot, so a
+    subsequent LATE pane carries on_time_index 0 (the reference
+    numbers only PRODUCED panes, PaneInfoTracker).
+
     ``order_by`` pins a deterministic per-(key, window) element order
     within each micro-batch (columns of the internal frame: the
     ``value_col``/``event_time`` names) — count-based triggers make
@@ -226,11 +244,17 @@ def triggered_windowed_sum(
         EARLY, LATE, ON_TIME, TriggerContext)
 
     lateness_ms = interval_ms(allowed_lateness)
+    if closing_behavior not in ("fire_if_non_empty", "fire_always"):
+        raise ValueError(f"unknown closing_behavior {closing_behavior!r}")
+    if on_time_behavior not in ("fire_always", "fire_if_non_empty"):
+        raise ValueError(f"unknown on_time_behavior {on_time_behavior!r}")
 
-    def _emit_pane(k, ctx, finished: bool) -> None:
+    def _emit_pane(k, ctx, finished: bool, force: bool = False) -> None:
         """Emit the pending pane with full PaneInfo; ``finished=True``
         marks it the window's last (the trigger finished on this
-        firing, or this is the expiry-time final pane)."""
+        firing, or this is the expiry-time final pane).  ``force``
+        bypasses the OnTimeBehavior empty-pane suppression (the GC
+        pane answers to ClosingBehavior, not OnTimeBehavior)."""
         wend = int(k[1])
         on_time_seen = ctx.get("ots", False)
         if ctx.now_ms >= wend and not on_time_seen:
@@ -240,11 +264,27 @@ def triggered_windowed_sum(
             timing = LATE
         else:
             timing = EARLY
+        if (timing == ON_TIME and not force
+                and on_time_behavior == "fire_if_non_empty"
+                and ctx.get("pane_n", 0) == 0):
+            # suppressed empty on-time pane: the firing happened (the
+            # trigger advanced, 'ots' is marked) but no row is
+            # produced and no pane index is consumed —
+            # OnTimeBehavior.FIRE_IF_NON_EMPTY
+            if finished:
+                ctx.put("closed", True)
+            return
         if timestamp_combiner == "earliest":
             pane_ts = ctx.get("pane_min_ts")
         elif timestamp_combiner == "latest":
             pane_ts = ctx.get("pane_max_ts")
         else:
+            pane_ts = wend
+        if pane_ts is None:
+            # EMPTY pane under an element-derived combiner: the hold
+            # has nothing to hold, so the output timestamp falls back
+            # to the end of the window (WatermarkHold.java end-of-
+            # window extraction for panes with no element holds)
             pane_ts = wend
         pane_idx = ctx.get("pane_idx", 0)
         if timing == EARLY:
@@ -291,8 +331,10 @@ def triggered_windowed_sum(
             # ClosingBehavior.FIRE_IF_NON_EMPTY, ReduceFnRunner.java:
             # 775-783), with isFinished=true.  Then drop all window
             # state + timers — GroupState is removed outright.
-            if not ctx.get("closed") and ctx.get("pane_n", 0) > 0:
-                _emit_pane(k, ctx, finished=True)
+            if not ctx.get("closed") and (
+                    ctx.get("pane_n", 0) > 0
+                    or closing_behavior == "fire_always"):
+                _emit_pane(k, ctx, finished=True, force=True)
             ctx.clear_all()
             return
         s = ctx.get("trig") or trigger.new_state()
