@@ -35,6 +35,60 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _propagate(sym: DataFrame, labels: DataFrame) -> DataFrame:
+    """One hash-min round: every node takes min(own, neighbors')."""
+    prop = (
+        sym.join(labels, on="node")
+        .groupBy(F.col("nbr").alias("node"))
+        .agg(F.min("comp").alias("comp"))
+    )
+    return (labels.union(prop)
+            .groupBy("node").agg(F.min("comp").alias("comp")))
+
+
+def _sig_pair(a: DataFrame, b: DataFrame):
+    """(sum(comp), count) of two label frames in ONE action.
+
+    sum(comp) strictly decreases round-over-round until the fixpoint
+    (labels only ever decrease per node, count is constant), so sig
+    equality between consecutive rounds <=> convergence.  Tagging the
+    union rows keeps the compare robust to collect order."""
+    def one(df, tag):
+        return df.agg(F.lit(tag).alias("w"),
+                      F.sum("comp").alias("s"),
+                      F.count(F.lit(1)).alias("n"))
+    rows = {r["w"]: (r["s"], r["n"])
+            for r in one(a, 1).unionAll(one(b, 2)).collect()}
+    return rows[1], rows[2]
+
+
+def _hashmin_loop(sym: DataFrame, labels: DataFrame, max_rounds: int):
+    """Run hash-min propagation until convergence or ``max_rounds``.
+
+    Rounds are BATCHED two per driver action (optimization r13, guide
+    §1.2): each batch lazily checkpoints round k and round k+1 and
+    collects both convergence signatures in one job — round k's
+    checkpoint materializes inside that job and round k+1 reads it, so
+    nothing is computed twice while the driver-blocking action count
+    halves (dedup graphs are near-cliques: diameter 2-3, so one or two
+    batches finish them).  Returns (labels, converged, prev_sig).
+    """
+    prev_sig, rounds = None, 0
+    while rounds < max_rounds:
+        l1 = _propagate(sym, labels).localCheckpoint(eager=False)
+        l2 = _propagate(sym, l1).localCheckpoint(eager=False)
+        sig1, sig2 = _sig_pair(l1, l2)
+        rounds += 2
+        if sig1 == prev_sig:
+            # the step out of ``labels`` changed nothing: already at
+            # the fixpoint (l1 content == labels content)
+            return l1, True, sig1
+        if sig2 == sig1:
+            return l2, True, sig2
+        labels, prev_sig = l2, sig2
+    return labels, False, prev_sig
+
+
 def connected_components(edges: DataFrame, src: str = "src",
                          dst: str = "dst", *, nodes: DataFrame | None = None,
                          max_iter: int = 25) -> DataFrame:
@@ -57,32 +111,16 @@ def connected_components(edges: DataFrame, src: str = "src",
         .localCheckpoint(eager=False)
     )
     if nodes is None:
-        labels = sym.select("node").distinct().withColumn("comp", F.col("node"))
+        labels = sym.select("node").withColumn("comp", F.col("node"))
     else:
         ncol = nodes.columns[0]
-        labels = nodes.select(F.col(ncol).alias("node")).distinct() \
+        labels = nodes.select(F.col(ncol).alias("node")) \
             .withColumn("comp", F.col("node"))
+    # no .distinct() on the node universe: round 1's groupBy("node")
+    # dedups it for free (every return path runs >= 1 round), so the
+    # explicit distinct was one redundant shuffle per build
     labels = labels.localCheckpoint(eager=False)
-    prev_sig = None
-
-    for _ in range(max_iter):
-        prop = (
-            sym.join(labels, on="node")
-            .groupBy(F.col("nbr").alias("node"))
-            .agg(F.min("comp").alias("comp"))
-        )
-        labels = (
-            labels.union(prop)
-            .groupBy("node").agg(F.min("comp").alias("comp"))
-            # lazy: the sig collect below is the materializing action
-            .localCheckpoint(eager=False)
-        )
-        sig = labels.agg(F.sum("comp").alias("s"), F.count(F.lit(1)).alias("n")) \
-            .collect()[0]
-        sig = (sig["s"], sig["n"])
-        if sig == prev_sig:
-            break
-        prev_sig = sig
+    labels, _, _ = _hashmin_loop(sym, labels, max_iter)
     return labels.select("node", "comp")
 
 
@@ -172,31 +210,16 @@ def connected_components_auto(edges: DataFrame, src: str = "src",
         .localCheckpoint(eager=False)
     )
     if nodes is None:
-        labels = sym.select("node").distinct().withColumn("comp", F.col("node"))
+        labels = sym.select("node").withColumn("comp", F.col("node"))
     else:
         ncol = nodes.columns[0]
-        labels = nodes.select(F.col(ncol).alias("node")).distinct() \
+        labels = nodes.select(F.col(ncol).alias("node")) \
             .withColumn("comp", F.col("node"))
+    # node-universe distinct dropped: round 1's groupBy("node") dedups
+    # (optimization r13 — one fewer shuffle in the first CC job)
     labels = labels.localCheckpoint(eager=False)
-    prev_sig, converged = None, False
-    for _ in range(max(1, hashmin_rounds)):
-        prop = (
-            sym.join(labels, on="node")
-            .groupBy(F.col("nbr").alias("node"))
-            .agg(F.min("comp").alias("comp"))
-        )
-        labels = (
-            labels.union(prop)
-            .groupBy("node").agg(F.min("comp").alias("comp"))
-            .localCheckpoint(eager=False)
-        )
-        sig = labels.agg(F.sum("comp").alias("s"), F.count(F.lit(1)).alias("n")) \
-            .collect()[0]
-        sig = (sig["s"], sig["n"])
-        if sig == prev_sig:
-            converged = True
-            break
-        prev_sig = sig
+    labels, converged, _ = _hashmin_loop(sym, labels,
+                                         max(1, hashmin_rounds))
     if not converged:
         lbl_b = labels.select(F.col("node").alias("nbr"),
                               F.col("comp").alias("comp_b"))

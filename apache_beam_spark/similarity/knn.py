@@ -520,8 +520,39 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
     # family risk the minhash path accepts) are filtered by the exact
     # cosine verify below
     grp_keys = ["grp"] if has_grp else []
+
+    # cheap driver probe (bounded-scalar precedent: ivf max_cell
+    # factors, kmeans centroids): a dup-free corpus — the common case
+    # outside boilerplate-heavy crawls — skips the group-expansion
+    # joins entirely, keeping the pre-collapse plan shape + one window;
+    # results are identical either way (rep_map is the identity there).
+    # Callers who know their corpus (dup-free OR dup-heavy) pass
+    # ``has_dups`` to keep the builder fully lazy — the probe is one
+    # eager count-distinct agg at plan-BUILD time, the same opt-out
+    # contract as ``n_rows`` for the count job (ADVICE r4).
+    if has_dups is None:
+        # memoized per corpus plan (dedup/probe.py discipline): repeat
+        # invocations over the same vectors — the bench family, a
+        # driver composing several ANN pipelines — skip the eager
+        # probe job entirely.  The probe itself is a partial-agg
+        # count-distinct over (group, hash) vs count(*) (optimization
+        # r13): same answer as the old shuffle+window+take(1) — dups
+        # exist iff some (group, hash) repeats — at hash-agg cost with
+        # no window sort, and no rep_map is built at all on the
+        # dup-free branch.
+        from apache_beam_spark.dedup.probe import memoize_plan_stat
+
+        def _probe() -> bool:
+            r = src.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count_distinct(
+                    *grp_keys, F.xxhash64("__v__")).alias("d")).collect()[0]
+            return r["n"] != r["d"]
+
+        has_dups = memoize_plan_stat(src, "__vec_dups__", _probe)
+
     rep_map = None
-    if has_dups is not False:
+    if has_dups:
         rep_w = W.partitionBy(*grp_keys, "__h__")
         # cached: (id, rep) is ids-only but feeds THREE plan branches
         # (bucket members, both expansion sides) — without it each
@@ -533,28 +564,6 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
                        F.xxhash64("__v__").alias("__h__"))
             .withColumn("rep", F.min("id").over(rep_w))
             .select("id", *grp_keys, "rep"))
-
-    # cheap driver probe (bounded-scalar precedent: ivf max_cell
-    # factors, kmeans centroids): a dup-free corpus — the common case
-    # outside boilerplate-heavy crawls — skips the group-expansion
-    # joins entirely, keeping the pre-collapse plan shape + one window;
-    # results are identical either way (rep_map is the identity there).
-    # Callers who know their corpus (dup-free OR dup-heavy) pass
-    # ``has_dups`` to keep the builder fully lazy — the probe is an
-    # eager (id, hash) shuffle + window at plan-BUILD time, the same
-    # opt-out contract as ``n_rows`` for the count job (ADVICE r4).
-    if has_dups is None:
-        # memoized per corpus plan (dedup/probe.py discipline): repeat
-        # invocations over the same vectors — the bench family, a
-        # driver composing several ANN pipelines — skip the eager
-        # (id, hash) shuffle + window probe job entirely
-        from apache_beam_spark.dedup.probe import memoize_plan_stat
-
-        has_dups = memoize_plan_stat(
-            src, "__vec_dups__",
-            lambda: bool(rep_map.filter(F.col("id") != F.col("rep")).take(1)))
-        if not has_dups:
-            rep_map.unpersist()
     bucket_keys = grp_keys + ["band", "bh"]
     if not has_dups:
         pairs = bucket_pairs(sigs.select(*grp_keys, "band", "bh", "id"),
