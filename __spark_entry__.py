@@ -421,11 +421,20 @@ def _dsir_scores(spark, sf_dir):
     of a TARGET subcorpus (doc_id % 7 == 0 — a deterministic 'domain')
     vs the raw corpus.  md5 feature hashing + int64-quantized weights
     make the whole pipeline reproducible in DuckDB; value-oracled."""
-    from apache_beam_spark.operators.dsir import dsir_scores, dsir_weights
+    from apache_beam_spark.operators.dsir import (dsir_featurize,
+                                                  dsir_scores, dsir_weights)
+    from apache_beam_spark.plans.caching import cache_scoped
 
     docs = load_table(spark, "documents", sf_dir)
     target = docs.where(F.col("doc_id") % 7 == 0)
-    return dsir_scores(docs, dsir_weights(docs, target))
+    # featurize ONCE (optimization r13): the md5 bucket transform is
+    # the expensive stage; the q-counts, the target p-counts (a filter
+    # of the same frame — the target IS a slice of the corpus) and the
+    # per-doc scoring all read the one cached (doc_id, bucket) frame
+    feats = cache_scoped(dsir_featurize(docs))
+    w = dsir_weights(docs, target, raw_feats=feats,
+                     target_feats=feats.where(F.col("doc_id") % 7 == 0))
+    return dsir_scores(docs, w, feats=feats)
 
 
 def _dsir_select_top(spark, sf_dir):
@@ -434,11 +443,18 @@ def _dsir_select_top(spark, sf_dir):
     tie-break — the actual data-selection output a pretraining
     pipeline materializes.  Value-oracled (same weights CTE + QUALIFY
     row_number)."""
-    from apache_beam_spark.operators.dsir import dsir_select, dsir_weights
+    from apache_beam_spark.operators.dsir import (dsir_featurize,
+                                                  dsir_select, dsir_weights)
+    from apache_beam_spark.plans.caching import cache_scoped
 
     docs = load_table(spark, "documents", sf_dir)
     target = docs.where(F.col("doc_id") % 7 == 0)
-    return dsir_select(docs, dsir_weights(docs, target), frac=0.1)
+    # one shared featurization (see _dsir_scores) — identical plan, so
+    # the scoped cache is shared with the dsir_scores entry too
+    feats = cache_scoped(dsir_featurize(docs))
+    w = dsir_weights(docs, target, raw_feats=feats,
+                     target_feats=feats.where(F.col("doc_id") % 7 == 0))
+    return dsir_select(docs, w, frac=0.1, feats=feats)
 
 
 def _wordpiece_piece_counts(spark, sf_dir):
@@ -3153,9 +3169,15 @@ def _quality_percentile(spark, sf_dir):
     aggregate.  The oracle is the naive single-sort formula, proving
     the hierarchical plan computes the identical ranks."""
     from apache_beam_spark.operators.ranks import global_percent_rank
+    from apache_beam_spark.plans.partitioning import parallelize_narrow
 
     d = load_table(spark, "documents", sf_dir)
-    scored = d.select("doc_id", T.quality_score(F.col("text")).alias("q"))
+    # the stopword/punctuation tokenization inside quality_score is the
+    # CPU stage and feeds BOTH rank branches (bucket counts + the
+    # ranked join) — fan the single-split scan out first (no-op at
+    # scale)
+    scored = parallelize_narrow(d.select("doc_id", "text"), weight=8) \
+        .select("doc_id", T.quality_score(F.col("text")).alias("q"))
     return global_percent_rank(scored, F.col("q"), "doc_id")
 
 
@@ -4871,7 +4893,11 @@ def _flac_roundtrip(spark, sf_dir):
 
     docs = (load_table(spark, "documents", sf_dir)
             .select("doc_id", "n_chars")
-            .where(F.col("doc_id") % 11 == 3))
+            .where(F.col("doc_id") % 11 == 3)
+            # same CPU-bound-codec fanout as the other roundtrip
+            # fixtures: the filtered id list scans as 1-2 splits and
+            # the Python encode+decode loop would serialize on them
+            .repartition(spark.sparkContext.defaultParallelism))
 
     def gen(batches):
         import numpy as np
@@ -4914,7 +4940,11 @@ def _flac_lpc_roundtrip(spark, sf_dir):
 
     docs = (load_table(spark, "documents", sf_dir)
             .select("doc_id", "n_chars")
-            .where(F.col("doc_id") % 11 == 3))
+            .where(F.col("doc_id") % 11 == 3)
+            # same CPU-bound-codec fanout as the other roundtrip
+            # fixtures: the filtered id list scans as 1-2 splits and
+            # the Python encode+decode loop would serialize on them
+            .repartition(spark.sparkContext.defaultParallelism))
 
     def gen(batches):
         import numpy as np

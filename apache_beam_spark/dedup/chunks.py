@@ -49,7 +49,14 @@ def chunk_dedup(df: DataFrame, text_col: str = "text",
         lambda i: F.array_join(F.slice(w, i * k + 1, k), " "))
     ).otherwise(F.array().cast("array<string>"))
 
-    ch = (df.select(F.col(id_col), chunks.alias("__ch__"))
+    from apache_beam_spark.plans.partitioning import parallelize_narrow
+
+    # tokenize+chunk+explode is the CPU stage and a small corpus scans
+    # as one split — fan out first (no-op at scale); ~chunk_words x
+    # the string work of a plain pass
+    ch = (parallelize_narrow(df.select(F.col(id_col), F.col(text_col)),
+                             weight=chunk_words)
+            .select(F.col(id_col), chunks.alias("__ch__"))
             .filter(F.size("__ch__") > 0)
             .select(id_col, F.posexplode("__ch__").alias("idx", "chunk")))
 

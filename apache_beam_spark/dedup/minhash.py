@@ -61,6 +61,49 @@ def minhash_signature(text: Column, num_hashes: int = 64, shingle_k: int = 3,
     )
 
 
+def minhash_signature_table(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id", num_hashes: int = 64,
+                            shingle_k: int = 3,
+                            seed: int = 42) -> DataFrame:
+    """(id, __sig__) MinHash signatures via explode + ``num_hashes``
+    native min aggregates — the DataFrame twin of
+    :func:`minhash_signature` (optimization r13).
+
+    The per-row HOF fold evaluates interpreted (no codegen for
+    higher-order functions) and allocates a ``num_hashes``-wide array
+    per shingle — the exact pathology ``simhash_table``'s docstring
+    records for the simhash fold.  Exploding shingles and running the
+    mins as one whole-stage-codegen HashAggregate with map-side
+    partial aggregation computes the identical values (min over the
+    same multiset; duplicates cannot change a min): per shingle s and
+    function i, ``pmod(a_i * pmod(xxhash64(s), P) + b_i, P)``; a doc
+    with no shingles gets the fold's init vector ``[P] * num_hashes``
+    (explode_outer keeps it as one null-shingle row, the null min
+    coalesces to P); a null shingle ARRAY reproduces the fold's null
+    signature via the ``__tn__`` guard.  Aggregates are built as SQL
+    strings — one parser call each, not ~6 py4j round trips per
+    Column (the simhash_table precedent)."""
+    src = _parallelize_narrow(
+        df.select(F.col(id_col).alias("id"), F.col(text_col)),
+        weight=num_hashes)
+    arr = shingles(F.col(text_col), shingle_k)
+    ex = (src.select("id", arr.alias("__arr__"))
+          .select("id", F.col("__arr__").isNull().alias("__tn__"),
+                  F.explode_outer("__arr__").alias("__s__")))
+    params = _hash_params(num_hashes, seed)
+    aggs = [F.expr(
+        f"coalesce(min(pmod({a}L * pmod(xxhash64(__s__), {_PRIME}L) "
+        f"+ {b}L, {_PRIME}L)), {_PRIME}L) as m{i}")
+        for i, (a, b) in enumerate(params)]
+    g = ex.groupBy("id").agg(*aggs, F.max("__tn__").alias("__tn__"))
+    sig = F.expr("array(" + ", ".join(f"m{i}" for i in range(num_hashes))
+                 + ")")
+    return g.select(
+        "id",
+        F.when(F.col("__tn__"), F.lit(None)).otherwise(sig)
+        .alias("__sig__"))
+
+
 def minhash_signature_md5(text: Column, num_hashes: int = 64,
                           shingle_k: int = 3) -> Column:
     """array<string> md5 MinHash signature — the STATELESS Column twin
@@ -142,10 +185,11 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     from pyspark.sql.window import Window as W
 
     r = num_hashes // num_bands
-    sigs = _parallelize_narrow(df.select(F.col(id_col), F.col(text_col))).select(
-        F.col(id_col),
-        minhash_signature(F.col(text_col), num_hashes, shingle_k, seed).alias("__sig__"),
-    )
+    # codegen signature table (see minhash_signature_table): identical
+    # values to the per-row fold at hash-aggregate cost
+    sigs = minhash_signature_table(df, text_col, id_col, num_hashes,
+                                   shingle_k, seed) \
+        .select(F.col("id").alias(id_col), "__sig__")
     bands = sigs.select(
         id_col, F.explode(_band_rows("__sig__", num_bands, r)).alias("b")
     ).select(id_col, "b.band", "b.bh")
@@ -192,11 +236,10 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     from apache_beam_spark.plans.caching import cache_scoped
 
     r = num_hashes // num_bands
-    sigs = cache_scoped(_parallelize_narrow(
-        df.select(F.col(id_col), F.col(text_col))).select(
-        F.col(id_col).alias("id"),
-        minhash_signature(F.col(text_col), num_hashes, shingle_k, seed).alias("sig"),
-    ))
+    sigs = cache_scoped(
+        minhash_signature_table(df, text_col, id_col, num_hashes,
+                                shingle_k, seed)
+        .select("id", F.col("__sig__").alias("sig")))
     from pyspark.sql.window import Window as W
 
     if has_dups is None:
@@ -296,15 +339,19 @@ def _bands_frame(df: DataFrame, text_col: str, id_col: str,
     if hashing not in ("xx", "md5"):
         raise ValueError(f"unknown hashing {hashing!r}: want 'xx' or 'md5'")
     r = num_hashes // num_bands
-    sig = (minhash_signature(F.col(text_col), num_hashes, shingle_k, seed)
-           if hashing == "xx"
-           else minhash_signature_md5(F.col(text_col), num_hashes,
-                                      shingle_k))
-    rows = _band_rows if hashing == "xx" else _band_rows_md5
+    if hashing == "xx":
+        # codegen signature table — identical values to the fold
+        sigs = minhash_signature_table(df, text_col, id_col, num_hashes,
+                                       shingle_k, seed)
+        return (sigs.select("id", F.explode(
+            _band_rows("__sig__", num_bands, r)).alias("b"))
+            .select("id", "b.band", "b.bh"))
+    sig = minhash_signature_md5(F.col(text_col), num_hashes, shingle_k)
     src = _parallelize_narrow(df.select(F.col(id_col).alias("id"),
-                                        F.col(text_col)))
+                                        F.col(text_col)),
+                              weight=num_hashes)
     return (src.select("id", sig.alias("__sig__"))
-            .select("id", F.explode(rows("__sig__", num_bands, r))
+            .select("id", F.explode(_band_rows_md5("__sig__", num_bands, r))
                     .alias("b"))
             .select("id", "b.band", "b.bh"))
 

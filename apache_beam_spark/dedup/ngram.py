@@ -54,7 +54,8 @@ def _ranked_postings(df: DataFrame, text_col: str, id_col: str,
     generation AND verify."""
     from apache_beam_spark.dedup.minhash import _parallelize_narrow
 
-    toks = _parallelize_narrow(df.select(F.col(id_col), F.col(text_col))).select(
+    toks = _parallelize_narrow(df.select(F.col(id_col), F.col(text_col)),
+                               weight=8).select(
         F.col(id_col).alias("id"),
         F.array_distinct(shingles(F.col(text_col), shingle_k)).alias("sh"),
     )

@@ -57,10 +57,13 @@ def dup_span_scrub(df: DataFrame, text_col: str = "text",
 
     # the per-window md5 transform below is the CPU-heavy stage and a
     # small corpus arrives as ONE parquet split — parallelize first
-    # (no-op at scale, where the scan already has many splits)
+    # (no-op at scale, where the scan already has many splits); each
+    # input token is re-hashed by ~min_len overlapping windows, hence
+    # the amplification weight
     toks = parallelize_narrow(
         df.select(F.col(id_col).alias("id"),
-                  word_tokens(F.col(text_col)).alias("w")))
+                  word_tokens(F.col(text_col)).alias("w")),
+        weight=min_len)
 
     # one row per overlapping min_len-gram start; sequence() counts
     # DOWN for a negative span, so short docs must short-circuit to an

@@ -63,6 +63,29 @@ def _feature_buckets(text: Column, n_buckets: int) -> Column:
                    .cast("long") % n_buckets).cast("int"))
 
 
+def dsir_featurize(df: DataFrame, *, n_buckets: int = 4096,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """(id_col, bucket) with multiplicity — the featurization pass
+    shared by weight fitting and scoring (optimization r13, guide
+    §1.2: the md5 bucket transform is the expensive stage, and the
+    original composition ran it once for the q-counts and AGAIN for
+    the per-doc scores over the same corpus).  ``explode_outer`` keeps
+    feature-less docs as a null-bucket row so scoring sees every doc;
+    count consumers filter the nulls out."""
+    return df.select(
+        F.col(id_col),
+        F.explode_outer(_feature_buckets(F.col(text_col), n_buckets))
+        .alias("bucket"))
+
+
+def _bucket_counts_from(feats: DataFrame) -> DataFrame:
+    """(bucket, cnt) from a featurized frame — one partial-agg
+    shuffle, output bounded by n_buckets."""
+    return (feats.filter(F.col("bucket").isNotNull())
+            .groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt")))
+
+
 def _bucket_counts(df: DataFrame, text_col: str,
                    n_buckets: int) -> DataFrame:
     """(bucket, cnt) over a corpus — one explode + one partial-agg
@@ -74,17 +97,24 @@ def _bucket_counts(df: DataFrame, text_col: str,
 
 def dsir_weights(raw_df: DataFrame, target_df: DataFrame, *,
                  n_buckets: int = 4096,
-                 text_col: str = "text") -> DataFrame:
+                 text_col: str = "text",
+                 raw_feats: DataFrame | None = None,
+                 target_feats: DataFrame | None = None) -> DataFrame:
     """(bucket, w): int64-quantized per-bucket log-likelihood ratios
     ``round((ln(p_b / P) - ln(q_b / Q)) * 2^16)`` with Laplace +1
     smoothing — p from the target corpus, q from the raw corpus.
     Exactly ``n_buckets`` rows (absent buckets get the smoothed
-    floor), so the artifact always broadcasts."""
+    floor), so the artifact always broadcasts.  Pass ``raw_feats`` /
+    ``target_feats`` (from :func:`dsir_featurize`) to reuse an
+    already-featurized frame instead of re-running the md5 transform
+    per count pass."""
     buckets = raw_df.sparkSession.range(n_buckets) \
         .select(F.col("id").cast("int").alias("bucket"))
-    p = _bucket_counts(target_df, text_col, n_buckets) \
+    p = (_bucket_counts_from(target_feats) if target_feats is not None
+         else _bucket_counts(target_df, text_col, n_buckets)) \
         .withColumnRenamed("cnt", "pc")
-    q = _bucket_counts(raw_df, text_col, n_buckets) \
+    q = (_bucket_counts_from(raw_feats) if raw_feats is not None
+         else _bucket_counts(raw_df, text_col, n_buckets)) \
         .withColumnRenamed("cnt", "qc")
     j = (buckets.join(p, "bucket", "left").join(q, "bucket", "left")
          .select("bucket",
@@ -104,16 +134,20 @@ def dsir_weights(raw_df: DataFrame, target_df: DataFrame, *,
 
 def dsir_scores(df: DataFrame, weights: DataFrame, *,
                 n_buckets: int = 4096, text_col: str = "text",
-                id_col: str = "doc_id") -> DataFrame:
+                id_col: str = "doc_id",
+                feats: DataFrame | None = None) -> DataFrame:
     """(id_col, dsir_score): per-document sum of its feature buckets'
     quantized log-ratio weights (higher = more target-like).  One
     explode + a broadcast join against the n_buckets-row weight table
-    + one keyed sum; documents with no features score 0."""
-    per = (df.select(F.col(id_col),
-                     F.explode_outer(_feature_buckets(F.col(text_col),
-                                                      n_buckets))
-                     .alias("bucket"))
-           .join(F.broadcast(weights), "bucket", "left"))
+    + one keyed sum; documents with no features score 0.  ``feats``
+    (from :func:`dsir_featurize`) skips re-featurizing a corpus the
+    weight fit already transformed."""
+    per = (feats if feats is not None
+           else df.select(F.col(id_col),
+                          F.explode_outer(
+                              _feature_buckets(F.col(text_col), n_buckets))
+                          .alias("bucket"))) \
+        .join(F.broadcast(weights), "bucket", "left")
     return (per.groupBy(id_col)
             .agg(F.coalesce(F.sum("w"), F.lit(0)).cast("long")
                  .alias("dsir_score")))
@@ -121,7 +155,8 @@ def dsir_scores(df: DataFrame, weights: DataFrame, *,
 
 def dsir_select(df: DataFrame, weights: DataFrame, *, frac: float,
                 n_buckets: int = 4096, text_col: str = "text",
-                id_col: str = "doc_id") -> DataFrame:
+                id_col: str = "doc_id",
+                feats: DataFrame | None = None) -> DataFrame:
     """The kept top-``frac`` slice by DSIR score, deterministic
     tie-break (score desc, id).
 
@@ -144,7 +179,7 @@ def dsir_select(df: DataFrame, weights: DataFrame, *, frac: float,
     # bounds per execution, so the pid->offset map could describe a
     # different partitioning than the one the final filter reads
     scores = dsir_scores(df, weights, n_buckets=n_buckets,
-                         text_col=text_col, id_col=id_col)
+                         text_col=text_col, id_col=id_col, feats=feats)
     parts = (scores.repartitionByRange(F.col("dsir_score").desc(),
                                        F.col(id_col))
              .withColumn("pid", F.spark_partition_id())

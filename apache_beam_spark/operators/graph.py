@@ -42,13 +42,19 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     if n == 0:
         raise ValueError("pagerank: empty edge list (no nodes)")
     deg = edges.groupBy(F.col(src).alias("node")).agg(
-        F.count(F.lit(1)).alias("deg")).localCheckpoint(eager=False)
+        F.count(F.lit(1)).alias("deg"))
+    # attach out-degrees to the edge list ONCE (optimization r13, guide
+    # §2.4): the old loop re-joined deg every power iteration — five
+    # identical joins whose inputs never change.  (src, dst, deg) is
+    # one extra long per edge in the checkpoint; each iteration is now
+    # a single join + one keyed partial-agg shuffle.
+    ed = (edges.join(deg.withColumnRenamed("node", src), on=src)
+          .localCheckpoint(eager=False))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     teleport = (1.0 - damping) / n
     for _ in range(iters):
-        contribs = (edges
+        contribs = (ed
                     .join(ranks.withColumnRenamed("node", src), on=src)
-                    .join(deg.withColumnRenamed("node", src), on=src)
                     .groupBy(F.col(dst).alias("node"))
                     .agg(F.sum(F.col("rank") / F.col("deg")).alias("__in__")))
         ranks = (nodes.join(contribs, on="node", how="left")
