@@ -4442,7 +4442,11 @@ def _textrank_words(spark, sf_dir):
         "transform(sequence(0, size(tk) - 2), "
         "i -> struct(tk[i] as src, tk[i+1] as dst))")).alias("p"))
         .select("p.src", "p.dst")
-        .filter(F.col("src") != F.col("dst")).distinct())
+        .filter(F.col("src") != F.col("dst")))
+    # one distinct, not two (optimization r13, guide §2.4): the
+    # post-union distinct already dedups everything a pre-union
+    # distinct would (and pagerank's degree count reads only this
+    # deduped edge set), so the inner pass was a redundant shuffle
     edges = pairs.union(pairs.select(F.col("dst").alias("src"),
                                      F.col("src").alias("dst"))).distinct()
     pr = pagerank(edges, iters=5)
@@ -4800,7 +4804,13 @@ def _image_dhash_dedup(spark, sf_dir):
             yield pd.DataFrame(rows)
 
     enc = docs.mapInPandas(gen, "doc_id bigint, payload binary")
-    hashed = image_dhash(enc, grid_w=9, grid_h=8)
+    from apache_beam_spark.plans.caching import cache_scoped
+
+    # (doc_id, dhash) feeds BOTH the rep aggregate and the join-back;
+    # uncached, each branch re-ran the PPM encode+decode+dHash Python
+    # pass (optimization r13, guide §1.2 — hash rows are tiny vs the
+    # decoded images, the dhash_near_dup cache discipline)
+    hashed = cache_scoped(image_dhash(enc, grid_w=9, grid_h=8))
     reps = hashed.groupBy("dhash").agg(F.min("doc_id").alias("cluster_id"))
     return hashed.join(reps, "dhash").select("doc_id", "dhash",
                                              "cluster_id")

@@ -91,6 +91,40 @@ def bloom_might_contain(df: DataFrame, bitmap: DataFrame, key_col: str,
     return out.drop(*[c for i in range(k) for c in (f"__w{i}__", f"__b{i}__")])
 
 
+#: bitmaps at or under this many BITS ((bits/64) 16-byte map entries,
+#: so 2^28 bits = 4M entries = 64 MB) probe via the single-row map
+#: broadcast; larger ones fall back to the k-join probe, whose
+#: broadcast is a plain multi-row frame with no single-row size cap.
+_MAP_PROBE_MAX_BITS = 1 << 28
+
+
+def bloom_might_contain_map(df: DataFrame, bitmap: DataFrame,
+                            key_col: str, num_bits: int, k: int,
+                            flag_col: str = "__might__") -> DataFrame:
+    """``bloom_might_contain`` for map-sized bitmaps (optimization
+    r13): the (word_idx, word) frame folds into ONE ``map<long,long>``
+    row and broadcasts once — the repo's scalar-broadcast crossJoin
+    shape — and all k probes become ``element_at`` lookups in a single
+    codegen'd predicate.  One join node and one broadcast regardless
+    of k, where the k-join probe costs k BroadcastHashJoins PER
+    EVALUATION of the frame (and ``bloom_anti_join`` evaluates it
+    twice, once per branch of the clean/suspect split) — the analyzer
+    and optimizer walk that 2k-join tree on every action.  Same probe
+    positions, same verdict, bit-for-bit."""
+    bm = bitmap.agg(F.map_from_entries(F.collect_list(F.struct(
+        F.col("word_idx").alias("k"), F.col("word").alias("v"))))
+        .alias("__bm__"))
+    terms = []
+    for i in range(k):
+        p = f"pmod(xxhash64({key_col}, {i}), {num_bits}L)"
+        terms.append(
+            f"(shiftright(coalesce(element_at(__bm__, {p} div 64), 0L), "
+            f"cast({p} % 64 as int)) & 1L) = 1L")
+    flag = F.expr(" AND ".join(terms))
+    return (df.crossJoin(F.broadcast(bm))
+            .withColumn(flag_col, flag).drop("__bm__"))
+
+
 def bloom_anti_join(new: DataFrame, history: DataFrame, key_col: str,
                     fpp: float = 0.01, expected: int | None = None,
                     num_bits: int | None = None,
@@ -106,7 +140,10 @@ def bloom_anti_join(new: DataFrame, history: DataFrame, key_col: str,
             expected = history.count()
         num_bits, k = bloom_params(expected, fpp)
     bitmap = bloom_build(history, key_col, num_bits, k)
-    flagged = bloom_might_contain(new, bitmap, key_col, num_bits, k)
+    if num_bits <= _MAP_PROBE_MAX_BITS:
+        flagged = bloom_might_contain_map(new, bitmap, key_col, num_bits, k)
+    else:
+        flagged = bloom_might_contain(new, bitmap, key_col, num_bits, k)
     clean = flagged.filter(~F.col("__might__")).drop("__might__")
     suspects = flagged.filter(F.col("__might__")).drop("__might__")
     verified = suspects.join(history.select(key_col).distinct(),

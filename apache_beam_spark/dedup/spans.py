@@ -60,10 +60,16 @@ def dup_span_scrub(df: DataFrame, text_col: str = "text",
     # (no-op at scale, where the scan already has many splits); each
     # input token is re-hashed by ~min_len overlapping windows, hence
     # the amplification weight
-    toks = parallelize_narrow(
+    from apache_beam_spark.plans.caching import cache_scoped
+
+    # the tokenized frame feeds TWO consumers (the gram pass and the
+    # per-token rebuild); uncached, each re-ran the single-split scan +
+    # tokenize serially (optimization r13, guide §1.2: don't compute
+    # things twice).  Token-sized like corpus_prep's uniq cache.
+    toks = cache_scoped(parallelize_narrow(
         df.select(F.col(id_col).alias("id"),
                   word_tokens(F.col(text_col)).alias("w")),
-        weight=min_len)
+        weight=min_len))
 
     # one row per overlapping min_len-gram start; sequence() counts
     # DOWN for a negative span, so short docs must short-circuit to an
@@ -77,14 +83,21 @@ def dup_span_scrub(df: DataFrame, text_col: str = "text",
         )).otherwise(F.array().cast("array<string>"))
     grams = toks.select("id", F.posexplode(gram_arr).alias("p", "gh"))
 
-    # duplicated grams + their global first occurrence
+    # duplicated grams: every occurrence except the global first
+    # (min (doc, pos)) is a flagged start.  ONE window pass over one
+    # gh-keyed shuffle (optimization r13, guide §2.4): the old
+    # groupBy + join-back evaluated the md5 gram transform — the
+    # CPU-heavy stage — twice (once per plan branch), and its
+    # ``.distinct()`` re-shuffled rows that are already unique by
+    # construction (posexplode emits each (id, p) once).  Same flagged
+    # set: keeper/c here are the window twins of the old aggregate.
     key = F.col("id") * _POS_BASE + F.col("p")
-    dup = (grams.groupBy("gh")
-           .agg(F.min(key).alias("keeper"), F.count(F.lit(1)).alias("c"))
-           .filter(F.col("c") > 1))
-    flagged = (grams.join(dup, on="gh")
-               .filter(key != F.col("keeper"))
-               .select("id", "p").distinct()
+    gw = W.partitionBy("gh")
+    flagged = (grams
+               .withColumn("keeper", F.min(key).over(gw))
+               .withColumn("c", F.count(F.lit(1)).over(gw))
+               .filter((F.col("c") > 1) & (key != F.col("keeper")))
+               .select("id", "p")
                .withColumn("flag", F.lit(1)))
 
     # per token position: removed iff a flagged start lies in the

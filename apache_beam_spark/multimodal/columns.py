@@ -387,11 +387,19 @@ def dhash_near_dup(hashed: DataFrame, max_hamming: int = 4,
                  F.substring(F.col(hash_col), ci * width + 1, width)
                  .alias("cv"))
         for ci in range(chunks)])
-    banded = (hashed.select(id_col, *words,
-                            F.explode(pieces).alias("b"))
-              .select(id_col, *[f"w{wi}" for wi in range(n_words)],
-                      F.col("b.ci").alias("ci"),
-                      F.xxhash64("b.ci", "b.cv").alias("cv")))
+    from apache_beam_spark.plans.caching import cache_scoped
+
+    # cache the banded hash rows (ints only, chunks per image — TINY
+    # vs the images): the self-join below consumes the frame on BOTH
+    # sides, and uncached each side re-ran the upstream decode+dHash
+    # Python pass — at 100 TB that is a second full image decode just
+    # to re-derive a 64-bit hash (optimization r13, guide §1.2)
+    banded = cache_scoped(
+        (hashed.select(id_col, *words,
+                       F.explode(pieces).alias("b"))
+         .select(id_col, *[f"w{wi}" for wi in range(n_words)],
+                 F.col("b.ci").alias("ci"),
+                 F.xxhash64("b.ci", "b.cv").alias("cv"))))
     a, b = banded.alias("a"), banded.alias("b")
     hamming = sum(
         F.bit_count(F.col(f"a.w{wi}").bitwiseXOR(F.col(f"b.w{wi}")))

@@ -52,14 +52,23 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
           .localCheckpoint(eager=False))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     teleport = (1.0 - damping) / n
+    # per iteration: ONE join (edge-sized) + ONE keyed aggregation.
+    # The node-completion step is a union + the same groupBy, not a
+    # second join (optimization r13, guide §2.4): locally that join
+    # cost a broadcast-exchange job per iteration; at scale contribs
+    # is node-sized (unbroadcastable) and the union folds into the
+    # aggregation's exchange instead of adding a sort-merge join.
+    # Values are bit-identical: sum({0.0, x}) == x in IEEE for any
+    # finite x, and isolated nodes see only their 0.0 seed row.
     for _ in range(iters):
         contribs = (ed
                     .join(ranks.withColumnRenamed("node", src), on=src)
-                    .groupBy(F.col(dst).alias("node"))
-                    .agg(F.sum(F.col("rank") / F.col("deg")).alias("__in__")))
-        ranks = (nodes.join(contribs, on="node", how="left")
+                    .select(F.col(dst).alias("node"),
+                            (F.col("rank") / F.col("deg")).alias("__in__")))
+        ranks = (nodes.withColumn("__in__", F.lit(0.0))
+                 .unionByName(contribs)
+                 .groupBy("node").agg(F.sum("__in__").alias("__in__"))
                  .select("node",
-                         (F.lit(teleport) + F.lit(damping)
-                          * F.coalesce(F.col("__in__"), F.lit(0.0)))
+                         (F.lit(teleport) + F.lit(damping) * F.col("__in__"))
                          .alias("rank")))
     return ranks.select("node", F.round("rank", round_to).alias("rank"))

@@ -82,10 +82,47 @@ def cms_counts(df: DataFrame, item_col: str, depth: int = 4,
                weight_col: str | None = None) -> DataFrame:
     """Sketch + estimate for every distinct item in one call:
     (item_col, est).  est >= true count always; equality iff the
-    item's min-count bucket row has no colliding mass."""
-    sketch = count_min_sketch(df, item_col, depth, width, weight_col)
-    return cms_estimate(sketch, df.select(item_col).distinct(), item_col,
-                        depth, width)
+    item's min-count bucket row has no colliding mass.
+
+    Shape (optimization r13, guide §2.3/§2.4): aggregate FIRST —
+    ``groupBy(item).sum(weight)`` is the one data-sized pass (map-side
+    combined), and everything downstream runs over the VOCABULARY:
+    buckets are md5-hashed once per distinct item (not once per
+    instance), the sketch is the weighted vocab folded to its bounded
+    depth*width grid, and estimates come from a single 1-row
+    map-literal broadcast (``element_at`` lookups, the repo's
+    scalar-broadcast crossJoin shape) instead of the old
+    distinct + probe-explode + broadcast join + second vocabulary
+    shuffle.  cnt(r, b) = sum of instance weights hashing to (r, b)
+    either way, so every estimate — collisions included — is
+    bit-identical to the explode-per-instance build.  The map row is
+    bounded at depth*width entries BY CONSTRUCTION (the sketch's whole
+    point), so the single-row broadcast never scales with the data."""
+    w = F.col(weight_col) if weight_col else F.lit(1).cast("long")
+    wc = (df.select(F.col(item_col), w.alias("__w__"))
+          .groupBy(item_col).agg(F.sum("__w__").alias("__n__")))
+    wcb = wc.select(
+        item_col, "__n__",
+        *[_bucket(F.col(item_col), F.lit(r), width).alias(f"__b{r}__")
+          for r in range(depth)])
+    probes = F.array(*[F.struct(F.lit(r).alias("r"),
+                                F.col(f"__b{r}__").alias("b"))
+                       for r in range(depth)])
+    sketch = (wcb.select(F.explode(probes).alias("__rb__"), "__n__")
+              .groupBy(F.col("__rb__.r").alias("r"),
+                       F.col("__rb__.b").alias("b"))
+              .agg(F.sum("__n__").alias("cnt")))
+    skmap = sketch.agg(F.map_from_entries(F.collect_list(F.struct(
+        (F.col("r") * width + F.col("b")).cast("long").alias("k"),
+        F.col("cnt").alias("v")))).alias("__sk__"))
+    est = F.least(*[
+        F.coalesce(F.element_at(F.col("__sk__"),
+                                F.lit(r * width).cast("long")
+                                + F.col(f"__b{r}__").cast("long")),
+                   F.lit(0).cast("long"))
+        for r in range(depth)])
+    return (wcb.crossJoin(F.broadcast(skmap))
+            .select(item_col, est.alias("est")))
 
 
 # ---------------------------------------------------------------------------

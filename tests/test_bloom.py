@@ -73,3 +73,25 @@ def test_probe_is_broadcast_only(spark, frames):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "word_idx" in line or "__pos__" in line, line
+
+
+def test_map_probe_matches_join_probe(spark, frames):
+    """bloom_might_contain_map (the single-row map broadcast used for
+    map-sized bitmaps) must produce the identical verdict column to
+    the k-join probe — same positions, same bits, row for row."""
+    from apache_beam_spark.dedup.bloom import bloom_might_contain_map
+
+    history, new = frames
+    m, k = bloom_params(500, 0.01)
+    bitmap = bloom_build(history, "k", m, k)
+    a = {r["rid"]: r["__might__"] for r in
+         bloom_might_contain(new, bitmap, "k", m, k).collect()}
+    b = {r["rid"]: r["__might__"] for r in
+         bloom_might_contain_map(new, bitmap, "k", m, k).collect()}
+    assert a == b
+    # and the map probe's plan is a single broadcast join, no shuffle
+    # of the probed frame
+    probed = bloom_might_contain_map(new, bitmap, "k", m, k)
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1
