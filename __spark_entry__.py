@@ -2712,8 +2712,11 @@ def _semantic_dedup(spark, sf_dir):
              load_table(spark, "embeddings", sf_dir)
              .filter(F.col("vec_id") < 8).orderBy("vec_id")
              .select(F.col("embedding").cast("array<double>")).collect()]
-    assigned = kmeans_assign(corpus, cents)
-    v = corpus.join(assigned, on="vec_id").select(
+    # the assign gemm already carries the vector — keep_vec skips the
+    # join back onto the corpus (optimization r13; the float->double
+    # widening is exact, and the verify joins read vectors_df=corpus
+    # unchanged)
+    v = kmeans_assign(corpus, cents, keep_vec=True).select(
         "vec_id", "cluster", "embedding")
     pairs = embedding_near_dup_pairs(
         v, id_col="vec_id", vec_col="embedding", threshold=0.95,
@@ -2978,10 +2981,18 @@ def _trigram_logprob(spark, sf_dir):
     # Repartition before the explode: trigrams amplify the row count
     # ~300x, so post-read parallelism must match the exploded size, not
     # the (small, possibly single-split) source file.
-    s = (d.select("doc_id",
-                  F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
-                  .alias("s"))
-         .repartition(spark.sparkContext.defaultParallelism))
+    from apache_beam_spark.plans.caching import cache_scoped
+
+    # cache the normalized doc frame: the exploded trigram stream is
+    # consumed by BOTH the count build and the scoring join, and
+    # uncached each side re-ran the scan + regexp + repartition
+    # (optimization r13, guide §1.2; doc-sized, the corpus_prep uniq
+    # precedent)
+    s = cache_scoped(
+        d.select("doc_id",
+                 F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+                 .alias("s"))
+        .repartition(spark.sparkContext.defaultParallelism))
     g = (s.select("doc_id", "s",
                   F.explode(F.sequence(
                       F.lit(1),
@@ -2994,8 +3005,11 @@ def _trigram_logprob(spark, sf_dir):
     # the charset, not the corpus), so broadcast it: the exploded stream
     # then joins map-side instead of shuffling the full trigram stream
     # on a string key.  The trigram total comes from the count table
-    # itself (sum of c), not a second scan of the corpus.
-    counts = g.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+    # itself (sum of c), not a second scan of the corpus.  Cached
+    # (bounded rows at ANY scale): the broadcast build and the 1-row
+    # total each consumed it, and each uncached evaluation re-ran the
+    # full exploded-stream aggregation (optimization r13).
+    counts = cache_scoped(g.groupBy("g").agg(F.count(F.lit(1)).alias("c")))
     tot = counts.agg(F.sum("c").cast("double").alias("__t__"))
     return (g.join(F.broadcast(counts), on="g")
             .crossJoin(F.broadcast(tot))
@@ -3015,8 +3029,16 @@ def _heavy_hitter_words(spark, sf_dir):
     the sketch replaces the full shuffle they'd cost at 100 TB.)"""
     from apache_beam_spark.operators.heavy_hitters import heavy_hitters
 
-    d = (load_table(spark, "documents", sf_dir)
-         .repartition(spark.sparkContext.defaultParallelism))
+    from apache_beam_spark.plans.caching import cache_scoped
+
+    # the token stream feeds the Misra-Gries summary pass AND the
+    # exact-count verify pass; cache the repartitioned doc frame so
+    # the second pass re-tokenizes from memory instead of re-running
+    # scan + shuffle (optimization r13, guide §1.2 — the plan is
+    # identical to repetition_stats' input, so the suite shares ONE
+    # cached copy across both queries)
+    d = cache_scoped(load_table(spark, "documents", sf_dir)
+                     .repartition(spark.sparkContext.defaultParallelism))
     toks = d.select(F.explode(T.word_tokens(F.col("text"))).alias("item"))
     return heavy_hitters(toks, "item", capacity=50)
 
@@ -3043,8 +3065,13 @@ def _repetition_stats(spark, sf_dir):
     agg; bigrams from the linear zip-with-shifted HOF; all counts exact
     integers, ratios rounded.  Scales as two map-side-combined shuffles
     keyed by doc_id — no per-doc data ever collects."""
-    d = (load_table(spark, "documents", sf_dir)
-         .repartition(spark.sparkContext.defaultParallelism))
+    from apache_beam_spark.plans.caching import cache_scoped
+
+    # word explode and bigram explode each re-ran the scan + shuffle;
+    # cache the repartitioned doc frame once (optimization r13, guide
+    # §1.2 — same plan as heavy_hitter_words' input: one shared copy)
+    d = cache_scoped(load_table(spark, "documents", sf_dir)
+                     .repartition(spark.sparkContext.defaultParallelism))
     w = d.select("doc_id", F.explode(T.word_tokens(F.col("text"))).alias("w"))
     wc = w.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
     uni = wc.groupBy("doc_id").agg(

@@ -30,7 +30,12 @@ _ENGINE_CONF = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
-    "spark.sql.shuffle.partitions": "32",
+    # scale-adaptive, not a constant (optimization r13): follow the
+    # harness core count (the driver benches at several core counts),
+    # overridable for a real cluster where this should be sized to
+    # 100 MB-1 GB post-shuffle partitions (guide §2.2) or left to AQE
+    "spark.sql.shuffle.partitions": os.environ.get(
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_CPUS),
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.files.maxPartitionBytes": "134217728",
     "spark.sql.autoBroadcastJoinThreshold": "64m",

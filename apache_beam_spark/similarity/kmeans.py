@@ -93,10 +93,21 @@ def _assign(pts: DataFrame, cents) -> DataFrame:
 
 
 def kmeans_assign(df: DataFrame, centroids, id_col: str = "vec_id",
-                  vec_col: str = "embedding") -> DataFrame:
-    """Label every row with its nearest centroid: (id_col, cluster)."""
+                  vec_col: str = "embedding",
+                  keep_vec: bool = False) -> DataFrame:
+    """Label every row with its nearest centroid: (id_col, cluster).
+
+    ``keep_vec=True`` also returns the vector (as array<double> — the
+    exact float->double widening of the input): the gemm stage already
+    carries it, so a consumer that needs (id, cluster, vec) — e.g.
+    SemDeDup's in-cell miner — skips a join back onto the corpus
+    (optimization r13, guide §2.4)."""
     pts = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    return _assign(pts, centroids).select(F.col("id").alias(id_col), "cluster")
+    out = _assign(pts, centroids)
+    if keep_vec:
+        return out.select(F.col("id").alias(id_col), "cluster",
+                          F.col("v").alias(vec_col))
+    return out.select(F.col("id").alias(id_col), "cluster")
 
 
 def kmeans(df: DataFrame, k: int = 8, n_iter: int = 5,
