@@ -60,13 +60,21 @@ def _ranked_postings(df: DataFrame, text_col: str, id_col: str,
         F.array_distinct(shingles(F.col(text_col), shingle_k)).alias("sh"),
     )
     inv = toks.select("id", F.explode("sh").alias("g"))
-    gdf = inv.groupBy("g").agg(F.count(F.lit(1)).alias("df")) \
-        .filter(F.col("df") <= F.lit(max_df))
 
+    # document frequency as a WINDOW count over g, not a groupBy +
+    # join-back (optimization r13, guide §1.2): the join shape
+    # computed the scan+tokenize+shingle+explode subtree TWICE (once
+    # per join side) and at scale moved the postings through a
+    # g-exchange twice (sort-merge join); one unordered window count
+    # is one pass and one exchange with identical df values.  The
+    # single-mega-key worst case is unchanged — AQE cannot split one
+    # enormous join key either (guide §2.5) — and max_df prunes such
+    # shingles immediately after the count.
     # rarest-first canonical order within each doc; prefix length
     # n - ceil(t*n) + 1 guarantees no J>=t pair is missed
     return cache_scoped(
-        inv.join(gdf, on="g")  # also drops max_df-pruned shingles
+        inv.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("g")))
+        .filter(F.col("df") <= F.lit(max_df))
         .withColumn("rn", F.row_number().over(
             W.partitionBy("id").orderBy(F.col("df"), F.col("g"))))
         .withColumn("n", F.max("rn").over(W.partitionBy("id")))
@@ -178,13 +186,25 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
             .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
             .distinct()
         )
+        # cache the VERIFIED pair list (optimization r13, guide §1.2):
+        # the prefix self-join + verify is the miner's expensive tail,
+        # and every consumer that mines the same corpus at the same
+        # (k, t, max_df) — e.g. the pair query and the cluster query —
+        # builds a semantically identical plan, so one suite-scoped
+        # copy serves them all (the ranked-postings precedent, one
+        # level up).  Pair rows are id+id+double — tiny vs the corpus.
+        # Cached BELOW any observe node: CollectMetrics carries a
+        # per-DataFrame id, so a plan containing it never cache-matches
+        # a later build's.
+        out = cache_scoped(verify(cand))
         if observation is not None:
             # no bucket-expansion stage in this plan: attach the zeroed
             # counters so the telemetry readout stays total (ADVICE r5)
+            # — constants, so attaching above the cached verify is
+            # equivalent to the old below-verify placement
             from apache_beam_spark.dedup.buckets import zero_bucket_stats
 
-            cand = cand.observe(observation, *zero_bucket_stats())
-        out = verify(cand)
+            out = out.observe(observation, *zero_bucket_stats())
         return out.select("id_a", "id_b",
                           F.round("jaccard", 6).alias("jaccard"))
 
@@ -205,12 +225,17 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
     )
+    # suite-scoped cache of the verified rep-pair list (see the direct
+    # path): both expansion modes and every same-parameter consumer
+    # read one copy; kept below any observe node (CollectMetrics never
+    # cache-matches across builds)
+    rep_out = cache_scoped(verify(cand))
     if observation is not None and expand == "star":
         # star never re-expands through bucket_pairs — zeroed counters
+        # (constants: placement above the cached verify is equivalent)
         from apache_beam_spark.dedup.buckets import zero_bucket_stats
 
-        cand = cand.observe(observation, *zero_bucket_stats())
-    rep_out = verify(cand)
+        rep_out = rep_out.observe(observation, *zero_bucket_stats())
 
     if expand == "star":
         # spanning edges only: identical sets -> J = exactly 1.0, no

@@ -81,7 +81,14 @@ def corpus_clone_stats(df: DataFrame, text_col: str = "text") -> Tuple[int, floa
     """
 
     def compute() -> Tuple[int, float]:
-        row = (df.select(F.xxhash64(
+        from apache_beam_spark.plans.partitioning import parallelize_narrow
+
+        # the tokenize+hash is the probe's CPU (a regex pass over every
+        # byte of text); a single-row-group parquet source otherwise
+        # scans as ONE task and runs it serial (optimization r13,
+        # guide §2) — fan out like the miners it fronts for
+        src = parallelize_narrow(df.select(F.col(text_col)), weight=8)
+        row = (src.select(F.xxhash64(
                    F.concat_ws(" ", word_tokens(F.col(text_col)))).alias("__k__"))
                .groupBy("__k__").agg(F.count(F.lit(1)).alias("__c__"))
                .agg(F.max("__c__").alias("wmax"),
