@@ -54,10 +54,18 @@ def chunk_dedup(df: DataFrame, text_col: str = "text",
     # tokenize+chunk+explode is the CPU stage and a small corpus scans
     # as one split — fan out first (no-op at scale); ~chunk_words x
     # the string work of a plain pass
+    # no explicit size() > 0 filter: posexplode (outer=false) already
+    # drops empty/null arrays, and the filter was WORSE than redundant
+    # — Catalyst pushed it below the fan-out exchange, so the whole
+    # tokenize+chunk expression ran twice more on the single-task scan
+    # stage it was pushed into (optimization r13, the guide §4.4
+    # duplicated-evaluation pathology in pure-Column form).  Catalyst
+    # re-infers the same filter from the Generate unless
+    # InferFiltersFromGenerate is excluded — engine.py excludes it
+    # (see _ENGINE_CONF) for exactly this expression shape.
     ch = (parallelize_narrow(df.select(F.col(id_col), F.col(text_col)),
                              weight=chunk_words)
             .select(F.col(id_col), chunks.alias("__ch__"))
-            .filter(F.size("__ch__") > 0)
             .select(id_col, F.posexplode("__ch__").alias("idx", "chunk")))
 
     ranked = ch.withColumn(

@@ -44,6 +44,21 @@ _ENGINE_CONF = {
     # collect_list/bucket arrays into humongous-object churn: ngram
     # mining 3x slower); override via SPARK_GRAFT_DRIVER_MEM if needed
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # InferFiltersFromGenerate rewrites explode(arr) into
+    # filter(size(arr)>0 AND isnotnull(arr)) + explode and then pushes
+    # that filter toward the scan.  Every near-dup/text operator here
+    # explodes arrays DERIVED from text (shingles, word tokens, chunk
+    # windows, gram hashes), so the inferred filter re-evaluates the
+    # whole tokenize/shingle expression chain 2x per row below the
+    # exchange the operators fan out on — measured 3x wall on
+    # chunk_dedup locally, and at 100 TB it is 2-3 redundant regex
+    # passes over every corpus byte fused into the scan stage.  The
+    # generate node skips empty arrays by itself; the rule only helps
+    # when the exploded array is a cheap stored column, which no hot
+    # path here has.  (optimization r13, guide §4.4 duplicated-
+    # evaluation pathology in pure-Column form)
+    "spark.sql.optimizer.excludedRules": (
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"),
     "spark.ui.enabled": "false",
     "spark.sql.streaming.stateStore.providerClass": (
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
