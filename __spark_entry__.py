@@ -3196,15 +3196,22 @@ def _quality_percentile(spark, sf_dir):
     aggregate.  The oracle is the naive single-sort formula, proving
     the hierarchical plan computes the identical ranks."""
     from apache_beam_spark.operators.ranks import global_percent_rank
+    from apache_beam_spark.plans.caching import cache_scoped
     from apache_beam_spark.plans.partitioning import parallelize_narrow
 
     d = load_table(spark, "documents", sf_dir)
     # the stopword/punctuation tokenization inside quality_score is the
     # CPU stage and feeds BOTH rank branches (bucket counts + the
     # ranked join) — fan the single-split scan out first (no-op at
-    # scale)
-    scored = parallelize_narrow(d.select("doc_id", "text"), weight=8) \
-        .select("doc_id", T.quality_score(F.col("text")).alias("q"))
+    # scale) and cache the (id, q) frame (optimization r13): uncached,
+    # each branch re-tokenized its own subtree, and the ranked-join
+    # branch's inferred isnotnull(q) constraint was pushed below the
+    # fan-out exchange, re-running the WHOLE scoring expression
+    # serially inside the single-task scan stage (the guide §4.4
+    # duplicated-evaluation pathology via InferFiltersFromConstraints)
+    scored = cache_scoped(
+        parallelize_narrow(d.select("doc_id", "text"), weight=8)
+        .select("doc_id", T.quality_score(F.col("text")).alias("q")))
     return global_percent_rank(scored, F.col("q"), "doc_id")
 
 

@@ -25,6 +25,74 @@ from apache_beam_spark.functions.vectors import cosine, dot, normalize
 from apache_beam_spark.plans.partitioning import parallelize_narrow
 
 
+def pair_cosine(df: DataFrame, a_col: str, b_col: str,
+                out: str = "sim") -> DataFrame:
+    """Batch cosine over a pair stream: drop the two vector columns,
+    append ``out`` (double).
+
+    Replaces the interpreted ``functions.vectors.cosine`` HOF on the
+    post-candidate-join rerank path (optimization r13, guide §4.2):
+    higher-order aggregate expressions never enter whole-stage codegen,
+    so every candidate pair paid an interpreted 3-fold evaluation; here
+    whole Arrow batches go through numpy instead.  Float semantics are
+    BIT-IDENTICAL to the HOF: the fold is a strict left-to-right
+    float64 accumulation, which ``np.cumsum`` reproduces exactly
+    (sequential adds, and the fold's 0.0 seed is exact), with the same
+    cast-to-double per element and the same ``dot / (norm_a * norm_b)``
+    op order.  Mismatched/absent arrays yield null, as ``zip_with``'s
+    null-padding does.  One deliberate corner divergence: a zero
+    vector yields NaN here, where the HOF under ANSI raises
+    DIVIDE_BY_ZERO — no caller computes cosine of a zero vector
+    (pinned in tests/test_knn_scale.py).
+    """
+    import numpy as np
+
+    keep = [c for c in df.columns if c not in (a_col, b_col)]
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in df.schema.fields if f.name in keep)
+    schema = f"{fields}, {out} double" if fields else f"{out} double"
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            try:
+                a = np.array(list(pdf[a_col]), dtype=np.float64)
+                b = np.array(list(pdf[b_col]), dtype=np.float64)
+                if a.ndim != 2 or a.shape != b.shape or a.shape[1] == 0:
+                    raise ValueError("ragged")
+                d = np.cumsum(a * b, axis=1)[:, -1]
+                na = np.sqrt(np.cumsum(a * a, axis=1)[:, -1])
+                nb = np.sqrt(np.cumsum(b * b, axis=1)[:, -1])
+                sim = d / (na * nb)
+            except Exception:
+                # ragged / null rows: exact per-row left fold with the
+                # HOF's null semantics (length mismatch -> null)
+                sims = []
+                for va, vb in zip(pdf[a_col], pdf[b_col]):
+                    if va is None or vb is None or len(va) != len(vb):
+                        sims.append(None)
+                        continue
+                    acc = sa = sb = 0.0
+                    for x, y in zip(va, vb):
+                        x = float(x); y = float(y)
+                        acc += x * y; sa += x * x; sb += y * y
+                    # numpy scalar division: 0/0 -> NaN like the HOF,
+                    # not Python's ZeroDivisionError; same op order as
+                    # the HOF (dot / (sqrt(aa) * sqrt(bb)))
+                    sims.append(float(np.float64(acc)
+                                      / (np.sqrt(np.float64(sa))
+                                         * np.sqrt(np.float64(sb)))))
+                sim = sims
+            res = pdf[keep].copy()
+            res[out] = sim
+            yield res
+
+    return df.mapInPandas(fn, schema)
+
+
 def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
                      query_id: str = "vec_id", corpus_id: str = "vec_id",
                      vec_col: str = "embedding", self_exclude: bool = True) -> DataFrame:
@@ -248,6 +316,11 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 5,
     joined = q.join(c, on="__b__")
     if self_exclude:
         joined = joined.filter(F.col("query_id") != F.col("neighbor_id"))
+    # HOF cosine, NOT pair_cosine: LSH buckets bound candidates to a
+    # few per query (~10^4 pairs here) and the Python stage's fixed
+    # Arrow+worker cost measured 1.5x the whole interpreted rerank
+    # (optimization r13 A/B; pair_cosine pays off from ~10^5 pairs,
+    # see ivf_topk)
     sims = joined.select(
         "query_id", "neighbor_id",
         cosine(F.col("__qv__"), F.col("__cv__")).alias("sim"),
@@ -358,10 +431,10 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 5,
     joined = q.join(c, on=join_keys)
     if self_exclude:
         joined = joined.filter(F.col("query_id") != F.col("neighbor_id"))
-    sims = joined.select(
-        "query_id", "neighbor_id",
-        cosine(F.col("__qv__"), F.col("__cv__")).alias("sim"),
-    ).dropDuplicates(["query_id", "neighbor_id"])
+    # vectorized exact rerank of the probed-cell candidates
+    sims = pair_cosine(
+        joined.select("query_id", "neighbor_id", "__qv__", "__cv__"),
+        "__qv__", "__cv__").dropDuplicates(["query_id", "neighbor_id"])
     w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
         sims.withColumn("rank", F.row_number().over(w))
@@ -607,6 +680,12 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
 
     vecs = (vectors_df if vectors_df is not None else df).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("__v__"))
+    # HOF cosine, NOT pair_cosine: the banding bounds candidates to a
+    # small multiple of the true pair count, and the Python stage's
+    # fixed Arrow+worker cost measured WORSE than the interpreted
+    # verify at this volume (optimization r13 A/B: near_dup 1.9->2.3 s,
+    # semantic_dedup 2.6->4.0 s with pair_cosine; it pays off from
+    # ~10^5 pairs per run, see ivf_topk)
     return (
         pairs
         .join(vecs.select(F.col("id").alias("id_a"), F.col("__v__").alias("__va__")), on="id_a")

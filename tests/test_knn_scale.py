@@ -274,3 +274,44 @@ def test_blas_auto_picks_mode_by_size(spark, emb_df):
         q, emb_df, k=3, max_broadcast_bytes=1)  # auto -> queries mode
     ref = sorted(map(tuple, brute_force_topk(q, emb_df, k=3).collect()))
     assert sorted(map(tuple, forced_stream.collect())) == ref
+
+
+def test_pair_cosine_bitwise_matches_hof(spark):
+    """pair_cosine (the vectorized rerank path) must be BIT-IDENTICAL
+    to the interpreted functions.vectors.cosine HOF it replaced —
+    including float32 inputs, the numpy fast path, the ragged/null
+    fallback, and zero vectors (NaN, not an error)."""
+    import math
+
+    from apache_beam_spark.functions.vectors import cosine
+    from apache_beam_spark.similarity.knn import pair_cosine
+
+    rng = np.random.RandomState(11)
+    rows = []
+    for i in range(300):
+        a = rng.standard_normal(64).astype(np.float32).tolist()
+        b = rng.standard_normal(64).astype(np.float32).tolist()
+        rows.append((i, a, b))
+    # (no zero-vector row: under ANSI the HOF errors on 0/0 — see the
+    # pair_cosine docstring; no query computes cosine of a zero vector)
+    rows.append((901, None, [1.0] * 8))             # null -> null
+    rows.append((902, [1.0] * 8, [1.0, 2.0]))       # ragged -> null
+    df = spark.createDataFrame(
+        rows, "pid long, va array<float>, vb array<float>")
+
+    hof = {r["pid"]: r["sim"] for r in df.select(
+        "pid", cosine(F.col("va"), F.col("vb")).alias("sim")).collect()}
+    vec = {r["pid"]: r["sim"] for r in
+           pair_cosine(df, "va", "vb").collect()}
+
+    assert set(hof) == set(vec)
+    for pid, h in hof.items():
+        v = vec[pid]
+        if h is None or v is None:
+            assert h is None and v is None, pid
+        elif math.isnan(h) or math.isnan(v):
+            assert math.isnan(h) and math.isnan(v), pid
+        else:
+            # bit-for-bit, not approx
+            assert h == v and math.copysign(1, h) == math.copysign(1, v), \
+                (pid, h.hex(), v.hex())
