@@ -2715,9 +2715,14 @@ def _semantic_dedup(spark, sf_dir):
     # the assign gemm already carries the vector — keep_vec skips the
     # join back onto the corpus (optimization r13; the float->double
     # widening is exact, and the verify joins read vectors_df=corpus
-    # unchanged)
-    v = kmeans_assign(corpus, cents, keep_vec=True).select(
-        "vec_id", "cluster", "embedding")
+    # unchanged).  cache_scoped: the assigned frame feeds the LSH
+    # banding pass, the exact-dup hash collapse AND the dup probe —
+    # uncached, each branch re-ran the gemm mapInPandas (~3 Python
+    # passes per build for a 1.5 MB frame)
+    from apache_beam_spark.plans.caching import cache_scoped
+
+    v = cache_scoped(kmeans_assign(corpus, cents, keep_vec=True).select(
+        "vec_id", "cluster", "embedding"))
     pairs = embedding_near_dup_pairs(
         v, id_col="vec_id", vec_col="embedding", threshold=0.95,
         n_bands=24, band_bits=8, max_bucket=10000, dim=64,

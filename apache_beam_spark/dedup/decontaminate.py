@@ -53,7 +53,13 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame,
     if broadcast_benchmark:
         bench_grams = F.broadcast(bench_grams)
 
-    grams = corpus.select(
+    from apache_beam_spark.plans.partitioning import parallelize_narrow
+
+    # the corpus-side shingle pass is the operator's CPU and a small
+    # corpus scans as ONE split — fan out first (no-op at scale;
+    # optimization r13, the miner-family discipline)
+    grams = parallelize_narrow(
+        corpus.select(F.col(id_col), F.col(text_col)), weight=8).select(
         F.col(id_col),
         F.explode(F.array_distinct(shingles(F.col(text_col), shingle_k)))
         .alias("__g__"))

@@ -291,9 +291,33 @@ class Top:
                 order = [F.col(order_col).asc() if ascending else F.col(order_col).desc()]
                 for t in tiebreak or []:
                     order.append(F.col(t))
+                df = pcoll.df
+                # exact two-level top-k (optimization r13, guide §2.5):
+                # a window partitioned by a LOW-cardinality key sorts
+                # each whole key group in one task (a 3-value key uses
+                # 3 tasks at any scale — the 199/200-stragglers shape).
+                # Level 1 takes the per-(key, salt) top-k in parallel;
+                # level 2 ranks only the <= k * n_salts survivors per
+                # key.  Exact: a row outside its salt bucket's top-k
+                # has >= k same-key rows ahead of it globally, so the
+                # global top-k is contained in the union of bucket
+                # top-ks.  The salt is DETERMINISTIC (hash of the
+                # ordering columns, guide §2.5: rand-derived keys break
+                # under task retry), so ranks are reproducible whenever
+                # the order is total — the same condition the
+                # single-window form already needed.
+                n_salts = df.sparkSession.sparkContext.defaultParallelism
+                if n_salts > 1:
+                    salt = F.pmod(
+                        F.xxhash64(F.col(order_col),
+                                   *[F.col(t) for t in tiebreak or []]),
+                        F.lit(n_salts))
+                    lw = W.partitionBy(*keys_l, salt).orderBy(*order)
+                    df = (df.withColumn("__lrn__", F.row_number().over(lw))
+                          .filter(F.col("__lrn__") <= k).drop("__lrn__"))
                 w = W.partitionBy(*keys_l).orderBy(*order)
                 df = (
-                    pcoll.df.withColumn(rank_alias, F.row_number().over(w))
+                    df.withColumn(rank_alias, F.row_number().over(w))
                     .filter(F.col(rank_alias) <= k)
                 )
                 return pcoll._with_df(df)
