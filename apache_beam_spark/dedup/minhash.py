@@ -98,10 +98,17 @@ def minhash_signature_table(df: DataFrame, text_col: str = "text",
     g = ex.groupBy("id").agg(*aggs, F.max("__tn__").alias("__tn__"))
     sig = F.expr("array(" + ", ".join(f"m{i}" for i in range(num_hashes))
                  + ")")
-    return g.select(
+    from apache_beam_spark.plans.caching import cache_scoped
+
+    # suite-scoped (id, __sig__) cache (optimization r13, the
+    # simhash_table precedent): every same-parameter consumer — the
+    # dedup window, the pair miner, the band index — and every rebuild
+    # of the same query reads one copy instead of re-running the
+    # shingle explode + 64-agg pass; ~num_hashes longs per doc
+    return cache_scoped(g.select(
         "id",
         F.when(F.col("__tn__"), F.lit(None)).otherwise(sig)
-        .alias("__sig__"))
+        .alias("__sig__")))
 
 
 def minhash_signature_md5(text: Column, num_hashes: int = 64,

@@ -586,7 +586,15 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
         cols.append(F.col(group_col).cast("bigint").alias("grp"))
         sig_schema += ", grp bigint"
     src = df.select(*cols)
-    sigs = parallelize_narrow(src).mapInPandas(sig_fn, sig_schema)
+    # suite-scoped banding cache (optimization r13): the (id, band, bh)
+    # frame is rebuilt by every consumer branch and every rebuild of
+    # the same query; mapInPandas closures pickle deterministically
+    # (seeded planes), so CacheManager shares one copy across builds.
+    # n_bands ints per vector — tiny next to the vectors themselves.
+    from apache_beam_spark.plans.caching import cache_scoped
+
+    sigs = cache_scoped(
+        parallelize_narrow(src).mapInPandas(sig_fn, sig_schema))
 
     # exact-duplicate collapse: rep = min id per (group, vector-hash) —
     # only (id, hash) shuffles; xxhash64 collisions (2^-64, the same
