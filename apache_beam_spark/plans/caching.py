@@ -104,6 +104,17 @@ def release_caches() -> None:
     _unpersist_all(frames)
 
 
+def persistent_rdd_ids(sc) -> set:
+    """Snapshot of the ids currently in the context's persistent-RDD
+    registry.  Cache-hygiene checks must compare these as SET DELTAS
+    (ids added by the code under test, ids removed on release), never
+    as raw counts: Spark's ContextCleaner asynchronously reclaims
+    unreferenced entries left by earlier work, so a count captured as
+    a baseline can shrink underneath the comparison (VERDICT r13
+    item 1 — the race that turned the driver's VERIFY red)."""
+    return {int(k) for k in sc._jsc.getPersistentRDDs().keys()}
+
+
 def release_local_checkpoint(df: DataFrame) -> None:
     """Free the storage blocks behind a ``localCheckpoint()``ed frame.
 

@@ -29,14 +29,18 @@ def test_dead_letters_all_ok(spark):
 def test_fanout_caches_release_with_scope(spark):
     """The multi-output / Partition / dead-letter fan-out caches follow
     the scoped lifecycle (VERDICT r5 item 4): nothing stays persistent
-    after the enclosing ``scoped_caches()`` exits."""
+    after the enclosing ``scoped_caches()`` exits.  Asserted on the
+    SET DELTA of persistent-RDD ids created inside the scope — never
+    on global counts, which race Spark's async ContextCleaner
+    reclaiming other tests' stale entries (VERDICT r13 item 1)."""
     from apache_beam_spark.operators.elementwise import Partition, multi_output
     from apache_beam_spark.pipeline import Pipeline
-    from apache_beam_spark.plans.caching import release_caches, scoped_caches
+    from apache_beam_spark.plans.caching import (
+        persistent_rdd_ids, release_caches, scoped_caches)
 
     release_caches()
     sc = spark.sparkContext
-    base = sc._jsc.getPersistentRDDs().size()
+    base_ids = persistent_rdd_ids(sc)
     with scoped_caches():
         df = spark.createDataFrame(
             [(1, "a"), (2, "b"), (3, "a")], ["v", "tag"])
@@ -48,14 +52,15 @@ def test_fanout_caches_release_with_scope(spark):
         assert outs["a"].df.count() == 2 and outs["b"].df.count() == 1
         parts = Partition.by(pl.from_df(df.drop("tag")), 2, "v")
         assert sorted(p.df.count() for p in parts) == [1, 2]
-        assert sc._jsc.getPersistentRDDs().size() > base  # caches live
-    # all released; <= because Spark's ContextCleaner may concurrently
-    # unpersist OTHER tests' unreferenced caches counted in `base`
-    # (unpersist is async — poll briefly for laggards)
+        scope_ids = persistent_rdd_ids(sc) - base_ids
+        assert scope_ids  # caches live (ids registered by this scope)
+    # every id the scope registered is gone on exit (unpersist's block
+    # removal is async — poll briefly for laggards); other tests'
+    # entries appearing or vanishing concurrently cannot affect this
     import time
 
     for _ in range(50):
-        if sc._jsc.getPersistentRDDs().size() <= base:
+        if not (persistent_rdd_ids(sc) & scope_ids):
             break
         time.sleep(0.1)
-    assert sc._jsc.getPersistentRDDs().size() <= base
+    assert not (persistent_rdd_ids(sc) & scope_ids)

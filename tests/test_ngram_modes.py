@@ -142,32 +142,37 @@ def test_bad_expand_mode_raises(spark):
 
 
 def test_scoped_caches_released_after_action(spark):
-    """Relative to whatever other fixtures have pinned in the shared
-    session: the scope adds persistent RDDs while active and returns
-    the count to baseline on exit."""
+    """The scope adds persistent RDDs while active and releases exactly
+    those ids on exit.  Asserted on the SET DELTA of ids, never on
+    counts — counts race Spark's async ContextCleaner reclaiming other
+    tests' stale entries (VERDICT r13 item 1)."""
     from apache_beam_spark.dedup.ngram import ngram_jaccard_pairs
-    from apache_beam_spark.plans.caching import release_caches, scoped_caches
+    from apache_beam_spark.plans.caching import (
+        persistent_rdd_ids, release_caches, scoped_caches)
 
     release_caches()  # drain anything earlier tests left registered
     sc = spark.sparkContext
-    base = sc._jsc.getPersistentRDDs().size()
+    base_ids = persistent_rdd_ids(sc)
     with scoped_caches():
         ngram_jaccard_pairs(_docs(spark), threshold=0.3).collect()
-        assert sc._jsc.getPersistentRDDs().size() > base  # cache in use
-    assert sc._jsc.getPersistentRDDs().size() == base  # released on exit
+        scope_ids = persistent_rdd_ids(sc) - base_ids
+        assert scope_ids  # cache in use
+    assert not (persistent_rdd_ids(sc) & scope_ids)  # released on exit
 
 
 def test_release_caches_drains_global_registry(spark):
     from apache_beam_spark.dedup.ngram import ngram_jaccard_pairs
-    from apache_beam_spark.plans.caching import release_caches
+    from apache_beam_spark.plans.caching import (
+        persistent_rdd_ids, release_caches)
 
     release_caches()
     sc = spark.sparkContext
-    base = sc._jsc.getPersistentRDDs().size()
+    base_ids = persistent_rdd_ids(sc)
     ngram_jaccard_pairs(_docs(spark), threshold=0.3).collect()
-    assert sc._jsc.getPersistentRDDs().size() > base
+    new_ids = persistent_rdd_ids(sc) - base_ids
+    assert new_ids
     release_caches()
-    assert sc._jsc.getPersistentRDDs().size() == base
+    assert not (persistent_rdd_ids(sc) & new_ids)
 
 
 def test_positional_filter_in_plan_and_prunes(spark):
@@ -227,11 +232,11 @@ def test_scoped_caches_are_thread_local(spark):
     import threading
 
     from apache_beam_spark.plans.caching import (
-        cache_scoped, release_caches, scoped_caches)
+        cache_scoped, persistent_rdd_ids, release_caches, scoped_caches)
 
     release_caches()
     sc = spark.sparkContext
-    base = sc._jsc.getPersistentRDDs().size()
+    base_ids = persistent_rdd_ids(sc)
     df = spark.range(100).selectExpr("id", "id * 2 as v")
 
     def other_thread():
@@ -242,10 +247,12 @@ def test_scoped_caches_are_thread_local(spark):
         t.start()
         t.join()
     # the main thread's scope exit must NOT have unpersisted the other
-    # thread's globally-registered cache
-    assert sc._jsc.getPersistentRDDs().size() > base
+    # thread's globally-registered cache (set-delta asserts: counts
+    # race the async ContextCleaner, VERDICT r13 item 1)
+    other_ids = persistent_rdd_ids(sc) - base_ids
+    assert other_ids
     release_caches()
-    assert sc._jsc.getPersistentRDDs().size() == base
+    assert not (persistent_rdd_ids(sc) & other_ids)
 
 
 def test_collapse_auto_trips_on_pervasive_clones(spark):
