@@ -173,6 +173,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     runs: dict[str, int] = {}
+    cold_walls: dict[str, float] = {}
     load_before = os.getloadavg()
     load_mid: list[float] = []
     steal0, t_wall0 = _steal_jiffies(), time.time()
@@ -232,6 +233,12 @@ def main() -> None:
                 # series shows WHICH stretch (0.5 s x 10 samples)
                 canary()
             wall = run_once(name)
+            # first-run wall, before any min: the honesty companion to
+            # the min-merged headline (VERDICT r13 item 5) — it pays
+            # every scoped cache's build cost in suite order, so work
+            # a cache_scoped frame moves out of the min-merged number
+            # stays visible here
+            cold_walls[name] = wall
             n = 3 if wall <= 1.2 else (2 if wall <= 10.0 else 1)
             for _ in range(n - 1):
                 wall = min(wall, run_once(name))
@@ -275,6 +282,13 @@ def main() -> None:
     }
 
     total = round(sum(timings.values()), 3)
+    # honesty companion to the min-merged headline (VERDICT r13 item 5):
+    # the sum of every query's FIRST wall, which pays each scoped
+    # cache's build cost in suite order.  The primary metric's
+    # definition is unchanged — this rides alongside so cache-type
+    # optimizations can't silently move cold-path work out of the
+    # artifact.
+    cold_total = round(sum(cold_walls.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     recall = _ann_recall(spark, queries)
     planted, planted_breach = _ann_recall_planted(spark)
@@ -305,7 +319,9 @@ def main() -> None:
         "metric": "headline_suite_seconds",
         "value": total,
         "unit": "sec",
+        "headline_cold_pass_seconds": cold_total,
         "queries": timings,
+        "queries_cold_pass": cold_walls,
         "query_runs": runs,
         "loadavg_before": [round(x, 2) for x in load_before],
         "loadavg_after": [round(x, 2) for x in load_after],
@@ -346,6 +362,7 @@ def main() -> None:
         "metric": "headline_suite_seconds",
         "value": total,
         "unit": "sec",
+        "headline_cold_pass_seconds": cold_total,
         "contaminated": contaminated,
         "waited_for_quiet_sec": waited,
         **steal,
@@ -356,6 +373,31 @@ def main() -> None:
            if not isinstance(v, dict)},
         "sf": sf_val,
     }))
+    # per-query walls in tail-sized chunks (VERDICT r13 item 2): the
+    # full line above outgrew the driver's 2,000-char tail capture, so
+    # PERF_r13 lost per-query visibility entirely (per_query = {},
+    # geomean null, empty scaling block).  Re-emit the same walls as
+    # short self-describing JSON lines — 2-decimal values, well under
+    # 1,800 chars each, the final chunk printed LAST — so the tail
+    # parser can reassemble them.  Additions-only: the headline metric
+    # above (and its full-precision "queries" dict) are unchanged.
+    # Each chunk repeats the headline scalars so any single captured
+    # line still identifies the run it belongs to.
+    pq_chunks: list[dict] = [{}]
+    for qname in HEADLINE:
+        pq_chunks[-1][qname] = round(timings[qname], 2)
+        if len(json.dumps(pq_chunks[-1])) > 820:
+            pq_chunks.append({})
+    pq_chunks = [c for c in pq_chunks if c]
+    for ci, chunk in enumerate(pq_chunks, 1):
+        print(json.dumps({
+            "metric": f"per_query_seconds_{ci}of{len(pq_chunks)}",
+            "value": total,
+            "unit": "sec",
+            "contaminated": contaminated,
+            "sf": sf_val,
+            "queries": chunk,
+        }))
     spark.stop()
     if not stream_metrics.get("state_bounds_ok", True):
         # a state leak is a red gate, not a footnote
