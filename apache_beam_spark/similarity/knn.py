@@ -40,10 +40,21 @@ def pair_cosine(df: DataFrame, a_col: str, b_col: str,
     (sequential adds, and the fold's 0.0 seed is exact), with the same
     cast-to-double per element and the same ``dot / (norm_a * norm_b)``
     op order.  Mismatched/absent arrays yield null, as ``zip_with``'s
-    null-padding does.  One deliberate corner divergence: a zero
-    vector yields NaN here, where the HOF under ANSI raises
-    DIVIDE_BY_ZERO — no caller computes cosine of a zero vector
-    (pinned in tests/test_knn_scale.py).
+    null-padding does.  Two deliberate corner divergences, both pinned
+    in tests/test_knn_scale.py:
+
+    * a zero vector yields NaN here, where the HOF under ANSI raises
+      DIVIDE_BY_ZERO (verified empirically on Spark 4.1: double 0/0
+      DOES raise with ansi on) — no caller computes cosine of a zero
+      vector;
+    * a row whose array contains NaN **or null elements** yields a
+      null sim.  Arrow delivers null elements as NaN floats, so the
+      two are indistinguishable here; unmasked they produced a NaN
+      sim that sorts ABOVE every real double under ``sim.desc()``,
+      silently promoting corrupt vectors into top-k (ADVICE r13).
+      The HOF yields null for null elements (matched) and NaN for
+      literal-NaN elements (masked to null here — corrupt either
+      way, and null sorts LAST under desc).
     """
     import numpy as np
 
@@ -67,6 +78,13 @@ def pair_cosine(df: DataFrame, a_col: str, b_col: str,
                 na = np.sqrt(np.cumsum(a * a, axis=1)[:, -1])
                 nb = np.sqrt(np.cumsum(b * b, axis=1)[:, -1])
                 sim = d / (na * nb)
+                # null/NaN-element rows -> null sim (see docstring);
+                # a computed NaN (zero vector) is NOT masked — only
+                # rows whose INPUT carries NaN
+                bad = np.isnan(a).any(axis=1) | np.isnan(b).any(axis=1)
+                if bad.any():
+                    sim = sim.astype(object)
+                    sim[bad] = None
             except Exception:
                 # ragged / null rows: exact per-row left fold with the
                 # HOF's null semantics (length mismatch -> null)
@@ -76,12 +94,24 @@ def pair_cosine(df: DataFrame, a_col: str, b_col: str,
                         sims.append(None)
                         continue
                     acc = sa = sb = 0.0
+                    bad_row = False
                     for x, y in zip(va, vb):
+                        # None elements (pre-Arrow python lists) and
+                        # NaN elements (Arrow's null encoding) -> null
+                        # sim, same mask as the fast path; x != x is
+                        # the NaN test
+                        if x is None or y is None or x != x or y != y:
+                            bad_row = True
+                            break
                         x = float(x); y = float(y)
                         acc += x * y; sa += x * x; sb += y * y
-                    # numpy scalar division: 0/0 -> NaN like the HOF,
-                    # not Python's ZeroDivisionError; same op order as
-                    # the HOF (dot / (sqrt(aa) * sqrt(bb)))
+                    if bad_row:
+                        sims.append(None)
+                        continue
+                    # numpy scalar division: 0/0 -> NaN (the HOF under
+                    # ANSI raises on the zero vector instead — the
+                    # documented divergence); same op order as the HOF
+                    # (dot / (sqrt(aa) * sqrt(bb)))
                     sims.append(float(np.float64(acc)
                                       / (np.sqrt(np.float64(sa))
                                          * np.sqrt(np.float64(sb)))))
@@ -91,6 +121,58 @@ def pair_cosine(df: DataFrame, a_col: str, b_col: str,
             yield res
 
     return df.mapInPandas(fn, schema)
+
+
+#: candidate-volume crossover between the interpreted HOF cosine and
+#: the Arrow ``pair_cosine`` batch path, in UNITS OF THE
+#: ``_est_candidate_pairs`` ESTIMATE (r13 A/B: the Python stage's
+#: fixed Arrow+worker cost beats the per-pair interpreted fold from
+#: ~1e5 ACTUAL pairs per run — near_dup 1.9->2.3 s and semantic_dedup
+#: 2.6->4.0 s REGRESSED on pair_cosine at ~1e4-pair volumes, while the
+#: ivf rerank at ~1e6 pairs was the r13 win).  The estimator is an
+#: upper-ish envelope of the actual volume (sf0.1 calibration:
+#: est 46k/64k for the two near-dup miners whose measured volume is
+#: ~1e4), so the threshold sits at 2e5 est-units ~= 1e5 actual pairs
+#: with ~3x margin against flipping the small-corpus plans.
+PAIR_COSINE_MIN_EST_PAIRS = 200_000
+
+
+def _est_candidate_pairs(n_rows: Optional[int], n_bands: int,
+                         band_bits: int) -> Optional[float]:
+    """Expected distinct banded-LSH candidate pairs for an UNCORRELATED
+    corpus: ``C(n,2) * (1 - (1 - 2^-bits)^bands)``.  An upper-ish
+    envelope of the real volume (true near-dups collide in many bands
+    at once — multiplicity doesn't add distinct pairs — and
+    ``group_col``-scoped mining only removes candidates).  Deterministic
+    in (n, geometry): used ONLY to pick the cosine execution path —
+    both paths are bit-identical on well-formed vectors — never to
+    change what a query computes."""
+    if n_rows is None:
+        return None
+    p_any = 1.0 - (1.0 - 2.0 ** -band_bits) ** n_bands
+    return 0.5 * n_rows * (n_rows - 1) * p_any
+
+
+def cosine_pairs(df: DataFrame, a_col: str, b_col: str, out: str = "sim",
+                 est_pairs: Optional[float] = None) -> DataFrame:
+    """THE guarded chooser between the interpreted HOF ``cosine`` and
+    the Arrow ``pair_cosine`` batch path (VERDICT r13 item 8: one call
+    site owns the operating-range switch instead of comments at three).
+
+    Below the crossover the HOF wins — higher-order aggregates never
+    codegen, but the Python stage's FIXED Arrow+worker cost dominates
+    small candidate volumes; above it the per-pair interpreted fold
+    dominates and the numpy batches win.  ``est_pairs=None`` (volume
+    unknown: pinned geometry with no corpus count in reach) keeps the
+    HOF — the small-corpus default; a 100 TB corpus always reaches
+    this with a count from the auto-banding or dup-probe pass, so the
+    Arrow path engages at scale without a code change.  Both branches
+    produce identical columns ``[*keep, out]`` and bit-identical sims
+    on well-formed vectors (pinned in tests/test_knn_scale.py)."""
+    if est_pairs is not None and est_pairs >= PAIR_COSINE_MIN_EST_PAIRS:
+        return pair_cosine(df, a_col, b_col, out)
+    return (df.withColumn(out, cosine(F.col(a_col), F.col(b_col)))
+            .drop(a_col, b_col))
 
 
 def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
@@ -319,8 +401,8 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 5,
     # HOF cosine, NOT pair_cosine: LSH buckets bound candidates to a
     # few per query (~10^4 pairs here) and the Python stage's fixed
     # Arrow+worker cost measured 1.5x the whole interpreted rerank
-    # (optimization r13 A/B; pair_cosine pays off from ~10^5 pairs,
-    # see ivf_topk)
+    # (optimization r13 A/B; the crossover lives in ONE place now —
+    # ``PAIR_COSINE_MIN_EST_PAIRS`` / ``cosine_pairs``)
     sims = joined.select(
         "query_id", "neighbor_id",
         cosine(F.col("__qv__"), F.col("__cv__")).alias("sim"),
@@ -431,7 +513,11 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 5,
     joined = q.join(c, on=join_keys)
     if self_exclude:
         joined = joined.filter(F.col("query_id") != F.col("neighbor_id"))
-    # vectorized exact rerank of the probed-cell candidates
+    # vectorized exact rerank of the probed-cell candidates — always
+    # the Arrow path: the probe-join volume (~n_queries x n_probe x
+    # cell width, ~1e6 at sf0.1) sits far above the
+    # PAIR_COSINE_MIN_EST_PAIRS crossover at any scale worth running
+    # IVF on (the r13 measured win)
     sims = pair_cosine(
         joined.select("query_id", "neighbor_id", "__qv__", "__cv__"),
         "__qv__", "__cv__").dropDuplicates(["query_id", "neighbor_id"])
@@ -548,10 +634,17 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
         raise ValueError(f"expand must be 'full' or 'star', got {expand!r}")
     if dim is None:  # one-row probe; pass dim to keep the plan lazy
         dim = len(df.select(vec_col).first()[0])
+    # n_est: best corpus-count knowledge at plan-build time, feeding
+    # the cosine execution-path switch (never the results).  Sources,
+    # in order: the caller's n_rows, the auto-banding count, the dup
+    # probe's count(1) (below) — all jobs that already run; None (all
+    # knobs pinned, probe skipped) keeps the HOF small-corpus default.
+    n_est = n_rows
     if band_bits is None or n_bands is None:
-        n = n_rows if n_rows is not None else df.count()
+        if n_est is None:
+            n_est = df.count()
         if band_bits is None:
-            band_bits = auto_band_bits(n)
+            band_bits = auto_band_bits(n_est)
         if n_bands is None:
             n_bands = auto_n_bands(threshold, band_bits)
     planes = np.random.RandomState(seed).standard_normal(
@@ -623,14 +716,21 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
         # dup-free branch.
         from apache_beam_spark.dedup.probe import memoize_plan_stat
 
-        def _probe() -> bool:
+        def _probe():
             r = src.agg(
                 F.count(F.lit(1)).alias("n"),
                 F.count_distinct(
                     *grp_keys, F.xxhash64("__v__")).alias("d")).collect()[0]
-            return r["n"] != r["d"]
+            # (corpus rows, distinct vectors): dups exist iff n != d,
+            # and n doubles as the free corpus count for the cosine
+            # path switch — the probe already pays for it
+            return (int(r["n"]), int(r["d"]))
 
-        has_dups = memoize_plan_stat(src, "__vec_dups__", _probe)
+        n_probe_rows, n_distinct = memoize_plan_stat(
+            src, "__vec_stats__", _probe)
+        has_dups = n_probe_rows != n_distinct
+        if n_est is None:
+            n_est = n_probe_rows
 
     rep_map = None
     if has_dups:
@@ -688,17 +788,22 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
 
     vecs = (vectors_df if vectors_df is not None else df).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("__v__"))
-    # HOF cosine, NOT pair_cosine: the banding bounds candidates to a
-    # small multiple of the true pair count, and the Python stage's
-    # fixed Arrow+worker cost measured WORSE than the interpreted
-    # verify at this volume (optimization r13 A/B: near_dup 1.9->2.3 s,
-    # semantic_dedup 2.6->4.0 s with pair_cosine; it pays off from
-    # ~10^5 pairs per run, see ivf_topk)
-    return (
+    # exact-cosine verify through the ONE guarded chooser
+    # (``cosine_pairs``, VERDICT r13 item 8): small candidate volumes
+    # keep the interpreted HOF (the r13 A/B loser was the Python
+    # stage's fixed cost at ~1e4 pairs), while a corpus whose
+    # estimated volume crosses PAIR_COSINE_MIN_EST_PAIRS — any real
+    # 100 TB corpus — gets the Arrow batch path without a code change.
+    # Both branches are bit-identical on these vectors.
+    cand = (
         pairs
         .join(vecs.select(F.col("id").alias("id_a"), F.col("__v__").alias("__va__")), on="id_a")
         .join(vecs.select(F.col("id").alias("id_b"), F.col("__v__").alias("__vb__")), on="id_b")
-        .select("id_a", "id_b", cosine(F.col("__va__"), F.col("__vb__")).alias("sim"))
+        .select("id_a", "id_b", "__va__", "__vb__"))
+    return (
+        cosine_pairs(cand, "__va__", "__vb__", "sim",
+                     est_pairs=_est_candidate_pairs(n_est, n_bands,
+                                                    band_bits))
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
     )

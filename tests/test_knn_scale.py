@@ -279,8 +279,11 @@ def test_blas_auto_picks_mode_by_size(spark, emb_df):
 def test_pair_cosine_bitwise_matches_hof(spark):
     """pair_cosine (the vectorized rerank path) must be BIT-IDENTICAL
     to the interpreted functions.vectors.cosine HOF it replaced —
-    including float32 inputs, the numpy fast path, the ragged/null
-    fallback, and zero vectors (NaN, not an error)."""
+    float32 inputs through the numpy fast path.  The clean rows run in
+    their OWN DataFrame (ADVICE r13: mixed in with the null/ragged
+    rows, a 1-partition run delivered ONE Arrow batch, the None row
+    poisoned np.array, and the whole batch silently took the per-row
+    fallback — the fast path was never exercised)."""
     import math
 
     from apache_beam_spark.functions.vectors import cosine
@@ -294,8 +297,6 @@ def test_pair_cosine_bitwise_matches_hof(spark):
         rows.append((i, a, b))
     # (no zero-vector row: under ANSI the HOF errors on 0/0 — see the
     # pair_cosine docstring; no query computes cosine of a zero vector)
-    rows.append((901, None, [1.0] * 8))             # null -> null
-    rows.append((902, [1.0] * 8, [1.0, 2.0]))       # ragged -> null
     df = spark.createDataFrame(
         rows, "pid long, va array<float>, vb array<float>")
 
@@ -307,11 +308,86 @@ def test_pair_cosine_bitwise_matches_hof(spark):
     assert set(hof) == set(vec)
     for pid, h in hof.items():
         v = vec[pid]
-        if h is None or v is None:
-            assert h is None and v is None, pid
-        elif math.isnan(h) or math.isnan(v):
-            assert math.isnan(h) and math.isnan(v), pid
-        else:
-            # bit-for-bit, not approx
-            assert h == v and math.copysign(1, h) == math.copysign(1, v), \
-                (pid, h.hex(), v.hex())
+        assert h is not None and v is not None, pid
+        assert not (math.isnan(h) or math.isnan(v)), pid
+        # bit-for-bit, not approx
+        assert h == v and math.copysign(1, h) == math.copysign(1, v), \
+            (pid, h.hex(), v.hex())
+
+
+def test_pair_cosine_corner_rows(spark):
+    """The fallback/masking contract, pinned row by row (see the
+    pair_cosine docstring): null array -> null, ragged -> null, and a
+    NaN or null ELEMENT -> null sim (ADVICE r13: Arrow delivers null
+    elements as NaN; unmasked they became NaN sims that sort ABOVE
+    every real double under sim.desc(), promoting corrupt vectors
+    into top-k — the HOF yields null there, so null-element rows now
+    MATCH it, while literal-NaN rows are the second documented
+    divergence: HOF NaN, pair_cosine null)."""
+    from apache_beam_spark.functions.vectors import cosine
+    from apache_beam_spark.similarity.knn import pair_cosine
+
+    rows = [
+        (901, None, [1.0] * 8),                      # null array
+        (902, [1.0] * 8, [1.0, 2.0]),                # ragged
+        (903, [float("nan"), 1.0], [1.0, 1.0]),      # NaN element
+        (904, [None, 1.0], [1.0, 1.0]),              # null element
+        (905, [1.0, 2.0], [2.0, 4.0]),               # clean control
+    ]
+    df = spark.createDataFrame(
+        rows, "pid long, va array<double>, vb array<double>")
+    vec = {r["pid"]: r["sim"] for r in
+           pair_cosine(df, "va", "vb").collect()}
+    assert vec[901] is None and vec[902] is None
+    assert vec[903] is None and vec[904] is None
+    assert vec[905] is not None and abs(vec[905] - 1.0) < 1e-12
+    # the HOF's null-element row matches (null); its NaN row is the
+    # documented divergence
+    hof = {r["pid"]: r["sim"] for r in df.filter("pid in (903, 904)")
+           .select("pid", cosine(F.col("va"), F.col("vb")).alias("sim"))
+           .collect()}
+    import math
+
+    assert hof[904] is None          # matched: null element -> null
+    assert math.isnan(hof[903])      # divergence: HOF NaN, ours null
+    # a NaN-ELEMENT row must also mask when it rides the per-row
+    # fallback (batched with a ragged row) — same mask, both paths
+    vec2 = {r["pid"]: r["sim"] for r in pair_cosine(
+        df.filter("pid in (902, 903)").coalesce(1), "va", "vb").collect()}
+    assert vec2[902] is None and vec2[903] is None
+
+
+def test_cosine_pairs_chooser_both_branches(spark):
+    """cosine_pairs (VERDICT r13 item 8: the ONE guarded call site) —
+    below PAIR_COSINE_MIN_EST_PAIRS it plans the pure-JVM HOF (no
+    Python node), at/above it the Arrow pair_cosine, and both branches
+    return bit-identical sims."""
+    import math
+
+    from apache_beam_spark.similarity.knn import (
+        PAIR_COSINE_MIN_EST_PAIRS, cosine_pairs)
+
+    rng = np.random.RandomState(7)
+    rows = [(i, rng.standard_normal(16).tolist(),
+             rng.standard_normal(16).tolist()) for i in range(50)]
+    df = spark.createDataFrame(
+        rows, "pid long, va array<double>, vb array<double>")
+
+    low = cosine_pairs(df, "va", "vb", est_pairs=1.0)
+    high = cosine_pairs(df, "va", "vb",
+                        est_pairs=float(PAIR_COSINE_MIN_EST_PAIRS))
+    unknown = cosine_pairs(df, "va", "vb", est_pairs=None)
+
+    for branch, want_python in ((low, False), (high, True),
+                                (unknown, False)):
+        plan = branch._jdf.queryExecution().executedPlan().toString()
+        has_python = ("ArrowEvalPython" in plan or "MapInPandas" in plan
+                      or "BatchEvalPython" in plan)
+        assert has_python == want_python, plan[:400]
+        assert branch.columns == ["pid", "sim"]
+
+    got_low = {r["pid"]: r["sim"] for r in low.collect()}
+    got_high = {r["pid"]: r["sim"] for r in high.collect()}
+    for pid in got_low:
+        h, v = got_low[pid], got_high[pid]
+        assert h == v and math.copysign(1, h) == math.copysign(1, v), pid
