@@ -150,10 +150,15 @@ def lr_train(df: DataFrame, label_col: str, text_col: str = "text",
         sd[sd < 1e-12] = 1.0          # constant features (incl. bias)
         mu[0], sd[0] = 0.0, 1.0       # keep the bias term as-is
 
-        feat_std = cache_scoped(feat.select(
+        # NOT cached: a same-shape projection over the already-cached
+        # ``feat`` would hold a second full copy of the feature matrix
+        # in storage memory (cache-over-cache, VERDICT r13 item 6);
+        # re-running the d-element standardization arithmetic per
+        # iteration is codegen-cheap against the cached rows.
+        feat_std = feat.select(
             F.array(*[(F.element_at("x", i + 1) - F.lit(float(mu[i])))
                       / F.lit(float(sd[i])) for i in range(d)]).alias("x"),
-            "y"))
+            "y")
         for _ in range(iters):
             parts = grad_pass(feat_std, w)
             n = sum(r["n"] for r in parts)
