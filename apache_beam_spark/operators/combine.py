@@ -278,10 +278,19 @@ class Top:
 
         return _T()
 
+    #: fixed level-1 salt count for the two-level per-key top-k —
+    #: a CONSTANT (ADVICE r13: deriving it from defaultParallelism
+    #: made the logical plan vary with cluster size, breaking
+    #: plan-keyed caching/memo equality across deployments).  32 salts
+    #: bound the level-2 input to 32k rows per key at any scale while
+    #: giving a hot key 32-way level-1 parallelism.
+    N_SALTS = 32
+
     @staticmethod
     def per_key(keys: Union[str, Sequence[str]], order_col: str, k: int,
                 ascending: bool = False, rank_alias: str = "rank",
-                tiebreak: Optional[Sequence[str]] = None) -> PTransform:
+                tiebreak: Optional[Sequence[str]] = None,
+                salted: bool = True) -> PTransform:
         keys_l = [keys] if isinstance(keys, str) else list(keys)
 
         class _TPK(PTransform):
@@ -297,7 +306,7 @@ class Top:
                 # each whole key group in one task (a 3-value key uses
                 # 3 tasks at any scale — the 199/200-stragglers shape).
                 # Level 1 takes the per-(key, salt) top-k in parallel;
-                # level 2 ranks only the <= k * n_salts survivors per
+                # level 2 ranks only the <= k * N_SALTS survivors per
                 # key.  Exact: a row outside its salt bucket's top-k
                 # has >= k same-key rows ahead of it globally, so the
                 # global top-k is contained in the union of bucket
@@ -306,12 +315,17 @@ class Top:
                 # under task retry), so ranks are reproducible whenever
                 # the order is total — the same condition the
                 # single-window form already needed.
-                n_salts = df.sparkSession.sparkContext.defaultParallelism
-                if n_salts > 1:
+                # ``salted=False`` is the HIGH-cardinality opt-out
+                # (ADVICE r13): when each key group holds ~k rows,
+                # level 1 filters almost nothing and its extra
+                # exchange+sort roughly doubles the shuffle — callers
+                # who know their key is near-unique should skip it.
+                # Results are identical either way.
+                if salted:
                     salt = F.pmod(
                         F.xxhash64(F.col(order_col),
                                    *[F.col(t) for t in tiebreak or []]),
-                        F.lit(n_salts))
+                        F.lit(Top.N_SALTS))
                     lw = W.partitionBy(*keys_l, salt).orderBy(*order)
                     df = (df.withColumn("__lrn__", F.row_number().over(lw))
                           .filter(F.col("__lrn__") <= k).drop("__lrn__"))
