@@ -282,6 +282,14 @@ def main() -> None:
     }
 
     total = round(sum(timings.values()), 3)
+    # median of the fixed-work canary sampled DURING the suite — the
+    # host observation that shares the walls' time window (r14: the
+    # start/end host_index microbenchmarks swung 2x between same-day
+    # quiet runs while the in-run canary matched to 2%; BASELINE.md
+    # names canary_med/0.25 the secondary host check when the min-pair
+    # index reads < 0.6)
+    canary_med = (round(sorted(canary_series)[len(canary_series) // 2], 3)
+                  if canary_series else None)
     # honesty companion to the min-merged headline (VERDICT r13 item 5):
     # the sum of every query's FIRST wall, which pays each scoped
     # cache's build cost in suite order.  The primary metric's
